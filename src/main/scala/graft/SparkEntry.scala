@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
+import graft.operators.dwd._
 import graft.operators.dws._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,14 +26,103 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 projections / filters
+    "p1_json_quarantine" -> ((s, d) => EventFilters.jsonQuarantine(Tables.events(s, d))),
+    "p2_optype_filter" -> ((s, d) => EventFilters.opTypeFilter(Tables.events(s, d))),
+    "p3_cdc_extract" -> ((s, d) => EventFilters.cdcExtract(Tables.events(s, d))),
+    "p5_conditional_delta" -> ((s, d) => EventFilters.conditionalDelta(Tables.events(s, d))),
+    "p7_compound_filter" -> ((s, d) => EventFilters.compoundFilter(Tables.orders(s, d))),
+    "p12_favor_add_filter" -> ((s, d) => EventFilters.favorAddFilter(Tables.events(s, d))),
+    "f_scalar_functions" -> ((s, d) => EventFilters.scalarFns(Tables.events(s, d))),
+    // §2.5 windowed aggregations
+    "a1_keyed_tumbling_window" -> ((s, d) => TrafficWindows.keyedWindow(Tables.events(s, d))),
     "a3_province_order_window" -> ((s, d) =>
       ProvinceOrderWindow(Tables.lineitem(s, d), Tables.orders(s, d),
-        Tables.customer(s, d), Tables.nation(s, d)))
+        Tables.customer(s, d), Tables.nation(s, d))),
+    "a5_global_tumbling_window" -> ((s, d) => TrafficWindows.globalWindow(Tables.events(s, d))),
+    "a10_daily_unique_visitors" -> ((s, d) => TrafficWindows.dailyUv(Tables.events(s, d))),
+    // §2.9 UDTF + A6
+    "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "a3_province_order_window" -> ProvinceOrderWindow.oracle
+    "p1_json_quarantine" ->
+      """SELECT event_type,
+        |       sum(CASE WHEN NOT json_valid(payload) THEN 1 ELSE 0 END) AS dirty_ct,
+        |       sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS clean_ct,
+        |       sum(CASE WHEN json_valid(payload)
+        |                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+        |                ELSE 0 END) AS k_sum
+        |FROM (SELECT event_type,
+        |             CASE WHEN event_id % 10 = 0 THEN substring(props, 1, 3)
+        |                  ELSE props END AS payload
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p2_optype_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events WHERE event_type IN ('purchase', 'signup', 'click')
+        |ORDER BY event_id""".stripMargin,
+    "p3_cdc_extract" ->
+      """SELECT * FROM (
+        |  SELECT event_id, event_type AS table_name,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+        |  FROM events)
+        |WHERE k IS NOT NULL AND k > 50 ORDER BY event_id""".stripMargin,
+    "p5_conditional_delta" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+        |       round(sum(CASE WHEN event_type = 'purchase' THEN value
+        |                      WHEN event_type = 'error' THEN -value
+        |                      ELSE 0 END), 2) AS net_value,
+        |       count(*) AS event_ct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p7_compound_filter" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |ORDER BY o_orderkey""".stripMargin,
+    "p12_favor_add_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'click' OR (event_type = 'error' AND value < 50)
+        |ORDER BY event_id""".stripMargin,
+    "f_scalar_functions" ->
+      """SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       strftime(ts, '%Y-%m-%d') AS dt,
+        |       CAST(hour(ts) AS INT) AS hr,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |       concat_ws('-', event_type, user_id) AS joined,
+        |       upper(event_type) AS upper_type,
+        |       CAST(length(event_type) AS INT) AS type_len,
+        |       split_part(event_type, 'i', 1) AS first_part,
+        |       CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band,
+        |       coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_prop
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    "a1_keyed_tumbling_window" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/10)*10) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       event_type, count(*) AS pv_ct, round(sum(value), 2) AS val_sum
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "a3_province_order_window" -> ProvinceOrderWindow.oracle,
+    "a5_global_tumbling_window" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/3600)*3600) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       count(*) AS ev_ct, round(sum(value), 2) AS val_sum,
+        |       count(DISTINCT user_id) AS uu_ct
+        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "a10_daily_unique_visitors" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+        |       count(DISTINCT user_id) AS uv_ct, count(*) AS pv_ct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u1_a6_keyword_frequency" ->
+      """SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
+        |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        |      FROM documents)
+        |WHERE word <> '' GROUP BY word ORDER BY word_ct DESC, word""".stripMargin
   )
 }

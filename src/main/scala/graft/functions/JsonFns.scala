@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSON parse + dirty-data quarantine.
+  *
+  * Reference P1: `BaseLogApp.java:54-69` parses each Kafka record with
+  * fastjson and routes unparseable rows to a `Dirty` side output.
+  * Spark has no side outputs; the idiomatic re-expression is a single
+  * `from_json` pass producing a `parsed` struct plus an `is_dirty`
+  * flag, from which callers take the two filtered projections (clean /
+  * quarantine). One scan, no shuffle, fully codegen'd.
+  */
+object JsonFns {
+
+  /** Adds `parsed` (struct) and `is_dirty` columns. PERMISSIVE
+    * `from_json` returns an all-null struct for malformed input, so the
+    * reliable dirty signal is the documented `_corrupt_record` idiom:
+    * extend the schema with the corrupt-record column and check it —
+    * the exact Spark twin of the reference's try/catch → side-output
+    * contract. */
+  def parseWithQuarantine(df: DataFrame, jsonCol: Column,
+                          schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    df.withColumn("parsed", from_json(jsonCol, withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("is_dirty",
+        jsonCol.isNotNull && col("parsed._corrupt_record").isNotNull)
+  }
+
+  /** CDC-style map access `data['k']` (P3, e.g.
+    * `DwdTradeOrderPreProcess.java:45-99`) over a JSON-string column. */
+  def jsonField(jsonCol: Column, field: String): Column =
+    get_json_object(jsonCol, s"$$.$field")
+}
