@@ -34,7 +34,25 @@ object SparkEntry {
     "p7_compound_filter" -> ((s, d) => EventFilters.compoundFilter(Tables.orders(s, d))),
     "p12_favor_add_filter" -> ((s, d) => EventFilters.favorAddFilter(Tables.events(s, d))),
     "f_scalar_functions" -> ((s, d) => EventFilters.scalarFns(Tables.events(s, d))),
+    // §2.4 joins + §2.6 union
+    "j1_order_wide_table" -> ((s, d) =>
+      Joins.orderWideTable(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "j2_left_outer_activity" -> ((s, d) =>
+      Joins.leftOuterActivity(Tables.lineitem(s, d), Tables.part(s, d))),
+    "j3_dic_lookup_join" -> ((s, d) =>
+      Joins.dicLookupJoin(Tables.orders(s, d), Joins.baseDic(s))),
+    "j4_snowflake_dim_chain" -> ((s, d) =>
+      Joins.snowflakeEnrich(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "j6_interval_join" -> ((s, d) => Joins.intervalJoin(Tables.events(s, d))),
+    "j7_full_outer_join" -> ((s, d) => Joins.fullOuterJoin(Tables.events(s, d))),
+    "u_union_three_way" -> ((s, d) => Joins.unionThreeWay(Tables.events(s, d))),
     // §2.5 windowed aggregations
+    "a2_user_spu_order_window" -> ((s, d) =>
+      TradeWindows.userSpuOrderWindow(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d))),
+    "a4_refund_window" -> ((s, d) =>
+      TradeWindows.refundWindow(Tables.lineitem(s, d), Tables.part(s, d))),
     "a1_keyed_tumbling_window" -> ((s, d) => TrafficWindows.keyedWindow(Tables.events(s, d))),
     "a3_province_order_window" -> ((s, d) =>
       ProvinceOrderWindow(Tables.lineitem(s, d), Tables.orders(s, d),
@@ -48,6 +66,89 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "j1_order_wide_table" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, o_custkey, o_orderstatus,
+        |       round(l_quantity, 2) AS quantity,
+        |       round(l_extendedprice, 2) AS amount,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j2_left_outer_activity" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(activity_brand, '') AS activity_brand,
+        |       round(l_extendedprice, 2) AS amount
+        |FROM lineitem LEFT JOIN
+        |  (SELECT p_partkey, p_brand AS activity_brand FROM part
+        |   WHERE p_retailprice > 1500) a ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j3_dic_lookup_join" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low'))
+        |SELECT o_orderkey, s.dic_name AS status_name,
+        |       p.dic_name AS priority_name,
+        |       round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |JOIN dic s ON o_orderstatus = s.dic_code
+        |JOIN dic p ON split_part(o_orderpriority, '-', 1) = p.dic_code
+        |ORDER BY o_orderkey""".stripMargin,
+    "j4_snowflake_dim_chain" ->
+      """SELECT r_name, p_brand, count(*) AS line_ct,
+        |       round(sum(l_quantity), 2) AS qty_sum,
+        |       round(sum(l_extendedprice), 2) AS amount_sum
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j6_interval_join" ->
+      """SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
+        |       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS signup_time,
+        |       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'signup'
+        |  AND b.event_type = 'purchase'
+        |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY signup_id, purchase_id""".stripMargin,
+    "j7_full_outer_join" ->
+      """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+        |       coalesce(p.purchase_amount, 0.0) AS purchase_amount,
+        |       coalesce(c.click_ct, 0) AS click_ct
+        |FROM (SELECT user_id, round(sum(value), 2) AS purchase_amount
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        |FULL JOIN (SELECT user_id, count(*) AS click_ct
+        |           FROM events WHERE event_type = 'click' GROUP BY 1) c
+        |  ON p.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin,
+    "u_union_three_way" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS cur_date, kind, count(*) AS ct,
+        |       round(sum(value), 2) AS val_sum
+        |FROM (SELECT ts, 'uv' AS kind, value FROM events WHERE event_type = 'view'
+        |      UNION ALL
+        |      SELECT ts, 'err', value FROM events WHERE event_type = 'error'
+        |      UNION ALL
+        |      SELECT ts, 'buy', value FROM events WHERE event_type = 'purchase')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a2_user_spu_order_window" ->
+      """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(date_trunc('day', o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       o_custkey AS user_id, p_brand,
+        |       round(sum(l_extendedprice), 2) AS order_amount,
+        |       count(DISTINCT l_orderkey) AS order_ct
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
+    "a4_refund_window" ->
+      """SELECT strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(date_trunc('day', l_shipdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       p_brand, p_type,
+        |       count(DISTINCT l_orderkey) AS refund_order_ct,
+        |       count(*) AS refund_line_ct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
     "p1_json_quarantine" ->
       """SELECT event_type,
         |       sum(CASE WHEN NOT json_valid(payload) THEN 1 ELSE 0 END) AS dirty_ct,

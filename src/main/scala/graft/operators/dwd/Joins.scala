@@ -1,0 +1,170 @@
+package graft.operators.dwd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+
+/** Join operators (SURVEY §2.4, J1–J7) over the driver tables.
+  *
+  * The reference's joins are all equi-joins executed by Flink's
+  * streaming join operators with TTL-bounded state; in batch form they
+  * are ordinary Catalyst joins. Physical strategy is left to Catalyst:
+  * big⋈big (lineitem⋈orders) becomes a sort-merge/shuffled-hash join on
+  * the shuffle key, small dims are broadcast (`broadcast()` hint where
+  * the statistics alone wouldn't prove it) — the Spark twin of the
+  * reference's Redis/JDBC-cached lookup joins (J3/J4).
+  */
+object Joins {
+
+  /** J1 — order wide table: order_detail ⋈ order_info
+    * (`DwdTradeOrderPreProcess.java:141-194`). Shuffles once on the
+    * order key; both inputs are pre-projected so only needed columns
+    * move. */
+  def orderWideTable(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("l_quantity"), 2).as("quantity"),
+        round(col("l_extendedprice"), 2).as("amount"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** J2 — left-outer enrichment: order_detail ⟕ activity
+    * (`DwdTradeOrderPreProcess.java:189-192`); unmatched rows keep the
+    * detail with empty-string activity fields, replicating the
+    * reference's null → "" handling (`DwsTradeOrderWindow.java:152`). */
+  def leftOuterActivity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val activity = part
+      .filter(col("p_retailprice") > 1500)
+      .select(col("p_partkey").as("act_partkey"),
+        col("p_brand").as("activity_brand"))
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .join(broadcast(activity), col("l_partkey") === col("act_partkey"),
+        "left_outer")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("activity_brand"), lit("")).as("activity_brand"),
+        round(col("l_extendedprice"), 2).as("amount"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** The `base_dic` dictionary dim (`MysqlUtil.java:10-35`), built as a
+    * literal DataFrame — one table holding several code families, like
+    * the reference's single dictionary table. */
+  def baseDic(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("O", "Open"), ("F", "Finished"), ("P", "Pending"),
+      ("1", "Urgent"), ("2", "High"), ("3", "Medium"), ("4", "NotSpecified"),
+      ("5", "Low")
+    ).toDF("dic_code", "dic_name")
+  }
+
+  /** J3 — lookup (temporal) join against the dictionary dim, aliased
+    * twice in one query like `DwdTradeOrderRefund.java:97-123`
+    * (type_dic + reason_dic). Broadcast — the dim never shuffles, which
+    * is the 100 TB-safe twin of the reference's per-task JDBC cache. */
+  def dicLookupJoin(orders: DataFrame, dic: DataFrame): DataFrame = {
+    val statusDic = broadcast(dic.select(col("dic_code").as("status_code"),
+      col("dic_name").as("status_name")))
+    val prioDic = broadcast(dic.select(col("dic_code").as("prio_code"),
+      col("dic_name").as("priority_name")))
+    orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("prio"),
+        col("o_totalprice"))
+      .join(statusDic, col("o_orderstatus") === col("status_code"))
+      .join(prioDic, col("prio") === col("prio_code"))
+      .select(col("o_orderkey"), col("status_name"), col("priority_name"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J4 — snowflake dim chain (`DwsTradeUserSpuOrderWindow.java:209-278`
+    * chains sku→spu→trademark→cat3→cat2→cat1 async lookups): here
+    * lineitem → part, supplier → nation → region, all broadcast, then a
+    * rollup. One shuffle total (the final groupBy). */
+  def snowflakeEnrich(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(count(lit(1)).as("line_ct"),
+        round(sum(col("l_quantity")), 2).as("qty_sum"),
+        round(sum(col("l_extendedprice")), 2).as("amount_sum"))
+      .orderBy("r_name", "p_brand")
+
+  /** J6 — interval join (`Flink04_DataStreamJoinTest.java:57-66`):
+    * signup events joined to purchases by the same user within
+    * (0, +1 hour]. Equi key + time-band predicate — Spark shuffles on
+    * the equi key and applies the band as a post-join filter, the same
+    * plan a streaming interval join bounds with watermarks. */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    signups
+      .join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  /** J7 — full-outer join of two changelogs
+    * (`Flink07_Upsert_kafkaTest.java:48`): per-user purchase totals vs
+    * click counts, null-padded sides coalesced. */
+  def fullOuterJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"))
+      .agg(round(sum(col("value")), 2).as("purchase_amount"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"))
+      .agg(count(lit(1)).as("click_ct"))
+    purchases
+      .join(clicks, col("p_user") === col("c_user"), "full_outer")
+      .select(
+        coalesce(col("p_user"), col("c_user")).as("user_id"),
+        coalesce(col("purchase_amount"), lit(0.0)).as("purchase_amount"),
+        coalesce(col("click_ct"), lit(0L)).as("click_ct"))
+      .orderBy("user_id")
+  }
+
+  /** §2.6 — 3-way UNION (bag semantics, `DwsTrafficVcChArIsNewPageView
+    * Window.java:119`): three filtered projections of one source
+    * unioned by name, then rolled up per day+kind. */
+  def unionThreeWay(events: DataFrame): DataFrame = {
+    val uv = events.filter(col("event_type") === "view")
+      .select(col("ts"), lit("uv").as("kind"), col("value"))
+    val err = events.filter(col("event_type") === "error")
+      .select(col("ts"), lit("err").as("kind"), col("value"))
+    val buy = events.filter(col("event_type") === "purchase")
+      .select(col("ts"), lit("buy").as("kind"), col("value"))
+    uv.unionByName(err).unionByName(buy)
+      .groupBy(TimeFns.toDateStr(col("ts")).as("cur_date"), col("kind"))
+      .agg(count(lit(1)).as("ct"), round(sum(col("value")), 2).as("val_sum"))
+      .orderBy("cur_date", "kind")
+  }
+}
