@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import graft.core.Tables
 import graft.operators.dwd._
 import graft.operators.dws._
+import graft.operators.state._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +60,31 @@ object SparkEntry {
         Tables.customer(s, d), Tables.nation(s, d))),
     "a5_global_tumbling_window" -> ((s, d) => TrafficWindows.globalWindow(Tables.events(s, d))),
     "a10_daily_unique_visitors" -> ((s, d) => TrafficWindows.dailyUv(Tables.events(s, d))),
+    // §2.5 stateful kernels (batch twins; streaming forms in graft.streaming)
+    "a7_first_wins_dedup" -> ((s, d) =>
+      Dedup.firstWins(Tables.lineitem(s, d), Seq("l_orderkey"),
+          Seq(functions.col("l_linenumber"), functions.col("l_partkey"),
+            functions.col("l_suppkey"), functions.col("l_extendedprice")))
+        .select(functions.col("l_orderkey"), functions.col("l_linenumber"),
+          functions.col("l_partkey"),
+          functions.round(functions.col("l_extendedprice"), 2).as("amount"))
+        .orderBy("l_orderkey")),
+    "a8_last_wins_dedup" -> ((s, d) =>
+      Dedup.lastWins(Tables.events(s, d), Seq("user_id", "event_type"),
+          Seq(functions.col("ts").desc, functions.col("event_id").desc))
+        .select(functions.col("user_id"), functions.col("event_type"),
+          functions.col("event_id"),
+          functions.round(functions.col("value"), 2).as("value"),
+          functions.date_format(functions.col("ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("last_time"))
+        .orderBy("user_id", "event_type")),
+    "a9_first_per_day_flags" -> ((s, d) =>
+      VisitFlags.firstPerDayFlags(Tables.events(s, d))),
+    "a9_login_winback" -> ((s, d) => VisitFlags.winBack(Tables.events(s, d))),
+    "a11_is_new_correction" -> ((s, d) =>
+      VisitFlags.isNewCorrection(Tables.events(s, d))),
+    "cep_bounce_sessions" -> ((s, d) =>
+      Sessionize.bounceSessions(Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d)))
   )
@@ -220,6 +246,67 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
         |       count(DISTINCT user_id) AS uv_ct, count(*) AS pv_ct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a7_first_wins_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       round(l_extendedprice, 2) AS amount
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |                 ORDER BY l_linenumber, l_partkey, l_suppkey,
+        |                          l_extendedprice) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "a8_last_wins_dedup" ->
+      """SELECT user_id, event_type, event_id, round(value, 2) AS value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_time
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "a9_first_per_day_flags" ->
+      """SELECT cur_date, count(*) AS uu_ct,
+        |       sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS new_uu_ct
+        |FROM (SELECT user_id, cur_date,
+        |             min(cur_date) OVER (PARTITION BY user_id) AS first_date
+        |      FROM (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date
+        |            FROM events))
+        |GROUP BY cur_date ORDER BY cur_date""".stripMargin,
+    "a9_login_winback" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS cur_date,
+        |       sum(CASE WHEN prev_d IS NOT NULL AND d - prev_d >= 8
+        |                THEN 1 ELSE 0 END) AS back_uu_ct,
+        |       count(*) AS active_uu_ct
+        |FROM (SELECT user_id, d,
+        |             lag(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+        |      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events))
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a11_is_new_correction" ->
+      """SELECT cur_date,
+        |       CASE WHEN cur_date = first_date THEN 1 ELSE 0 END AS is_new,
+        |       count(*) AS ev_ct, count(DISTINCT user_id) AS uu_ct
+        |FROM (SELECT user_id, strftime(ts, '%Y-%m-%d') AS cur_date,
+        |             min(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_date
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "cep_bounce_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sess_id, min(ts) AS sess_start, count(*) AS ev_ct
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT strftime(sess_start, '%Y-%m-%d') AS cur_date,
+        |       count(*) AS session_ct,
+        |       sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS bounce_ct,
+        |       sum(ev_ct) AS event_ct
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "u1_a6_keyword_frequency" ->
       """SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
         |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
