@@ -45,6 +45,9 @@ object SparkEntry {
     "j4_snowflake_dim_chain" -> ((s, d) =>
       Joins.snowflakeEnrich(Tables.lineitem(s, d), Tables.part(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "j5_config_routing" -> ((s, d) =>
+      graft.operators.dim.ConfigRouting(Tables.events(s, d),
+        graft.operators.dim.ConfigRouting.configFrame(s))),
     "j6_interval_join" -> ((s, d) => Joins.intervalJoin(Tables.events(s, d))),
     "j7_full_outer_join" -> ((s, d) => Joins.fullOuterJoin(Tables.events(s, d))),
     "u_union_three_way" -> ((s, d) => Joins.unionThreeWay(Tables.events(s, d))),
@@ -128,6 +131,18 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j5_config_routing" ->
+      """WITH cfg(source_table, sink_table, sink_columns) AS (VALUES
+        |  ('click','dwd_click','event_id,user_id'),
+        |  ('purchase','dwd_purchase','event_id,user_id,value'),
+        |  ('signup','dwd_signup','event_id'))
+        |SELECT sink_table, event_id,
+        |       CASE WHEN list_contains(string_split(sink_columns, ','), 'user_id')
+        |            THEN user_id END AS user_id,
+        |       CASE WHEN list_contains(string_split(sink_columns, ','), 'value')
+        |            THEN round(value, 2) END AS value
+        |FROM events JOIN cfg ON event_type = source_table
+        |ORDER BY sink_table, event_id""".stripMargin,
     "j6_interval_join" ->
       """SELECT a.event_id AS signup_id, b.event_id AS purchase_id, a.user_id,
         |       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS signup_time,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Config-driven DIM router (SURVEY §2.4 J5 + sinks K5/K6).
+  *
+  * Reference `TableProcessFunction.java:27-175` + `DimApp.java:47-104`:
+  * a CDC config stream (`table_process` rows: sourceTable → sinkTable,
+  * sinkColumns, sinkPK) is broadcast to all tasks; main-stream rows are
+  * routed by table name, column-pruned to `sinkColumns`, and upserted
+  * into per-table Phoenix sinks whose DDL is generated on the fly
+  * (`:74-127`).
+  *
+  * Spark twin: the config is a small DataFrame broadcast-joined to the
+  * stream on the table name (unknown tables drop out of the inner join,
+  * matching `:146-149`); per-table fan-out happens in `foreachBatch`,
+  * writing parquet per sink table (dynamic "DDL" = directory+schema
+  * creation) after a last-wins MERGE by the sink PK.
+  */
+object CdcRouter {
+
+  /** Route: stream ⋈ broadcast(config) on the table name. The config
+    * frame has columns (source_table, sink_table, sink_columns,
+    * sink_pk); its key is renamed before the join so a stream whose
+    * table column is also called `source_table` stays unambiguous. */
+  def route(cdc: DataFrame, config: DataFrame, tableCol: String): DataFrame =
+    cdc.join(
+      broadcast(config.withColumnRenamed("source_table", "__cfg_source")),
+      col(tableCol) === col("__cfg_source"))
+      .drop("__cfg_source")
+
+  /** Dynamic column pruning by the config string
+    * (`TableProcessFunction.java:157-175`): keep only `sink_columns`. */
+  def prune(routed: DataFrame, sinkColumns: String): DataFrame =
+    routed.select(sinkColumns.split(",").map(c => col(c.trim)): _*)
+
+  /** Per-table fan-out of one (cached) batch: for each configured sink
+    * table, prune columns, last-wins dedup by the sink PK ordered by
+    * `versionCol` (K5 upsert semantics), and write parquet. */
+  def fanOut(batch: DataFrame, config: Seq[(String, String, String, String)],
+             versionCol: String, outDir: String): Unit = {
+    val cached = batch.persist()
+    try config.foreach { case (source, sink, cols, pk) =>
+      val routed = cached.filter(col("source_table") === source)
+      val merged = prune(
+        routed.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(pk)).orderBy(col(versionCol).desc))),
+        cols + ",__rn").filter(col("__rn") === 1).drop("__rn")
+      merged.write.mode("overwrite").parquet(s"$outDir/$sink")
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Streaming shell: CDC stream + static config → foreachBatch fan-out
+    * (the reference's broadcast-state wiring, `DimApp.java:89-97`). */
+  def run(spark: SparkSession, cdcStream: DataFrame, config: DataFrame,
+          tableCol: String, versionCol: String, outDir: String): Unit = {
+    val cfg = config.collect().map(r => (
+      r.getAs[String]("source_table"), r.getAs[String]("sink_table"),
+      r.getAs[String]("sink_columns"), r.getAs[String]("sink_pk"))).toSeq
+    val q = route(cdcStream, config, tableCol).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        fanOut(batch, cfg, versionCol, outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TimeFns
+
+/** Typed event row used by the streaming kernels (events table shape). */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** A closed session emitted by the bounce kernel. */
+case class SessionOut(user_id: Long, sess_start: Timestamp, ev_ct: Long,
+                      bounce: Boolean)
+
+/** A per-user visit flag row emitted by the visit-flags kernel. */
+case class VisitFlag(user_id: Long, cur_date: String, is_new: Int)
+
+/** Structured-Streaming forms of the stateful kernels (SURVEY §2.5/§2.8).
+  *
+  * These are the streaming twins of the deterministic batch operators in
+  * `graft.operators.state`; the ScalaTest suites prove parity by running
+  * both over the same `MemoryStream` data. State is bounded exactly the
+  * way the reference bounds it: watermarks stand in for Flink's state
+  * TTL (`DwdTradeOrderPreProcess.java:39`), event-time timeouts for its
+  * timers (`DwsTradePaymentSucWindow.java:102`).
+  */
+object StatefulStreams {
+
+  /** A1 streaming — watermarked keyed tumbling window
+    * (`DwsTrafficVcChArIsNewPageViewWindow.java:133-178`; 2 s
+    * out-of-orderness as in `DwsTradeOrderWindow.java:111`). */
+  def windowedAgg(events: DataFrame, watermark: String = "2 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"), round(sum(col("value")), 2).as("val_sum"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("event_type"), col("pv_ct"), col("val_sum"))
+
+  /** A7 streaming — first-wins dedup: keyed ValueState flag
+    * (`DwsTradeOrderWindow.java:84-108`). Emits only the first row seen
+    * per key; within one micro-batch the winner is the (ts, event_id)
+    * minimum, matching the batch twin's total order. */
+  def firstWinsStream(events: Dataset[Ev]): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Boolean, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).take(1).iterator
+          }
+      }
+  }
+
+  /** CEP streaming — bounce/session detection
+    * (`DwdTrafficUserJumpDetail.java:73-119`): per-user state buffers
+    * the open session; a follow-up within `gapSec` extends it, a gap
+    * closes it, and the event-time timeout (the CEP `within(10 s)`
+    * timeout branch) closes it at watermark — emitting single-event
+    * sessions as bounces. */
+  def bounceStream(events: Dataset[Ev], gapSec: Long = 1800L,
+                   watermark: String = "2 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    case class SessState(startMs: Long, lastMs: Long, ct: Long)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state: GroupState[(Long, Long, Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          def close(s: (Long, Long, Long)): Unit =
+            out += SessionOut(user, new Timestamp(s._1), s._3, s._3 == 1)
+          if (state.hasTimedOut) {
+            close(state.get); state.remove()
+          } else {
+            var cur = state.getOption
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s._2 <= gapSec * 1000 =>
+                  cur = Some((s._1, e.ts.getTime, s._3 + 1))
+                case Some(s) =>
+                  close(s)
+                  cur = Some((e.ts.getTime, e.ts.getTime, 1L))
+                case None =>
+                  cur = Some((e.ts.getTime, e.ts.getTime, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapSec * 1000)
+            }
+          }
+          out.iterator
+      }
+  }
+
+  /** A9/A11 streaming — per-user first-visit flags: ValueState of
+    * (firstDate, lastDate) (`DwsTradeCartAddUuWindow.java:85-117`,
+    * `BaseLogApp.java:76-105`). Emits one row per (user, day) with
+    * `is_new` = first-ever day. */
+  def visitFlagsStream(events: Dataset[Ev]): Dataset[VisitFlag] = {
+    import events.sparkSession.implicits._
+    val fmt = "yyyy-MM-dd"
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, String), VisitFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(String, String)]) =>
+          val df = new java.text.SimpleDateFormat(fmt)
+          df.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          var (first, last) = state.getOption.getOrElse((null: String, null: String))
+          val out = scala.collection.mutable.ArrayBuffer[VisitFlag]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val d = df.format(e.ts)
+            if (first == null) { first = d; last = d; out += VisitFlag(user, d, 1) }
+            else if (d != last && d > last) { last = d; out += VisitFlag(user, d, 0) }
+          }
+          state.update((first, last))
+          out.iterator
+      }
+  }
+}

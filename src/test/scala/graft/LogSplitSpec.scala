@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.LogSplit
+
+/** BaseLogApp split semantics on reference-shaped fixtures
+  * (FIXTURES.md §1.1): start/page mutual exclusion, err co-occurrence,
+  * display/action explosion with context injection, dirty quarantine. */
+class LogSplitSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val pageLog =
+    """{"common":{"mid":"mid_1","uid":"42","vc":"v2","ch":"web","ar":"110000","is_new":"1","ba":"b","md":"m","os":"o"},
+      |"page":{"page_id":"good_detail","last_page_id":"home","item":"sku_3","item_type":"sku_id","during_time":12000},
+      |"displays":[{"item":"3","item_type":"sku_id","pos_id":1,"order":1},{"item":"5","item_type":"sku_id","pos_id":2,"order":2}],
+      |"actions":[{"item":"3","item_type":"sku_id","action_id":"favor_add","ts":1675315200123}],
+      |"ts":1675315200000}""".stripMargin.replaceAll("\n", "")
+
+  private val startLog =
+    """{"common":{"mid":"mid_2","uid":"7","vc":"v2","ch":"app","ar":"120000","is_new":"0","ba":"b","md":"m","os":"o"},
+      |"start":{"entry":"icon","open_ad_id":2,"loading_time":5621},
+      |"err":{"error_code":1359,"msg":"boom"},
+      |"ts":1675315201000}""".stripMargin.replaceAll("\n", "")
+
+  private val dirtyLog = """{"common":{"mid": BROKEN"""
+
+  private def splits = LogSplit.split(LogSplit.parse(
+    Seq(pageLog, startLog, dirtyLog).toDF("value")))
+
+  test("dirty rows are quarantined, not dropped") {
+    assert(splits("dirty").count() == 1)
+  }
+
+  test("page vs start mutual exclusion") {
+    assert(splits("page").count() == 1)
+    assert(splits("start").count() == 1)
+    assert(splits("err").count() == 1) // err co-occurs with start
+  }
+
+  test("displays explode with injected context") {
+    val d = splits("display").collect()
+    assert(d.length == 2)
+    val first = splits("display").selectExpr("common.mid", "page_id", "item").collect()
+    assert(first.forall(r => r.getString(0) == "mid_1" && r.getString(1) == "good_detail"))
+  }
+
+  test("actions explode carries action_id") {
+    val a = splits("action").selectExpr("action_id").collect()
+    assert(a.map(_.getString(0)).toSeq == Seq("favor_add"))
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for all suites (getOrCreate reuses it). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sf0001 = "/root/testdata/sf0.001"
+
+  /** Order-insensitive row comparison. */
+  def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val (ra, rb) = (rowsOf(a), rowsOf(b))
+    assert(ra == rb, s"\nleft : ${ra.take(5)}\nright: ${rb.take(5)}")
+  }
+
+  def tsOf(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+}

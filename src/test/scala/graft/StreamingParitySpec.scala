@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+import graft.operators.state.{Dedup, Sessionize}
+
+/** Proves the streaming kernels produce the same results as their
+  * deterministic batch twins on identical data (SURVEY §5: the
+  * reference has no tests; we verify both forms of every stateful op).
+  */
+class StreamingParitySpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def evs: Seq[Ev] = Seq(
+    Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "view", 10.0),
+    Ev(2, tsOf("2024-01-01T00:00:05Z"), 1, "view", 11.0),
+    Ev(3, tsOf("2024-01-01T00:10:00Z"), 1, "click", 12.0),
+    Ev(4, tsOf("2024-01-01T00:00:03Z"), 2, "view", 13.0),
+    Ev(5, tsOf("2024-01-02T09:00:00Z"), 2, "view", 14.0),
+    Ev(6, tsOf("2024-01-02T09:00:30Z"), 2, "purchase", 15.0),
+    Ev(7, tsOf("2024-01-03T12:00:00Z"), 3, "view", 16.0))
+
+  /** Far-future rows that only advance the watermark. */
+  private def sentinel(id: Long): Ev =
+    Ev(id, tsOf("2030-01-01T00:00:00Z"), 999, "sentinel", 0.0)
+
+  test("windowed agg: streaming (append, watermark) == batch") {
+    val ms = MemoryStream[Ev]
+    val out = StatefulStreams.windowedAgg(ms.toDF())
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    ms.addData(evs: _*)
+    q.processAllAvailable()
+    ms.addData(sentinel(100))
+    q.processAllAvailable()
+    ms.addData(sentinel(101))
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("win_out")
+      .filter(col("event_type") =!= "sentinel")
+    val batchRows = graft.operators.dws.TrafficWindows.keyedWindow(evs.toDF())
+    assertSameRows(streamRows, batchRows)
+  }
+
+  test("first-wins dedup: streaming == batch") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.firstWinsStream(ms.toDS()).writeStream
+      .format("memory").queryName("fw_out").outputMode("append").start()
+    // two batches: the second re-sends keys from the first (changelog re-emit)
+    ms.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("fw_out")
+    val batchRows = Dedup.firstWins(evs.toDF(), Seq("user_id", "event_type"),
+      Seq(col("ts"), col("event_id")))
+    assertSameRows(
+      streamRows.select("event_id", "user_id", "event_type"),
+      batchRows.select("event_id", "user_id", "event_type"))
+  }
+
+  test("bounce sessions: streaming (event-time timeout) == batch") {
+    val gap = 1800L
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.bounceStream(ms.toDS(), gap).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    ms.addData(evs.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(5): _*)
+    q.processAllAvailable()
+    ms.addData(sentinel(100)) // advance watermark → fire timeouts
+    q.processAllAvailable()
+    ms.addData(sentinel(101))
+    q.processAllAvailable()
+    q.stop()
+    val streamDaily = spark.table("sess_out")
+      .filter(col("user_id") =!= 999)
+      .groupBy(date_format(col("sess_start"), "yyyy-MM-dd").as("cur_date"))
+      .agg(count(lit(1)).as("session_ct"),
+        sum(when(col("bounce"), 1L).otherwise(0L)).as("bounce_ct"),
+        sum(col("ev_ct")).as("event_ct"))
+    val batchDaily = Sessionize.bounceSessions(evs.toDF(), gap)
+    assertSameRows(streamDaily, batchDaily.drop("__ignore"))
+  }
+
+  test("visit flags: streaming == batch first-day semantics") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.visitFlagsStream(ms.toDS()).writeStream
+      .format("memory").queryName("vf_out").outputMode("append").start()
+    ms.addData(evs.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamDaily = spark.table("vf_out")
+      .groupBy("cur_date")
+      .agg(count(lit(1)).as("uu_ct"), sum(col("is_new")).as("new_uu_ct"))
+    val batchDaily = graft.operators.state.VisitFlags.firstPerDayFlags(evs.toDF())
+    assertSameRows(streamDaily, batchDaily)
+  }
+}
