@@ -5,6 +5,7 @@ import graft.core.Tables
 import graft.operators.dwd._
 import graft.operators.dws._
 import graft.operators.state._
+import graft.operators.llm
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,7 +90,29 @@ object SparkEntry {
     "cep_bounce_sessions" -> ((s, d) =>
       Sessionize.bounceSessions(Tables.events(s, d))),
     // §2.9 UDTF + A6
-    "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d)))
+    "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
+    // LLM-pipeline ops: dedup
+    "llm_dedup_exact" -> ((s, d) => llm.DedupOps.exact(Tables.documents(s, d))),
+    "llm_dedup_minhash" -> ((s, d) =>
+      llm.DedupOps.minhashPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
+    "llm_dedup_simhash" -> ((s, d) =>
+      llm.DedupOps.simhashPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
+    "llm_dedup_ngram_jaccard" -> ((s, d) =>
+      llm.DedupOps.ngramJaccardPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
+    // LLM-pipeline ops: similarity search
+    "llm_ann_bruteforce" -> ((s, d) =>
+      llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    "llm_ann_lsh" -> ((s, d) =>
+      llm.Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    "llm_ann_neardup_cosine" -> ((s, d) =>
+      llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
+    // LLM-pipeline ops: text analysis + multimodal plumbing
+    "llm_text_quality" -> ((s, d) => llm.TextAnalysis.quality(Tables.documents(s, d))),
+    "llm_lang_id" -> ((s, d) => llm.TextAnalysis.langId(Tables.documents(s, d))),
+    "llm_token_count" -> ((s, d) => llm.TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "llm_fingerprint" -> ((s, d) => llm.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "llm_multimodal_format_stats" -> ((s, d) =>
+      llm.Multimodal.formatStats(Tables.documents(s, d)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +345,92 @@ object SparkEntry {
         |       sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS bounce_ct,
         |       sum(ev_ct) AS event_ct
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        |       count(*) AS dup_ct
+        |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    "llm_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS q_emb
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(e.embedding, x -> x::DOUBLE), q_emb), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_neardup_cosine" ->
+      """SELECT vec_a, vec_b, cos_sim FROM (
+        |  SELECT vec_id AS vec_a, vec_id + 1000000 AS vec_b,
+        |         round(list_cosine_similarity(
+        |           list_transform(embedding, x -> x::DOUBLE),
+        |           list_concat([embedding[1]::DOUBLE + 0.05],
+        |             list_transform(embedding[2:], x -> x::DOUBLE))), 4) AS cos_sim
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |WHERE cos_sim >= 0.9 ORDER BY vec_a""".stripMargin,
+    "llm_text_quality" ->
+      """SELECT doc_id, n_words,
+        |       round(stop_ct / n_words, 4) AS stop_ratio,
+        |       round(uniq_ct / n_words, 4) AS uniq_ratio,
+        |       round(length(text) / n_words, 4) AS avg_token_span,
+        |       round(least(n_words / 200.0, 1.0) * (uniq_ct / n_words), 4)
+        |         AS quality_score
+        |FROM (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS n_words,
+        |             CAST(len(list_filter(words,
+        |               w -> w IN ('the','a','of','and','to'))) AS BIGINT) AS stop_ct,
+        |             CAST(len(list_distinct(words)) AS BIGINT) AS uniq_ct
+        |      FROM (SELECT doc_id, text,
+        |              list_filter(string_split_regex(lower(text), '\s+'),
+        |                          w -> w <> '') AS words
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" ->
+      """SELECT lang, pred_lang, count(*) AS doc_ct
+        |FROM (SELECT lang,
+        |        CASE WHEN en_ct >= es_ct AND en_ct >= fr_ct AND en_ct >= de_ct
+        |               AND en_ct > 0 THEN 'en'
+        |             WHEN es_ct >= fr_ct AND es_ct >= de_ct AND es_ct > 0 THEN 'es'
+        |             WHEN fr_ct >= de_ct AND fr_ct > 0 THEN 'fr'
+        |             WHEN de_ct > 0 THEN 'de'
+        |             ELSE 'und' END AS pred_lang
+        |      FROM (SELECT lang,
+        |              len(list_filter(words, w -> w IN ('the','and','of'))) AS en_ct,
+        |              len(list_filter(words, w -> w IN ('el','la','los','y'))) AS es_ct,
+        |              len(list_filter(words, w -> w IN ('le','et','les'))) AS fr_ct,
+        |              len(list_filter(words, w -> w IN ('der','und','die'))) AS de_ct
+        |            FROM (SELECT lang,
+        |                    list_filter(string_split_regex(lower(text), '\s+'),
+        |                                w -> w <> '') AS words
+        |                  FROM documents)))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            w -> w <> '')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text),
+        |                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+        |       CAST(length(text) AS BIGINT) AS char_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp,
+        |       substring(md5(lower(text)), 1, 4) AS shard_key,
+        |       CAST(length(text) AS BIGINT) AS char_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_multimodal_format_stats" ->
+      """SELECT format, count(*) AS media_ct,
+        |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |       CAST(max(byte_len) AS BIGINT) AS max_bytes
+        |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |                  ELSE 'wav' END AS format,
+        |             octet_length(text::BLOB) AS byte_len
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "u1_a6_keyword_frequency" ->
       """SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
         |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word

@@ -1,0 +1,156 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Tokenize
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash-groupBy; near-dup detection uses MinHash+LSH
+  * (shingle → 64-perm signature → 16 bands × 4 rows → bucket join,
+  * tuned for Jaccard ≳ 0.6: detection ≈ 1-(1-J⁴)¹⁶ ≈ 99% at J=0.7),
+  * SimHash (64-bit, 4×16-bit bands), and exact n-gram Jaccard within
+  * LSH candidate pairs. All hashing uses Spark's codegen'd `xxhash64`
+  * (deterministic across runs/executors — no RNG in the plan).
+  *
+  * Scale posture: every stage is expression-level (whole-stage codegen,
+  * no UDFs); the only shuffles are the band-bucket exchange and the
+  * candidate self-join, whose input is |docs|×bands rows, not |docs|².
+  * Banding keeps the candidate set near-linear at 100 TB; the
+  * verification join touches only colliding pairs.
+  */
+object DedupOps {
+
+  /** Exact dedup by content hash: canonical row = min doc_id per md5
+    * group (kept deterministic for the oracle). */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("dup_ct"))
+      .orderBy("canonical_doc_id")
+
+  /** Word 3-gram shingles of `text`; docs shorter than 3 tokens fall
+    * back to the whole text as one shingle. */
+  def shingles(text: Column): Column = {
+    val ws = Tokenize.tokens(text)
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** 64-permutation MinHash signature over the shingle set: sig[p] =
+    * min over shingles of xxhash64(shingle, p). */
+  def minhashSignature(shingleCol: Column, perms: Int = 64): Column =
+    transform(sequence(lit(0), lit(perms - 1)), p =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, p))))
+
+  /** MinHash + LSH near-dup pairs: band the signature (bands ×
+    * rowsPerBand), bucket-join on (band, hash(band slice)), verify
+    * candidates by estimated Jaccard (matching signature fraction).
+    * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
+  def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
+                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val sigs = documents
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .persist()
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash",
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          col("band")))
+      .select("doc_id", "band", "band_hash", "sig")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)) / lit(64.0))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash from token hashes: bit j of the fingerprint is the
+    * sign of sum over tokens of ±1 on bit j of xxhash64(token). */
+  def simhash(text: Column): Column = {
+    val ws = Tokenize.tokens(text)
+    val bitSums = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(ws, lit(0L), (acc, w) =>
+        acc + when(call_function("shiftright", xxhash64(w), j).bitwiseAND(lit(1)) === 1, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, j) =>
+        when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
+    * keys, bucket-join, keep pairs with Hamming distance ≤ maxHamming.
+    * Returns (doc_a, doc_b, hamming). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fps = documents.select(col("doc_id"), simhash(col("text")).as("fp"))
+      .persist()
+    val banded = fps.select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        call_function("shiftright", col("fp"), col("band") * 16).bitwiseAND(lit(0xFFFFL)))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard verification over MinHash candidates: the
+    * LSH pass proposes, the exact set intersection disposes. */
+  def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
+                        jaccardThreshold: Double = 0.5): DataFrame = {
+    val grams = documents.select(col("doc_id"), shingles(col("text")).as("grams"))
+    val candidates = minhashPairs(documents, lshThreshold)
+      .select("doc_a", "doc_b")
+    candidates
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("grams_a")) + size(col("grams_b")) - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic near-duplicate generator for exercising the dedup
+    * operators at any scale: every `every`-th doc gets a mutated twin
+    * (doc_id + 1_000_000) with every 15th token dropped (shingle
+    * Jaccard ≈ 0.7 — inside the LSH detection band). */
+  def withNearDuplicates(documents: DataFrame, every: Int = 10): DataFrame = {
+    val ws = Tokenize.tokens(col("text"))
+    val mutated = documents
+      .filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ",
+          filter(zip_with(ws, sequence(lit(0), size(ws) - 1), (w, i) =>
+            when(i % 15 === 0, lit(null)).otherwise(w)), w => w.isNotNull))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    documents.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(mutated)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record flowing through the decode pipeline. */
+case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+
+/** Extracted (stub) features for one media record. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, format: String,
+                         width: Int, height: Int, frame_checksum: Long)
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata.
+  *
+  * The Spark-side plumbing is real — schema, partition-preserving
+  * batched `mapPartitions`, feature frame — while the actual codec is
+  * STUBBED (no image/audio libraries in this container): `decodeStub`
+  * derives deterministic fake dimensions/checksums from the bytes. A
+  * production deployment swaps `decodeStub` for a real decoder without
+  * touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** Wrap text content as a binary media column + typed metadata —
+    * the ingest shape for opaque media blobs. */
+  def asMediaFrame(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      when(col("doc_id") % 3 === 0, "png")
+        .when(col("doc_id") % 3 === 1, "jpeg")
+        .otherwise("wav").as("format"))
+
+  /** STUB decoder: deterministic pseudo-decode of a media blob.
+    * Replace with a real codec (`???` boundary) in production. */
+  private[llm] def decodeStub(r: MediaRow): MediaFeatures = {
+    val len = r.media.length.toLong
+    // fake dimensions/checksum derived only from the bytes (deterministic)
+    val checksum = r.media.foldLeft(1469598103934665603L)((h, b) =>
+      (h ^ (b & 0xff)) * 1099511628211L)
+    MediaFeatures(r.doc_id, len, r.format,
+      width = (len % 640).toInt + 1, height = (len % 480).toInt + 1,
+      frame_checksum = checksum)
+  }
+
+  /** Batched decode over partitions: the real-world shape for feeding
+    * a native codec (amortized per-partition init, bounded batch
+    * memory). No shuffle — partitioning is preserved. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition init would open the codec here (stubbed)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Pipeline: documents → media frame → per-format size stats.
+    * The aggregate is SQL-expressible for the oracle; the mapPartitions
+    * decode path is exercised by the ScalaTest suite. */
+  def formatStats(documents: DataFrame): DataFrame =
+    asMediaFrame(documents)
+      .select(col("doc_id"), col("format"),
+        octet_length(col("media")).cast("long").as("byte_len"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("media_ct"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("byte_len")).as("max_bytes"))
+      .orderBy("format")
+}

@@ -1,0 +1,124 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`, 64-dim in the driver data).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small)
+  * query set against the full corpus, one pass, no shuffle until the
+  * per-query top-k. Scale path: random-hyperplane LSH bucketing — the
+  * corpus is hashed once into sign-pattern buckets; only same-bucket
+  * candidates are scored, making the scored pair count near-linear.
+  * All arithmetic is double-precision expression code (codegen'd
+  * `zip_with`/`aggregate`), no UDFs; hyperplanes are pseudo-random but
+  * deterministic (xxhash64-derived), so results are reproducible.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential over indices. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id ∈
+    * queryIds), the k nearest corpus vectors. Ranking uses the rounded
+    * similarity with vec_id tie-break so the order is stable across
+    * engines. Returns (query_id, neighbor_id, rank, cos_sim). */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                     k: Int = 10): DataFrame = {
+    val queries = broadcast(embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = embeddings.crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 4))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component w[j][i]: a value
+    * in [-0.5, 0.5) derived from xxhash64(j, i). */
+  private def planeComponent(j: Column, i: Column): Column =
+    (pmod(xxhash64(j, i), lit(100000L)).cast("double") / 100000.0) - 0.5
+
+  /** `nBits`-bit random-hyperplane signature of an embedding. */
+  def lshSignature(emb: Column, nBits: Int = 16): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), j =>
+        when(aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(j, i)),
+          lit(0.0), (acc, v) => acc + v) > 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** LSH-bucketed ANN: score only candidates sharing at least one
+    * 4-bit band of the 16-bit signature with the query — the scale
+    * path for corpora where brute force is infeasible. Same output
+    * shape as bruteForceTopK (rank within retrieved candidates). */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val signed = embeddings.withColumn("sig", lshSignature(col("embedding")))
+    val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key",
+        call_function("shiftright", col("sig"), col("band") * 4).bitwiseAND(lit(0xFL)))
+    val queries = broadcast(banded
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("band").as("q_band"), col("band_key").as("q_key")))
+    val candidates = banded
+      .join(queries, col("band") === col("q_band") &&
+        col("band_key") === col("q_key") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    candidates
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs over a corpus that includes
+    * deterministic perturbed twins (vec_id + 1_000_000, first component
+    * shifted): pairs with cosine ≥ threshold. Exercises the near-dup
+    * path with guaranteed-non-empty output at any SF. */
+  def cosineNearDupPairs(embeddings: DataFrame, every: Int = 10,
+                         threshold: Double = 0.9): DataFrame = {
+    val perturbed = embeddings
+      .filter(col("vec_id") % every === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(i === 0, x.cast("double") + 0.05)
+            .otherwise(x.cast("double"))).as("embedding"))
+    val corpus = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(perturbed)
+    // block on the original id so the pair join is linear, not quadratic:
+    // a perturbed twin can only match its source (documented contract)
+    val a = corpus.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = corpus.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("join_id"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") === col("join_id"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy("vec_a")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.llm._
+
+/** LLM-pipeline operator semantics: near-dup recall on planted
+  * duplicates, ANN sanity, multimodal stub pipeline. */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private lazy val withDups = DedupOps.withNearDuplicates(docs)
+
+  test("minhash LSH finds most planted near-duplicates") {
+    val planted = withDups.filter(col("doc_id") >= 1000000L).count()
+    val pairs = DedupOps.minhashPairs(withDups)
+    val found = pairs
+      .filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(planted > 0)
+    assert(found >= planted / 2, s"found $found of $planted planted dups")
+  }
+
+  test("simhash finds planted near-duplicates with small hamming distance") {
+    val planted = withDups.filter(col("doc_id") >= 1000000L).count()
+    val found = DedupOps.simhashPairs(withDups)
+      .filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(found >= planted / 2)
+  }
+
+  test("ngram jaccard verifies LSH candidates with exact similarity") {
+    val pairs = DedupOps.ngramJaccardPairs(withDups).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("brute-force ANN: k neighbors per query, ranks contiguous, sims sorted") {
+    val res = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001),
+      Seq(0L, 1L), k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+      val sims = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN returns a subset consistent with brute force scores") {
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001),
+      Seq(0L), k = 50).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val lsh = Similarity.lshTopK(Tables.embeddings(spark, sf0001), Seq(0L), k = 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH-retrieved neighbor's sim must agree with brute force
+    lsh.foreach { r =>
+      bf.get(r.getLong(1)).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-9))
+    }
+  }
+
+  test("cosine near-dup pairs: planted twins all found with sim >= 0.9") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val planted = emb.filter(col("vec_id") % 10 === 0).count()
+    val found = Similarity.cosineNearDupPairs(emb).count()
+    assert(found == planted, s"found $found of $planted perturbed twins")
+  }
+
+  test("multimodal stub pipeline: batched decode preserves rows, deterministic") {
+    val media = Multimodal.asMediaFrame(docs)
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() == docs.count())
+    val f0 = feats.filter(_.doc_id == 0).collect().head
+    val f0again = Multimodal.extractFeatures(spark, media)
+      .filter(_.doc_id == 0).collect().head
+    assert(f0 == f0again)
+    assert(f0.width >= 1 && f0.height >= 1)
+  }
+
+  test("language id: majority of en docs predicted en") {
+    val res = TextAnalysis.langId(docs)
+      .filter(col("lang") === "en" && col("pred_lang") === "en")
+      .agg(sum("doc_ct")).collect()(0).getLong(0)
+    assert(res > 0)
+  }
+}
