@@ -42,10 +42,30 @@ object DedupOps {
   }
 
   /** 64-permutation MinHash signature over the shingle set: sig[p] =
-    * min over shingles of xxhash64(shingle, p). */
+    * min over shingles of xxhash64(shingle, p).
+    *
+    * Inline Column form — correct but NOT used in the pipeline: Catalyst
+    * inlines the shingle-array expression inside the permutation lambda,
+    * so each row rebuilds its shingle array 64×(measured 700 s at sf0.1
+    * vs ~2 s for the exploded form below). Kept for tests/reference. */
   def minhashSignature(shingleCol: Column, perms: Int = 64): Column =
     transform(sequence(lit(0), lit(perms - 1)), p =>
       array_min(transform(shingleCol, sh => xxhash64(sh, p))))
+
+  /** Scalable signature table: explode shingles once, then one
+    * hash-aggregate per doc with `perms` min(xxhash64(shingle, p))
+    * columns — shingles are materialized exactly once, the aggregate is
+    * map-side combined, and the only shuffle is the groupBy(doc_id).
+    * Identical output to `minhashSignature`. */
+  def signatures(documents: DataFrame, perms: Int = 64): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(shingles(col("text"))).as("shingle"))
+    val aggs = (0 until perms).map(p =>
+      min(xxhash64(col("shingle"), lit(p))).as(s"m$p"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+  }
 
   /** MinHash + LSH near-dup pairs: band the signature (bands ×
     * rowsPerBand), bucket-join on (band, hash(band slice)), verify
@@ -53,9 +73,7 @@ object DedupOps {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = documents
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
-      .persist()
+    val sigs = signatures(documents).persist()
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_hash",
@@ -80,7 +98,9 @@ object DedupOps {
   }
 
   /** 64-bit SimHash from token hashes: bit j of the fingerprint is the
-    * sign of sum over tokens of ±1 on bit j of xxhash64(token). */
+    * sign of sum over tokens of ±1 on bit j of xxhash64(token).
+    * Inline Column form (same per-row re-evaluation caveat as
+    * `minhashSignature`; pipeline uses `simhashTable`). */
   def simhash(text: Column): Column = {
     val ws = Tokenize.tokens(text)
     val bitSums = transform(sequence(lit(0), lit(63)), j =>
@@ -93,12 +113,29 @@ object DedupOps {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** Scalable SimHash table: explode tokens once, hash each token once,
+    * then a single hash-aggregate with 64 signed bit-sums per doc;
+    * fingerprint assembled from the aggregated sums. Identical output
+    * to `simhash`. */
+  def simhashTable(documents: DataFrame): DataFrame = {
+    val words = documents
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitAggs = (0 until 64).map(j =>
+      sum(when(call_function("shiftright", col("h"), lit(j))
+        .bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"b$j"))
+    words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * keys, bucket-join, keep pairs with Hamming distance ≤ maxHamming.
     * Returns (doc_a, doc_b, hamming). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fps = documents.select(col("doc_id"), simhash(col("text")).as("fp"))
-      .persist()
+    val fps = simhashTable(documents).persist()
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
