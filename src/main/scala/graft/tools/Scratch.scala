@@ -16,6 +16,10 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
+    if (args.nonEmpty && args(0) == "explain") {
+      graft.SparkEntry.queries(args(1))(spark, "/root/testdata/sf0.001").explain("formatted")
+      spark.stop(); return
+    }
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r

@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan assertions (the 100 TB posture, SURVEY §7.4): filters
+  * and column pruning reach the parquet scan, small dims broadcast,
+  * codegen stays on for the hot paths. These guard against plan
+  * regressions the row-count tests can't see. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("p7 compound filter is pushed to the parquet scan") {
+    val p = plan("p7_compound_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("o_orderstatus"), p)
+  }
+
+  test("j1 pre-projection prunes the scan to needed columns") {
+    val p = plan("j1_order_wide_table")
+    // lineitem scan must not read l_discount/l_tax/l_returnflag etc.
+    val scanLines = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scanLines.contains("l_discount"), scanLines)
+    assert(!scanLines.contains("l_tax"), scanLines)
+  }
+
+  test("a3 flagship broadcasts the dim side, shuffles the fact join once") {
+    val p = plan("a3_province_order_window")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j4 snowflake chain is all broadcast joins — no shuffle join") {
+    val p = plan("j4_snowflake_dim_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j3 dictionary lookup join broadcasts both dim aliases") {
+    val p = plan("j3_dic_lookup_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("whole-stage codegen is active on the windowed agg") {
+    // AQE finalizes codegen stages only at execution: run, then inspect
+    val df = SparkEntry.queries("a1_keyed_tumbling_window")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // `*(n)` = whole-stage-codegen stage marker
+  }
+
+  test("a5 global window has partial aggregation before the exchange") {
+    val p = plan("a5_global_tumbling_window")
+    // partial_ aggregate functions appear below the shuffle
+    assert(p.contains("partial_"), p)
+  }
+}
