@@ -104,6 +104,8 @@ object SparkEntry {
       llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "llm_ann_lsh" -> ((s, d) =>
       llm.Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    "llm_ann_ivf" -> ((s, d) =>
+      llm.Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "llm_ann_neardup_cosine" -> ((s, d) =>
       llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     // LLM-pipeline ops: text analysis + multimodal plumbing

@@ -92,6 +92,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: partition
+    * the corpus into cells around centroids, probe only the nProbe
+    * cells nearest each query. Centroids here are deterministic (the
+    * first `nCentroids` vectors by vec_id — a production build would
+    * k-means them; the index/probe machinery is identical). Output
+    * shape matches bruteForceTopK. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = broadcast(embeddings
+      .orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    // assign every vector to its nearest centroid (one broadcast pass)
+    val assigned = embeddings.crossJoin(centroids)
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    // each query probes its nProbe nearest cells
+    val probes = assigned
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(centroids)
+      .withColumn("c_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("cell"))
+    val candidates = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    candidates
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs over a corpus that includes
     * deterministic perturbed twins (vec_id + 1_000_000, first component
     * shifted): pairs with cosine ≥ threshold. Exercises the near-dup

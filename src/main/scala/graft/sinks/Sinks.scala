@@ -1,0 +1,68 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY §2.2, K1–K7).
+  *
+  * The reference writes Kafka topics (at-least-once + transactional),
+  * an upsert-Kafka changelog, batched ClickHouse JDBC (reflection
+  * binder + `@TransientSink` column skipping), Phoenix dim upserts with
+  * on-the-fly DDL, and print/side-output debug sinks. Spark twins:
+  * `foreachBatch` writers over any DataFrame writer; upsert = last-wins
+  * merge by PK; "dynamic DDL" = schema-carrying parquet/table creation.
+  */
+object Sinks {
+
+  /** K4 — ClickHouse-style batch sink (`MyClickHouseUtil.java:23-63`):
+    * drop `@TransientSink` columns (`TransientSink.java:10-16`), then
+    * hand the batch to a pluggable writer (JDBC in production, parquet
+    * in tests). The reflection row-binder disappears: encoders bind
+    * columns natively. */
+  def batchSink(transientCols: Seq[String])(writer: DataFrame => Unit)
+               (batch: DataFrame, batchId: Long): Unit =
+    writer(batch.drop(transientCols: _*))
+
+  /** K3/K5 — upsert sink (upsert-Kafka / Phoenix dim): last-wins merge
+    * by `pk` ordered by `version` desc, overwriting the keyed store.
+    * The Spark twin of a changelog topic with PK + downstream last-wins
+    * dedup (`MyKafkaUtil.java:112-121`, `DimSinkFunction.java:17-51`). */
+  def upsert(batch: DataFrame, existing: Option[DataFrame], pk: String,
+             version: String): DataFrame = {
+    val all = existing.fold(batch)(e => e.unionByName(batch))
+    all.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(pk)).orderBy(col(version).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** K3/K5 — parquet-backed upsert writer: read-modify-write of a keyed
+    * store directory (Delta MERGE stand-in for this offline build). */
+  def upsertParquet(batch: DataFrame, path: String, pk: String,
+                    version: String): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
+    val merged = upsert(batch, existing, pk, version).persist()
+    merged.count() // materialize before overwriting the input path
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()
+  }
+
+  /** K1/K2 — Kafka producer shells (`MyKafkaUtil.java:55-73`): Spark's
+    * kafka sink is at-least-once; exactly-once ≈ checkpoint + idempotent
+    * (upsert) downstream, which is exactly what `upsertParquet` gives.
+    * Requires spark-sql-kafka at deploy. */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String,
+              checkpoint: String) =
+    df.selectExpr("CAST(null AS STRING) AS key", "to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** K7 — quarantine sink for corrupt rows (`BaseLogApp.java:68-69`
+    * dirty side output → here a parquet quarantine path). */
+  def quarantine(dirty: DataFrame, path: String): Unit =
+    dirty.write.mode("append").parquet(path)
+}

@@ -104,6 +104,32 @@ object StatefulStreams {
       }
   }
 
+  /** A8 streaming — last-wins dedup with flush-on-timer
+    * (`DwsTradePaymentSucWindow.java:85-121`: keep the max-`row_op_ts`
+    * row per key, 5 s processing-time timer flush; here the flush is an
+    * event-time timeout, so emission is watermark-deterministic). */
+  def lastWinsStream(events: Dataset[Ev],
+                     watermark: String = "2 seconds"): Dataset[Ev] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Ev, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state: GroupState[Ev]) =>
+          if (state.hasTimedOut) {
+            val e = state.get; state.remove(); Iterator.single(e)
+          } else {
+            val best = (state.getOption.iterator ++ it)
+              .maxBy(e => (e.ts.getTime, e.event_id))
+            state.update(best)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, best.ts.getTime + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** A9/A11 streaming — per-user first-visit flags: ValueState of
     * (firstDate, lastDate) (`DwsTradeCartAddUuWindow.java:85-117`,
     * `BaseLogApp.java:76-105`). Emits one row per (user, day) with

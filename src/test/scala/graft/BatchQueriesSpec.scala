@@ -19,7 +19,7 @@ class BatchQueriesSpec extends SparkTestBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only entries must be a deliberate, documented set
     val allowed = Set("llm_dedup_minhash", "llm_dedup_simhash",
-      "llm_dedup_ngram_jaccard", "llm_ann_lsh")
+      "llm_dedup_ngram_jaccard", "llm_ann_lsh", "llm_ann_ivf")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
   }
 

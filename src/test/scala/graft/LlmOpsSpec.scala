@@ -59,6 +59,17 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN: probes cells, scores agree with brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 499).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), k = 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(bf(r.getLong(1)) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
   test("cosine near-dup pairs: planted twins all found with sim >= 0.9") {
     val emb = Tables.embeddings(spark, sf0001)
     val planted = emb.filter(col("vec_id") % 10 === 0).count()

@@ -86,6 +86,34 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamDaily, batchDaily.drop("__ignore"))
   }
 
+  test("last-wins dedup: streaming (timeout flush) == batch") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.lastWinsStream(ms.toDS()).writeStream
+      .format("memory").queryName("lw_out").outputMode("append").start()
+    ms.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    ms.addData(evs.drop(4): _*)
+    q.processAllAvailable()
+    ms.addData(sentinel(100)) // advance watermark → flush all keys
+    q.processAllAvailable()
+    ms.addData(sentinel(101))
+    q.processAllAvailable()
+    q.stop()
+    // Like the reference (timer flush, DwsTradePaymentSucWindow.java:102),
+    // the stream emits once per quiet period per key; the changelog
+    // contract (K3+A8) is that DOWNSTREAM last-wins resolves to the same
+    // final row as the batch twin:
+    val streamResolved = Dedup.lastWins(
+      spark.table("lw_out").filter(col("user_id") =!= 999),
+      Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
+    val batchRows = Dedup.lastWins(evs.toDF(), Seq("user_id", "event_type"),
+      Seq(col("ts").desc, col("event_id").desc))
+    assertSameRows(
+      streamResolved.select("event_id", "user_id", "event_type"),
+      batchRows.select("event_id", "user_id", "event_type"))
+  }
+
   test("visit flags: streaming == batch first-day semantics") {
     val ms = MemoryStream[Ev]
     val q = StatefulStreams.visitFlagsStream(ms.toDS()).writeStream
