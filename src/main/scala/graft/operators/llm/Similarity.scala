@@ -18,14 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, sequential over indices. */
+  /** dot(a, b) in double precision, sequential over indices —
+    * composable higher-order form (interpreted; kept as the reference
+    * implementation and for ad-hoc use on expression-derived arrays). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Higher-order-function cosine (interpreted). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native fused codegen expression
+    * (`graft.functions.CosineSim`): one primitive loop, no intermediate
+    * arrays, bit-for-bit equal to `cosineHof` (VectorExprsSpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for each query vector (vec_id ∈
     * queryIds), the k nearest corpus vectors. Ranking uses the rounded

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.VectorExprs
+import graft.operators.llm.Similarity
+
+/** Native CosineSim expression: bit-for-bit parity with the
+  * higher-order-function form, on both float and double arrays. */
+class VectorExprsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_sim == HOF cosine bit-for-bit on the embeddings table") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        VectorExprs.cosine_sim(col("embedding"), col("q_emb")).as("native"),
+        Similarity.cosineHof(col("embedding"), col("q_emb")).as("hof"))
+    val mismatches = both.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("cosine_sim handles double arrays and nulls") {
+    val df = Seq(
+      (Some(Seq(1.0, 0.0)), Some(Seq(0.0, 2.0))),
+      (Some(Seq(1.0, 1.0)), Some(Seq(1.0, 1.0))),
+      (None, Some(Seq(1.0, 1.0))))
+      .toDF("a", "b")
+    val r = df.select(VectorExprs.cosine_sim(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 0.0)
+    assert(math.abs(r(1).getDouble(0) - 1.0) < 1e-12)
+    assert(r(2).isNullAt(0))
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(VectorExprs.cosine_sim(col("embedding"), col("q_emb")).as("s"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
