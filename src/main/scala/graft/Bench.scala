@@ -13,6 +13,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JIT/codegen/classloading on a tiny slice so the first
+    // timed query isn't charged ~5 s of one-time session cost.
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     // "noop" sink materializes every column (a bare count() would let
     // Catalyst prune the plan down to a metadata-only scan).
     val results = SparkEntry.queries.map { case (name, fn) =>

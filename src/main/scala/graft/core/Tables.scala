@@ -14,6 +14,14 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a (small-file) input across the cluster before CPU-heavy
+    * narrow work. The driver's test parquet has a single row group, so
+    * a scan is ONE task and everything narrow after it runs serially;
+    * one cheap round-robin shuffle restores parallelism. At production
+    * scale inputs are already multi-partition and AQE coalesces the
+    * extra exchange, so this is harmless there. */
+  def spread(df: DataFrame): DataFrame = df.repartition()
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as a nanos Long (legacy conf — runtime
     * settable) and truncate to micros, matching DuckDB's nanos→micros

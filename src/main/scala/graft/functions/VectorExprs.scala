@@ -88,7 +88,47 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** murmur3 fmix64 avalanche of (child xor c) — wrapping 64-bit
+  * arithmetic (deliberately overflow-friendly, which ANSI-mode SQL
+  * multiplication is not). Used to derive independent MinHash
+  * permutations from one base hash. */
+case class Mix64(child: Expression, c: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private def fmix(x0: Long): Long = {
+    var z = x0 ^ c
+    z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL
+    z ^= (z >>> 33); z *= 0xC4CEB9FE1A85EC53L
+    z ^ (z >>> 33)
+  }
+
+  override def nullSafeEval(v: Any): Any = fmix(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.Mix64Impl.fmix($x, ${c}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Mix64 =
+    copy(child = newChild)
+}
+
+/** Static helper referenced from generated code. */
+object Mix64Impl {
+  def fmix(x0: Long, c: Long): Long = {
+    var z = x0 ^ c
+    z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL
+    z ^= (z >>> 33); z *= 0xC4CEB9FE1A85EC53L
+    z ^ (z >>> 33)
+  }
+}
+
 object VectorExprs {
+  /** Column API: fmix64(x xor c). */
+  def mix64(x: Column, c: Long): Column =
+    Bridge.column(Mix64(Bridge.expression(x), c))
+
   /** Column API: native fused cosine similarity. */
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))

@@ -58,7 +58,7 @@ object TrafficWindows {
     * codegen'd built-ins; `explode` is Spark's Generator twin of the
     * reference's UDTF. */
   def keywordFrequency(documents: DataFrame): DataFrame =
-    documents
+    graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("word_ct"),

@@ -52,16 +52,48 @@ object DedupOps {
     transform(sequence(lit(0), lit(perms - 1)), p =>
       array_min(transform(shingleCol, sh => xxhash64(sh, p))))
 
-  /** Scalable signature table: explode shingles once, then one
-    * hash-aggregate per doc with `perms` min(xxhash64(shingle, p))
-    * columns — shingles are materialized exactly once, the aggregate is
-    * map-side combined, and the only shuffle is the groupBy(doc_id).
-    * Identical output to `minhashSignature`. */
+  /** Relational 3-gram shingle rows (doc_id, shingle) — the scalable
+    * form: `posexplode` tokens once, assemble each gram with two
+    * `lead()` window steps (codegen'd; one shuffle+sort on doc_id).
+    * Building the gram array per row with `transform`/`concat_ws`
+    * lambdas is interpreted and cost ~19 s at sf0.1 vs ~2 s here.
+    * Output is a bag (duplicates kept). Short docs (<3 tokens) fall
+    * back to the whole text as one shingle, matching `shingles()`. */
+  def shingleRows(documents: DataFrame): DataFrame = {
+    val spreadDocs = graft.core.Tables.spread(documents)
+    val words = spreadDocs.select(col("doc_id"),
+      posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = words
+      .withColumn("w1", lead(col("w"), 1).over(byDoc))
+      .withColumn("w2", lead(col("w"), 2).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
+    val shortDocs = spreadDocs
+      .filter(size(Tokenize.tokens(col("text"))) < 3)
+      .select(col("doc_id"),
+        concat_ws(" ", Tokenize.tokens(col("text"))).as("shingle"))
+    grams.unionByName(shortDocs)
+  }
+
+  /** Scalable signature table over `shingleRows`: hash each shingle
+    * string ONCE; the `perms` permutations are murmur3-fmix64
+    * avalanches of (base xor C_p) via the native Mix64 expression
+    * (wrapping long arithmetic — ANSI-safe). A full-avalanche family is
+    * required: a single xor+multiply family has correlated argmins and
+    * destroys recall. min() is duplicate-insensitive, so the bag-of-
+    * shingles input needs no distinct. One shuffle (groupBy doc_id)
+    * with map-side combine. */
   def signatures(documents: DataFrame, perms: Int = 64): DataFrame = {
-    val sh = documents.select(col("doc_id"),
-      explode(shingles(col("text"))).as("shingle"))
-    val aggs = (0 until perms).map(p =>
-      min(xxhash64(col("shingle"), lit(p))).as(s"m$p"))
+    val golden = 0x9E3779B97F4A7C15L
+    val sh = shingleRows(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val aggs = (0 until perms).map { p =>
+      min(graft.functions.VectorExprs.mix64(col("h"), golden * (2L * p + 1L)))
+        .as(s"m$p")
+    }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
@@ -118,7 +150,7 @@ object DedupOps {
     * fingerprint assembled from the aggregated sums. Identical output
     * to `simhash`. */
   def simhashTable(documents: DataFrame): DataFrame = {
-    val words = documents
+    val words = graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitAggs = (0 until 64).map(j =>
@@ -156,12 +188,17 @@ object DedupOps {
   }
 
   /** Exact n-gram Jaccard verification over MinHash candidates: the
-    * LSH pass proposes, the exact set intersection disposes. */
+    * LSH pass proposes, the exact set intersection disposes. Gram SETS
+    * come from `shingleRows` + `collect_set` (relational, codegen'd);
+    * the candidate pair set is small, so it broadcasts into both gram
+    * joins. */
   def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
                         jaccardThreshold: Double = 0.5): DataFrame = {
-    val grams = documents.select(col("doc_id"), shingles(col("text")).as("grams"))
-    val candidates = minhashPairs(documents, lshThreshold)
-      .select("doc_a", "doc_b")
+    val grams = shingleRows(documents)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("grams"))
+    val candidates = broadcast(minhashPairs(documents, lshThreshold)
+      .select("doc_a", "doc_b"))
     candidates
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")

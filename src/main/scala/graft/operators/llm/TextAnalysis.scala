@@ -22,7 +22,7 @@ object TextAnalysis {
     * re-inlines the token array per reference — measured 20 s vs 3 s at
     * sf0.1). One shuffle on doc_id. */
   def quality(documents: DataFrame): DataFrame = {
-    val perDoc = documents
+    val perDoc = graft.core.Tables.spread(documents)
       .select(col("doc_id"), length(col("text")).cast("long").as("char_len"),
         explode(Tokenize.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"))
@@ -49,7 +49,7 @@ object TextAnalysis {
   def langId(documents: DataFrame): DataFrame = {
     def hits(markers: Seq[String]) =
       sum(when(col("w").isin(markers: _*), 1L).otherwise(0L))
-    documents
+    graft.core.Tables.spread(documents)
       .select(col("doc_id"), col("lang"),
         explode(Tokenize.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("lang"))
@@ -73,7 +73,7 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols). */
   def tokenCounts(documents: DataFrame): DataFrame =
-    documents
+    graft.core.Tables.spread(documents)
       .select(
         col("doc_id"),
         size(Tokenize.tokens(col("text"))).cast("long").as("ws_tokens"),
@@ -86,7 +86,7 @@ object TextAnalysis {
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */
   def fingerprint(documents: DataFrame): DataFrame =
-    documents
+    graft.core.Tables.spread(documents)
       .select(
         col("doc_id"),
         md5(lower(col("text"))).as("fp"),

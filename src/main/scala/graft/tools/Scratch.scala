@@ -35,6 +35,13 @@ object Scratch {
     time("ngram jaccard full") {
       println(s"[scratch] jac=${DedupOps.ngramJaccardPairs(docs).count()}")
     }
+    time("minhash pairs only") {
+      println(s"[scratch] mh=${DedupOps.minhashPairs(docs, 0.3).count()}")
+    }
+    val grams = docs.select(col("doc_id"), DedupOps.shingles(col("text")).as("grams"))
+    time("grams materialize") {
+      println(s"[scratch] grams=${grams.count()}")
+    }
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(15))).as("band"))
       .withColumn("band_hash",
