@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSim, Mix64}
+
+/** SparkSessionExtensions entry point — registers graft's native
+  * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
+  * works anywhere (including pure-SQL deployments):
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // programmatic
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * No custom optimizer rules or planner strategies are injected: every
+  * reference operator maps onto Catalyst's existing ones (SURVEY §4),
+  * and the two custom expressions are pure scalar functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("mix64"),
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(c: Long, _) => Mix64(args(0), c)
+        case other => throw new IllegalArgumentException(
+          s"mix64 second argument must be a long literal, got $other")
+      }))
+  }
+}

@@ -104,6 +104,17 @@ object StatefulStreams {
       }
   }
 
+  /** A10 streaming — daily unique-visitor dedup
+    * (`DwdTrafficUniqueVisitorDetail.java:76-105`: per-mid ValueState
+    * date with 1-day TTL): Spark's native `dropDuplicates` over
+    * (user, day) with a watermark bounding the state exactly like the
+    * TTL. Emits each user's first event per day. */
+  def dailyUvStream(events: DataFrame, watermark: String = "2 seconds"): DataFrame =
+    events
+      .withColumn("cur_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "cur_date")
+
   /** A8 streaming — last-wins dedup with flush-on-timer
     * (`DwsTradePaymentSucWindow.java:85-121`: keep the max-`row_op_ts`
     * row per key, 5 s processing-time timer flush; here the flush is an

@@ -13,4 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Bridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions installer to an ALREADY-RUNNING
+    * session's function registry (the builder normally does this at
+    * session construction; `registerFunctions` is private[sql]). */
+  def installFunctions(installer: SparkSessionExtensions => Unit,
+                       session: SparkSession): Unit = {
+    val ext = new SparkSessionExtensions
+    installer(ext)
+    ext.registerFunctions(
+      session.asInstanceOf[classic.SparkSession].sessionState.functionRegistry)
+  }
 }
