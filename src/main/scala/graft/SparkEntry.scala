@@ -32,6 +32,7 @@ object SparkEntry {
     "p1_json_quarantine" -> ((s, d) => EventFilters.jsonQuarantine(Tables.events(s, d))),
     "p2_optype_filter" -> ((s, d) => EventFilters.opTypeFilter(Tables.events(s, d))),
     "p3_cdc_extract" -> ((s, d) => EventFilters.cdcExtract(Tables.events(s, d))),
+    "p4_state_transition" -> ((s, d) => EventFilters.stateTransition(Tables.orders(s, d))),
     "p5_conditional_delta" -> ((s, d) => EventFilters.conditionalDelta(Tables.events(s, d))),
     "p7_compound_filter" -> ((s, d) => EventFilters.compoundFilter(Tables.orders(s, d))),
     "p12_favor_add_filter" -> ((s, d) => EventFilters.favorAddFilter(Tables.events(s, d))),
@@ -238,6 +239,11 @@ object SparkEntry {
         |         strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
         |  FROM events)
         |WHERE k IS NOT NULL AND k > 50 ORDER BY event_id""".stripMargin,
+    "p4_state_transition" ->
+      """SELECT o_orderkey AS order_id, 'O' AS prev_status,
+        |       o_orderstatus AS cur_status
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY order_id""".stripMargin,
     "p5_conditional_delta" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
         |       round(sum(CASE WHEN event_type = 'purchase' THEN value

@@ -55,6 +55,33 @@ object EventFilters {
       .filter(col("k").isNotNull && col("k") > 50)
       .orderBy("event_id")
 
+  /** P4 — state-transition detection over the CDC `old` map
+    * (`DwdTradeCancelDetail.java:86-113`: `table='order_info' and
+    * type='update' and data['order_status']='1003' and
+    * old['order_status'] is not null`). The envelope is reconstructed
+    * deterministically from `orders` (finished orders become `update`
+    * rows whose `old` map carries the prior status), then filtered via
+    * genuine map-column access. */
+  def stateTransition(orders: DataFrame): DataFrame = {
+    val envelope = orders.select(
+      lit("order_info").as("table"),
+      when(col("o_orderstatus") === "F", lit("update"))
+        .otherwise(lit("insert")).as("type"),
+      map(lit("id"), col("o_orderkey").cast("string"),
+        lit("order_status"), col("o_orderstatus"),
+        lit("total"), col("o_totalprice").cast("string")).as("data"),
+      when(col("o_orderstatus") === "F",
+        map(lit("order_status"), lit("O"))).as("old"))
+    envelope
+      .filter(col("table") === "order_info" && col("type") === "update" &&
+        col("data")("order_status") === "F" &&
+        col("old")("order_status").isNotNull)
+      .select(col("data")("id").cast("long").as("order_id"),
+        col("old")("order_status").as("prev_status"),
+        col("data")("order_status").as("cur_status"))
+      .orderBy("order_id")
+  }
+
   /** P5 — conditional computed column (cart-add delta,
     * `DwdTradeCartAdd.java:40-63`): signed value by op type, then a
     * daily rollup. */

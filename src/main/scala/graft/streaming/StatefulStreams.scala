@@ -104,6 +104,28 @@ object StatefulStreams {
       }
   }
 
+  /** J1/J6 streaming — watermarked stream-stream join
+    * (`DwdTradeOrderPreProcess.java:141-194` with idle-state TTL;
+    * `Flink04_DataStreamJoinTest.java:57-66` interval form): both sides
+    * watermarked, equi key + time-range condition bounding the join
+    * state exactly like Flink's state TTL. Inner join: rows emit as
+    * matches arrive; state is dropped once the watermark passes the
+    * range. */
+  def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
+                               rangeSeconds: Long = 3600L,
+                               watermark: String = "2 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"))
+  }
+
   /** A10 streaming — daily unique-visitor dedup
     * (`DwdTrafficUniqueVisitorDetail.java:76-105`: per-mid ValueState
     * date with 1-day TTL): Spark's native `dropDuplicates` over

@@ -114,6 +114,58 @@ class StreamingParitySpec extends SparkTestBase {
       batchRows.select("event_id", "user_id", "event_type"))
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    val joined = StatefulStreams.streamStreamIntervalJoin(
+      msL.toDF().filter(col("event_type") === "signup"),
+      msR.toDF().filter(col("event_type") === "purchase"))
+    val q = joined.select("signup_id", "purchase_id", "user_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    val data = Seq(
+      Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "signup", 0),
+      Ev(2, tsOf("2024-01-01T00:30:00Z"), 1, "purchase", 5), // within 1 h
+      Ev(3, tsOf("2024-01-01T02:00:00Z"), 1, "purchase", 5), // outside
+      Ev(4, tsOf("2024-01-01T00:10:00Z"), 2, "signup", 0),   // no purchase
+      Ev(5, tsOf("2024-01-01T01:00:00Z"), 3, "purchase", 5)) // no signup
+    msL.addData(data: _*)
+    msR.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("ssj_out")
+    val batchRows = graft.operators.dwd.Joins.intervalJoin(data.toDF())
+      .select("signup_id", "purchase_id", "user_id")
+    assertSameRows(streamRows, batchRows)
+  }
+
+  test("checkpoint restart is exactly-once with an idempotent sink") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("eo").toString
+    val evs = this.evs
+    evs.take(4).toDF().write.parquet(s"$base/in/chunk=1")
+    def runOnce(): Unit = {
+      val stream = graft.sources.Sources.fileStream(
+        spark, evs.toDF().schema, s"$base/in")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.sinks.Sinks.upsertParquet(
+            b.withColumn("ver", lit(1L)), s"$base/out", "event_id", "ver")
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$base/out").count() == 4)
+    evs.drop(4).toDF().write.parquet(s"$base/in/chunk=2")
+    runOnce() // restart from checkpoint: only the new chunk processes
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == evs.size)
+    assert(out.select("event_id").distinct().count() == evs.size)
+  }
+
   test("visit flags: streaming == batch first-day semantics") {
     val ms = MemoryStream[Ev]
     val q = StatefulStreams.visitFlagsStream(ms.toDS()).writeStream
