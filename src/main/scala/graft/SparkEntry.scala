@@ -92,6 +92,14 @@ object SparkEntry {
       Sessionize.bounceSessions(Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
+    // whole-job compositions (§3.2/§3.3) + SQL surface
+    "job_order_preprocess" -> ((s, d) =>
+      ComposedJobs.orderPreProcess(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Joins.baseDic(s))),
+    "job_payment_suc_window" -> ((s, d) =>
+      ComposedJobs.paymentSucWindow(Tables.events(s, d))),
+    "sql_hourly_type_window" -> ((s, d) =>
+      ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
     // LLM-pipeline ops: dedup
     "llm_dedup_exact" -> ((s, d) => llm.DedupOps.exact(Tables.documents(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
@@ -353,6 +361,38 @@ object SparkEntry {
         |       sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS bounce_ct,
         |       sum(ev_ct) AS event_ct
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "job_order_preprocess" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low'))
+        |SELECT l_orderkey, l_linenumber, o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       dic_name AS status_name,
+        |       coalesce(a.activity_brand, '') AS activity_brand,
+        |       coalesce(c.coupon_type, '') AS coupon_type,
+        |       round(l_extendedprice, 2) AS amount
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN (SELECT p_partkey, p_brand AS activity_brand FROM part
+        |           WHERE p_retailprice > 1500) a ON l_partkey = a.p_partkey
+        |LEFT JOIN (SELECT p_partkey, p_type AS coupon_type FROM part
+        |           WHERE p_size > 40) c ON l_partkey = c.p_partkey
+        |JOIN dic ON o_orderstatus = dic_code
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "job_payment_suc_window" ->
+      """SELECT cur_date, count(*) AS pay_uu_ct,
+        |       sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS pay_new_ct
+        |FROM (SELECT user_id, cur_date,
+        |             min(cur_date) OVER (PARTITION BY user_id) AS first_date
+        |      FROM (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date
+        |            FROM events WHERE event_type = 'purchase'))
+        |GROUP BY cur_date ORDER BY cur_date""".stripMargin,
+    "sql_hourly_type_window" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       event_type, count(*) AS ev_ct,
+        |       count(DISTINCT user_id) AS uu_ct,
+        |       round(sum(value), 2) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |       count(*) AS dup_ct

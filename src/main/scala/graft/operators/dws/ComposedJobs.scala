@@ -1,0 +1,72 @@
+package graft.operators.dws
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.dwd.Joins
+import graft.operators.state.{Dedup, VisitFlags}
+
+/** Whole-job compositions — the reference's apps are pipelines of the
+  * §2 operators; these reproduce two complete jobs end-to-end from the
+  * same kernels the individual queries verify.
+  */
+object ComposedJobs {
+
+  /** `DwdTradeOrderPreProcess` (§3.2): the five-way order wide table —
+    * detail ⋈ info ⟕ activity ⟕ coupon + dictionary lookup, with the
+    * reference's null→'' padding on the outer sides. One fact shuffle;
+    * every other input broadcasts. */
+  def orderPreProcess(lineitem: DataFrame, orders: DataFrame,
+                      part: DataFrame, dic: DataFrame): DataFrame = {
+    val activity = part.filter(col("p_retailprice") > 1500)
+      .select(col("p_partkey").as("act_key"), col("p_brand").as("activity_brand"))
+    val coupon = part.filter(col("p_size") > 40)
+      .select(col("p_partkey").as("cpn_key"), col("p_type").as("coupon_type"))
+    val statusDic = dic.select(col("dic_code"), col("dic_name").as("status_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(activity), col("l_partkey") === col("act_key"), "left_outer")
+      .join(broadcast(coupon), col("l_partkey") === col("cpn_key"), "left_outer")
+      .join(broadcast(statusDic), col("o_orderstatus") === col("dic_code"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("status_name"),
+        coalesce(col("activity_brand"), lit("")).as("activity_brand"),
+        coalesce(col("coupon_type"), lit("")).as("coupon_type"),
+        round(col("l_extendedprice"), 2).as("amount"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** `DwsTradePaymentSucWindow` (§3.3 shape): payment filter →
+    * changelog dedup → per-user first-pay-of-day/first-ever flags →
+    * daily totals. Composes P11 + A8 + A9 + A5 from the same kernels
+    * their individual queries verify. */
+  def paymentSucWindow(events: DataFrame): DataFrame = {
+    val payments = events.filter(col("event_type") === "purchase")
+    val deduped = Dedup.lastWins(payments, Seq("event_id"),
+      Seq(col("ts").desc, col("user_id").desc))
+    VisitFlags.firstPerDayFlags(deduped)
+      .withColumnRenamed("uu_ct", "pay_uu_ct")
+      .withColumnRenamed("new_uu_ct", "pay_new_ct")
+  }
+
+  /** The reference's Flink-SQL apps build plans from SQL strings
+    * (§3.2); same surface here: temp views + `spark.sql`, landing in
+    * the identical Catalyst plan as the DataFrame form. */
+  def sqlHourlyTypeWindow(spark: SparkSession, events: DataFrame): DataFrame = {
+    events.createOrReplaceTempView("events_v")
+    spark.sql(
+      """SELECT date_format(timestamp_seconds(floor(unix_timestamp(ts)/3600)*3600),
+        |                   'yyyy-MM-dd HH:mm:ss') AS stt,
+        |       event_type,
+        |       count(*) AS ev_ct,
+        |       count(DISTINCT user_id) AS uu_ct,
+        |       round(sum(value), 2) AS val_sum
+        |FROM events_v
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+}

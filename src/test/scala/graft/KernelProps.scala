@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.state.Dedup
+import graft.operators.skew.Salting
+import graft.sinks.Sinks
+
+/** Property-based laws of the dedup/upsert/salting kernels against a
+  * plain-Scala model (generated inputs, ScalaCheck). */
+object KernelProps extends Properties("kernels") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(25, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 50L),
+      Gen.choose(0L, 1000L)))
+
+  property("firstWins == model groupBy-min under a total order") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "ord", "payload")
+        val got = Dedup.firstWins(df, Seq("k"),
+            Seq(col("ord"), col("payload")))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = rows.groupBy(_._1).values.map(_.minBy(t => (t._2, t._3))).toSet
+        got == want
+      }
+    }
+
+  property("lastWins == firstWins with reversed order") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "ord", "payload")
+        val lw = Dedup.lastWins(df, Seq("k"),
+            Seq(col("ord").desc, col("payload").desc))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = rows.groupBy(_._1).values.map(_.maxBy(t => (t._2, t._3))).toSet
+        lw == want
+      }
+    }
+
+  property("saltedJoin is bag-equal to the plain join") =
+    forAll(rowsGen, rowsGen) { (l, r) =>
+      (l.isEmpty || r.isEmpty) || {
+        val lf = l.toDF("k", "ord", "payload")
+        val rf = r.map(t => (t._1, t._2)).toDF("k", "v")
+        val plain = lf.join(rf, "k").collect()
+          .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        val salted = Salting.saltedJoin(lf, rf, "k", 4)
+          .select("k", "ord", "payload", "v").collect()
+          .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+        plain == salted
+      }
+    }
+
+  property("upsert sequential batches == last-wins over the union") =
+    forAll(rowsGen) { rows =>
+      rows.isEmpty || {
+        val (b1, b2) = rows.splitAt(rows.length / 2)
+        val d1 = b1.toDF("k", "ver", "payload")
+        val d2 = b2.toDF("k", "ver", "payload")
+        val stepwise = Sinks.upsert(d2,
+            Some(Sinks.upsert(d1, None, "k", "ver")), "k", "ver")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // model: per key, keep max ver (ties: batch2's survivor may differ
+        // from a global tie-break — compare version only)
+        val want = rows.groupBy(_._1).view
+          .mapValues(_.map(_._2).max).toMap
+        stepwise == want
+      }
+    }
+}
