@@ -100,6 +100,14 @@ object SparkEntry {
       ComposedJobs.paymentSucWindow(Tables.events(s, d))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
+    // windowing beyond the reference: session/sliding/rollup
+    "w_session_window" -> ((s, d) =>
+      AdvancedWindows.sessionWindowAgg(Tables.events(s, d))),
+    "w_sliding_window" -> ((s, d) =>
+      AdvancedWindows.slidingWindowAgg(Tables.events(s, d))),
+    "w_region_brand_rollup" -> ((s, d) =>
+      AdvancedWindows.regionBrandRollup(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     // LLM-pipeline ops: dedup
     "llm_dedup_exact" -> ((s, d) => llm.DedupOps.exact(Tables.documents(s, d))),
     "llm_dedup_minhash" -> ((s, d) =>
@@ -135,7 +143,7 @@ object SparkEntry {
         |       round(l_extendedprice, 2) AS amount,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, amount""".stripMargin,
     "j2_left_outer_activity" ->
       """SELECT l_orderkey, l_linenumber,
         |       coalesce(activity_brand, '') AS activity_brand,
@@ -143,7 +151,7 @@ object SparkEntry {
         |FROM lineitem LEFT JOIN
         |  (SELECT p_partkey, p_brand AS activity_brand FROM part
         |   WHERE p_retailprice > 1500) a ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, activity_brand, amount""".stripMargin,
     "j3_dic_lookup_join" ->
       """WITH dic(dic_code, dic_name) AS (VALUES
         |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
@@ -378,7 +386,7 @@ object SparkEntry {
         |LEFT JOIN (SELECT p_partkey, p_type AS coupon_type FROM part
         |           WHERE p_size > 40) c ON l_partkey = c.p_partkey
         |JOIN dic ON o_orderstatus = dic_code
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, coupon_type, amount""".stripMargin,
     "job_payment_suc_window" ->
       """SELECT cur_date, count(*) AS pay_uu_ct,
         |       sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS pay_new_ct
@@ -393,6 +401,44 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS uu_ct,
         |       round(sum(value), 2) AS val_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       user_id, count(*) AS ev_ct, round(sum(value), 2) AS val_sum
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+    "w_sliding_window" ->
+      """WITH b AS (SELECT user_id,
+        |                  to_timestamp(floor(epoch(ts)/1800)*1800) AS b0
+        |           FROM events),
+        |w AS (SELECT user_id, b0 - INTERVAL 1800 SECOND AS wstart FROM b
+        |      UNION ALL SELECT user_id, b0 FROM b)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       count(*) AS ev_ct, count(DISTINCT user_id) AS uu_ct
+        |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "w_region_brand_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS r_name,
+        |       coalesce(p_brand, 'ALL') AS p_brand,
+        |       count(*) AS line_ct,
+        |       round(sum(l_extendedprice), 2) AS amount_sum
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, p_brand) ORDER BY 1, 2""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |       count(*) AS dup_ct

@@ -32,7 +32,7 @@ object Joins {
         round(col("l_quantity"), 2).as("quantity"),
         round(col("l_extendedprice"), 2).as("amount"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "amount")
 
   /** J2 — left-outer enrichment: order_detail ⟕ activity
     * (`DwdTradeOrderPreProcess.java:189-192`); unmatched rows keep the
@@ -51,7 +51,7 @@ object Joins {
       .select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("activity_brand"), lit("")).as("activity_brand"),
         round(col("l_extendedprice"), 2).as("amount"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "activity_brand", "amount")
   }
 
   /** The `base_dic` dictionary dim (`MysqlUtil.java:10-35`), built as a

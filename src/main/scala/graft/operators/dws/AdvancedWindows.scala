@@ -1,0 +1,60 @@
+package graft.operators.dws
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
+
+/** Windowing capabilities beyond the reference's fixed 10 s tumble
+  * (the reference has no sliding/session windows or rollups —
+  * SURVEY §2.6/§2.8 — but an engine replacing it should): native
+  * `session_window`, sliding `window`, and `rollup` aggregates.
+  */
+object AdvancedWindows {
+
+  /** Gap-based session windows (native `session_window`, 30 min gap):
+    * per-user sessions with bounds and event counts — the declarative
+    * form of the CEP sessionization kernel. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("ev_ct"),
+        round(sum(col("value")), 2).as("val_sum"))
+      .select(
+        date_format(col("w.start"), TimeFns.FMT).as("stt"),
+        date_format(col("w.end"), TimeFns.FMT).as("edt"),
+        col("user_id"), col("ev_ct"), col("val_sum"))
+      .orderBy("user_id", "stt")
+
+  /** Sliding (hopping) windows: 1 h length, 30 min slide — each event
+    * lands in exactly two windows. */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("ev_ct"),
+        countDistinct(col("user_id")).as("uu_ct"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("ev_ct"), col("uu_ct"))
+      .orderBy("stt")
+
+  /** ROLLUP over the snowflake dims: (region, brand) → region → grand
+    * total, nulls rendered as 'ALL' for oracle stability. */
+  def regionBrandRollup(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        region: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("p_brand"))
+      .agg(count(lit(1)).as("line_ct"),
+        round(sum(col("l_extendedprice")), 2).as("amount_sum"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+        col("line_ct"), col("amount_sum"))
+      .orderBy("r_name", "p_brand")
+}
