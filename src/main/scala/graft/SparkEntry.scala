@@ -234,11 +234,11 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
     "p1_json_quarantine" ->
       """SELECT event_type,
-        |       sum(CASE WHEN NOT json_valid(payload) THEN 1 ELSE 0 END) AS dirty_ct,
-        |       sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS clean_ct,
-        |       sum(CASE WHEN json_valid(payload)
+        |       CAST(sum(CASE WHEN NOT json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT) AS dirty_ct,
+        |       CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT) AS clean_ct,
+        |       CAST(sum(CASE WHEN json_valid(payload)
         |                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
-        |                ELSE 0 END) AS k_sum
+        |                ELSE 0 END) AS BIGINT) AS k_sum
         |FROM (SELECT event_type,
         |             CASE WHEN event_id % 10 = 0 THEN substring(props, 1, 3)
         |                  ELSE props END AS payload
@@ -325,7 +325,7 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "a9_first_per_day_flags" ->
       """SELECT cur_date, count(*) AS uu_ct,
-        |       sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS new_uu_ct
+        |       CAST(sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS BIGINT) AS new_uu_ct
         |FROM (SELECT user_id, cur_date,
         |             min(cur_date) OVER (PARTITION BY user_id) AS first_date
         |      FROM (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date
@@ -333,8 +333,8 @@ object SparkEntry {
         |GROUP BY cur_date ORDER BY cur_date""".stripMargin,
     "a9_login_winback" ->
       """SELECT strftime(d, '%Y-%m-%d') AS cur_date,
-        |       sum(CASE WHEN prev_d IS NOT NULL AND d - prev_d >= 8
-        |                THEN 1 ELSE 0 END) AS back_uu_ct,
+        |       CAST(sum(CASE WHEN prev_d IS NOT NULL AND d - prev_d >= 8
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS back_uu_ct,
         |       count(*) AS active_uu_ct
         |FROM (SELECT user_id, d,
         |             lag(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
@@ -366,8 +366,8 @@ object SparkEntry {
         |  FROM sess GROUP BY 1, 2)
         |SELECT strftime(sess_start, '%Y-%m-%d') AS cur_date,
         |       count(*) AS session_ct,
-        |       sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS bounce_ct,
-        |       sum(ev_ct) AS event_ct
+        |       CAST(sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_ct,
+        |       CAST(sum(ev_ct) AS BIGINT) AS event_ct
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
     "job_order_preprocess" ->
       """WITH dic(dic_code, dic_name) AS (VALUES
@@ -389,7 +389,7 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, coupon_type, amount""".stripMargin,
     "job_payment_suc_window" ->
       """SELECT cur_date, count(*) AS pay_uu_ct,
-        |       sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS pay_new_ct
+        |       CAST(sum(CASE WHEN cur_date = first_date THEN 1 ELSE 0 END) AS BIGINT) AS pay_new_ct
         |FROM (SELECT user_id, cur_date,
         |             min(cur_date) OVER (PARTITION BY user_id) AS first_date
         |      FROM (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date
