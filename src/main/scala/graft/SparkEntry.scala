@@ -130,6 +130,8 @@ object SparkEntry {
     "llm_lang_id" -> ((s, d) => llm.TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count" -> ((s, d) => llm.TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "llm_fingerprint" -> ((s, d) => llm.TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "llm_winnow_fingerprint" -> ((s, d) =>
+      llm.TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
     "llm_multimodal_format_stats" -> ((s, d) =>
       llm.Multimodal.formatStats(Tables.documents(s, d)))
   )
@@ -515,6 +517,20 @@ object SparkEntry {
         |       substring(md5(lower(text)), 1, 4) AS shard_key,
         |       CAST(length(text) AS BIGINT) AS char_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_winnow_fingerprint" ->
+      """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.pos,
+        |         CAST(('0x' || substring(md5(substring(t, u.pos, 8)), 1, 8)) AS BIGINT) AS h
+        |  FROM docs, unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(pos)),
+        |w AS (SELECT doc_id,
+        |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        |      FROM g)
+        |SELECT doc_id, count(DISTINCT wmin) AS fp_ct,
+        |       CAST(min(wmin) AS BIGINT) AS fp_min,
+        |       CAST(max(wmin) AS BIGINT) AS fp_max
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_multimodal_format_stats" ->
       """SELECT format, count(*) AS media_ct,
         |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,

@@ -83,6 +83,35 @@ object TextAnalysis {
         length(col("text")).cast("long").as("char_len"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (the rolling-hash scheme used for local
+    * plagiarism/near-dup detection): hash every `k`-char gram, take the
+    * min over each window of `w` consecutive gram hashes, keep the
+    * distinct minima per document. Fully relational — posexplode the
+    * gram positions, hash, sliding `min` via a rows-window — so both
+    * engines compute identical fingerprints (gram hash = first 8 hex
+    * digits of md5, exact in DuckDB via CAST('0x…')). */
+  def winnowFingerprints(documents: DataFrame, k: Int = 8, w: Int = 8): DataFrame = {
+    val docs = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val grams = docs
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(length(col("t")) - (k - 1), lit(1))))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(expr(s"substring(t, pos, $k)")), 1, 8),
+          16, 10).cast("long").as("h"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(byDoc))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("wmin")).as("fp_ct"),
+        min(col("wmin")).as("fp_min"),
+        max(col("wmin")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */
   def fingerprint(documents: DataFrame): DataFrame =
