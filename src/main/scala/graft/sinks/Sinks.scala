@@ -37,16 +37,24 @@ object Sinks {
   }
 
   /** K3/K5 — parquet-backed upsert writer: read-modify-write of a keyed
-    * store directory (Delta MERGE stand-in for this offline build). */
+    * store directory (Delta MERGE stand-in for this offline build).
+    * The merge is written to a temp dir and swapped in — overwriting
+    * the directory still being read would silently lose the existing
+    * rows (Spark plans are lazy; a cache miss would re-read a deleted
+    * path). */
   def upsertParquet(batch: DataFrame, path: String, pk: String,
                     version: String): Unit = {
     val spark = batch.sparkSession
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(path)) catch { case _: Throwable => None }
-    val merged = upsert(batch, existing, pk, version).persist()
-    merged.count() // materialize before overwriting the input path
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+      if (fs.exists(hadoopPath)) Some(spark.read.parquet(path)) else None
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
+    upsert(batch, existing, pk, version)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+    ()
   }
 
   /** K1/K2 — Kafka producer shells (`MyKafkaUtil.java:55-73`): Spark's
