@@ -25,14 +25,13 @@ import graft.functions.TimeFns
   */
 object ProvinceOrderWindow {
 
-  /** lineitem ⋈ orders ⋈ broadcast(customer ⋈ nation) → windowed agg. */
-  def apply(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-            nation: DataFrame): DataFrame = {
+  private def build(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    orderCount: org.apache.spark.sql.Column): DataFrame = {
     val dim = broadcast(
       customer.select("c_custkey", "c_nationkey")
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("province_name")))
-
     lineitem
       .select("l_orderkey", "l_extendedprice")
       .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
@@ -41,7 +40,7 @@ object ProvinceOrderWindow {
       .groupBy(window(col("o_orderdate"), "1 day").as("w"), col("province_name"))
       .agg(
         round(sum(col("l_extendedprice")), 2).as("order_amount"),
-        countDistinct(col("l_orderkey")).as("order_count"))
+        orderCount.as("order_count"))
       .select(
         TimeFns.stt(col("w")).as("stt"),
         TimeFns.edt(col("w")).as("edt"),
@@ -49,30 +48,21 @@ object ProvinceOrderWindow {
       .orderBy("stt", "province_name")
   }
 
-  /** The 100 TB variant (SURVEY §2.5 note): identical plan with
+  /** lineitem ⋈ orders ⋈ broadcast(customer ⋈ nation) → windowed agg. */
+  def apply(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+            nation: DataFrame): DataFrame =
+    build(lineitem, orders, customer, nation,
+      countDistinct(col("l_orderkey")))
+
+  /** The 100 TB variant (SURVEY §2.5 note): the same plan with
     * `approx_count_distinct` (HyperLogLog++, `rsd` = 1.5%) replacing
     * the exact distinct — the documented swap once per-group distinct
     * sets stop fitting in agg state. Accuracy bound asserted in
-    * `LlmOpsSpec`/`ApproxSpec`. */
+    * `DwsJobSpec`. */
   def approx(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-             nation: DataFrame, rsd: Double = 0.015): DataFrame = {
-    val dim = broadcast(
-      customer.select("c_custkey", "c_nationkey")
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("province_name")))
-    lineitem
-      .select("l_orderkey", "l_extendedprice")
-      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(dim, col("o_custkey") === col("c_custkey"))
-      .groupBy(window(col("o_orderdate"), "1 day").as("w"), col("province_name"))
-      .agg(
-        round(sum(col("l_extendedprice")), 2).as("order_amount"),
-        approx_count_distinct(col("l_orderkey"), rsd).as("order_count"))
-      .select(
-        TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
-        col("province_name"), col("order_amount"), col("order_count"))
-  }
+             nation: DataFrame, rsd: Double = 0.015): DataFrame =
+    build(lineitem, orders, customer, nation,
+      approx_count_distinct(col("l_orderkey"), rsd))
 
   /** DuckDB oracle twin (driver runs this on the same parquet dir). */
   val oracle: String =

@@ -45,15 +45,30 @@ object Sinks {
   def upsertParquet(batch: DataFrame, path: String, pk: String,
                     version: String): Unit = {
     val spark = batch.sparkSession
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existing =
-      if (fs.exists(hadoopPath)) Some(spark.read.parquet(path)) else None
+    val store = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__bak")
     val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a previous run may have died between the two
+    // renames, leaving the only copy at .__bak
+    if (!fs.exists(store) && fs.exists(bak) && !fs.rename(bak, store))
+      sys.error(s"upsertParquet: failed to recover $bak -> $store")
+    val existing =
+      if (fs.exists(store))
+        try Some(spark.read.parquet(path))
+        catch { case _: Throwable => None } // empty/unreadable dir = fresh
+      else None
     upsert(batch, existing, pk, version)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    // swap: store -> bak, tmp -> store, drop bak; every FS call checked
+    // (Hadoop FileSystem signals failure via `false`, not exceptions)
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      sys.error(s"upsertParquet: failed to delete stale $bak")
+    if (fs.exists(store) && !fs.rename(store, bak))
+      sys.error(s"upsertParquet: failed to move $store aside")
+    if (!fs.rename(tmp, store))
+      sys.error(s"upsertParquet: failed to publish $tmp -> $store")
+    fs.delete(bak, true)
     ()
   }
 

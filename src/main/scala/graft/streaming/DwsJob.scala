@@ -9,25 +9,31 @@ import graft.sinks.Sinks
   * keyed upsert store, via `foreachBatch`. `LogSplit` covers the DWD
   * entry point and `CdcRouter` the DIM one; this completes the triad.
   *
-  * The sink is the K3/K4 pattern: each emitted window row upserts by
-  * its composite key, so replays are idempotent (the exactly-once
-  * posture: checkpoint + idempotent sink).
+  * Exactly-once posture = checkpoint + idempotent keyed sink: pass
+  * `checkpoint` so a restarted query resumes window state and offsets
+  * (without it, windows not yet past the watermark die with the query —
+  * standard append-mode semantics), and each emitted row upserts by its
+  * composite key with the micro-batch id as the version, so replayed
+  * batches deterministically overwrite rather than duplicate.
   */
 object DwsJob {
 
   /** events stream → 10 s windows per event_type → upsert parquet store
     * keyed by (stt, event_type). */
   def run(spark: SparkSession, events: DataFrame, storePath: String,
+          checkpoint: Option[String] = None,
           watermark: String = "2 seconds"): Unit = {
     val agg = StatefulStreams.windowedAgg(events, watermark)
       .withColumn("pk", concat_ws("|", col("stt"), col("event_type")))
-      .withColumn("ver", lit(1L))
-    val q = agg.writeStream
+    val writer = agg.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          Sinks.upsertParquet(batch, storePath, "pk", "ver")
+          Sinks.upsertParquet(batch.withColumn("ver", lit(batchId)),
+            storePath, "pk", "ver")
       }
+    val q = checkpoint
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     q.processAllAvailable()
     q.stop()

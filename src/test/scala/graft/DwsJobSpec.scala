@@ -13,7 +13,9 @@ class DwsJobSpec extends SparkTestBase {
   implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   test("DWS job: stream -> windowed agg -> upsert store == batch agg") {
-    val store = Files.createTempDirectory("dws").toString + "/store"
+    val base = Files.createTempDirectory("dws").toString
+    val store = s"$base/store"
+    val ckpt = Some(s"$base/ckpt")
     val evs = Seq(
       Ev(1, tsOf("2024-01-01T00:00:01Z"), 1, "view", 10.0),
       Ev(2, tsOf("2024-01-01T00:00:04Z"), 2, "view", 20.0),
@@ -21,12 +23,13 @@ class DwsJobSpec extends SparkTestBase {
       Ev(4, tsOf("2024-01-01T00:01:00Z"), 1, "view", 2.0),
       // watermark sentinel
       Ev(99, tsOf("2030-01-01T00:00:00Z"), 999, "sentinel", 0.0))
-    // one query run: all data + the watermark sentinel (a stopped query
-    // without checkpoint discards unflushed window state — the
-    // checkpoint-restart contract is covered in StreamingParitySpec)
+    // two runs against one checkpoint: the restart resumes window state
+    // and offsets, so windows spanning the stop/start boundary survive
     val ms = MemoryStream[Ev]
-    ms.addData(evs: _*)
-    DwsJob.run(spark, ms.toDF(), store)
+    ms.addData(evs.take(3): _*)
+    DwsJob.run(spark, ms.toDF(), store, ckpt)
+    ms.addData(evs.drop(3): _*)
+    DwsJob.run(spark, ms.toDF(), store, ckpt)
 
     val got = spark.read.parquet(store)
       .filter(col("event_type") =!= "sentinel")
