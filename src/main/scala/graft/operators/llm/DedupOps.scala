@@ -105,7 +105,11 @@ object DedupOps {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = signatures(documents).persist()
+    require(bands * rowsPerBand == 64,
+      s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
+    // no persist: the self-join reuses the aggregate's shuffle exchange
+    // (ReuseExchange), so caching would only pin memory for the session
+    val sigs = signatures(documents)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_hash",
@@ -123,7 +127,7 @@ object DedupOps {
     candidates
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)) / lit(64.0))
+          b => b)) / size(col("sig_a")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -167,7 +171,7 @@ object DedupOps {
     * keys, bucket-join, keep pairs with Hamming distance ≤ maxHamming.
     * Returns (doc_a, doc_b, hamming). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fps = simhashTable(documents).persist()
+    val fps = simhashTable(documents)
     val banded = fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",

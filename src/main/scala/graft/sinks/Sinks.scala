@@ -53,10 +53,14 @@ object Sinks {
     // renames, leaving the only copy at .__bak
     if (!fs.exists(store) && fs.exists(bak) && !fs.rename(bak, store))
       sys.error(s"upsertParquet: failed to recover $bak -> $store")
+    // only an empty/markers-only directory counts as "fresh"; a genuine
+    // read error on real data files must propagate (treating it as fresh
+    // would let the swap below delete the only good copy)
     val existing =
-      if (fs.exists(store))
-        try Some(spark.read.parquet(path))
-        catch { case _: Throwable => None } // empty/unreadable dir = fresh
+      if (fs.exists(store) && fs.listStatus(store).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("part-") && n.contains(".parquet")
+      }) Some(spark.read.parquet(path))
       else None
     upsert(batch, existing, pk, version)
       .write.mode("overwrite").parquet(tmp.toString)

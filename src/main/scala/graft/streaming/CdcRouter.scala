@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Config-driven DIM router (SURVEY §2.4 J5 + sinks K5/K6).
@@ -37,18 +36,18 @@ object CdcRouter {
     routed.select(sinkColumns.split(",").map(c => col(c.trim)): _*)
 
   /** Per-table fan-out of one (cached) batch: for each configured sink
-    * table, prune columns, last-wins dedup by the sink PK ordered by
-    * `versionCol` (K5 upsert semantics), and write parquet. */
+    * table, prune columns and MERGE into the keyed store by the sink PK
+    * ordered by `versionCol` (K5 upsert semantics, via
+    * `Sinks.upsertParquet` — prior batches survive; an empty routed
+    * slice is a no-op, never a wipe). */
   def fanOut(batch: DataFrame, config: Seq[(String, String, String, String)],
-             versionCol: String, outDir: String): Unit = {
+             tableCol: String, versionCol: String, outDir: String): Unit = {
     val cached = batch.persist()
     try config.foreach { case (source, sink, cols, pk) =>
-      val routed = cached.filter(col("source_table") === source)
-      val merged = prune(
-        routed.withColumn("__rn", row_number().over(
-          Window.partitionBy(col(pk)).orderBy(col(versionCol).desc))),
-        cols + ",__rn").filter(col("__rn") === 1).drop("__rn")
-      merged.write.mode("overwrite").parquet(s"$outDir/$sink")
+      val routed = prune(cached.filter(col(tableCol) === source),
+        cols + "," + versionCol)
+      if (!routed.isEmpty)
+        graft.sinks.Sinks.upsertParquet(routed, s"$outDir/$sink", pk, versionCol)
     } finally { cached.unpersist(); () }
   }
 
@@ -62,7 +61,7 @@ object CdcRouter {
     val q = route(cdcStream, config, tableCol).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        fanOut(batch, cfg, versionCol, outDir)
+        fanOut(batch, cfg, tableCol, versionCol, outDir)
       }
       .start()
     q.processAllAvailable()

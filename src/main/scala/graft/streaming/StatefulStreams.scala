@@ -128,14 +128,16 @@ object StatefulStreams {
 
   /** A10 streaming — daily unique-visitor dedup
     * (`DwdTrafficUniqueVisitorDetail.java:76-105`: per-mid ValueState
-    * date with 1-day TTL): Spark's native `dropDuplicates` over
-    * (user, day) with a watermark bounding the state exactly like the
-    * TTL. Emits each user's first event per day. */
-  def dailyUvStream(events: DataFrame, watermark: String = "2 seconds"): DataFrame =
+    * date with 1-day TTL): `dropDuplicatesWithinWatermark` over
+    * (user, day) — state expires once the watermark passes, the exact
+    * twin of the reference's TTL (plain `dropDuplicates` without the
+    * event-time column in its keys would keep state forever). Emits
+    * each user's first event per day. */
+  def dailyUvStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
     events
       .withColumn("cur_date", date_format(col("ts"), "yyyy-MM-dd"))
-      .withWatermark("ts", "1 day")
-      .dropDuplicates("user_id", "cur_date")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "cur_date")
 
   /** A8 streaming — last-wins dedup with flush-on-timer
     * (`DwsTradePaymentSucWindow.java:85-121`: keep the max-`row_op_ts`
@@ -166,7 +168,15 @@ object StatefulStreams {
   /** A9/A11 streaming — per-user first-visit flags: ValueState of
     * (firstDate, lastDate) (`DwsTradeCartAddUuWindow.java:85-117`,
     * `BaseLogApp.java:76-105`). Emits one row per (user, day) with
-    * `is_new` = first-ever day. */
+    * `is_new` = first-ever day.
+    *
+    * Like the reference's single-ValueState comparison, this assumes
+    * per-user event-time-ordered delivery across micro-batches (within
+    * a batch events are sorted here): a day arriving EARLIER than the
+    * stored last day is late data and is not re-flagged — the same rows
+    * the reference's watermark would have dropped. Exact parity with
+    * the batch twin (`VisitFlags.firstPerDayFlags`) therefore holds for
+    * in-order replay, which is what the parity suite feeds. */
   def visitFlagsStream(events: Dataset[Ev]): Dataset[VisitFlag] = {
     import events.sparkSession.implicits._
     val fmt = "yyyy-MM-dd"

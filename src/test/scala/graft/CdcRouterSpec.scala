@@ -33,12 +33,12 @@ class CdcRouterSpec extends SparkTestBase {
     CdcRouter.run(spark, cdcStream, config, "source_table", "ver", out)
 
     val a = spark.read.parquet(s"$out/sink_a")
-    assert(a.columns.toSet == Set("id", "name")) // pruned ("dynamic DDL")
+    assert(a.columns.toSet == Set("id", "name", "ver")) // pruned + version ("dynamic DDL")
     val rows = a.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(rows == Map("1" -> "alice2", "2" -> "bob"))
 
     val b = spark.read.parquet(s"$out/sink_b")
-    assert(b.columns.toSet == Set("id", "extra"))
+    assert(b.columns.toSet == Set("id", "extra", "ver"))
     assert(b.count() == 1)
     assert(!new java.io.File(s"$out/unknown").exists())
   }
