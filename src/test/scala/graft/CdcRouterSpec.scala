@@ -42,4 +42,21 @@ class CdcRouterSpec extends SparkTestBase {
     assert(b.count() == 1)
     assert(!new java.io.File(s"$out/unknown").exists())
   }
+
+  test("multi-batch fan-out merges across batches; empty slice is a no-op") {
+    val out = Files.createTempDirectory("cdc_router2").toString
+    val ms = MemoryStream[(String, String, String, String, Long)]
+    val cdcStream = ms.toDF().toDF("source_table", "id", "name", "extra", "ver")
+    // batch 1: rows for both tables
+    ms.addData(("dim_a", "1", "alice", "x", 1L), ("dim_b", "9", "n", "p", 1L))
+    CdcRouter.run(spark, cdcStream, config, "source_table", "ver", out)
+    // batch 2 (separate query run): only dim_a rows — dim_b must survive
+    ms.addData(("dim_a", "2", "bob", "x", 2L), ("dim_a", "1", "alice2", "x", 3L))
+    CdcRouter.run(spark, cdcStream, config, "source_table", "ver", out)
+
+    val a = spark.read.parquet(s"$out/sink_a").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("name"))).toMap
+    assert(a == Map("1" -> "alice2", "2" -> "bob")) // merged, last-wins by ver
+    assert(spark.read.parquet(s"$out/sink_b").count() == 1) // not wiped
+  }
 }

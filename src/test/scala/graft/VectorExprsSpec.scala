@@ -34,6 +34,18 @@ class VectorExprsSpec extends SparkTestBase {
     assert(r(2).isNullAt(0))
   }
 
+  test("cosine_sim: a null ELEMENT yields NULL, matching the HOF form") {
+    val df = Seq(
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(1.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorExprs.cosine_sim(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1)) // both NULL
+    assert(!r(1).isNullAt(0) && r(1).getDouble(0) == r(1).getDouble(1))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
