@@ -193,14 +193,17 @@ object DedupOps {
 
   /** Exact n-gram Jaccard verification over MinHash candidates: the
     * LSH pass proposes, the exact set intersection disposes. Gram SETS
-    * come from `shingleRows` + `collect_set` (relational, codegen'd);
-    * the candidate pair set is small, so it broadcasts into both gram
-    * joins. */
+    * are `collect_set` over the grams' xxhash64 — an 8-byte long per
+    * distinct gram instead of the gram string, which shrinks the
+    * aggregate state and its shuffle ~4× while leaving |A∩B|/|A∪B|
+    * unchanged (64-bit collisions are negligible next to the MinHash
+    * estimate this pass verifies). The candidate pair set is small, so
+    * it broadcasts into both gram joins. */
   def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
                         jaccardThreshold: Double = 0.5): DataFrame = {
     val grams = shingleRows(documents)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("grams"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("grams"))
     val candidates = broadcast(minhashPairs(documents, lshThreshold)
       .select("doc_a", "doc_b"))
     candidates

@@ -71,14 +71,18 @@ object TextAnalysis {
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs / single symbols). */
+    * (letter runs / digit runs / single symbols). `regexp_count` counts
+    * matches without materializing a match array per document
+    * (`regexp_extract_all` + `size` allocated every match first —
+    * measured ~2× slower at sf0.1); non-empty whitespace tokens are
+    * exactly the `\S+` runs. */
   def tokenCounts(documents: DataFrame): DataFrame =
     graft.core.Tables.spread(documents)
       .select(
         col("doc_id"),
-        size(Tokenize.tokens(col("text"))).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+        regexp_count(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
           .as("bpe_ish_tokens"),
         length(col("text")).cast("long").as("char_len"))
       .orderBy("doc_id")
