@@ -59,6 +59,32 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  private val textGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.listOf(Gen.oneOf(
+      Gen.oneOf(" ", "\t", "\n"),
+      Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("!", "?", "日本", "a1b", "...")))
+      .map(_.mkString))
+
+  property("regexp_count token counts == materialized-array counts") =
+    forAll(textGen) { texts =>
+      texts.isEmpty || {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val got = df.select(col("doc_id"),
+            regexp_count(col("text"), lit("\\S+")).cast("long").as("ws"),
+            regexp_count(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val want = df.select(col("doc_id"),
+            size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("ws"),
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        got == want
+      }
+    }
+
   property("upsert sequential batches == last-wins over the union") =
     forAll(rowsGen) { rows =>
       rows.isEmpty || {
