@@ -99,23 +99,39 @@ object DedupOps {
         array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
   }
 
+  /** Drop rows in degenerate buckets — buckets bigger than `cap` would
+    * make the candidate self-join quadratic (a boilerplate-heavy corpus
+    * can put millions of docs in one band bucket). A capped bucket's
+    * docs still pair through their other bands; byte-identical docs
+    * (colliding in EVERY band) belong to `exact` dedup, not LSH. The
+    * count is a window function over the same keys the self-join
+    * shuffles on, so the cap adds a sort, not an exchange. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    banded.withColumn("__bucket_ct", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bucket_ct") <= cap)
+      .drop("__bucket_ct")
+
   /** MinHash + LSH near-dup pairs: band the signature (bands ×
     * rowsPerBand), bucket-join on (band, hash(band slice)), verify
     * candidates by estimated Jaccard (matching signature fraction).
+    * Buckets larger than `maxBucketSize` are dropped (see `capBuckets`).
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
-                   bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                   bands: Int = 16, rowsPerBand: Int = 4,
+                   maxBucketSize: Int = 10000): DataFrame = {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
     // no persist: the self-join reuses the aggregate's shuffle exchange
     // (ReuseExchange), so caching would only pin memory for the session
     val sigs = signatures(documents)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded = capBuckets(sigs.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_hash",
         xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           col("band")))
-      .select("doc_id", "band", "band_hash", "sig")
+      .select("doc_id", "band", "band_hash", "sig"),
+      Seq("band", "band_hash"), maxBucketSize)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -169,13 +185,16 @@ object DedupOps {
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * keys, bucket-join, keep pairs with Hamming distance ≤ maxHamming.
+    * Buckets larger than `maxBucketSize` are dropped (see `capBuckets`).
     * Returns (doc_a, doc_b, hamming). */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 6,
+                   maxBucketSize: Int = 10000): DataFrame = {
     val fps = simhashTable(documents)
-    val banded = fps.select(col("doc_id"), col("fp"),
+    val banded = capBuckets(fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
-        call_function("shiftright", col("fp"), col("band") * 16).bitwiseAND(lit(0xFFFFL)))
+        call_function("shiftright", col("fp"), col("band") * 16).bitwiseAND(lit(0xFFFFL))),
+      Seq("band", "band_key"), maxBucketSize)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

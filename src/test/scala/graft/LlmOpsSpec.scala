@@ -34,6 +34,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("LSH bucket cap drops degenerate buckets, keeps normal recall") {
+    // 30 byte-identical docs collide in EVERY band: a degenerate bucket
+    val boiler = (0L until 30L)
+      .map(i => (i, "the same boilerplate text repeated over and over in every single document"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.minhashPairs(boiler).count() == 30L * 29 / 2)
+    assert(DedupOps.minhashPairs(boiler, maxBucketSize = 10).count() == 0)
+    assert(DedupOps.simhashPairs(boiler, maxBucketSize = 10).count() == 0)
+    // the cap leaves genuinely-distinct corpora untouched
+    val planted = withDups.filter(col("doc_id") >= 1000000L).count()
+    val found = DedupOps.minhashPairs(withDups, maxBucketSize = 50)
+      .filter(col("doc_b") === col("doc_a") + 1000000L).count()
+    assert(found >= planted / 2)
+  }
+
   test("brute-force ANN: k neighbors per query, ranks contiguous, sims sorted") {
     val res = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001),
       Seq(0L, 1L), k = 5).collect()
