@@ -101,17 +101,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic k-means centroids over DataFrame ops (Lloyd's):
+    * init = the first `k` vectors by vec_id, then `iters` rounds of
+    * assign-by-cosine → element-wise mean. Each round is one broadcast
+    * cross-score plus two hash aggregates (posexplode → per-(cell,dim)
+    * mean → re-assembled array), all expression-level. Means are
+    * rounded to 6 dp so reassignment is stable under distributed
+    * float-summation order. Cells that lose all members drop out. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
+                      iters: Int = 2): DataFrame = {
+    var cent = embeddings.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.crossJoin(broadcast(cent))
+        .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+        .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+        .filter(col("c_rank") === 1)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      cent = assigned.groupBy("centroid_id", "pos")
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+    }
+    cent
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path: partition
-    * the corpus into cells around centroids, probe only the nProbe
-    * cells nearest each query. Centroids here are deterministic (the
-    * first `nCentroids` vectors by vec_id — a production build would
-    * k-means them; the index/probe machinery is identical). Output
+    * the corpus into cells around k-means centroids, probe only the
+    * nProbe cells nearest each query. The index build is deterministic
+    * (`kmeansCentroids`); the probe machinery is what scales. Output
     * shape matches bruteForceTopK. */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = broadcast(embeddings
-      .orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+              nCentroids: Int = 16, nProbe: Int = 4,
+              kmeansIters: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      kmeansCentroids(embeddings, nCentroids, kmeansIters))
     // assign every vector to its nearest centroid (one broadcast pass)
     val assigned = embeddings.crossJoin(centroids)
       .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))

@@ -85,6 +85,21 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("kmeans centroids converge to the two planted clusters") {
+    // ids alternate clusters so the deterministic init (first k by
+    // vec_id) seeds one centroid in each
+    val vecs = (0L until 20L).map { i =>
+      val j = (i % 7).toFloat / 100
+      if (i % 2 == 0) (i, Seq(1.0f, j)) else (i, Seq(j, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 3)
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1))
+    assert(cents.length == 2)
+    assert(cents(0)(0) > 0.9 && cents(0)(1) < 0.1) // x-cluster mean
+    assert(cents(1)(1) > 0.9 && cents(1)(0) < 0.1) // y-cluster mean
+  }
+
   test("cosine near-dup pairs: planted twins all found with sim >= 0.9") {
     val emb = Tables.embeddings(spark, sf0001)
     val planted = emb.filter(col("vec_id") % 10 === 0).count()
