@@ -53,6 +53,16 @@ object SparkEntry {
     "j6_interval_join" -> ((s, d) => Joins.intervalJoin(Tables.events(s, d))),
     "j7_full_outer_join" -> ((s, d) => Joins.fullOuterJoin(Tables.events(s, d))),
     "u_union_three_way" -> ((s, d) => Joins.unionThreeWay(Tables.events(s, d))),
+    // relational completeness beyond the reference (§2.4/§2.6 gaps)
+    "j_semi_join" -> ((s, d) =>
+      SetOps.semiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "j_anti_join" -> ((s, d) =>
+      SetOps.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
+    "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
+    "w_status_priority_cube" -> ((s, d) =>
+      SetOps.statusPriorityCube(Tables.orders(s, d))),
+    "q_topk_orders" -> ((s, d) => SetOps.topKOrders(Tables.orders(s, d))),
     // §2.5 windowed aggregations
     "a2_user_spu_order_window" -> ((s, d) =>
       TradeWindows.userSpuOrderWindow(Tables.lineitem(s, d),
@@ -215,6 +225,41 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT ts, 'buy', value FROM events WHERE event_type = 'purchase')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "j_anti_join" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND month(o_orderdate) = 1)
+        |ORDER BY c_custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
+        |ORDER BY o_custkey""".stripMargin,
+    "w_status_priority_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(count(*) AS BIGINT) AS order_ct,
+        |       round(sum(o_totalprice), 2) AS total_sum
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
     "a2_user_spu_order_window" ->
       """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(date_trunc('day', o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,

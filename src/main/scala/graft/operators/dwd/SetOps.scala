@@ -1,0 +1,81 @@
+package graft.operators.dwd
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational-completeness operators absent from the reference
+  * (SURVEY §2.4/§2.6 notes "no semi/anti joins, no intersect/except,
+  * no LIMIT/top-k" — the reference never needed them, but an engine
+  * replacing it should offer the full relational surface). All are
+  * thin declarative forms so Catalyst picks the physical strategy:
+  * semi/anti become broadcast/shuffled hash joins with early-out
+  * probe semantics, set ops become aggregate-based distinct plans,
+  * top-k becomes a `TakeOrderedAndProject` (no global sort — each
+  * partition keeps k rows, the driver merges k·p).
+  */
+object SetOps {
+
+  /** LEFT SEMI — orders having at least one high-quantity line.
+    * Probe side streams; build side is only the filtered keys, so at
+    * 100 TB the semi join ships keys, never payload columns. */
+  def semiJoin(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") > 45).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
+
+  /** LEFT ANTI — customers with no January order. */
+  def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(month(col("o_orderdate")) === 1)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("c_custkey")
+
+  /** INTERSECT (distinct) — customers active in both of two calendar
+    * months. Catalyst plans this as a left-semi over distinct inputs. */
+  def intersectCustomers(orders: DataFrame): DataFrame = {
+    val m = orders.select(col("o_custkey"), month(col("o_orderdate")).as("mo"))
+    m.filter(col("mo") === 1).select("o_custkey")
+      .intersect(m.filter(col("mo") === 2).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct) — customers active in month A but not month B
+    * (churn detection); plans as left-anti over distinct inputs. */
+  def exceptCustomers(orders: DataFrame): DataFrame = {
+    val m = orders.select(col("o_custkey"), month(col("o_orderdate")).as("mo"))
+    m.filter(col("mo") === 1).select("o_custkey")
+      .except(m.filter(col("mo") === 2).select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** CUBE over (status, priority): all four grouping combinations in
+    * one pass — Spark expands to a single hash aggregate over the
+    * grouping-set id, not four scans. Nulls → 'ALL' for oracle
+    * stability (same idiom as the rollup query). */
+  def statusPriorityCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_ct"),
+        round(sum(col("o_totalprice")), 2).as("total_sum"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("order_ct"), col("total_sum"))
+      .orderBy("status", "priority")
+
+  /** Global top-k by value with a deterministic tie-break. The plan is
+    * `TakeOrderedAndProject`: per-partition top-k then a k·p driver
+    * merge — no full shuffle/sort, which is what makes ORDER BY+LIMIT
+    * viable over 100 TB. */
+  def topKOrders(orders: DataFrame, k: Int = 100): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey").asc)
+      .limit(k)
+}
