@@ -82,8 +82,7 @@ object SparkEntry {
             functions.col("l_suppkey"), functions.col("l_extendedprice")))
         .select(functions.col("l_orderkey"), functions.col("l_linenumber"),
           functions.col("l_partkey"),
-          functions.round(functions.col("l_extendedprice"), 2).as("amount"))
-        .orderBy("l_orderkey")),
+          functions.round(functions.col("l_extendedprice"), 2).as("amount"))),
     "a8_last_wins_dedup" -> ((s, d) =>
       Dedup.lastWins(Tables.events(s, d), Seq("user_id", "event_type"),
           Seq(functions.col("ts").desc, functions.col("event_id").desc))

