@@ -86,8 +86,31 @@ object DedupOps {
     * destroys recall. min() is duplicate-insensitive, so the bag-of-
     * shingles input needs no distinct. One shuffle (groupBy doc_id)
     * with map-side combine. */
+  /** Golden-ratio odd constants parameterizing the mix64 permutation
+    * family; shared by the batch aggregate and the streaming inline
+    * form so their signatures are bit-identical. */
+  private[graft] val golden = 0x9E3779B97F4A7C15L
+
+  /** Streaming-safe signature from a MATERIALIZED shingle-hash-array
+    * column. The column must be a bound attribute (`withColumn` first):
+    * referencing the shingle expression directly would re-inline — and
+    * re-evaluate — the whole shingle pipeline once per permutation. */
+  def signatureFromHashes(hs: Column, perms: Int = 64): Column =
+    array((0 until perms).map(p =>
+      array_min(transform(hs, h =>
+        graft.functions.VectorExprs.mix64(h, golden * (2L * p + 1L))))): _*)
+
+  /** Band rows (doc_id, band, band_hash, sig) for LSH bucketing:
+    * `bands` buckets of `rowsPerBand` signature slots each. Works on
+    * batch and streaming frames (narrow ops only). */
+  def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash",
+        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand)), col("band")))
+
   def signatures(documents: DataFrame, perms: Int = 64): DataFrame = {
-    val golden = 0x9E3779B97F4A7C15L
     val sh = shingleRows(documents)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val aggs = (0 until perms).map { p =>
@@ -125,12 +148,9 @@ object DedupOps {
     // no persist: the self-join reuses the aggregate's shuffle exchange
     // (ReuseExchange), so caching would only pin memory for the session
     val sigs = signatures(documents)
-    val banded = capBuckets(sigs.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_hash",
-        xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-          col("band")))
-      .select("doc_id", "band", "band_hash", "sig"),
+    val banded = capBuckets(
+      bandRows(sigs, bands, rowsPerBand)
+        .select("doc_id", "band", "band_hash", "sig"),
       Seq("band", "band_hash"), maxBucketSize)
     val candidates = banded.as("a")
       .join(banded.as("b"),

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.llm.DedupOps
+
+/** Ingest-time deduplication for a document stream — the streaming
+  * form of the LLM-pipeline dedup family.
+  *
+  * Production shape at 100 TB: the LSH index over the existing corpus
+  * is built in batch (`bandIndex`, refreshed per index rebuild) and the
+  * incoming stream probes it with a stream-static join — the same
+  * pattern the reference uses for dimension lookups (SURVEY J3: static
+  * side re-read per micro-batch). The probe itself is completely
+  * stateless (signature → band → broadcast join → verify), so it
+  * scales with executors and holds no streaming state; only the exact
+  * dedup kernel keeps (watermark-bounded) state.
+  */
+object StreamingDedup {
+
+  /** Batch-built LSH band index over the existing corpus:
+    * (band, band_hash, idx_doc_id, idx_sig). Broadcast at probe time —
+    * at scale, persist instead and let the probe shuffle on
+    * (band, band_hash) when the index outgrows broadcast. */
+  def bandIndex(documents: DataFrame, bands: Int = 16,
+                rowsPerBand: Int = 4): DataFrame =
+    DedupOps.bandRows(DedupOps.signatures(documents), bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("idx_doc_id"), col("sig").as("idx_sig"))
+
+  /** Stateless near-dup probe over a document stream (`doc_id`,
+    * `text`): inline MinHash signature (bit-identical to the batch
+    * aggregate — the hash array is materialized first so the 64
+    * permutations reference a bound attribute, not 64 copies of the
+    * shingle pipeline), band, join the static index, verify by
+    * signature-match fraction.
+    *
+    * Emits one row per MATCHING BAND in append mode; a pair colliding
+    * in k bands appears k times with identical `est_jaccard`. The
+    * engine's own changelog idiom absorbs this: route to the K3
+    * last-wins upsert sink keyed (doc_id, idx_doc_id), or dedup
+    * downstream in batch. Keeping the probe stateless is the point —
+    * an in-stream distinct would hold unbounded pair state. */
+  def nearDupProbe(stream: DataFrame, index: DataFrame,
+                   bands: Int = 16, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = stream
+      .withColumn("hs",
+        transform(DedupOps.shingles(col("text")), sh => xxhash64(sh)))
+      .withColumn("sig", DedupOps.signatureFromHashes(col("hs")))
+      .select(col("doc_id"), col("sig"))
+    DedupOps.bandRows(sigs, bands, rowsPerBand)
+      .join(broadcast(index), Seq("band", "band_hash"))
+      .filter(col("doc_id") =!= col("idx_doc_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), col("idx_sig"), (x, y) => x === y),
+          b => b)) / size(col("sig")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_id"), col("idx_doc_id"), col("band"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Exact dedup at ingest: content-hash + watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
+    * state for a hash is dropped once the watermark passes it, so a
+    * re-crawl months later re-admits the document (by design: bounded
+    * state; pair with batch `DedupOps.exact` for corpus-wide dedup). */
+  def exactIngestDedup(docs: DataFrame,
+                       watermark: String = "10 seconds"): DataFrame =
+    docs.withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.llm.DedupOps
+import graft.streaming.StreamingDedup
+
+case class StreamDoc(doc_id: Long, text: String)
+case class TsDoc(doc_id: Long, text: String, ts: Timestamp)
+
+/** Ingest-time dedup: streaming probe vs batch index, and streaming
+  * exact dedup. */
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("inline streaming signature is bit-identical to the batch aggregate") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val batch = DedupOps.signatures(docs)
+    val inline = docs
+      .withColumn("hs",
+        transform(DedupOps.shingles(col("text")), sh => xxhash64(sh)))
+      .select(col("doc_id"), DedupOps.signatureFromHashes(col("hs")).as("sig"))
+    assertSameRows(batch, inline)
+  }
+
+  test("near-dup probe stream flags planted near-duplicates against the index") {
+    val base = Tables.documents(spark, sf0001)
+    val index = StreamingDedup.bandIndex(base)
+    // planted near-dups (doc_id + 1e6, ~1/15 of words dropped) arrive as the stream
+    val planted = DedupOps.withNearDuplicates(base)
+      .filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("text")).as[StreamDoc].collect().toSeq
+    assert(planted.nonEmpty)
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.nearDupProbe(ms.toDF(), index, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    ms.addData(planted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.table("neardup_out")
+      .groupBy(col("doc_id")).agg(collect_set(col("idx_doc_id")).as("matches"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // every planted near-dup must match its source (doc_id - 1e6)
+    planted.foreach { d =>
+      assert(hits.get(d.doc_id).exists(_.contains(d.doc_id - 1000000L)),
+        s"planted near-dup ${d.doc_id} not matched to ${d.doc_id - 1000000L}")
+    }
+  }
+
+  test("probe agrees with the batch pair detector on the same corpus") {
+    val base = Tables.documents(spark, sf0001)
+    val withDups = DedupOps.withNearDuplicates(base)
+    // batch detector over the full corpus
+    val batchPairs = DedupOps.minhashPairs(withDups, threshold = 0.5)
+      .filter(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // streaming probe of the planted docs against the base index
+    val planted = withDups.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("text")).as[StreamDoc].collect().toSeq
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.nearDupProbe(ms.toDF(),
+        StreamingDedup.bandIndex(base), threshold = 0.5)
+      .writeStream.format("memory").queryName("probe_agree_out")
+      .outputMode("append").start()
+    ms.addData(planted: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamPairs = spark.table("probe_agree_out")
+      .select(col("idx_doc_id"), col("doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch (base, planted) pairs must all be found by the probe
+    assert(batchPairs.subsetOf(streamPairs),
+      s"missing: ${(batchPairs -- streamPairs).take(5)}")
+  }
+
+  test("exact ingest dedup drops same-content rows within the watermark") {
+    val t0 = tsOf("2024-01-01T00:00:00Z")
+    val ms = MemoryStream[TsDoc]
+    val q = StreamingDedup.exactIngestDedup(ms.toDF())
+      .writeStream.format("memory").queryName("exact_ingest_out")
+      .outputMode("append").start()
+    ms.addData(
+      TsDoc(1, "alpha beta gamma", t0),
+      TsDoc(2, "alpha beta gamma", tsOf("2024-01-01T00:00:01Z")),
+      TsDoc(3, "delta epsilon", tsOf("2024-01-01T00:00:02Z")))
+    q.processAllAvailable()
+    // duplicate content in a later batch, still within watermark reach
+    ms.addData(TsDoc(4, "delta epsilon", tsOf("2024-01-01T00:00:03Z")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("exact_ingest_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept $kept")
+  }
+}
