@@ -129,6 +129,16 @@ object Similarity {
     cent
   }
 
+  /** Assign every vector to its nearest centroid — one broadcast pass,
+    * shared by the batch IVF query and the streaming index build. */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+
   /** IVF (inverted-file) ANN — the other classic scale path: partition
     * the corpus into cells around k-means centroids, probe only the
     * nProbe cells nearest each query. The index build is deterministic
@@ -139,13 +149,7 @@ object Similarity {
               kmeansIters: Int = 2): DataFrame = {
     val centroids = broadcast(
       kmeansCentroids(embeddings, nCentroids, kmeansIters))
-    // assign every vector to its nearest centroid (one broadcast pass)
-    val assigned = embeddings.crossJoin(centroids)
-      .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("centroid_id"))))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    val assigned = assignCells(embeddings, centroids)
     // each query probes its nProbe nearest cells
     val probes = assigned
       .filter(col("vec_id").isin(queryIds: _*))
