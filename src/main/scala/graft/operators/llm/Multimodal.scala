@@ -10,6 +10,10 @@ case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
 case class MediaFeatures(doc_id: Long, byte_len: Long, format: String,
                          width: Int, height: Int, frame_checksum: Long)
 
+/** One sampled frame of a media blob (video frame-sampling shape). */
+case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long,
+                    frame_bytes: Array[Byte])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
@@ -52,6 +56,45 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       // per-partition init would open the codec here (stubbed)
       it.map(decodeStub)
+    }
+  }
+
+  /** STUB resize: fit the (stub-decoded) dimensions into a bounding
+    * box preserving aspect ratio — metadata-only here; a real decoder
+    * would also transform the bytes at the same `???` boundary. The
+    * plumbing (typed narrow map, no shuffle, bounded output) is what a
+    * production resize runs on. */
+  def resize(spark: SparkSession, media: DataFrame,
+             maxW: Int = 224, maxH: Int = 224): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val f = decodeStub(r)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+        f.copy(width = math.max(1, (f.width * scale).toInt),
+          height = math.max(1, (f.height * scale).toInt))
+      }
+    }
+  }
+
+  /** Frame sampling: emit up to `maxFrames` frames per blob at a fixed
+    * byte stride (standing in for a time stride; a real demuxer slots
+    * into the same flatMap). Explode-shaped — one input row fans out to
+    * N — but narrow: no shuffle, output bounded by maxFrames. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 256, everyMs: Long = 1000,
+                   maxFrames: Int = 8): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val n = math.min(maxFrames,
+        math.max(1, r.media.length / math.max(1, frameBytes)))
+      (0 until n).map { i =>
+        val from = i * frameBytes
+        val until = math.min(r.media.length, from + frameBytes)
+        FrameRow(r.doc_id, i, i * everyMs,
+          java.util.Arrays.copyOfRange(r.media, from, math.max(from, until)))
+      }
     }
   }
 

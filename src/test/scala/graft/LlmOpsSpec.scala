@@ -118,6 +118,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f0.width >= 1 && f0.height >= 1)
   }
 
+  test("multimodal resize fits the bounding box preserving row count") {
+    val media = Multimodal.asMediaFrame(docs)
+    val resized = Multimodal.resize(spark, media, 224, 224)
+    assert(resized.count() == docs.count())
+    assert(resized.collect().forall(f =>
+      f.width >= 1 && f.width <= 224 && f.height >= 1 && f.height <= 224))
+  }
+
+  test("multimodal frame sampling: bounded fan-out, deterministic frames") {
+    val media = Multimodal.asMediaFrame(docs)
+    val frames = Multimodal.sampleFrames(spark, media,
+      frameBytes = 64, maxFrames = 4)
+    val perDoc = frames.groupByKey(_.doc_id).count().collect().toMap
+    assert(perDoc.values.forall(n => n >= 1 && n <= 4))
+    // frame bytes are slices of the source blob (deterministic)
+    val d0 = frames.filter(_.doc_id == 0).collect().sortBy(_.frame_idx)
+    val src = media.filter(col("doc_id") === 0)
+      .select("media").as[Array[Byte]].collect().head
+    d0.foreach { f =>
+      val from = f.frame_idx * 64
+      assert(f.frame_bytes.sameElements(
+        src.slice(from, math.min(src.length, from + 64))))
+    }
+  }
+
   test("language id: majority of en docs predicted en") {
     val res = TextAnalysis.langId(docs)
       .filter(col("lang") === "en" && col("pred_lang") === "en")
