@@ -35,6 +35,10 @@ object SparkEntry {
     "p4_state_transition" -> ((s, d) => EventFilters.stateTransition(Tables.orders(s, d))),
     "p5_conditional_delta" -> ((s, d) => EventFilters.conditionalDelta(Tables.events(s, d))),
     "p7_compound_filter" -> ((s, d) => EventFilters.compoundFilter(Tables.orders(s, d))),
+    "p8_search_keyword_filter" -> ((s, d) => EventFilters.searchKeywordFilter(Tables.events(s, d))),
+    "p9_page_whitelist_filter" -> ((s, d) => EventFilters.pageWhitelistFilter(Tables.events(s, d))),
+    "p10_login_filter" -> ((s, d) => EventFilters.loginFilter(Tables.events(s, d))),
+    "p11_pay_success_filter" -> ((s, d) => EventFilters.paySuccessFilter(Tables.events(s, d))),
     "p12_favor_add_filter" -> ((s, d) => EventFilters.favorAddFilter(Tables.events(s, d))),
     "f_scalar_functions" -> ((s, d) => EventFilters.scalarFns(Tables.events(s, d))),
     // §2.4 joins + §2.6 union
@@ -320,6 +324,30 @@ object SparkEntry {
         |WHERE o_orderstatus = 'O' AND o_totalprice > 100000
         |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
         |ORDER BY o_orderkey""".stripMargin,
+    "p8_search_keyword_filter" ->
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE event_type = 'click' AND user_id IS NOT NULL
+        |  AND json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "p9_page_whitelist_filter" ->
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events WHERE event_type IN ('view', 'click')
+        |ORDER BY event_id""".stripMargin,
+    "p10_login_filter" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND (json_extract_string(props, '$.k') IS NULL
+        |       OR event_type = 'signup')
+        |ORDER BY event_id""".stripMargin,
+    "p11_pay_success_filter" ->
+      """SELECT event_id, user_id, round(value, 2) AS value
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(json_extract_string(props, '$.k') AS INT) % 16 = 2
+        |ORDER BY event_id""".stripMargin,
     "p12_favor_add_filter" ->
       """SELECT event_id, user_id, event_type, round(value, 2) AS value
         |FROM events

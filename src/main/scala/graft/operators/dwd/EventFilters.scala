@@ -109,6 +109,49 @@ object EventFilters {
         col("o_orderpriority"))
       .orderBy("o_orderkey")
 
+  /** P8 — keyword-search filter shape
+    * (`DwsTrafficSourceKeywordPageViewWindow.java:57-65`: page =
+    * 'search' AND item_type = 'keyword' AND item IS NOT NULL): triple
+    * conjunct ending in a payload null test. */
+  def searchKeywordFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click" &&
+        col("user_id").isNotNull &&
+        JsonFns.jsonField(col("props"), "k").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        JsonFns.jsonField(col("props"), "k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** P9 — page-id whitelist
+    * (`DwsTrafficPageViewWindow.java:68-81`: home | good_detail). */
+  def pageWhitelistFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+
+  /** P10 — login filter (`DwsUserUserLoginWindow.java:67-78`: uid IS
+    * NOT NULL AND (last_page_id IS NULL OR last_page_id = 'login')):
+    * conjunct of a null test with a null-tolerant disjunction. */
+  def loginFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull &&
+        (JsonFns.jsonField(col("props"), "k").isNull ||
+          col("event_type") === "signup"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+
+  /** P11 — status-code equality filter
+    * (`DwdTradePayDetailSuc.java:43-53`: payment_status = '1602'). */
+  def paySuccessFilter(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" &&
+        JsonFns.jsonField(col("props"), "k").cast("int") % 16 === 2)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy("event_id")
+
   /** P12 — disjunctive filter with un-cancel semantics
     * (`DwdInteractionFavorAdd.java:55-64`: insert OR (update AND
     * is_cancel='0')). */
