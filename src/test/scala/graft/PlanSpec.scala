@@ -53,4 +53,22 @@ class PlanSpec extends SparkTestBase {
     // partial_ aggregate functions appear below the shuffle
     assert(p.contains("partial_"), p)
   }
+
+  test("wide-output queries carry no final global sort") {
+    // The correctness gate is order-insensitive; a trailing range-sort
+    // of the full output is pure waste at scale (measured 3x on j1).
+    // Guard the de-sorted queries against regression. (a7 keeps its
+    // per-key window sort — that one is content-defining.)
+    for (q <- Seq("j1_order_wide_table", "j2_left_outer_activity",
+                  "j3_dic_lookup_join", "job_order_preprocess")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q has a global sort:\n$p")
+    }
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }
