@@ -33,7 +33,6 @@ object SetOps {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"),
         round(col("c_acctbal"), 2).as("acctbal"))
-      .orderBy("c_custkey")
 
   /** INTERSECT (distinct) — customers active in both of two calendar
     * months. Catalyst plans this as a left-semi over distinct inputs. */
@@ -41,7 +40,6 @@ object SetOps {
     val m = orders.select(col("o_custkey"), month(col("o_orderdate")).as("mo"))
     m.filter(col("mo") === 1).select("o_custkey")
       .intersect(m.filter(col("mo") === 2).select("o_custkey"))
-      .orderBy("o_custkey")
   }
 
   /** EXCEPT (distinct) — customers active in month A but not month B
@@ -50,7 +48,6 @@ object SetOps {
     val m = orders.select(col("o_custkey"), month(col("o_orderdate")).as("mo"))
     m.filter(col("mo") === 1).select("o_custkey")
       .except(m.filter(col("mo") === 2).select("o_custkey"))
-      .orderBy("o_custkey")
   }
 
   /** CUBE over (status, priority): all four grouping combinations in

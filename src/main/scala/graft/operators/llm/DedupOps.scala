@@ -133,7 +133,7 @@ object DedupOps {
     * (colliding in EVERY band) belong to `exact` dedup, not LSH. The
     * count is a window function over the same keys the self-join
     * shuffles on, so the cap adds a sort, not an exchange. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
     banded.withColumn("__bucket_ct", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
       .filter(col("__bucket_ct") <= cap)

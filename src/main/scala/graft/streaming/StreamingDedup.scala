@@ -21,12 +21,21 @@ object StreamingDedup {
   /** Batch-built LSH band index over the existing corpus:
     * (band, band_hash, idx_doc_id, idx_sig). Broadcast at probe time —
     * at scale, persist instead and let the probe shuffle on
-    * (band, band_hash) when the index outgrows broadcast. */
+    * (band, band_hash) when the index outgrows broadcast. Degenerate
+    * buckets are capped exactly like the batch self-join
+    * (`DedupOps.capBuckets`): without the cap, one boilerplate band
+    * bucket of N docs makes EVERY matching stream row join N index
+    * rows — per-row probe cost O(corpus) instead of O(bands). */
   def bandIndex(documents: DataFrame, bands: Int = 16,
-                rowsPerBand: Int = 4): DataFrame =
-    DedupOps.bandRows(DedupOps.signatures(documents), bands, rowsPerBand)
+                rowsPerBand: Int = 4, maxBucketSize: Int = 10000): DataFrame = {
+    require(bands * rowsPerBand == 64,
+      s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
+    DedupOps.capBuckets(
+      DedupOps.bandRows(DedupOps.signatures(documents), bands, rowsPerBand),
+      Seq("band", "band_hash"), maxBucketSize)
       .select(col("band"), col("band_hash"),
         col("doc_id").as("idx_doc_id"), col("sig").as("idx_sig"))
+  }
 
   /** Stateless near-dup probe over a document stream (`doc_id`,
     * `text`): inline MinHash signature (bit-identical to the batch
@@ -44,6 +53,8 @@ object StreamingDedup {
   def nearDupProbe(stream: DataFrame, index: DataFrame,
                    bands: Int = 16, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
+    require(bands * rowsPerBand == 64,
+      s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
     val sigs = stream
       .withColumn("hs",
         transform(DedupOps.shingles(col("text")), sh => xxhash64(sh)))

@@ -22,7 +22,7 @@ import graft.streaming.{Ev, StatefulStreams, StreamingAnn, StreamingDedup}
   *
   * Env knobs: SPARK_GRAFT_STREAM_RPS (offered rows/sec, default 2M),
   * SPARK_GRAFT_PROBE_RPS / SPARK_GRAFT_ANN_RPS (offered rows/sec for
-  * the near-dup / ANN probes, defaults 10k / 2k), SPARK_GRAFT_STREAM_SECS
+  * the near-dup / ANN probes, defaults 20k / 5k), SPARK_GRAFT_STREAM_SECS
   * (measure window per kernel, default 20), SPARK_GRAFT_CPUS (default
   * 32), SPARK_GRAFT_SF_DIR (index corpus for the probes, default sf0.1).
   */

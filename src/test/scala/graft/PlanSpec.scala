@@ -60,7 +60,9 @@ class PlanSpec extends SparkTestBase {
     // Guard the de-sorted queries against regression. (a7 keeps its
     // per-key window sort — that one is content-defining.)
     for (q <- Seq("j1_order_wide_table", "j2_left_outer_activity",
-                  "j3_dic_lookup_join", "job_order_preprocess")) {
+                  "j3_dic_lookup_join", "job_order_preprocess",
+                  "j_semi_join", "j_anti_join", "set_intersect",
+                  "set_except")) {
       val p = plan(q)
       assert(!p.contains("rangepartitioning"), s"$q has a global sort:\n$p")
     }
