@@ -426,7 +426,7 @@ object SparkEntry {
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -27,8 +27,12 @@ object JsonFns {
     df.withColumn("parsed", from_json(jsonCol, withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      // null input (e.g. a Kafka tombstone) is dirty too — the
+      // reference's JSON.parseObject(null) throws into the side output;
+      // treating it as clean would let it silently fail every split
+      // filter and vanish from all five outputs
       .withColumn("is_dirty",
-        jsonCol.isNotNull && col("parsed._corrupt_record").isNotNull)
+        jsonCol.isNull || col("parsed._corrupt_record").isNotNull)
   }
 
   /** CDC-style map access `data['k']` (P3, e.g.

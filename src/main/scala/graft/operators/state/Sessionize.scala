@@ -31,9 +31,12 @@ object Sessionize {
     val flagged = events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // millisecond gap test: matches the streaming twin (Timestamp
+      // .getTime) and Flink's within(); unix_timestamp would truncate
+      // to seconds and disagree on sub-second gaps
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds,
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapSeconds * 1000,
           1L).otherwise(0L))
     val sessioned = flagged.withColumn("sess_id",
       sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))

@@ -27,12 +27,18 @@ object Sinks {
   /** K3/K5 — upsert sink (upsert-Kafka / Phoenix dim): last-wins merge
     * by `pk` ordered by `version` desc, overwriting the keyed store.
     * The Spark twin of a changelog topic with PK + downstream last-wins
-    * dedup (`MyKafkaUtil.java:112-121`, `DimSinkFunction.java:17-51`). */
+    * dedup (`MyKafkaUtil.java:112-121`, `DimSinkFunction.java:17-51`).
+    * Version ties break on a content hash of the full row — without a
+    * total order the tie survivor depends on partitioning, and a
+    * replayed batch could persist a different row than the original
+    * run (same rule `Dedup` states: the order must be total). */
   def upsert(batch: DataFrame, existing: Option[DataFrame], pk: String,
              version: String): DataFrame = {
     val all = existing.fold(batch)(e => e.unionByName(batch))
+    val contentHash = xxhash64(all.columns.sorted.map(col): _*)
     all.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(pk)).orderBy(col(version).desc)))
+        Window.partitionBy(col(pk)).orderBy(col(version).desc,
+          contentHash.desc)))
       .filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -44,21 +44,31 @@ object CdcRouter {
              tableCol: String, versionCol: String, outDir: String): Unit = {
     val cached = batch.persist()
     try config.foreach { case (source, sink, cols, pk) =>
-      val routed = prune(cached.filter(col(tableCol) === source),
-        cols + "," + versionCol)
+      // append the version column only when the config doesn't already
+      // list it (a CDC op_ts is a natural sink column; naming it twice
+      // would make the upsert's orderBy ambiguous)
+      val colList =
+        if (cols.split(",").map(_.trim).contains(versionCol)) cols
+        else cols + "," + versionCol
+      val routed = prune(cached.filter(col(tableCol) === source), colList)
       if (!routed.isEmpty)
         graft.sinks.Sinks.upsertParquet(routed, s"$outDir/$sink", pk, versionCol)
     } finally { cached.unpersist(); () }
   }
 
   /** Streaming shell: CDC stream + static config → foreachBatch fan-out
-    * (the reference's broadcast-state wiring, `DimApp.java:89-97`). */
+    * (the reference's broadcast-state wiring, `DimApp.java:89-97`).
+    * The stream goes to `foreachBatch` UN-joined: `fanOut` already
+    * routes per config row (unknown tables match nothing and drop,
+    * `TableProcessFunction.java:146-149`), whereas pre-joining via
+    * `route` would emit one copy per matching config row and make a
+    * source mapped to N sinks carry N× rows into every slice. */
   def run(spark: SparkSession, cdcStream: DataFrame, config: DataFrame,
           tableCol: String, versionCol: String, outDir: String): Unit = {
     val cfg = config.collect().map(r => (
       r.getAs[String]("source_table"), r.getAs[String]("sink_table"),
       r.getAs[String]("sink_columns"), r.getAs[String]("sink_pk"))).toSeq
-    val q = route(cdcStream, config, tableCol).writeStream
+    val q = cdcStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         fanOut(batch, cfg, tableCol, versionCol, outDir)

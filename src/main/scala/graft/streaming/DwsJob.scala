@@ -13,8 +13,9 @@ import graft.sinks.Sinks
   * `checkpoint` so a restarted query resumes window state and offsets
   * (without it, windows not yet past the watermark die with the query —
   * standard append-mode semantics), and each emitted row upserts by its
-  * composite key with the micro-batch id as the version, so replayed
-  * batches deterministically overwrite rather than duplicate.
+  * composite key with a write-time version, so replayed batches
+  * deterministically overwrite rather than duplicate and reprocessing
+  * runs supersede stale rows.
   */
 object DwsJob {
 
@@ -28,8 +29,15 @@ object DwsJob {
     val writer = agg.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // version = write-time millis, NOT batchId: a reprocessing run
+        // with a fresh checkpoint restarts batchIds at 0, so corrected
+        // rows would permanently lose to stale store rows with higher
+        // versions. Wall-clock always moves forward across runs; a
+        // same-checkpoint replay re-writes identical content, so the
+        // later version is still idempotent in effect.
         if (!batch.isEmpty)
-          Sinks.upsertParquet(batch.withColumn("ver", lit(batchId)),
+          Sinks.upsertParquet(
+            batch.withColumn("ver", lit(System.currentTimeMillis())),
             storePath, "pk", "ver")
       }
     val q = checkpoint

@@ -40,21 +40,41 @@ object StatefulStreams {
       .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
         col("event_type"), col("pv_ct"), col("val_sum"))
 
-  /** A7 streaming — first-wins dedup: keyed ValueState flag
-    * (`DwsTradeOrderWindow.java:84-108`). Emits only the first row seen
-    * per key; within one micro-batch the winner is the (ts, event_id)
-    * minimum, matching the batch twin's total order. */
-  def firstWinsStream(events: Dataset[Ev]): Dataset[Ev] = {
+  /** A7 streaming — first-wins dedup: keyed ValueState flag with TTL
+    * (`DwsTradeOrderWindow.java:84-108`: ValueState + 5 s TTL,
+    * OnReadAndWrite). Emits only the first row seen per key; within one
+    * micro-batch the winner is the (ts, event_id) minimum, matching the
+    * batch twin's total order.
+    *
+    * The event-time timeout drops the per-key flag once the watermark
+    * passes last-seen + `ttlSec` — the reference's TTL (refreshed on
+    * read AND write, like OnReadAndWrite), without which state grows
+    * one entry per key forever. Event-time (not processing-time)
+    * timeouts keep the query drainable: processing-time timeouts
+    * re-trigger empty batches forever and `processAllAvailable` never
+    * returns. The watermark also drops late rows — the same rows the
+    * reference's expired state would have re-admitted as duplicates. */
+  def firstWinsStream(events: Dataset[Ev], watermark: String = "2 seconds",
+                      ttlSec: Long = 7L * 24 * 3600): Dataset[Ev] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[Boolean, Ev](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, it, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).take(1).iterator
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val rows = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out =
+              if (state.exists) Iterator.empty
+              else { state.update(true); rows.take(1).iterator }
+            state.update(true) // TTL refresh on read-or-write
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1,
+                rows.map(_.ts.getTime).max + ttlSec * 1000))
+            out
           }
       }
   }
@@ -97,7 +117,13 @@ object StatefulStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s._2 + gapSec * 1000)
+              // clamp to the eviction watermark: an accepted-but-late
+              // event (previous-batch watermark admits it) could set a
+              // timeout behind the CURRENT watermark, which throws and
+              // kills the query — same guard lastWinsStream uses
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  s._2 + gapSec * 1000))
             }
           }
           out.iterator
@@ -180,13 +206,17 @@ object StatefulStreams {
   def visitFlagsStream(events: Dataset[Ev]): Dataset[VisitFlag] = {
     import events.sparkSession.implicits._
     val fmt = "yyyy-MM-dd"
+    // day-bucket in the SESSION time zone, like the batch twin's
+    // date_format (a hardcoded zone would silently disagree with
+    // VisitFlags/dailyUvStream whenever the session isn't UTC)
+    val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(String, String), VisitFlag](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user, it, state: GroupState[(String, String)]) =>
           val df = new java.text.SimpleDateFormat(fmt)
-          df.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          df.setTimeZone(java.util.TimeZone.getTimeZone(zone))
           var (first, last) = state.getOption.getOrElse((null: String, null: String))
           val out = scala.collection.mutable.ArrayBuffer[VisitFlag]()
           it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>

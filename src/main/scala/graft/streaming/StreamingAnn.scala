@@ -24,10 +24,16 @@ object StreamingAnn {
 
   /** All centroids as ONE array row — the stream cross-joins this
     * 1-row frame so probe-cell selection is a per-row array expression
-    * rather than a (stateful) per-query ranking. */
+    * rather than a (stateful) per-query ranking. Pass a precomputed
+    * `centroids` frame to share one k-means run with `cellIndex`
+    * (both defaults recompute it; the rounded means make the two runs
+    * identical, but the clustering is the expensive part of the
+    * build). */
   def centroidArray(embeddings: DataFrame, nCentroids: Int = 16,
-                    kmeansIters: Int = 2): DataFrame =
-    Similarity.kmeansCentroids(embeddings, nCentroids, kmeansIters)
+                    kmeansIters: Int = 2,
+                    centroids: Option[DataFrame] = None): DataFrame =
+    centroids.getOrElse(
+        Similarity.kmeansCentroids(embeddings, nCentroids, kmeansIters))
       .agg(collect_list(struct(col("centroid_id"), col("c_emb"))).as("cents"))
 
   /** Inverted file: cell → array of (vec_id, embedding) members. At
@@ -35,10 +41,11 @@ object StreamingAnn {
     * the probe becomes a shuffle-on-cell join; the expression-level
     * top-k is unchanged. */
   def cellIndex(embeddings: DataFrame, nCentroids: Int = 16,
-                kmeansIters: Int = 2): DataFrame = {
-    val centroids =
-      Similarity.kmeansCentroids(embeddings, nCentroids, kmeansIters)
-    Similarity.assignCells(embeddings, centroids)
+                kmeansIters: Int = 2,
+                centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.kmeansCentroids(embeddings, nCentroids, kmeansIters))
+    Similarity.assignCells(embeddings, cents)
       .groupBy(col("cell"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("cands"))
   }

@@ -59,4 +59,18 @@ class CdcRouterSpec extends SparkTestBase {
     assert(a == Map("1" -> "alice2", "2" -> "bob")) // merged, last-wins by ver
     assert(spark.read.parquet(s"$out/sink_b").count() == 1) // not wiped
   }
+
+  test("sink_columns already containing the version column stays unambiguous") {
+    val out = Files.createTempDirectory("cdc_router3").toString
+    val cfgWithVer = Seq(("dim_a", "sink_a", "id,name,ver", "id"))
+      .toDF("source_table", "sink_table", "sink_columns", "sink_pk")
+    val ms = MemoryStream[(String, String, String, String, Long)]
+    val cdcStream = ms.toDF().toDF("source_table", "id", "name", "extra", "ver")
+    ms.addData(("dim_a", "1", "alice", "x", 1L), ("dim_a", "1", "alice2", "x", 2L))
+    CdcRouter.run(spark, cdcStream, cfgWithVer, "source_table", "ver", out)
+    val a = spark.read.parquet(s"$out/sink_a")
+    assert(a.columns.count(_ == "ver") == 1)
+    assert(a.collect().map(r => (r.getAs[String]("id"), r.getAs[String]("name")))
+      .toMap == Map("1" -> "alice2"))
+  }
 }

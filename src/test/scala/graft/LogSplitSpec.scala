@@ -30,6 +30,14 @@ class LogSplitSpec extends SparkTestBase {
     assert(splits("dirty").count() == 1)
   }
 
+  test("null values (Kafka tombstones) are quarantined, never vanish") {
+    val s = LogSplit.split(LogSplit.parse(
+      Seq(Some(pageLog), None).toDF("value")))
+    assert(s("dirty").count() == 1)
+    // the null row is in exactly one split (dirty); total rows conserved
+    assert(s("page").count() + s("start").count() + s("err").count() == 1)
+  }
+
   test("page vs start mutual exclusion") {
     assert(splits("page").count() == 1)
     assert(splits("start").count() == 1)

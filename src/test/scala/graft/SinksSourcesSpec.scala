@@ -53,6 +53,16 @@ class SinksSourcesSpec extends SparkTestBase {
     assert(rows == Map("1" -> "alice2", "2" -> "bob", "3" -> "carol"))
   }
 
+  test("upsert version ties resolve deterministically across replays") {
+    val b = Seq(("1", "payload_a", 5L), ("1", "payload_b", 5L))
+      .toDF("id", "name", "ver")
+    val r1 = Sinks.upsert(b, None, "id", "ver").collect()
+    // repartitioned input must pick the SAME survivor (content-hash tie-break)
+    val r2 = Sinks.upsert(b.repartition(7), None, "id", "ver").collect()
+    assert(r1.length == 1 && r2.length == 1)
+    assert(r1.head.getString(1) == r2.head.getString(1))
+  }
+
   test("K4 batch sink drops transient columns before writing") {
     var written: Option[Seq[String]] = None
     val df = Seq((1L, "a", 0.5)).toDF("id", "payload", "internal_score")

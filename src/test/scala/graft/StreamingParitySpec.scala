@@ -62,6 +62,25 @@ class StreamingParitySpec extends SparkTestBase {
       batchRows.select("event_id", "user_id", "event_type"))
   }
 
+  test("first-wins state expires at TTL: key re-admitted after the watermark passes") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.firstWinsStream(ms.toDS(), ttlSec = 3600L)
+      .writeStream.format("memory").queryName("fw_ttl_out")
+      .outputMode("append").start()
+    ms.addData(Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // watermark jumps past the 1 h TTL → the (1, view) flag is dropped
+    ms.addData(Ev(2, tsOf("2024-01-01T06:00:00Z"), 99, "other", 0.0))
+    q.processAllAvailable()
+    // same key returns after expiry → re-admitted (reference TTL semantics)
+    ms.addData(Ev(3, tsOf("2024-01-01T06:00:01Z"), 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("fw_ttl_out").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"got $ids")
+  }
+
   test("bounce sessions: streaming (event-time timeout) == batch") {
     val gap = 1800L
     val ms = MemoryStream[Ev]
