@@ -253,8 +253,10 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2
         |ORDER BY o_custkey""".stripMargin,
     "w_status_priority_cube" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-        |       coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderstatus, 'NULL') END AS status,
+        |       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |            ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |       CAST(count(*) AS BIGINT) AS order_ct,
         |       round(sum(o_totalprice), 2) AS total_sum
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -503,8 +505,10 @@ object SparkEntry {
         |       count(*) AS ev_ct, count(DISTINCT user_id) AS uu_ct
         |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "w_region_brand_rollup" ->
-      """SELECT coalesce(r_name, 'ALL') AS r_name,
-        |       coalesce(p_brand, 'ALL') AS p_brand,
+      """SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL'
+        |            ELSE coalesce(r_name, 'NULL') END AS r_name,
+        |       CASE WHEN GROUPING(p_brand) = 1 THEN 'ALL'
+        |            ELSE coalesce(p_brand, 'NULL') END AS p_brand,
         |       count(*) AS line_ct,
         |       round(sum(l_extendedprice), 2) AS amount_sum
         |FROM lineitem

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * codegen) and which materializes an intermediate products array per
   * row. This expression generates a single fused primitive loop (dot +
   * both norms in one pass, no allocation). Arithmetic is identical to
-  * the HOF form: each element widened to double, sequential
-  * index-ascending sums, `dot / (sqrt(na) * sqrt(nb))` — so results are
-  * bit-for-bit equal (asserted in `VectorExprsSpec`) and the DuckDB
-  * oracle parity is preserved.
+  * the HOF form on well-formed inputs: each element widened to double,
+  * sequential index-ascending sums, `dot / (sqrt(na) * sqrt(nb))` — so
+  * results are bit-for-bit equal (asserted in `VectorExprsSpec`) and
+  * the DuckDB oracle parity is preserved. Degenerate inputs are total:
+  * zero-norm vectors and length mismatches yield NULL (the HOF form
+  * throws under ANSI / NaN-or-NULL otherwise; NULL sorts LAST in a
+  * descending top-k, NaN would sort first).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,8 +49,18 @@ case class CosineSim(left: Expression, right: Expression)
     case _ => false
   }
 
-  /** Null array OR any null element → NULL (matching the HOF form,
-    * where a null product nulls the aggregate). */
+  /** NULL results can arise from non-null inputs (null element, length
+    * mismatch, zero norm), so the expression must declare itself
+    * nullable regardless of child nullability — otherwise codegen binds
+    * `ev.isNull` to the literal `false` and the interpreted path lies
+    * to UnsafeProjection. */
+  override def nullable: Boolean = true
+
+  /** Null array, any null element, length mismatch, or a zero-norm side
+    * → NULL, matching the HOF form exactly: `zip_with` null-pads
+    * mismatched lengths (nulling the aggregate) and Spark's `Divide`
+    * returns NULL on a zero divisor. NaN must never escape: it sorts
+    * ABOVE every real similarity in a descending top-k. */
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
     if (l == null) return null
@@ -55,7 +68,8 @@ case class CosineSim(left: Expression, right: Expression)
     if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val (fa, fb) = (isFloat(left), isFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -64,6 +78,7 @@ case class CosineSim(left: Expression, right: Expression)
       val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y; i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -79,16 +94,21 @@ case class CosineSim(left: Expression, right: Expression)
       val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  double $x = $getA;
-         |  double $y = $getB;
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = $getA;
+         |    double $y = $getB;
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull} && ($na == 0.0 || $nb == 0.0)) { ${ev.isNull} = true; }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -52,15 +52,21 @@ object SetOps {
 
   /** CUBE over (status, priority): all four grouping combinations in
     * one pass — Spark expands to a single hash aggregate over the
-    * grouping-set id, not four scans. Nulls → 'ALL' for oracle
-    * stability (same idiom as the rollup query). */
+    * grouping-set id, not four scans. Subtotal rows are labeled via
+    * `grouping()` (not coalesce) so a genuine NULL group value can
+    * never masquerade as a cube subtotal. */
   def statusPriorityCube(orders: DataFrame): DataFrame =
     orders
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("order_ct"),
-        round(sum(col("o_totalprice")), 2).as("total_sum"))
-      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        round(sum(col("o_totalprice")), 2).as("total_sum"),
+        grouping(col("o_orderstatus")).as("__gs"),
+        grouping(col("o_orderpriority")).as("__gp"))
+      .select(
+        when(col("__gs") === 1, lit("ALL"))
+          .otherwise(coalesce(col("o_orderstatus"), lit("NULL"))).as("status"),
+        when(col("__gp") === 1, lit("ALL"))
+          .otherwise(coalesce(col("o_orderpriority"), lit("NULL"))).as("priority"),
         col("order_ct"), col("total_sum"))
       .orderBy("status", "priority")
 

@@ -36,7 +36,8 @@ object AdvancedWindows {
       .orderBy("stt")
 
   /** ROLLUP over the snowflake dims: (region, brand) → region → grand
-    * total, nulls rendered as 'ALL' for oracle stability. */
+    * total; subtotal rows labeled via `grouping()` so genuine NULL
+    * group values can never collide with rollup totals. */
   def regionBrandRollup(lineitem: DataFrame, part: DataFrame,
                         supplier: DataFrame, nation: DataFrame,
                         region: DataFrame): DataFrame =
@@ -51,9 +52,14 @@ object AdvancedWindows {
         col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("p_brand"))
       .agg(count(lit(1)).as("line_ct"),
-        round(sum(col("l_extendedprice")), 2).as("amount_sum"))
-      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
-        coalesce(col("p_brand"), lit("ALL")).as("p_brand"),
+        round(sum(col("l_extendedprice")), 2).as("amount_sum"),
+        grouping(col("r_name")).as("__gr"),
+        grouping(col("p_brand")).as("__gb"))
+      .select(
+        when(col("__gr") === 1, lit("ALL"))
+          .otherwise(coalesce(col("r_name"), lit("NULL"))).as("r_name"),
+        when(col("__gb") === 1, lit("ALL"))
+          .otherwise(coalesce(col("p_brand"), lit("NULL"))).as("p_brand"),
         col("line_ct"), col("amount_sum"))
       .orderBy("r_name", "p_brand")
 }

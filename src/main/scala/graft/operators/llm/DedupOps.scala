@@ -114,8 +114,16 @@ object DedupOps {
         xxhash64(slice(col("sig"), col("band") * rowsPerBand + 1,
           lit(rowsPerBand)), col("band")))
 
-  def signatures(documents: DataFrame, perms: Int = 64): DataFrame = {
-    val sh = shingleRows(documents)
+  def signatures(documents: DataFrame, perms: Int = 64): DataFrame =
+    signaturesFromShingles(shingleRows(documents), perms)
+
+  /** Signature aggregate over precomputed (doc_id, shingle) rows —
+    * callers that also consume the shingle rows elsewhere (e.g. the
+    * Jaccard verifier) persist them once and pass them here instead of
+    * paying the tokenize+window pipeline twice. */
+  def signaturesFromShingles(shingleRows: DataFrame,
+                             perms: Int = 64): DataFrame = {
+    val sh = shingleRows
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val aggs = (0 until perms).map { p =>
       min(graft.functions.VectorExprs.mix64(col("h"), golden * (2L * p + 1L)))
@@ -146,12 +154,14 @@ object DedupOps {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashPairs(documents: DataFrame, threshold: Double = 0.5,
                    bands: Int = 16, rowsPerBand: Int = 4,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   shingles: Option[DataFrame] = None): DataFrame = {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
     // no persist: the self-join reuses the aggregate's shuffle exchange
     // (ReuseExchange), so caching would only pin memory for the session
-    val sigs = signatures(documents)
+    val sigs = signaturesFromShingles(
+      shingles.getOrElse(shingleRows(documents)))
     val banded = capBuckets(
       bandRows(sigs, bands, rowsPerBand)
         .select("doc_id", "band", "band_hash", "sig"),
@@ -194,8 +204,12 @@ object DedupOps {
     * fingerprint assembled from the aggregated sums. Identical output
     * to `simhash`. */
   def simhashTable(documents: DataFrame): DataFrame = {
+    // explode_outer: a zero-token doc keeps one null-token row, whose
+    // bit-sums are all -1 → fp = 0, exactly what inline `simhash`
+    // returns (empty aggregate = 0 per bit → no bit set); plain explode
+    // would drop the doc and lose empty-vs-empty duplicate pairs
     val words = graft.core.Tables.spread(documents)
-      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode_outer(Tokenize.tokens(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitAggs = (0 until 64).map(j =>
       sum(when(call_function("shiftright", col("h"), lit(j))
@@ -244,11 +258,16 @@ object DedupOps {
     * it broadcasts into both gram joins. */
   def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
                         jaccardThreshold: Double = 0.5): DataFrame = {
-    val grams = shingleRows(documents)
+    // persist the shingle pipeline (scan + tokenize + two lead()
+    // windows — the dominant stage) and feed BOTH consumers from it;
+    // recomputing it inside minhashPairs doubled the job's cost
+    val sh = shingleRows(documents).persist()
+    val grams = sh
       .groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("shingle"))).as("grams"))
-    val candidates = broadcast(minhashPairs(documents, lshThreshold)
-      .select("doc_a", "doc_b"))
+    val candidates = broadcast(
+      minhashPairs(documents, lshThreshold, shingles = Some(sh))
+        .select("doc_a", "doc_b"))
     candidates
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
       .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")

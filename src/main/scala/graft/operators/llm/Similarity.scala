@@ -125,6 +125,10 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_emb"))
+        // eager lineage cut: without it each iteration's plan embeds all
+        // prior iterations, and every downstream consumer re-runs the
+        // whole clustering from scratch
+        .localCheckpoint()
     }
     cent
   }
@@ -149,7 +153,8 @@ object Similarity {
               kmeansIters: Int = 2): DataFrame = {
     val centroids = broadcast(
       kmeansCentroids(embeddings, nCentroids, kmeansIters))
-    val assigned = assignCells(embeddings, centroids)
+    // persisted: consumed twice below (probe build + candidate join)
+    val assigned = assignCells(embeddings, centroids).persist()
     // each query probes its nProbe nearest cells
     val probes = assigned
       .filter(col("vec_id").isin(queryIds: _*))

@@ -22,12 +22,15 @@ object TextAnalysis {
     * re-inlines the token array per reference — measured 20 s vs 3 s at
     * sf0.1). One shuffle on doc_id. */
   def quality(documents: DataFrame): DataFrame = {
+    // explode_outer + count(w): a zero-token document must still get a
+    // quality row (n_words = 0, ratios NULL, score 0) — plain explode
+    // silently drops exactly the documents that should score lowest
     val perDoc = graft.core.Tables.spread(documents)
       .select(col("doc_id"), length(col("text")).cast("long").as("char_len"),
-        explode(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_words"),
+        count(col("w")).as("n_words"),
         sum(when(col("w").isin(stopwords: _*), 1L).otherwise(0L)).as("stop_ct"),
         countDistinct(col("w")).as("uniq_ct"),
         first(col("char_len")).as("char_len"))
@@ -38,8 +41,9 @@ object TextAnalysis {
         round(col("uniq_ct") / col("n_words"), 4).as("uniq_ratio"),
         round(col("char_len").cast("double") / col("n_words"), 4)
           .as("avg_token_span"),
-        round(least(col("n_words") / lit(200.0), lit(1.0)) *
-          (col("uniq_ct") / col("n_words")), 4).as("quality_score"))
+        when(col("n_words") === 0, 0.0).otherwise(
+          round(least(col("n_words") / lit(200.0), lit(1.0)) *
+            (col("uniq_ct") / col("n_words")), 4)).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -50,8 +54,9 @@ object TextAnalysis {
     def hits(markers: Seq[String]) =
       sum(when(col("w").isin(markers: _*), 1L).otherwise(0L))
     graft.core.Tables.spread(documents)
+      // explode_outer: zero-token docs classify as 'und', not vanish
       .select(col("doc_id"), col("lang"),
-        explode(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(hits(Seq("the", "and", "of")).as("en_ct"),
         hits(Seq("el", "la", "los", "y")).as("es_ct"),

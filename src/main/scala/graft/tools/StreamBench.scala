@@ -84,8 +84,10 @@ object StreamBench {
     }
     lazy val (centArr, cellIdx) = {
       val emb = graft.core.Tables.embeddings(spark, sfDir)
-      val c = StreamingAnn.centroidArray(emb).cache()
-      val ci = StreamingAnn.cellIndex(emb).cache()
+      // one k-means run feeds both index artifacts
+      val cents = graft.operators.llm.Similarity.kmeansCentroids(emb)
+      val c = StreamingAnn.centroidArray(emb, centroids = Some(cents)).cache()
+      val ci = StreamingAnn.cellIndex(emb, centroids = Some(cents)).cache()
       c.count(); ci.count(); (c, ci)
     }
 
