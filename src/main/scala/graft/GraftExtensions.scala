@@ -20,18 +20,33 @@ import graft.functions.{CosineSim, Mix64}
   * and the two custom expressions are pure scalar functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        arity("cosine_sim", args, 2)
+        CosineSim(args(0), args(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("mix64"),
       new ExpressionInfo(classOf[Mix64].getName, "mix64"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(c: Long, _) => Mix64(args(0), c)
-        case other => throw new IllegalArgumentException(
-          s"mix64 second argument must be a long literal, got $other")
+      (args: Seq[Expression]) => {
+        arity("mix64", args, 2)
+        // SQL integer literals parse as Int (`7`), not Long (`7L`) —
+        // widen every integral literal so the natural spelling works
+        args(1) match {
+          case Literal(c: Long, _)  => Mix64(args(0), c)
+          case Literal(c: Int, _)   => Mix64(args(0), c.toLong)
+          case Literal(c: Short, _) => Mix64(args(0), c.toLong)
+          case Literal(c: Byte, _)  => Mix64(args(0), c.toLong)
+          case other => throw new IllegalArgumentException(
+            s"mix64 second argument must be an integer literal, got $other")
+        }
       }))
   }
 }

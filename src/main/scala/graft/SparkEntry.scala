@@ -550,7 +550,9 @@ object SparkEntry {
         |       round(stop_ct / n_words, 4) AS stop_ratio,
         |       round(uniq_ct / n_words, 4) AS uniq_ratio,
         |       round(length(text) / n_words, 4) AS avg_token_span,
-        |       round(least(n_words / 200.0, 1.0) * (uniq_ct / n_words), 4)
+        |       CASE WHEN n_words = 0 THEN 0.0
+        |            ELSE round(least(n_words / 200.0, 1.0)
+        |                       * (uniq_ct / n_words), 4) END
         |         AS quality_score
         |FROM (SELECT doc_id, text, CAST(len(words) AS BIGINT) AS n_words,
         |             CAST(len(list_filter(words,

@@ -16,9 +16,15 @@ class ExtensionsSpec extends SparkTestBase {
       new GraftExtensions(), spark)
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
-        "mix64(42L, 7L) AS m").collect()(0)
+        "mix64(42L, 7L) AS m, " +
+        "mix64(42L, 7) AS m_int").collect()(0) // plain Int literal spelling
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == graft.functions.Mix64Impl.fmix(42L, 7L))
+    assert(r.getLong(2) == r.getLong(1))
+    // wrong arity → a clear error, not IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT mix64(1L)").collect())
+    assert(e.getMessage.contains("2 arguments") ||
+      e.getMessage.toLowerCase.contains("expects"))
   }
 
   test("A10 streaming dedup == batch daily-first semantics") {
