@@ -217,7 +217,7 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1) p
         |FULL JOIN (SELECT user_id, count(*) AS click_ct
         |           FROM events WHERE event_type = 'click' GROUP BY 1) c
-        |  ON p.user_id = c.user_id
+        |  ON p.user_id IS NOT DISTINCT FROM c.user_id
         |ORDER BY user_id""".stripMargin,
     "u_union_three_way" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS cur_date, kind, count(*) AS ct,

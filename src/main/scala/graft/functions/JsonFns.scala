@@ -27,12 +27,17 @@ object JsonFns {
     df.withColumn("parsed", from_json(jsonCol, withCorrupt,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_corrupt_record")))
-      // null input (e.g. a Kafka tombstone) is dirty too — the
-      // reference's JSON.parseObject(null) throws into the side output;
-      // treating it as clean would let it silently fail every split
-      // filter and vanish from all five outputs
+      // null, empty, and whitespace-only input are dirty too — the
+      // reference's JSON.parseObject throws on all three into the side
+      // output. `from_json("")` returns a NULL struct WITHOUT setting
+      // _corrupt_record (the parser sees no token, so PERMISSIVE
+      // corrupt handling never fires — verified on Spark 4.1.2), so
+      // dirtiness must also test the struct itself: treating these as
+      // clean would let them fail every split filter and vanish from
+      // all outputs including the quarantine.
       .withColumn("is_dirty",
-        jsonCol.isNull || col("parsed._corrupt_record").isNotNull)
+        jsonCol.isNull || col("parsed").isNull ||
+          col("parsed._corrupt_record").isNotNull)
   }
 
   /** CDC-style map access `data['k']` (P3, e.g.

@@ -11,18 +11,13 @@ import org.apache.spark.sql.functions._
   * harness) and computes 10-second event-time tumbling windows
   * everywhere (e.g. `DwsTradeOrderWindow.java:172`).
   *
-  * `windowStt`/`windowEdt` format the bounds of Spark's native
-  * `window()` struct; `tumbleStart` is the arithmetic twin
-  * (`floor(epoch/len)*len`) used when the oracle needs an expression
-  * DuckDB can replicate bit-for-bit. Both align to the epoch, exactly
-  * like Spark's `window()` with no offset.
+  * `stt`/`edt` format the bounds of Spark's native `window()` struct,
+  * which aligns to the epoch with no offset — the arithmetic twin
+  * DuckDB replicates is `floor(epoch/len)*len` (spelled inline in the
+  * oracle SQL).
   */
 object TimeFns {
   val FMT = "yyyy-MM-dd HH:mm:ss"
-
-  /** Tumbling-window start for `ts`, aligned to the epoch. */
-  def tumbleStart(ts: Column, seconds: Long): Column =
-    timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)
 
   /** Window bound → `yyyy-MM-dd HH:mm:ss` string (reference `stt`). */
   def stt(windowCol: Column): Column = date_format(windowCol.getField("start"), FMT)

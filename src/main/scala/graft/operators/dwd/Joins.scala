@@ -48,7 +48,7 @@ object Joins {
     lineitem
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_extendedprice"))
-      .join(broadcast(activity), col("l_partkey") === col("act_partkey"),
+      .join(activity, col("l_partkey") === col("act_partkey"),
         "left_outer")
       .select(col("l_orderkey"), col("l_linenumber"),
         coalesce(col("activity_brand"), lit("")).as("activity_brand"),
@@ -88,27 +88,39 @@ object Joins {
 
   /** J4 — snowflake dim chain (`DwsTradeUserSpuOrderWindow.java:209-278`
     * chains sku→spu→trademark→cat3→cat2→cat1 async lookups): here
-    * lineitem → part, supplier → nation → region, all broadcast, then a
-    * rollup. One shuffle total (the final groupBy). */
+    * lineitem → part, supplier → nation → region, then a rollup. One
+    * shuffle total (the final groupBy). */
   def snowflakeEnrich(lineitem: DataFrame, part: DataFrame,
                       supplier: DataFrame, nation: DataFrame,
                       region: DataFrame): DataFrame =
-    lineitem
-      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
-        col("l_extendedprice"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
-        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
-        col("n_regionkey") === col("r_regionkey"))
+    snowflakeBase(lineitem, part, supplier, nation, region)
       .groupBy(col("r_name"), col("p_brand"))
       .agg(count(lit(1)).as("line_ct"),
         round(sum(col("l_quantity")), 2).as("qty_sum"),
         round(sum(col("l_extendedprice")), 2).as("amount_sum"))
       .orderBy("r_name", "p_brand")
+
+  /** Shared snowflake join chain (used by `snowflakeEnrich` and the
+    * rollup aggregate — one definition so plan fixes apply everywhere).
+    * Only the bounded dims (nation 25 rows, region 5) carry hard
+    * `broadcast()` hints; part/supplier are fact-scaled, so they
+    * auto-broadcast while under `autoBroadcastJoinThreshold` and
+    * degrade to shuffle joins at scale instead of OOMing a forced
+    * broadcast. Unused columns are pruned by Catalyst per consumer. */
+  def snowflakeBase(lineitem: DataFrame, part: DataFrame,
+                    supplier: DataFrame, nation: DataFrame,
+                    region: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
 
   /** J6 — interval join (`Flink04_DataStreamJoinTest.java:57-66`):
     * signup events joined to purchases by the same user within
@@ -144,7 +156,9 @@ object Joins {
       .groupBy(col("user_id").as("c_user"))
       .agg(count(lit(1)).as("click_ct"))
     purchases
-      .join(clicks, col("p_user") === col("c_user"), "full_outer")
+      // null-safe equality: a NULL-user changelog must merge into ONE
+      // output row, not split into two unmergeable null-keyed rows
+      .join(clicks, col("p_user") <=> col("c_user"), "full_outer")
       .select(
         coalesce(col("p_user"), col("c_user")).as("user_id"),
         coalesce(col("purchase_amount"), lit(0.0)).as("purchase_amount"),

@@ -20,8 +20,8 @@ object AdvancedWindows {
       .agg(count(lit(1)).as("ev_ct"),
         round(sum(col("value")), 2).as("val_sum"))
       .select(
-        date_format(col("w.start"), TimeFns.FMT).as("stt"),
-        date_format(col("w.end"), TimeFns.FMT).as("edt"),
+        TimeFns.stt(col("w")).as("stt"),
+        TimeFns.edt(col("w")).as("edt"),
         col("user_id"), col("ev_ct"), col("val_sum"))
 
   /** Sliding (hopping) windows: 1 h length, 30 min slide — each event
@@ -41,15 +41,8 @@ object AdvancedWindows {
   def regionBrandRollup(lineitem: DataFrame, part: DataFrame,
                         supplier: DataFrame, nation: DataFrame,
                         region: DataFrame): DataFrame =
-    lineitem
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
-        col("n_regionkey") === col("r_regionkey"))
+    graft.operators.dwd.Joins
+      .snowflakeBase(lineitem, part, supplier, nation, region)
       .rollup(col("r_name"), col("p_brand"))
       .agg(count(lit(1)).as("line_ct"),
         round(sum(col("l_extendedprice")), 2).as("amount_sum"),

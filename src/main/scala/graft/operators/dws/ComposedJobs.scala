@@ -28,8 +28,8 @@ object ComposedJobs {
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(activity), col("l_partkey") === col("act_key"), "left_outer")
-      .join(broadcast(coupon), col("l_partkey") === col("cpn_key"), "left_outer")
+      .join(activity, col("l_partkey") === col("act_key"), "left_outer")
+      .join(coupon, col("l_partkey") === col("cpn_key"), "left_outer")
       .join(broadcast(statusDic), col("o_orderstatus") === col("dic_code"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
@@ -57,15 +57,21 @@ object ComposedJobs {
     * (§3.2); same surface here: temp views + `spark.sql`, landing in
     * the identical Catalyst plan as the DataFrame form. */
   def sqlHourlyTypeWindow(spark: SparkSession, events: DataFrame): DataFrame = {
-    events.createOrReplaceTempView("events_v")
-    spark.sql(
-      """SELECT date_format(timestamp_seconds(floor(unix_timestamp(ts)/3600)*3600),
-        |                   'yyyy-MM-dd HH:mm:ss') AS stt,
-        |       event_type,
-        |       count(*) AS ev_ct,
-        |       count(DISTINCT user_id) AS uu_ct,
-        |       round(sum(value), 2) AS val_sum
-        |FROM events_v
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    // unique view name, dropped after the plan is resolved: a fixed
+    // name would silently clobber a caller's view of the same name and
+    // leak into the session catalog (two concurrent invocations would
+    // also race on it)
+    val view = s"events_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    events.createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT date_format(timestamp_seconds(floor(unix_timestamp(ts)/3600)*3600),
+         |                   'yyyy-MM-dd HH:mm:ss') AS stt,
+         |       event_type,
+         |       count(*) AS ev_ct,
+         |       count(DISTINCT user_id) AS uu_ct,
+         |       round(sum(value), 2) AS val_sum
+         |FROM $view
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    finally { spark.catalog.dropTempView(view); () }
   }
 }

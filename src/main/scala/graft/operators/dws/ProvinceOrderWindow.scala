@@ -17,10 +17,15 @@ import graft.functions.TimeFns
   * tumbling window on the order date, `sum` + `count(distinct)`.
   *
   * Scale notes (100 TB posture): the lineitem⋈orders join shuffles on
-  * the order key once; nation is broadcast (25 rows — never a shuffle);
-  * partial aggregation (HashAggregate partial→final) halves shuffle
-  * volume before the groupBy exchange; the exact distinct is per
-  * (window, province) group — for a 100 TB run the documented swap is
+  * the order key once; nation is broadcast (25 rows, bounded — the
+  * only hard `broadcast()` hint). The customer side is fact-scaled, so
+  * it carries NO hint: Catalyst auto-broadcasts it while it fits
+  * `autoBroadcastJoinThreshold` (it does at test SFs — asserted in
+  * PlanSpec) and degrades to a shuffle join beyond, instead of OOMing
+  * the driver on a forced broadcast. Partial aggregation
+  * (HashAggregate partial→final) halves shuffle volume before the
+  * groupBy exchange; the exact distinct is per (window, province)
+  * group — for a 100 TB run the documented swap is
   * `approx_count_distinct` (SURVEY §2.5 note).
   */
 object ProvinceOrderWindow {
@@ -28,10 +33,10 @@ object ProvinceOrderWindow {
   private def build(lineitem: DataFrame, orders: DataFrame,
                     customer: DataFrame, nation: DataFrame,
                     orderCount: org.apache.spark.sql.Column): DataFrame = {
-    val dim = broadcast(
+    val dim =
       customer.select("c_custkey", "c_nationkey")
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("province_name")))
+        .select(col("c_custkey"), col("n_name").as("province_name"))
     lineitem
       .select("l_orderkey", "l_extendedprice")
       .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),

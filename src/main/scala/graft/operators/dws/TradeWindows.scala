@@ -27,7 +27,7 @@ object TradeWindows {
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
       .join(orders.select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+      .join(part.select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(window(col("o_orderdate"), "1 day").as("w"),
         col("o_custkey").as("user_id"), col("p_brand"))
@@ -44,8 +44,8 @@ object TradeWindows {
     lineitem
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
-      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
-        col("p_type"))), col("l_partkey") === col("p_partkey"))
+      .join(part.select(col("p_partkey"), col("p_brand"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(window(col("l_shipdate"), "1 day").as("w"),
         col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_orderkey")).as("refund_order_ct"),

@@ -143,6 +143,14 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("U1 tokenizer UDF shape: null-safe lowercase split") {
+    val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
+      .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("hello", "world"))
+    assert(out(1).isEmpty && out(2).isEmpty)
+  }
+
   test("language id: majority of en docs predicted en") {
     val res = TextAnalysis.langId(docs)
       .filter(col("lang") === "en" && col("pred_lang") === "en")

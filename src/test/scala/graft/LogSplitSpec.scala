@@ -30,11 +30,13 @@ class LogSplitSpec extends SparkTestBase {
     assert(splits("dirty").count() == 1)
   }
 
-  test("null values (Kafka tombstones) are quarantined, never vanish") {
+  test("null/empty/whitespace values are quarantined, never vanish") {
+    // from_json("") yields a NULL struct with NO _corrupt_record, so a
+    // corrupt-record-only dirty test would silently drop these rows
     val s = LogSplit.split(LogSplit.parse(
-      Seq(Some(pageLog), None).toDF("value")))
-    assert(s("dirty").count() == 1)
-    // the null row is in exactly one split (dirty); total rows conserved
+      Seq(Some(pageLog), None, Some(""), Some("   ")).toDF("value")))
+    assert(s("dirty").count() == 3)
+    // each bad row is in exactly one split (dirty); rows conserved
     assert(s("page").count() + s("start").count() + s("err").count() == 1)
   }
 
