@@ -79,6 +79,26 @@ class StreamingDedupSpec extends SparkTestBase {
       s"missing: ${(batchPairs -- streamPairs).take(5)}")
   }
 
+  test("exact ingest dedup re-admits content after the watermark drops its state") {
+    val ms = MemoryStream[TsDoc]
+    val q = StreamingDedup.exactIngestDedup(ms.toDF(), watermark = "10 seconds")
+      .writeStream.format("memory").queryName("exact_ttl_out")
+      .outputMode("append").start()
+    ms.addData(TsDoc(1, "same text", tsOf("2024-01-01T00:00:00Z")))
+    q.processAllAvailable()
+    // advance the watermark far past the 10 s horizon → state dropped
+    ms.addData(TsDoc(2, "other", tsOf("2024-01-01T01:00:00Z")))
+    q.processAllAvailable()
+    // identical content re-arrives after expiry → re-admitted (bounded
+    // state by design; corpus-wide dedup is the batch job's duty)
+    ms.addData(TsDoc(3, "same text", tsOf("2024-01-01T01:00:01Z")))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("exact_ttl_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+  }
+
   test("exact ingest dedup drops same-content rows within the watermark") {
     val t0 = tsOf("2024-01-01T00:00:00Z")
     val ms = MemoryStream[TsDoc]

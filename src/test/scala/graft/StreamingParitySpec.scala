@@ -62,6 +62,29 @@ class StreamingParitySpec extends SparkTestBase {
       batchRows.select("event_id", "user_id", "event_type"))
   }
 
+  test("windowed agg drops late rows behind the watermark") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.windowedAgg(ms.toDF()).writeStream
+      .format("memory").queryName("late_drop_out")
+      .outputMode("append").start()
+    ms.addData(Ev(1, tsOf("2024-01-01T00:00:01Z"), 1, "view", 10.0))
+    q.processAllAvailable()
+    // advance the watermark well past the first window
+    ms.addData(Ev(2, tsOf("2024-01-01T01:00:00Z"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // late row for the long-closed first window → dropped, not re-emitted
+    ms.addData(Ev(3, tsOf("2024-01-01T00:00:02Z"), 1, "view", 99.0))
+    q.processAllAvailable()
+    ms.addData(sentinel(100)); q.processAllAvailable()
+    ms.addData(sentinel(101)); q.processAllAvailable()
+    q.stop()
+    val firstWindow = spark.table("late_drop_out")
+      .filter(col("stt") === "2024-01-01 00:00:00").collect()
+    assert(firstWindow.length == 1)
+    // the late 99.0 must NOT be in the first window's sum
+    assert(firstWindow.head.getAs[Double]("val_sum") == 10.0)
+  }
+
   test("first-wins state expires at TTL: key re-admitted after the watermark passes") {
     val ms = MemoryStream[Ev]
     val q = StatefulStreams.firstWinsStream(ms.toDS(), ttlSec = 3600L)
