@@ -145,6 +145,10 @@ object SparkEntry {
     "llm_fingerprint" -> ((s, d) => llm.TextAnalysis.fingerprint(Tables.documents(s, d))),
     "llm_winnow_fingerprint" -> ((s, d) =>
       llm.TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
+    "llm_stratified_sample" -> ((s, d) =>
+      llm.Sampling.stratifiedSample(Tables.documents(s, d))),
+    "llm_corpus_stats" -> ((s, d) =>
+      llm.Sampling.corpusStats(Tables.documents(s, d))),
     "llm_multimodal_format_stats" -> ((s, d) =>
       llm.Multimodal.formatStats(Tables.documents(s, d)))
   )
@@ -609,6 +613,18 @@ object SparkEntry {
         |       CAST(min(wmin) AS BIGINT) AS fp_min,
         |       CAST(max(wmin) AS BIGINT) AS fp_max
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_stratified_sample" ->
+      """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |           AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "llm_corpus_stats" ->
+      """SELECT lang, source, count(*) AS doc_ct,
+        |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_multimodal_format_stats" ->
       """SELECT format, count(*) AS media_ct,
         |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,

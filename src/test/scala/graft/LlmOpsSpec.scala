@@ -143,6 +143,26 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sample is deterministic and near the target fraction") {
+    import graft.operators.llm.Sampling
+    val total = docs.count().toDouble
+    val s1 = Sampling.stratifiedSample(docs, 20)
+    val s2 = Sampling.stratifiedSample(docs.repartition(7), 20)
+    // determinism: same selection regardless of partitioning
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val frac = s1.count() / total
+    assert(frac > 0.10 && frac < 0.30, s"sampled fraction $frac")
+  }
+
+  test("corpus stats doc counts sum to the corpus size") {
+    import graft.operators.llm.Sampling
+    val stats = Sampling.corpusStats(docs)
+    val sum = stats.agg(org.apache.spark.sql.functions.sum("doc_ct"))
+      .collect()(0).getLong(0)
+    assert(sum == docs.count())
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
