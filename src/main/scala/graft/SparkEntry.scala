@@ -111,6 +111,10 @@ object SparkEntry {
         Tables.part(s, d), Joins.baseDic(s))),
     "job_payment_suc_window" -> ((s, d) =>
       ComposedJobs.paymentSucWindow(Tables.events(s, d))),
+    "job_user_spu_order_window" -> ((s, d) =>
+      ComposedJobs.userSpuOrderJob(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
     // windowing beyond the reference: session/sliding/rollup
@@ -475,6 +479,30 @@ object SparkEntry {
         |      FROM (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date
         |            FROM events WHERE event_type = 'purchase'))
         |GROUP BY cur_date ORDER BY cur_date""".stripMargin,
+    "job_user_spu_order_window" ->
+      """WITH detail AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+        |  FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |               l_extendedprice,
+        |               row_number() OVER (
+        |                 PARTITION BY l_orderkey, l_linenumber
+        |                 ORDER BY l_extendedprice, l_partkey, l_suppkey) AS rn
+        |        FROM lineitem)
+        |  WHERE rn = 1)
+        |SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(date_trunc('day', o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+        |       o_custkey AS user_id, p_brand,
+        |       n_name AS nation_name, r_name AS region_name,
+        |       round(sum(l_extendedprice), 2) AS order_amount,
+        |       count(DISTINCT l_orderkey) AS order_ct
+        |FROM detail
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1, 3, 4, 5""".stripMargin,
     "sql_hourly_type_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
         |       event_type, count(*) AS ev_ct,

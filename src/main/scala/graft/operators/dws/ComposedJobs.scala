@@ -2,6 +2,7 @@ package graft.operators.dws
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.TimeFns
 import graft.operators.dwd.Joins
 import graft.operators.state.{Dedup, VisitFlags}
 
@@ -51,6 +52,57 @@ object ComposedJobs {
     VisitFlags.firstPerDayFlags(deduped)
       .withColumnRenamed("uu_ct", "pay_uu_ct")
       .withColumnRenamed("new_uu_ct", "pay_new_ct")
+  }
+
+  /** `DwsTradeUserSpuOrderWindow` (§3.3, the full hybrid app,
+    * `DwsTradeUserSpuOrderWindow.java:68-282`): first-wins dedup of the
+    * detail changelog (A7) → pre-aggregation sku dim joins — only the
+    * dims whose outputs are GROUP KEYS stay before the window — →
+    * daily window keyed (user, brand, nation) with sum + exact
+    * distinct (A2) → post-aggregation snowflake name enrichment
+    * (nation→region), hoisted past the aggregate exactly as SURVEY
+    * §3.3 notes: the reference joins 4 dims per detail ROW after its
+    * window; joining them per GROUP row is the same output at a
+    * fraction of the lookups. One fact shuffle for the dedup key, one
+    * for the group key; every dim broadcasts. */
+  def userSpuOrderJob(lineitem: DataFrame, orders: DataFrame,
+                      part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame = {
+    // one fact shuffle total: hash-partitioning on l_orderkey alone
+    // already co-locates every (l_orderkey, l_linenumber) group, so it
+    // satisfies the dedup window's clustering AND the orders join's —
+    // without this the window would exchange on (orderkey, linenumber)
+    // and the join would re-exchange on orderkey, two full passes over
+    // the fact table at 100 TB
+    val detail = Dedup.firstWins(
+      lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        .repartition(col("l_orderkey")),
+      Seq("l_orderkey", "l_linenumber"),
+      // full tiebreak: the testdata re-emits detail keys with differing
+      // payloads (45832 distinct of 60000 at sf0.01), so the survivor
+      // must be totally ordered to be deterministic
+      Seq(col("l_extendedprice").asc, col("l_partkey").asc, col("l_suppkey").asc))
+    val agg = detail
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(window(col("o_orderdate"), "1 day").as("w"),
+        col("o_custkey").as("user_id"), col("p_brand"), col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("order_amount"),
+        countDistinct(col("l_orderkey")).as("order_ct"))
+    agg
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("user_id"), col("p_brand"), col("n_name").as("nation_name"),
+        col("r_name").as("region_name"), col("order_amount"), col("order_ct"))
+      .orderBy("stt", "user_id", "p_brand", "nation_name")
   }
 
   /** The reference's Flink-SQL apps build plans from SQL strings

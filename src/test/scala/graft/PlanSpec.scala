@@ -68,6 +68,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("job_user_spu_order_window: dedup window and orders join share one fact exchange") {
+    // lineitem is pre-partitioned on l_orderkey, which co-locates every
+    // (l_orderkey, l_linenumber) dedup group AND satisfies the orders
+    // join — the fact table must cross the wire exactly once
+    val p = plan("job_user_spu_order_window")
+    val factExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(l_orderkey")).size
+    assert(factExchanges == 1, s"expected 1 fact exchange, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
