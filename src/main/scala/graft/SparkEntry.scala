@@ -115,6 +115,8 @@ object SparkEntry {
       ComposedJobs.userSpuOrderJob(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
         Tables.region(s, d))),
+    "job_base_log_split" -> ((s, d) =>
+      ComposedJobs.baseLogSplitJob(Tables.events(s, d))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
     // windowing beyond the reference: session/sliding/rollup
@@ -503,6 +505,36 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 3, 4, 5""".stripMargin,
+    "job_base_log_split" ->
+      """WITH base AS (
+        |  SELECT event_id % 97 = 0 AS dirty,
+        |         event_id % 7 = 0 AS has_start,
+        |         event_id % 11 = 0 AS has_err,
+        |         event_id % 13 = 0 AS has_action,
+        |         event_id % 3 AS n_disp,
+        |         epoch_ms(ts) AS ts_ms
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'action' AS split,
+        |         count(*) FILTER (WHERE NOT dirty AND has_action) AS ct,
+        |         CAST(coalesce(sum(ts_ms) FILTER (WHERE NOT dirty AND has_action), 0) AS BIGINT) AS chk
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'dirty', count(*) FILTER (WHERE dirty), 0 FROM base
+        |  UNION ALL
+        |  SELECT 'display',
+        |         CAST(coalesce(sum(n_disp) FILTER (WHERE NOT dirty), 0) AS BIGINT),
+        |         count(*) FILTER (WHERE NOT dirty AND n_disp = 2) FROM base
+        |  UNION ALL
+        |  SELECT 'err', count(*) FILTER (WHERE NOT dirty AND has_err),
+        |         CAST(coalesce(sum(ts_ms) FILTER (WHERE NOT dirty AND has_err), 0) AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'page', count(*) FILTER (WHERE NOT dirty AND NOT has_start),
+        |         CAST(coalesce(sum(ts_ms) FILTER (WHERE NOT dirty AND NOT has_start), 0) AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'start', count(*) FILTER (WHERE NOT dirty AND has_start),
+        |         CAST(coalesce(sum(ts_ms) FILTER (WHERE NOT dirty AND has_start), 0) AS BIGINT) FROM base
+        |) ORDER BY split""".stripMargin,
     "sql_hourly_type_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
         |       event_type, count(*) AS ev_ct,

@@ -105,6 +105,63 @@ object ComposedJobs {
       .orderBy("stt", "user_id", "p_brand", "nation_name")
   }
 
+  /** `BaseLogApp` (§3.1, `BaseLogApp.java:48-192`) end-to-end in batch:
+    * build nested log JSON deterministically from `events` (dirty rows
+    * planted every 97th id, start/err/action sections and a 0–2 element
+    * `displays[]` keyed off the id), then run the REAL pipeline —
+    * `LogSplit.parse` quarantine → 5-way split → `displays[]`/
+    * `actions[]` explode — and emit one summary row per split
+    * (row count + checksum) so the DuckDB oracle can derive the same
+    * totals relationally without a JSON round-trip. The parsed batch is
+    * cached once and the five projections read it — the batch twin of
+    * the streaming form's cache-per-micro-batch (SURVEY §1.1). */
+  def baseLogSplitJob(events: DataFrame): DataFrame = {
+    import graft.streaming.LogSplit
+    val tsMs = unix_millis(col("ts"))
+    val displays = slice(
+      array(
+        struct(lit("sku_a").as("item"), lit("sku").as("item_type"),
+          lit(0L).as("pos_id"), lit(0L).as("order")),
+        struct(lit("sku_b").as("item"), lit("sku").as("item_type"),
+          lit(1L).as("pos_id"), lit(1L).as("order"))),
+      lit(1), (col("event_id") % 3).cast("int"))
+    val json = to_json(struct(
+      struct(concat(lit("mid_"), col("user_id")).as("mid"),
+        col("user_id").cast("string").as("uid"), lit("v1").as("vc"),
+        lit("ch0").as("ch"), lit("ar0").as("ar"), lit("1").as("is_new"),
+        lit("ba").as("ba"), lit("md").as("md"), lit("os").as("os")).as("common"),
+      struct(col("event_type").as("page_id"),
+        lit(null).cast("string").as("last_page_id"),
+        lit(null).cast("string").as("item"),
+        lit(null).cast("string").as("item_type"),
+        (col("event_id") % 1000).as("during_time")).as("page"),
+      when(col("event_id") % 3 > 0, displays).as("displays"),
+      when(col("event_id") % 13 === 0, array(
+        struct(lit("fav").as("item"), lit("sku").as("item_type"),
+          lit("a1").as("action_id"), tsMs.as("ts")))).as("actions"),
+      when(col("event_id") % 11 === 0,
+        struct(lit(42L).as("error_code"), lit("boom").as("msg"))).as("err"),
+      when(col("event_id") % 7 === 0,
+        struct(lit("icon").as("entry"), (col("event_id") % 100).as("open_ad_id"),
+          lit(1000L).as("loading_time"))).as("start"),
+      tsMs.as("ts")))
+    val raw = events.select(
+      when(col("event_id") % 97 === 0, lit("{broken")).otherwise(json).as("value"))
+    val splits = LogSplit.split(LogSplit.parse(raw).cache())
+    Seq(
+      ("action", splits("action"), col("ts")),
+      ("dirty", splits("dirty"), lit(0L)),
+      ("display", splits("display"), col("pos_id")),
+      ("err", splits("err"), col("ts")),
+      ("page", splits("page"), col("ts")),
+      ("start", splits("start"), col("ts")))
+      .map { case (name, df, chk) =>
+        df.agg(count(lit(1)).as("ct"), coalesce(sum(chk), lit(0L)).as("chk"))
+          .select(lit(name).as("split"), col("ct"), col("chk")) }
+      .reduce(_.unionByName(_))
+      .orderBy("split")
+  }
+
   /** The reference's Flink-SQL apps build plans from SQL strings
     * (§3.2); same surface here: temp views + `spark.sql`, landing in
     * the identical Catalyst plan as the DataFrame form. */
