@@ -1,5 +1,16 @@
 package graft
 object Bench {
+  /** Release ALL executor-side state a query may have left behind —
+    * cached tables plus persisted/localCheckpointed RDD blocks. Without
+    * this, one query's leaked cache distorts every later timing (and
+    * min-of-two lets run 2 reuse run 1's blocks): round-1 numbers were
+    * off 3–9× from clean-session runs because of exactly this. */
+  private def clearState(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,11 +22,16 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}") }
+    clearState(spark)
     // "noop" sink materializes every column (a bare count() would let
     // Catalyst prune the plan down to a metadata-only scan).
     // Min of two timed runs per query: single-shot timings on this box
     // swing ±40% (JIT, page cache, CPU contention); the min is the
-    // steady-state throughput the plan actually delivers.
+    // steady-state throughput the plan actually delivers. EVERY run
+    // starts from cleared Spark state (no cached tables, no persisted
+    // blocks), so the min reflects the plan, not a leaked cache; only
+    // JIT warm-up and the OS page cache carry across runs — that policy
+    // is recorded in the emitted JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -23,8 +39,10 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearState(spark)
         // -1 sentinel: a failed query must not masquerade as a fast one
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) dt else -1.0
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
@@ -35,7 +53,7 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_2_runs_each_from_cleared_spark_state_jit_and_page_cache_warm","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,24 +15,30 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Spread a (small-file) input across the cluster before CPU-heavy
-    * narrow work. The driver's test parquet has a single row group, so
+    * narrow work — gated on `spark.graft.spread.enabled`, DEFAULT OFF
+    * (identity). The driver's test parquet has a single row group, so
     * a scan is ONE task and everything narrow after it runs serially;
-    * one cheap round-robin shuffle restores parallelism. At production
-    * scale inputs are already multi-partition and AQE coalesces the
-    * extra exchange, so this is harmless there. */
-  def spread(df: DataFrame): DataFrame = df.repartition()
+    * `Sessions.local` enables the gate so one cheap round-robin shuffle
+    * restores local parallelism. At production scale inputs are already
+    * multi-partition and the extra exchange would be a full re-shuffle
+    * of the corpus in front of every document operator — so the shipped
+    * default keeps the plan exchange-free (PlanSpec asserts this). */
+  def spread(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.spread.enabled", "false") == "true")
+      df.repartition()
+    else df
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a nanos Long (legacy conf — runtime
-    * settable) and truncate to micros, matching DuckDB's nanos→micros
+    * reader rejects. `Sessions.local` sets
+    * `spark.sql.legacy.parquet.nanosAsLong` once at build time (a
+    * session using another builder must do the same); the nanos Long is
+    * truncated to micros here, matching DuckDB's nanos→micros
     * truncation bit-for-bit (`ts div 1000` floors; all values are
     * positive). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
-  }
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")

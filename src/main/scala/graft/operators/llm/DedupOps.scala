@@ -119,8 +119,8 @@ object DedupOps {
 
   /** Signature aggregate over precomputed (doc_id, shingle) rows —
     * callers that also consume the shingle rows elsewhere (e.g. the
-    * Jaccard verifier) persist them once and pass them here instead of
-    * paying the tokenize+window pipeline twice. */
+    * Jaccard verifier) build them once and pass them here so both
+    * consumers share one plan subtree (AQE reuses the common stage). */
   def signaturesFromShingles(shingleRows: DataFrame,
                              perms: Int = 64): DataFrame = {
     val sh = shingleRows
@@ -258,10 +258,12 @@ object DedupOps {
     * it broadcasts into both gram joins. */
   def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
                         jaccardThreshold: Double = 0.5): DataFrame = {
-    // persist the shingle pipeline (scan + tokenize + two lead()
-    // windows — the dominant stage) and feed BOTH consumers from it;
-    // recomputing it inside minhashPairs doubled the job's cost
-    val sh = shingleRows(documents).persist()
+    // NOT persisted: materializing the exploded shingle table blocks
+    // pipelining and costs more than recomputing it per consumer
+    // (measured at sf0.1: 3.2 s unpersisted vs 6.7 s persisted — and
+    // the persisted blocks leaked past the query, distorting every
+    // later timing in the session)
+    val sh = shingleRows(documents)
     val grams = sh
       .groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("shingle"))).as("grams"))

