@@ -135,6 +135,14 @@ object SparkEntry {
       llm.DedupOps.simhashPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       llm.DedupOps.ngramJaccardPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
+    // oracle-able twin variants: same machinery, md5-derived hash family
+    // (or no hashing at all) that DuckDB replays bit-identically
+    "llm_twin_ngram_jaccard" -> ((s, d) =>
+      llm.DedupOps.twinNgramJaccard(Tables.documents(s, d))),
+    "llm_twin_simhash_hamming" -> ((s, d) =>
+      llm.DedupOps.twinSimhashHamming(Tables.documents(s, d))),
+    "llm_twin_minhash_est" -> ((s, d) =>
+      llm.DedupOps.twinMinhashEst(Tables.documents(s, d))),
     // LLM-pipeline ops: similarity search
     "llm_ann_bruteforce" -> ((s, d) =>
       llm.Similarity.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
@@ -142,6 +150,15 @@ object SparkEntry {
       llm.Similarity.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "llm_ann_ivf" -> ((s, d) =>
       llm.Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // full-probe IVF ≡ brute force exactly (probing every cell makes the
+    // candidate set the whole corpus), so the IVF machinery — k-means,
+    // cell assignment, probe ranking, candidate join — gets a real oracle
+    "llm_ann_ivf_fullprobe" -> ((s, d) =>
+      llm.Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        nProbe = 16)),
+    // each twin's single nearest neighbor is its source by construction
+    "llm_ann_lsh_twin_top1" -> ((s, d) =>
+      llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
     "llm_ann_neardup_cosine" -> ((s, d) =>
       llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     // LLM-pipeline ops: text analysis + multimodal plumbing
@@ -585,7 +602,103 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |       count(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    // twin-variant oracles: replay the dedup machinery on the
+    // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token
+    // dropped) with md5-derived hashes DuckDB computes bit-identically
+    "llm_twin_ngram_jaccard" ->
+      """WITH orig AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |twin AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
+        |  FROM orig WHERE doc_id % 10 = 0),
+        |allt AS (SELECT * FROM orig UNION ALL SELECT * FROM twin),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM allt),
+        |s AS (SELECT doc_id, list_distinct(grams) AS g FROM gr)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.g, b.g))::DOUBLE /
+        |             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1000000
+        |ORDER BY doc_a""".stripMargin,
+    "llm_twin_simhash_hamming" ->
+      """WITH orig AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |twin AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
+        |  FROM orig WHERE doc_id % 10 = 0),
+        |allt AS (SELECT * FROM orig UNION ALL SELECT * FROM twin),
+        |w AS (SELECT doc_id, unnest(CASE WHEN len(t) = 0 THEN [NULL] ELSE t END) AS w
+        |      FROM allt),
+        |h AS (SELECT doc_id, CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS h FROM w),
+        |bits AS (SELECT doc_id, j,
+        |                sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, unnest(generate_series(0, 31)) AS u(j) GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS fp
+        |       FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON b.doc_id = a.doc_id + 1000000
+        |ORDER BY doc_a""".stripMargin,
+    "llm_twin_minhash_est" ->
+      """WITH orig AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |twin AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
+        |  FROM orig WHERE doc_id % 10 = 0),
+        |allt AS (SELECT * FROM orig UNION ALL SELECT * FROM twin),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM allt),
+        |g2 AS (SELECT doc_id, unnest(grams) AS gram FROM gr),
+        |sig AS (SELECT doc_id, p,
+        |               min(CAST(('0x' || substring(md5(gram || ':' || p::VARCHAR), 1, 8))
+        |                   AS BIGINT)) AS m
+        |        FROM g2, unnest(generate_series(0, 31)) AS u(p) GROUP BY 1, 2)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+        |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000 AND a.p = b.p
+        |GROUP BY 1, 2 ORDER BY doc_a""".stripMargin,
+    "llm_ann_lsh_twin_top1" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(
+        |         list_concat([embedding[1]::DOUBLE + 0.05],
+        |           list_transform(embedding[2:], x -> x::DOUBLE)),
+        |         list_transform(embedding, x -> x::DOUBLE)), 4) AS cos_sim
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin,
     "llm_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS q_emb
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(e.embedding, x -> x::DOUBLE), q_emb), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // full-probe IVF visits every cell, so its exact answer IS the
+    // brute-force top-k — same oracle
+    "llm_ann_ivf_fullprobe" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  list_transform(embedding, x -> x::DOUBLE) AS q_emb
         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

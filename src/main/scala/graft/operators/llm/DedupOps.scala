@@ -200,23 +200,26 @@ object DedupOps {
   }
 
   /** Scalable SimHash table: explode tokens once, hash each token once,
-    * then a single hash-aggregate with 64 signed bit-sums per doc;
-    * fingerprint assembled from the aggregated sums. Identical output
-    * to `simhash`. */
-  def simhashTable(documents: DataFrame): DataFrame = {
+    * then a single hash-aggregate with `bits` signed bit-sums per doc;
+    * fingerprint assembled from the aggregated sums. Default (xxhash64,
+    * 64 bits) is identical in output to `simhash`; the oracle twin
+    * check swaps in the md5-derived 32-bit family DuckDB can replay. */
+  def simhashTable(documents: DataFrame,
+                   hashFn: Column => Column = xxhash64(_),
+                   bits: Int = 64): DataFrame = {
     // explode_outer: a zero-token doc keeps one null-token row, whose
     // bit-sums are all -1 → fp = 0, exactly what inline `simhash`
     // returns (empty aggregate = 0 per bit → no bit set); plain explode
     // would drop the doc and lose empty-vs-empty duplicate pairs
     val words = graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode_outer(Tokenize.tokens(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitAggs = (0 until 64).map(j =>
+      .withColumn("h", hashFn(col("w")))
+    val bitAggs = (0 until bits).map(j =>
       sum(when(call_function("shiftright", col("h"), lit(j))
         .bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"b$j"))
     words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until bits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
@@ -279,6 +282,80 @@ object DedupOps {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- Oracle-able twin variants -----------------------------------
+  // The twin corpus pairs doc i with doc i+1_000_000 deterministically,
+  // so exact per-pair metrics are DuckDB-expressible: where the runtime
+  // xxhash64/mix64 families cannot be replayed in SQL, these variants
+  // run the SAME shingle/signature/fingerprint machinery with an
+  // md5-derived hash family both engines compute bit-identically,
+  // turning the spec-only ops into driver-checked green rows.
+
+  /** 32-bit hash from the md5 hex prefix — identical in DuckDB as
+    * `CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)`. */
+  private[graft] def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact word-3-gram Jaccard for each twin pair — the verification
+    * half of `ngramJaccardPairs` on gram STRINGS (no hashing at all),
+    * over the same `shingleRows` pipeline. */
+  def twinNgramJaccard(documents: DataFrame, every: Int = 10): DataFrame = {
+    val grams = shingleRows(withNearDuplicates(documents, every))
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("grams"))
+    val a = grams.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val b = grams.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_a"),
+        col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    a.join(broadcast(b), "doc_a")
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("inter")), 4)
+          .as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  /** SimHash Hamming distance for each twin pair, md5-32 family —
+    * exercises the full `simhashTable` machinery (explode, signed
+    * bit-sums, fingerprint assembly) with a DuckDB-replayable hash. */
+  def twinSimhashHamming(documents: DataFrame, every: Int = 10): DataFrame = {
+    val fps = simhashTable(withNearDuplicates(documents, every), md5Hash32, 32)
+    val a = fps.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = fps.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_a"),
+        col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(broadcast(b), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int").as("hamming"))
+      .orderBy("doc_a")
+  }
+
+  /** MinHash signature agreement (estimated Jaccard) for each twin
+    * pair, md5-32 permutation family h_p(g) = md5_32(g || ":" || p) —
+    * exercises the min-per-permutation signature aggregate and the
+    * slot-agreement estimate exactly as `minhashPairs` does. */
+  def twinMinhashEst(documents: DataFrame, every: Int = 10,
+                     perms: Int = 32): DataFrame = {
+    val sh = shingleRows(withNearDuplicates(documents, every))
+    val aggs = (0 until perms).map(p =>
+      min(md5Hash32(concat(col("shingle"), lit(":" + p)))).as(s"m$p"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
+    val a = sigs.filter(col("doc_id") < 1000000L)
+      .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.filter(col("doc_id") >= 1000000L)
+      .select((col("doc_id") - 1000000L).as("doc_a"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)) / lit(perms.toDouble), 4)
+          .as("est_jaccard"))
+      .orderBy("doc_a")
   }
 
   /** Deterministic near-duplicate generator for exercising the dedup

@@ -76,14 +76,21 @@ object Similarity {
     * 4-bit band of the 16-bit signature with the query — the scale
     * path for corpora where brute force is infeasible. Same output
     * shape as bruteForceTopK (rank within retrieved candidates). */
-  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame =
+    lshTopKWhere(embeddings, col("vec_id").isin(queryIds: _*), k)
+
+  /** lshTopK with the query set given as a predicate over the corpus —
+    * lets a query set be defined relationally (e.g. "all twin ids")
+    * instead of a driver-side id list. The query side must stay
+    * broadcast-sized, same contract as the id-list form. */
+  def lshTopKWhere(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
     val signed = embeddings.withColumn("sig", lshSignature(col("embedding")))
     val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",
         call_function("shiftright", col("sig"), col("band") * 4).bitwiseAND(lit(0xFL)))
     val queries = broadcast(banded
-      .filter(col("vec_id").isin(queryIds: _*))
+      .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("band").as("q_band"), col("band_key").as("q_key")))
     val candidates = banded
@@ -188,22 +195,41 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Embedding-cosine near-dup pairs over a corpus that includes
-    * deterministic perturbed twins (vec_id + 1_000_000, first component
-    * shifted): pairs with cosine ≥ threshold. Exercises the near-dup
-    * path with guaranteed-non-empty output at any SF. */
-  def cosineNearDupPairs(embeddings: DataFrame, every: Int = 10,
-                         threshold: Double = 0.9): DataFrame = {
+  /** Deterministic vector-twin corpus: every `every`-th vector gets a
+    * perturbed twin (vec_id + 1_000_000, first component +0.05), all
+    * components cast to double. The twin mapping is exact, so per-pair
+    * cosines are DuckDB-replayable — the oracle hook for the ANN ops. */
+  def withVectorTwins(embeddings: DataFrame, every: Int = 10): DataFrame = {
     val perturbed = embeddings
       .filter(col("vec_id") % every === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => when(i === 0, x.cast("double") + 0.05)
             .otherwise(x.cast("double"))).as("embedding"))
-    val corpus = embeddings
+    embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
       .unionByName(perturbed)
+  }
+
+  /** LSH ANN over the twin corpus, each twin querying for its single
+    * nearest neighbor — which is its source by construction (cosine
+    * ≈ 0.999 vs < 0.9 for any unrelated vector), so the whole LSH path
+    * (signature, banding, candidate join, ranking) lands on a
+    * DuckDB-checkable exact answer. */
+  def lshTwinTop1(embeddings: DataFrame, every: Int = 10): DataFrame =
+    lshTopKWhere(withVectorTwins(embeddings, every),
+      col("vec_id") >= 1000000L, k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id")
+
+  /** Embedding-cosine near-dup pairs over a corpus that includes
+    * deterministic perturbed twins (vec_id + 1_000_000, first component
+    * shifted): pairs with cosine ≥ threshold. Exercises the near-dup
+    * path with guaranteed-non-empty output at any SF. */
+  def cosineNearDupPairs(embeddings: DataFrame, every: Int = 10,
+                         threshold: Double = 0.9): DataFrame = {
+    val corpus = withVectorTwins(embeddings, every)
     // block on the original id so the pair join is linear, not quadratic:
     // a perturbed twin can only match its source (documented contract)
     val a = corpus.filter(col("vec_id") < 1000000L)

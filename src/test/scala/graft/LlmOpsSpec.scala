@@ -177,4 +177,34 @@ class LlmOpsSpec extends SparkTestBase {
       .agg(sum("doc_ct")).collect()(0).getLong(0)
     assert(res > 0)
   }
+
+  test("full-probe IVF is exactly brute force (oracle-backing identity)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    assertSameRows(
+      Similarity.ivfTopK(emb, qids, nProbe = 16),
+      Similarity.bruteForceTopK(emb, qids))
+  }
+
+  test("LSH twin top-1: every twin retrieves its source") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val rows = Similarity.lshTwinTop1(emb).collect()
+    assert(rows.length == emb.filter(col("vec_id") % 10 === 0).count())
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 1000000L, r.toString)
+      assert(r.getDouble(2) > 0.99, r.toString)
+    }
+  }
+
+  test("twin metrics: exact jaccard ~0.7, hamming small, minhash est near exact") {
+    val jac = DedupOps.twinNgramJaccard(docs).collect()
+    assert(jac.nonEmpty)
+    jac.foreach(r => assert(r.getDouble(2) > 0.5 && r.getDouble(2) < 0.95, r.toString))
+    val ham = DedupOps.twinSimhashHamming(docs).collect()
+    assert(ham.length == jac.length)
+    ham.foreach(r => assert(r.getInt(2) <= 12, r.toString))
+    val est = DedupOps.twinMinhashEst(docs).collect()
+    assert(est.length == jac.length)
+    est.foreach(r => assert(r.getDouble(2) > 0.3, r.toString))
+  }
 }
