@@ -105,6 +105,11 @@ object SparkEntry {
       Sessionize.bounceSessions(Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
+    // U1 CJK parity: same pipeline over the Chinese fixture (the
+    // driver's documents are ASCII-only, so CJK segmentation needs its
+    // own deterministic corpus)
+    "u1_cjk_keyword_frequency" -> ((s, d) =>
+      TrafficWindows.keywordFrequency(TrafficWindows.cjkFixture(s))),
     // whole-job compositions (§3.2/§3.3) + SQL surface
     "job_order_preprocess" -> ((s, d) =>
       ComposedJobs.orderPreProcess(Tables.lineitem(s, d), Tables.orders(s, d),
@@ -609,7 +614,7 @@ object SparkEntry {
       """WITH orig AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 10 = 0),
         |twin AS (
         |  SELECT doc_id + 1000000 AS doc_id,
         |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
@@ -631,7 +636,7 @@ object SparkEntry {
       """WITH orig AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 10 = 0),
         |twin AS (
         |  SELECT doc_id + 1000000 AS doc_id,
         |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
@@ -653,7 +658,7 @@ object SparkEntry {
       """WITH orig AS (
         |  SELECT doc_id,
         |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 10 = 0),
         |twin AS (
         |  SELECT doc_id + 1000000 AS doc_id,
         |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
@@ -812,6 +817,24 @@ object SparkEntry {
       """SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
         |FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
         |      FROM documents)
-        |WHERE word <> '' GROUP BY word ORDER BY word_ct DESC, word""".stripMargin
+        |WHERE word <> '' GROUP BY word ORDER BY word_ct DESC, word""".stripMargin,
+    "u1_cjk_keyword_frequency" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, '实时数据仓库 spark 构建'),
+        |  (2, '数据仓库 与 流处理 平台'),
+        |  (3, '大数据 实时 分析 引擎'),
+        |  (4, 'spark 流处理 引擎 构建'),
+        |  (5, '数据 分析 平台'),
+        |  (6, '实时计算 与 大数据 平台')),
+        |tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '(\p{Han}+)', ' \1 ', 'g'), '\s+'),
+        |          w -> w <> '')) AS t FROM docs),
+        |words AS (SELECT doc_id,
+        |  unnest(CASE WHEN length(t) >= 2 AND regexp_matches(t, '^\p{Han}+$')
+        |    THEN list_transform(generate_series(1, length(t) - 1),
+        |                        i -> substring(t, i, 2))
+        |    ELSE [t] END) AS word FROM tok)
+        |SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
+        |FROM words GROUP BY 1 ORDER BY word_ct DESC, word""".stripMargin
   )
 }

@@ -8,25 +8,57 @@ import org.apache.spark.sql.functions._
   * `LATERAL TABLE(SplitFunction(item))`; on analyzer error it emits the
   * input string unchanged (one-token passthrough).
   *
-  * Spark-first re-expression: whitespace tokenization with the
-  * codegen'd built-ins `split` + `filter` (no UDF in the hot path —
-  * a Scala UDF would break whole-stage codegen). The IK analyzer is
-  * not on the classpath (offline build), so the documented fallback is
-  * lowercase whitespace splitting; `tokenizeUdf` keeps U1's
-  * error-passthrough contract for callers that need the UDTF shape.
+  * Spark-first re-expression with the codegen'd built-ins `split` +
+  * `filter`/`transform` (no UDF in the hot path — a Scala UDF would
+  * break whole-stage codegen). The IK analyzer is not on the classpath
+  * (offline build), so CJK text uses the public-knowledge fallback:
+  * Lucene-CJKAnalyzer-style overlapping character bigrams over each Han
+  * run (a lone Han character stays a single token), non-Han segments
+  * lowercase-whitespace-split. Pure-ASCII text takes the plain
+  * whitespace path unchanged, gated by one document-level regex probe.
+  * `tokenizeUdf` keeps U1's error-passthrough contract for callers that
+  * need the UDTF shape. Surrogate-pair (non-BMP) CJK extension chars
+  * follow each engine's code-point substring semantics — fixtures and
+  * the dedup shingles stay in the BMP.
   */
 object Tokenize {
 
-  /** Array of lowercase tokens; empty strings removed. */
+  /** Array of lowercase tokens; empty strings removed; Han runs
+    * bigram-segmented. */
   def tokens(text: Column): Column =
+    when(text.rlike("\\p{IsHan}"), cjkTokens(text)).otherwise(wsTokens(text))
+
+  /** Plain lowercase whitespace tokens — the `\S+` runs. Exposed for
+    * callers whose metric is defined as whitespace token count
+    * (`TextAnalysis.tokenCounts.ws_tokens`) regardless of CJK
+    * segmentation. */
+  private[graft] def wsTokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
-  /** U1-contract UDF: tokenizes, and on any error emits the input
-    * unchanged as a single token (`SplitFunction.java:28-33`). */
+  /** CJK path: space out Han runs, whitespace-split, then expand each
+    * multi-char Han run into its overlapping bigrams. */
+  private[graft] def cjkTokens(text: Column): Column = {
+    val spaced = regexp_replace(lower(text), "(\\p{IsHan}+)", " $1 ")
+    val rough = filter(split(spaced, "\\s+"), t => t =!= lit(""))
+    flatten(transform(rough, t =>
+      when(length(t) >= 2 && t.rlike("^\\p{IsHan}+$"),
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array(t))))
+  }
+
+  /** U1-contract UDF: tokenizes (same semantics as `tokens`), and on
+    * any error emits the input unchanged as a single token
+    * (`SplitFunction.java:28-33`). */
   val tokenizeUdf = udf { (s: String) =>
     if (s == null) Seq.empty[String]
     else
-      try s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-      catch { case _: Throwable => Seq(s) }
+      try {
+        val spaced = s.toLowerCase.replaceAll("(\\p{IsHan}+)", " $1 ")
+        spaced.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
+          if (t.length >= 2 && t.matches("\\p{IsHan}+"))
+            t.sliding(2).toSeq
+          else Seq(t)
+        }
+      } catch { case _: Throwable => Seq(s) }
   }
 }

@@ -64,4 +64,20 @@ object TrafficWindows {
       .agg(count(lit(1)).as("word_ct"),
         countDistinct(col("doc_id")).as("doc_ct"))
       .orderBy(desc("word_ct"), asc("word"))
+
+  /** Deterministic CJK fixture (original sample phrases; the driver's
+    * documents table is ASCII-only) routed through the same U1+A6
+    * pipeline — proves the Han-run bigram segmentation end-to-end
+    * against a DuckDB oracle applying the identical rule in SQL. */
+  def cjkFixture(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "实时数据仓库 spark 构建"),
+      (2L, "数据仓库 与 流处理 平台"),
+      (3L, "大数据 实时 分析 引擎"),
+      (4L, "spark 流处理 引擎 构建"),
+      (5L, "数据 分析 平台"),
+      (6L, "实时计算 与 大数据 平台")
+    ).toDF("doc_id", "text")
+  }
 }

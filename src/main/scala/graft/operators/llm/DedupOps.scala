@@ -301,7 +301,8 @@ object DedupOps {
     * half of `ngramJaccardPairs` on gram STRINGS (no hashing at all),
     * over the same `shingleRows` pipeline. */
   def twinNgramJaccard(documents: DataFrame, every: Int = 10): DataFrame = {
-    val grams = shingleRows(withNearDuplicates(documents, every))
+    val grams = shingleRows(withNearDuplicates(
+      documents.filter(col("doc_id") % every === 0), every))
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("grams"))
     val a = grams.filter(col("doc_id") < 1000000L)
       .select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
@@ -321,7 +322,8 @@ object DedupOps {
     * exercises the full `simhashTable` machinery (explode, signed
     * bit-sums, fingerprint assembly) with a DuckDB-replayable hash. */
   def twinSimhashHamming(documents: DataFrame, every: Int = 10): DataFrame = {
-    val fps = simhashTable(withNearDuplicates(documents, every), md5Hash32, 32)
+    val fps = simhashTable(withNearDuplicates(
+      documents.filter(col("doc_id") % every === 0), every), md5Hash32, 32)
     val a = fps.filter(col("doc_id") < 1000000L)
       .select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val b = fps.filter(col("doc_id") >= 1000000L)
@@ -339,7 +341,8 @@ object DedupOps {
     * slot-agreement estimate exactly as `minhashPairs` does. */
   def twinMinhashEst(documents: DataFrame, every: Int = 10,
                      perms: Int = 32): DataFrame = {
-    val sh = shingleRows(withNearDuplicates(documents, every))
+    val sh = shingleRows(withNearDuplicates(
+      documents.filter(col("doc_id") % every === 0), every))
     val aggs = (0 until perms).map(p =>
       min(md5Hash32(concat(col("shingle"), lit(":" + p)))).as(s"m$p"))
     val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -76,8 +76,11 @@ object KernelProps extends Properties("kernels") {
             regexp_count(lower(col("text")),
               lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // ws_tokens is DEFINED as whitespace token count (the \S+ runs);
+        // Tokenize.tokens additionally bigram-splits Han runs, so the
+        // equivalent materialized form is wsTokens, not tokens
         val want = df.select(col("doc_id"),
-            size(graft.functions.Tokenize.tokens(col("text"))).cast("long").as("ws"),
+            size(graft.functions.Tokenize.wsTokens(col("text"))).cast("long").as("ws"),
             size(regexp_extract_all(lower(col("text")),
               lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

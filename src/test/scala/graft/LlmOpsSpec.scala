@@ -171,6 +171,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(1).isEmpty && out(2).isEmpty)
   }
 
+  test("CJK tokenization: Han runs become overlapping bigrams, ASCII untouched") {
+    val out = Seq("实时数据仓库 Spark 构建", "与 flink 共舞", "plain ascii text")
+      .toDF("s")
+      .select(graft.functions.Tokenize.tokens(col("s")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("实时", "时数", "数据", "据仓", "仓库", "spark", "构建"))
+    assert(out(1) == Seq("与", "flink", "共舞")) // lone Han char kept whole
+    assert(out(2) == Seq("plain", "ascii", "text"))
+    // the expression form and the UDTF-contract UDF agree
+    val udfOut = Seq("实时数据仓库 Spark 构建").toDF("s")
+      .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(udfOut == out(0).toSeq)
+  }
+
+  test("CJK near-dup: shingle dedup finds a planted Chinese near-duplicate") {
+    val cjk = Seq(
+      (0L, "今天 天气 很好 我们 一起 去 公园 散步 然后 回家 吃饭 休息 明天 继续 工作 学习"),
+      (1L, "今天 天气 很好 我们 一起 去 公园 散步 然后 回家 吃饭 休息 明天 继续 工作"),
+      (2L, "完全 不同 的 文本 内容 关于 分布式 计算 引擎 的 设计 思想 和 实现 细节 讨论")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("zh")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")))
+    val pairs = DedupOps.minhashPairs(cjk, threshold = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      pairs.mkString(","))
+    assert(!pairs.exists(r => r.getLong(1) == 2L), pairs.mkString(","))
+  }
+
   test("language id: majority of en docs predicted en") {
     val res = TextAnalysis.langId(docs)
       .filter(col("lang") === "en" && col("pred_lang") === "en")
