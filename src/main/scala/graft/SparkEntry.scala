@@ -122,6 +122,9 @@ object SparkEntry {
         Tables.region(s, d))),
     "job_base_log_split" -> ((s, d) =>
       ComposedJobs.baseLogSplitJob(Tables.events(s, d))),
+    "job_refund_pay_suc" -> ((s, d) =>
+      ComposedJobs.refundPaySucJob(Tables.lineitem(s, d), Tables.orders(s, d),
+        Joins.baseDic(s))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
     // windowing beyond the reference: session/sliding/rollup
@@ -557,6 +560,35 @@ object SparkEntry {
         |  SELECT 'start', count(*) FILTER (WHERE NOT dirty AND has_start),
         |         CAST(coalesce(sum(ts_ms) FILTER (WHERE NOT dirty AND has_start), 0) AS BIGINT) FROM base
         |) ORDER BY split""".stripMargin,
+    "job_refund_pay_suc" ->
+      """WITH rp AS (
+        |  SELECT l_orderkey AS order_id, l_partkey AS sku_id,
+        |         l_linenumber AS id, l_linestatus AS payment_type,
+        |         l_shipdate AS callback_time, l_quantity,
+        |         l_extendedprice AS total_amount
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |ri AS (
+        |  SELECT order_id, sku_id, round(sum(l_quantity), 2) AS refund_num
+        |  FROM rp GROUP BY 1, 2),
+        |oi AS (
+        |  SELECT o_orderkey, o_custkey AS user_id,
+        |         string_split(o_orderpriority, '-')[1] AS province_id,
+        |         o_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low'))
+        |SELECT rp.id, oi.user_id, rp.order_id, rp.sku_id, oi.province_id,
+        |       rp.payment_type, pd.dic_name AS payment_type_name,
+        |       sd.dic_name AS order_status_name,
+        |       strftime(rp.callback_time, '%Y-%m-%d') AS date_id,
+        |       ri.refund_num,
+        |       round(rp.total_amount, 2) AS refund_amount
+        |FROM rp
+        |JOIN oi ON rp.order_id = oi.o_orderkey
+        |JOIN ri ON rp.order_id = ri.order_id AND rp.sku_id = ri.sku_id
+        |JOIN dic pd ON rp.payment_type = pd.dic_code
+        |JOIN dic sd ON oi.o_orderstatus = sd.dic_code""".stripMargin,
     "sql_hourly_type_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
         |       event_type, count(*) AS ev_ct,

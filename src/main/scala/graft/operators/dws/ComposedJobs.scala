@@ -105,6 +105,59 @@ object ComposedJobs {
       .orderBy("stt", "user_id", "p_brand", "nation_name")
   }
 
+  /** `DwdTradeRefundPaySuc` (§3.2, `DwdTradeRefundPaySuc.java:120-145`)
+    * — the refund-success 4-way chain, the reference's only join on a
+    * COMPOSITE key: refund_payment ⋈ order_info on order_id, ⋈
+    * order_refund_info on (order_id, sku_id), ⋈ base_dic lookup; plus
+    * the double-aliased dictionary the sibling job uses
+    * (`DwdTradeOrderRefund.java:97-123`). Mapping: refund_payment =
+    * returned lines (l_returnflag='R'), order_refund_info = the per-
+    * (order, sku) refund quantity rollup of the same slice, order_info
+    * = refund-success orders (o_orderstatus='F').
+    *
+    * Scale shape: BOTH composite-key sides are pre-partitioned on
+    * order_id alone — a hash on a subset of the join keys still
+    * co-locates every (order_id, sku_id) group, so one exchange per
+    * side feeds the rollup AND both joins (no (order_id, sku_id)
+    * re-exchange; Spark accepts subset partitioning via
+    * ClusteredDistribution). Dictionaries broadcast. The reference's
+    * `current_row_timestamp()` column is omitted — non-deterministic
+    * output has no batch twin. */
+  def refundPaySucJob(lineitem: DataFrame, orders: DataFrame,
+                      dic: DataFrame): DataFrame = {
+    val refunded = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("order_id"), col("l_partkey").as("sku_id"),
+        col("l_linenumber").as("id"), col("l_linestatus").as("payment_type"),
+        col("l_shipdate").as("callback_time"), col("l_quantity"),
+        col("l_extendedprice").as("total_amount"))
+      .repartition(col("order_id"))
+    val refundInfo = refunded
+      .groupBy(col("order_id"), col("sku_id"))
+      .agg(round(sum(col("l_quantity")), 2).as("refund_num"))
+    val orderInfo = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1)).as("province_id"),
+        col("o_orderstatus"))
+    val payDic = broadcast(dic.select(col("dic_code").as("pay_code"),
+      col("dic_name").as("payment_type_name")))
+    val statusDic = broadcast(dic.select(col("dic_code").as("status_code"),
+      col("dic_name").as("order_status_name")))
+    refunded
+      .join(orderInfo, col("order_id") === col("o_orderkey"))
+      .join(refundInfo.select(col("order_id").as("ri_order_id"),
+        col("sku_id").as("ri_sku_id"), col("refund_num")),
+        col("order_id") === col("ri_order_id") &&
+          col("sku_id") === col("ri_sku_id"))
+      .join(payDic, col("payment_type") === col("pay_code"))
+      .join(statusDic, col("o_orderstatus") === col("status_code"))
+      .select(col("id"), col("user_id"), col("order_id"), col("sku_id"),
+        col("province_id"), col("payment_type"), col("payment_type_name"),
+        col("order_status_name"),
+        date_format(col("callback_time"), "yyyy-MM-dd").as("date_id"),
+        col("refund_num"),
+        round(col("total_amount"), 2).as("refund_amount"))
+  }
+
   /** `BaseLogApp` (§3.1, `BaseLogApp.java:48-192`) end-to-end in batch:
     * build nested log JSON deterministically from `events` (dirty rows
     * planted every 97th id, start/err/action sections and a 0–2 element
