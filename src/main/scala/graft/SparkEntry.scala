@@ -125,6 +125,8 @@ object SparkEntry {
     "job_refund_pay_suc" -> ((s, d) =>
       ComposedJobs.refundPaySucJob(Tables.lineitem(s, d), Tables.orders(s, d),
         Joins.baseDic(s))),
+    "job_traffic_union_window" -> ((s, d) =>
+      ComposedJobs.trafficUnionJob(Tables.events(s, d))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
     // windowing beyond the reference: session/sliding/rollup
@@ -589,6 +591,46 @@ object SparkEntry {
         |JOIN ri ON rp.order_id = ri.order_id AND rp.sku_id = ri.sku_id
         |JOIN dic pd ON rp.payment_type = pd.dic_code
         |JOIN dic sd ON oi.o_orderstatus = sd.dic_code""".stripMargin,
+    "job_traffic_union_window" ->
+      """WITH enr AS (
+        |  SELECT event_id, ts, user_id, event_type, value,
+        |         strftime(ts, '%Y-%m-%d') AS cur_date,
+        |         min(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_date,
+        |         lag(ts) OVER w AS prev_ts,
+        |         lead(ts) OVER w AS next_ts,
+        |         row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        |                            ORDER BY ts, event_id) AS day_rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |enr2 AS (
+        |  SELECT ts, value, day_rn,
+        |         (prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000) AS new_sess,
+        |         (prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000)
+        |           AND (next_ts IS NULL OR epoch_ms(next_ts) - epoch_ms(ts) > 1800000) AS is_bounce,
+        |         'v' || (event_id % 3)::VARCHAR AS vc,
+        |         event_type AS ch,
+        |         (user_id % 5)::VARCHAR AS ar,
+        |         CASE WHEN cur_date = first_date THEN '1' ELSE '0' END AS is_new
+        |  FROM enr),
+        |u AS (
+        |  SELECT vc, ch, ar, is_new, ts,
+        |         1::BIGINT uv, 0::BIGINT sv, 0::BIGINT pv, 0.0 dur, 0::BIGINT uj
+        |  FROM enr2 WHERE day_rn = 1
+        |  UNION ALL
+        |  SELECT vc, ch, ar, is_new, ts, 0, 0, 0, 0.0, 1
+        |  FROM enr2 WHERE is_bounce
+        |  UNION ALL
+        |  SELECT vc, ch, ar, is_new, ts, 0,
+        |         CASE WHEN new_sess THEN 1 ELSE 0 END, 1, value, 0
+        |  FROM enr2)
+        |SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/10)*10 + 10), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       vc, ch, ar, is_new,
+        |       CAST(sum(uv) AS BIGINT) AS uv_ct, CAST(sum(sv) AS BIGINT) AS sv_ct,
+        |       CAST(sum(pv) AS BIGINT) AS pv_ct,
+        |       round(sum(dur), 2) AS dur_sum, CAST(sum(uj) AS BIGINT) AS uj_ct
+        |FROM u GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY 1, 3, 4, 5, 6""".stripMargin,
     "sql_hourly_type_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
         |       event_type, count(*) AS ev_ct,

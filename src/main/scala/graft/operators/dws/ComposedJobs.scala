@@ -105,6 +105,80 @@ object ComposedJobs {
       .orderBy("stt", "user_id", "p_brand", "nation_name")
   }
 
+  /** `DwsTrafficVcChArIsNewPageViewWindow` (§3.3,
+    * `DwsTrafficVcChArIsNewPageViewWindow.java:90-178`) — the traffic
+    * union job end-to-end: three one-hot streams (unique-visitor,
+    * user-jump/bounce, page-view with session-start flag) union into
+    * one bean stream, keyed by (vc, ch, ar, is_new) into a 10 s
+    * tumbling window summing the five counters. The `is_new` key is
+    * the A11-corrected flag (first-ever active day), computed IN the
+    * pipeline as the reference's DWD layer does upstream.
+    *
+    * Spark-first shape: the reference runs three DWD apps + this DWS
+    * app, four keyBys total; here ONE enrichment pass computes the
+    * per-user analytics (first day, prev/next gap, per-day rank) with
+    * a single user_id exchange — HashPartitioning(user_id) satisfies
+    * every clustering used, incl. the (user, day) rank — and the three
+    * one-hot branches are projections of that shared subtree
+    * (ReuseExchange dedups the exchange), so the whole job is two
+    * logical shuffles: user enrichment + the windowed key agg.
+    * Streaming twin: `StatefulStreams.trafficUnionStream` (14 s union
+    * watermark, `StreamingParitySpec`). */
+  def trafficUnionJob(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapMs = gapSeconds * 1000
+    val enriched = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), TimeFns.toDateStr(col("ts")).as("cur_date"))
+      .withColumn("first_date",
+        min(col("cur_date")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .withColumn("day_rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("cur_date"))
+          .orderBy(col("ts"), col("event_id"))))
+      .withColumn("new_sess", col("prev_ts").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs)
+      .withColumn("is_bounce", col("new_sess") && (col("next_ts").isNull ||
+        unix_millis(col("next_ts")) - unix_millis(col("ts")) > gapMs))
+      .select(col("ts"), col("value"), col("day_rn"), col("new_sess"),
+        col("is_bounce"),
+        concat(lit("v"), col("event_id") % 3).as("vc"),
+        col("event_type").as("ch"),
+        (col("user_id") % 5).cast("string").as("ar"),
+        when(col("cur_date") === col("first_date"), "1").otherwise("0")
+          .as("is_new"))
+    val keyCols = Seq(col("vc"), col("ch"), col("ar"), col("is_new"), col("ts"))
+    val uv = enriched.filter(col("day_rn") === 1)
+      .select(keyCols :+ lit(1L).as("uv") :+ lit(0L).as("sv") :+
+        lit(0L).as("pv") :+ lit(0.0).as("dur") :+ lit(0L).as("uj"): _*)
+    val uj = enriched.filter(col("is_bounce"))
+      .select(keyCols :+ lit(0L).as("uv") :+ lit(0L).as("sv") :+
+        lit(0L).as("pv") :+ lit(0.0).as("dur") :+ lit(1L).as("uj"): _*)
+    val page = enriched
+      .select(keyCols :+ lit(0L).as("uv") :+
+        when(col("new_sess"), 1L).otherwise(0L).as("sv") :+
+        lit(1L).as("pv") :+ col("value").as("dur") :+ lit(0L).as("uj"): _*)
+    trafficUnionWindow(uv.unionByName(uj).unionByName(page))
+      .orderBy("stt", "vc", "ch", "ar", "is_new")
+  }
+
+  /** The union job's window stage — keyed 10 s tumbling sum of the
+    * five one-hot counters; shared verbatim by the batch form above
+    * and the streaming twin (`StatefulStreams.trafficUnionStream`). */
+  private[graft] def trafficUnionWindow(unioned: DataFrame): DataFrame =
+    unioned
+      .groupBy(window(col("ts"), "10 seconds").as("w"),
+        col("vc"), col("ch"), col("ar"), col("is_new"))
+      .agg(sum(col("uv")).as("uv_ct"), sum(col("sv")).as("sv_ct"),
+        sum(col("pv")).as("pv_ct"), round(sum(col("dur")), 2).as("dur_sum"),
+        sum(col("uj")).as("uj_ct"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("vc"), col("ch"), col("ar"), col("is_new"),
+        col("uv_ct"), col("sv_ct"), col("pv_ct"), col("dur_sum"), col("uj_ct"))
+
   /** `DwdTradeRefundPaySuc` (§3.2, `DwdTradeRefundPaySuc.java:120-145`)
     * — the refund-success 4-way chain, the reference's only join on a
     * COMPOSITE key: refund_payment ⋈ order_info on order_id, ⋈

@@ -18,6 +18,12 @@ case class SessionOut(user_id: Long, sess_start: Timestamp, ev_ct: Long,
 /** A per-user visit flag row emitted by the visit-flags kernel. */
 case class VisitFlag(user_id: Long, cur_date: String, is_new: Int)
 
+/** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
+  * as unioned by the traffic union job. */
+case class TrafficUnionRow(vc: String, ch: String, ar: String,
+    is_new: String, ts: Timestamp, uv: Long, sv: Long, pv: Long,
+    dur: Double, uj: Long)
+
 /** Structured-Streaming forms of the stateful kernels (SURVEY §2.5/§2.8).
   *
   * These are the streaming twins of the deterministic batch operators in
@@ -228,4 +234,16 @@ object StatefulStreams {
           out.iterator
       }
   }
+
+  /** Traffic union streaming twin
+    * (`DwsTrafficVcChArIsNewPageViewWindow.java:119-178`): the three
+    * one-hot bean streams union, take the reference's single 14 s
+    * bounded-out-of-orderness watermark, and feed the SAME keyed 10 s
+    * window-sum stage the batch job uses
+    * (`ComposedJobs.trafficUnionWindow`). Append mode: a window emits
+    * once the watermark passes its end — Flink's window firing. */
+  def trafficUnionStream(uv: DataFrame, uj: DataFrame, page: DataFrame,
+                         watermark: String = "14 seconds"): DataFrame =
+    graft.operators.dws.ComposedJobs.trafficUnionWindow(
+      uv.unionByName(uj).unionByName(page).withWatermark("ts", watermark))
 }

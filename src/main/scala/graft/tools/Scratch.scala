@@ -8,13 +8,7 @@ import graft.operators.llm.DedupOps
 /** Ad-hoc profiling scratchpad (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local("32")
     val d = "/root/testdata/sf0.1"
     if (args.nonEmpty && args(0) == "explain") {
       graft.SparkEntry.queries(args(1))(spark, "/root/testdata/sf0.001").explain("formatted")

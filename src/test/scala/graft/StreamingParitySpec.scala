@@ -223,4 +223,40 @@ class StreamingParitySpec extends SparkTestBase {
     val batchDaily = graft.operators.state.VisitFlags.firstPerDayFlags(evs.toDF())
     assertSameRows(streamDaily, batchDaily)
   }
+
+  test("traffic union window: streaming (3-way union, 14s watermark) == batch") {
+    def row(vc: String, ch: String, iso: String, uv: Long, sv: Long,
+            pv: Long, dur: Double, uj: Long) =
+      TrafficUnionRow(vc, ch, "1", "0", tsOf(iso), uv, sv, pv, dur, uj)
+    val uvRows = Seq(
+      row("v1", "view", "2024-01-01T00:00:01Z", 1, 0, 0, 0.0, 0),
+      row("v2", "view", "2024-01-01T00:00:12Z", 1, 0, 0, 0.0, 0))
+    val ujRows = Seq(
+      row("v1", "view", "2024-01-01T00:00:03Z", 0, 0, 0, 0.0, 1))
+    val pageRows = Seq(
+      row("v1", "view", "2024-01-01T00:00:01Z", 0, 1, 1, 5.0, 0),
+      row("v1", "view", "2024-01-01T00:00:03Z", 0, 0, 1, 7.5, 0),
+      row("v2", "view", "2024-01-01T00:00:12Z", 0, 1, 1, 2.25, 0))
+    val (msUv, msUj, msPage) =
+      (MemoryStream[TrafficUnionRow], MemoryStream[TrafficUnionRow],
+        MemoryStream[TrafficUnionRow])
+    val out = StatefulStreams.trafficUnionStream(
+      msUv.toDF(), msUj.toDF(), msPage.toDF())
+    val q = out.writeStream.format("memory").queryName("tu_out")
+      .outputMode("append").start()
+    msUv.addData(uvRows: _*); msUj.addData(ujRows: _*); msPage.addData(pageRows: _*)
+    q.processAllAvailable()
+    // advance the watermark past every window end on ALL branches (the
+    // union's watermark is the min over its inputs)
+    val s = row("vs", "sentinel", "2030-01-01T00:00:00Z", 0, 0, 0, 0.0, 0)
+    msUv.addData(s); msUj.addData(s); msPage.addData(s)
+    q.processAllAvailable()
+    msUv.addData(s); msUj.addData(s); msPage.addData(s)
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("tu_out").filter(col("ch") =!= "sentinel")
+    val batchRows = graft.operators.dws.ComposedJobs.trafficUnionWindow(
+      (uvRows ++ ujRows ++ pageRows).toDF())
+    assertSameRows(streamRows, batchRows)
+  }
 }
