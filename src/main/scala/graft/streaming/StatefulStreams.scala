@@ -158,6 +158,31 @@ object StatefulStreams {
         col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"))
   }
 
+  /** J2 streaming — watermarked stream-stream LEFT OUTER join
+    * (`DwdTradeOrderPreProcess.java:189-192`: order detail keeps its
+    * row and pads null when no activity/coupon arrives before the join
+    * state's TTL expires). Same equi key + time-range bound as the
+    * inner form; Spark emits an unmatched left row null-padded exactly
+    * when the watermark passes the row's join range — the state-expiry
+    * null-padding semantics of the reference, made deterministic by
+    * event time. Batch twin: `Joins.leftOuterActivity` /
+    * the left-outer interval join in `StreamingParitySpec`. */
+  def streamStreamLeftOuterJoin(left: DataFrame, right: DataFrame,
+                                rangeSeconds: Long = 3600L,
+                                watermark: String = "2 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"),
+      "left_outer")
+  }
+
   /** A10 streaming — daily unique-visitor dedup
     * (`DwdTrafficUniqueVisitorDetail.java:76-105`: per-mid ValueState
     * date with 1-day TTL): `dropDuplicatesWithinWatermark` over

@@ -181,6 +181,55 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamRows, batchRows)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched left null-pads at state expiry") {
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    val joined = StatefulStreams.streamStreamLeftOuterJoin(
+      msL.toDF().filter(col("event_type") === "signup"),
+      msR.toDF().filter(col("event_type") === "purchase"))
+    val q = joined.select("signup_id", "purchase_id", "user_id")
+      .writeStream.format("memory").queryName("ssloj_out")
+      .outputMode("append").start()
+    val data = Seq(
+      Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "signup", 0),
+      Ev(2, tsOf("2024-01-01T00:30:00Z"), 1, "purchase", 5), // within 1 h
+      Ev(3, tsOf("2024-01-01T02:00:00Z"), 1, "purchase", 5), // outside
+      Ev(4, tsOf("2024-01-01T00:10:00Z"), 2, "signup", 0),   // no purchase
+      Ev(5, tsOf("2024-01-01T01:00:00Z"), 3, "purchase", 5)) // no signup
+    msL.addData(data: _*)
+    msR.addData(data: _*)
+    q.processAllAvailable()
+    // the unmatched left row (signup 4) emits only once the watermark
+    // passes its join range — advance it on both sides with sentinels
+    // that SURVIVE the event_type filters (user 999, excluded below)
+    def wmL(id: Long) = Ev(id, tsOf("2030-01-01T00:00:00Z"), 999, "signup", 0)
+    def wmR(id: Long) = Ev(id, tsOf("2030-01-01T00:00:00Z"), 999, "purchase", 0)
+    msL.addData(wmL(100)); msR.addData(wmR(101))
+    q.processAllAvailable()
+    msL.addData(wmL(102)); msR.addData(wmR(103))
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("ssloj_out")
+      .filter(col("user_id") =!= 999)
+    // batch twin: same key + range condition, left_outer
+    val signups = data.toDF().filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"))
+    val purchases = data.toDF().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    val batchRows = signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 3600 SECONDS"),
+      "left_outer")
+      .select("signup_id", "purchase_id", "user_id")
+    // signup 4 must be present with a null purchase_id in BOTH forms
+    assert(batchRows.filter(col("signup_id") === 4 &&
+      col("purchase_id").isNull).count() == 1)
+    assertSameRows(streamRows, batchRows)
+  }
+
   test("checkpoint restart is exactly-once with an idempotent sink") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("eo").toString
