@@ -18,11 +18,15 @@ case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long,
   * columns with typed metadata.
   *
   * The Spark-side plumbing is real — schema, partition-preserving
-  * batched `mapPartitions`, feature frame — while the actual codec is
-  * STUBBED (no image/audio libraries in this container): `decodeStub`
-  * derives deterministic fake dimensions/checksums from the bytes. A
-  * production deployment swaps `decodeStub` for a real decoder without
-  * touching the pipeline shape.
+  * batched `mapPartitions`, feature frame. IMAGE decode is real too:
+  * PNG/JPEG bytes go through the JDK's built-in `javax.imageio`
+  * (offline-safe, no extra deps) and yield true pixel dimensions.
+  * Audio/video stay STUBBED (no codec libraries in this container):
+  * `decodeStub` derives deterministic fake dimensions/checksums from
+  * the bytes, and non-image bytes tagged as images (the driver's
+  * text-as-binary test media) fall back to the same stub path. A
+  * production deployment swaps the remaining stub for a real
+  * demuxer without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -36,16 +40,35 @@ object Multimodal {
         .when(col("doc_id") % 3 === 1, "jpeg")
         .otherwise("wav").as("format"))
 
+  /** FNV-1a checksum of the raw bytes (deterministic, codec-free). */
+  private def fnv(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1469598103934665603L)((h, b) =>
+      (h ^ (b & 0xff)) * 1099511628211L)
+
   /** STUB decoder: deterministic pseudo-decode of a media blob.
-    * Replace with a real codec (`???` boundary) in production. */
+    * Remaining `???` boundary for audio/video (no codecs offline). */
   private[llm] def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.media.length.toLong
     // fake dimensions/checksum derived only from the bytes (deterministic)
-    val checksum = r.media.foldLeft(1469598103934665603L)((h, b) =>
-      (h ^ (b & 0xff)) * 1099511628211L)
     MediaFeatures(r.doc_id, len, r.format,
       width = (len % 640).toInt + 1, height = (len % 480).toInt + 1,
-      frame_checksum = checksum)
+      frame_checksum = fnv(r.media))
+  }
+
+  /** Decoder: REAL image decode for PNG/JPEG via `javax.imageio`
+    * (true pixel dimensions); audio/video — and image-tagged bytes no
+    * image reader accepts — take the stub path. Total: never throws,
+    * mirroring the U1 error-passthrough posture. */
+  private[llm] def decode(r: MediaRow): MediaFeatures = r.format match {
+    case "png" | "jpeg" =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        if (img == null) decodeStub(r)
+        else MediaFeatures(r.doc_id, r.media.length.toLong, r.format,
+          img.getWidth, img.getHeight, fnv(r.media))
+      } catch { case _: Throwable => decodeStub(r) }
+    case _ => decodeStub(r)
   }
 
   /** Batched decode over partitions: the real-world shape for feeding
@@ -54,22 +77,23 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition init would open the codec here (stubbed)
-      it.map(decodeStub)
+      // per-partition init would open a native codec here; imageio is
+      // stateless so the real image path needs none
+      it.map(decode)
     }
   }
 
-  /** STUB resize: fit the (stub-decoded) dimensions into a bounding
-    * box preserving aspect ratio — metadata-only here; a real decoder
-    * would also transform the bytes at the same `???` boundary. The
-    * plumbing (typed narrow map, no shuffle, bounded output) is what a
-    * production resize runs on. */
+  /** Resize: fit the decoded dimensions (true pixels for PNG/JPEG,
+    * stub for audio/video) into a bounding box preserving aspect
+    * ratio — metadata-only; a production resize would also transform
+    * the bytes at the remaining `???` boundary. The plumbing (typed
+    * narrow map, no shuffle, bounded output) is the production shape. */
   def resize(spark: SparkSession, media: DataFrame,
              maxW: Int = 224, maxH: Int = 224): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        val f = decodeStub(r)
+        val f = decode(r)
         val scale = math.min(1.0,
           math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
         f.copy(width = math.max(1, (f.width * scale).toInt),

@@ -118,6 +118,34 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f0.width >= 1 && f0.height >= 1)
   }
 
+  test("multimodal real image decode: javax.imageio yields true dimensions") {
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(0L, pngBytes(320, 200), "png"),
+      MediaRow(1L, pngBytes(64, 48), "jpeg"), // png bytes; imageio sniffs content
+      MediaRow(2L, "not an image".getBytes, "png"), // falls back to stub
+      MediaRow(3L, pngBytes(10, 10), "wav") // non-image format: stub
+    ).toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(feats(0).width == 320 && feats(0).height == 200)
+    assert(feats(1).width == 64 && feats(1).height == 48)
+    assert(feats(2).width == ("not an image".length % 640) + 1) // stub path
+    assert(feats(3).width == (feats(3).byte_len % 640).toInt + 1) // stub path
+    // resize computes from TRUE dimensions for real images
+    val resized = Multimodal.resize(spark, media, 160, 160)
+      .collect().sortBy(_.doc_id)
+    assert(resized(0).width == 160 && resized(0).height == 100)
+  }
+
   test("multimodal resize fits the bounding box preserving row count") {
     val media = Multimodal.asMediaFrame(docs)
     val resized = Multimodal.resize(spark, media, 224, 224)
