@@ -99,6 +99,7 @@ object SparkEntry {
     "a9_first_per_day_flags" -> ((s, d) =>
       VisitFlags.firstPerDayFlags(Tables.events(s, d))),
     "a9_login_winback" -> ((s, d) => VisitFlags.winBack(Tables.events(s, d))),
+    "a9_home_detail_uv" -> ((s, d) => VisitFlags.homeDetailUv(Tables.events(s, d))),
     "a11_is_new_correction" -> ((s, d) =>
       VisitFlags.isNewCorrection(Tables.events(s, d))),
     "cep_bounce_sessions" -> ((s, d) =>
@@ -453,6 +454,22 @@ object SparkEntry {
         |             lag(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
         |      FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events))
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_home_detail_uv" ->
+      """WITH pages AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'view' THEN 'home'
+        |              ELSE 'good_detail' END AS page_kind
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |           PARTITION BY user_id, page_kind, strftime(ts, '%Y-%m-%d')
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM pages)
+        |SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10), '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/10)*10 + 10), '%Y-%m-%d %H:%M:%S') AS edt,
+        |       CAST(sum(CASE WHEN page_kind = 'home' THEN 1 ELSE 0 END) AS BIGINT) AS home_uv_ct,
+        |       CAST(sum(CASE WHEN page_kind = 'good_detail' THEN 1 ELSE 0 END) AS BIGINT) AS good_detail_uv_ct
+        |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "a11_is_new_correction" ->
       """SELECT cur_date,
         |       CASE WHEN cur_date = first_date THEN 1 ELSE 0 END AS is_new,

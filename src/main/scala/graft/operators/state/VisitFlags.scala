@@ -54,6 +54,36 @@ object VisitFlags {
       .orderBy("cur_date")
   }
 
+  /** A9 dual-state — home/detail per-day unique visitors
+    * (`DwsTrafficPageViewWindow.java:96-151`: TWO independent per-user
+    * ValueStates, one per page kind, 1-day TTL, then a global 10 s
+    * window summing both one-hot counters). In Spark the "dual state"
+    * is simply a wider dedup key — first event per (user, page kind,
+    * day) via one rank over a user-partitioned window; the same
+    * mechanism A10's `dropDuplicatesWithinWatermark` twin streams with
+    * (user_id, page_kind, cur_date) as the key. Page mapping: 'view' →
+    * home, 'click' → good_detail. */
+  def homeDetailUv(events: DataFrame): DataFrame = {
+    val pages = events
+      .filter(col("event_type").isin("view", "click"))
+      .withColumn("page_kind",
+        when(col("event_type") === "view", "home").otherwise("good_detail"))
+    pages
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("page_kind"),
+            TimeFns.toDateStr(col("ts")))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .groupBy(window(col("ts"), "10 seconds").as("w"))
+      .agg(sum(when(col("page_kind") === "home", 1L).otherwise(0L))
+          .as("home_uv_ct"),
+        sum(when(col("page_kind") === "good_detail", 1L).otherwise(0L))
+          .as("good_detail_uv_ct"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("home_uv_ct"), col("good_detail_uv_ct"))
+      .orderBy("stt")
+  }
+
   /** A11 — `is_new` flag correction: an event is "new-visitor" traffic
     * iff it falls on its user's first-ever active day
     * (`BaseLogApp.java:76-105` back-dates state for old visitors). */
