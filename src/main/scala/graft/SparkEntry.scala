@@ -67,6 +67,25 @@ object SparkEntry {
     "w_status_priority_cube" -> ((s, d) =>
       SetOps.statusPriorityCube(Tables.orders(s, d))),
     "q_topk_orders" -> ((s, d) => SetOps.topKOrders(Tables.orders(s, d))),
+    // deliberately skewed join (half the fact lands on one hot key),
+    // executed through the salting kernel — the benched artifact for
+    // the skew-mitigation claims; oracle = the plain join in SQL
+    "q_skew_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        functions.when(functions.col("l_orderkey") % 10 < 5, 0L)
+          .otherwise(functions.col("l_orderkey")).as("k"),
+        functions.col("l_quantity"))
+      val rt = Tables.orders(s, d).select(
+        functions.when(functions.col("o_orderkey") % 10 < 5, 0L)
+          .otherwise(functions.col("o_orderkey")).as("k"))
+        .distinct()
+      graft.operators.skew.Salting.saltedJoin(li, rt, "k", salts = 8)
+        .groupBy("k")
+        .agg(functions.count(functions.lit(1)).as("line_ct"),
+          functions.round(functions.sum(functions.col("l_quantity")), 2)
+            .as("qty_sum"))
+        .orderBy("k")
+    }),
     // §2.5 windowed aggregations
     "a2_user_spu_order_window" -> ((s, d) =>
       TradeWindows.userSpuOrderWindow(Tables.lineitem(s, d),
@@ -303,6 +322,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_skew_salted_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0 ELSE l_orderkey END AS k,
+        |         l_quantity
+        |  FROM lineitem),
+        |rt AS (
+        |  SELECT DISTINCT CASE WHEN o_orderkey % 10 < 5 THEN 0
+        |                       ELSE o_orderkey END AS k
+        |  FROM orders)
+        |SELECT li.k, count(*) AS line_ct, round(sum(l_quantity), 2) AS qty_sum
+        |FROM li JOIN rt ON li.k = rt.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a2_user_spu_order_window" ->
       """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(date_trunc('day', o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
