@@ -149,6 +149,30 @@ object SparkEntry {
       ComposedJobs.trafficUnionJob(Tables.events(s, d))),
     "sql_hourly_type_window" -> ((s, d) =>
       ComposedJobs.sqlHourlyTypeWindow(s, Tables.events(s, d))),
+    "job_cancel_detail" -> ((s, d) =>
+      DwdApps.cancelDetail(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Joins.baseDic(s))),
+    "job_pay_detail_suc" -> ((s, d) =>
+      DwdApps.payDetailSuc(Tables.events(s, d), Joins.baseDic(s))),
+    "job_cart_add" -> ((s, d) =>
+      DwdApps.cartAdd(Tables.events(s, d), Joins.baseDic(s))),
+    "job_comment_dic" -> ((s, d) =>
+      DwdApps.commentDic(Tables.events(s, d), Joins.baseDic(s))),
+    "job_user_register" -> ((s, d) =>
+      DwdApps.userRegister(Tables.events(s, d))),
+    "job_coupon_phases" -> ((s, d) =>
+      DwdApps.couponPhases(Tables.orders(s, d))),
+    "job_unique_visitor_detail" -> ((s, d) =>
+      DwdApps.uniqueVisitorDetail(Tables.events(s, d))),
+    "job_register_window" -> ((s, d) =>
+      DwsApps.registerWindow(Tables.events(s, d))),
+    "job_cart_add_uu_window" -> ((s, d) =>
+      DwsApps.cartAddUuWindow(Tables.events(s, d))),
+    "job_order_window" -> ((s, d) =>
+      DwsApps.orderWindow(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "job_tm_cat_refund_window" -> ((s, d) =>
+      DwsApps.tmCatUserRefundWindow(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d))),
     // windowing beyond the reference: session/sliding/rollup
     "w_session_window" -> ((s, d) =>
       AdvancedWindows.sessionWindowAgg(Tables.events(s, d))),
@@ -679,6 +703,193 @@ object SparkEntry {
         |       round(sum(dur), 2) AS dur_sum, CAST(sum(uj) AS BIGINT) AS uj_ct
         |FROM u GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 3, 4, 5, 6""".stripMargin,
+    "job_cancel_detail" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low')),
+        |pre AS (
+        |  SELECT l_orderkey, l_linenumber, o_custkey,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |         dic_name AS status_name,
+        |         coalesce(a.activity_brand, '') AS activity_brand,
+        |         coalesce(c.coupon_type, '') AS coupon_type,
+        |         round(l_extendedprice, 2) AS amount,
+        |         o_orderstatus,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS cancel_date
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  LEFT JOIN (SELECT p_partkey, p_brand AS activity_brand FROM part
+        |             WHERE p_retailprice > 1500) a ON l_partkey = a.p_partkey
+        |  LEFT JOIN (SELECT p_partkey, p_type AS coupon_type FROM part
+        |             WHERE p_size > 40) c ON l_partkey = c.p_partkey
+        |  JOIN dic ON o_orderstatus = dic_code)
+        |SELECT l_orderkey, l_linenumber, o_custkey, order_date, status_name,
+        |       activity_brand, coupon_type, amount, cancel_date
+        |FROM pre WHERE o_orderstatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, coupon_type, amount""".stripMargin,
+    "job_pay_detail_suc" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low')),
+        |pay AS (
+        |  SELECT event_id AS pay_id, user_id, ts AS pay_ts,
+        |         round(value, 2) AS pay_amount,
+        |         CAST((CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1
+        |              AS VARCHAR) AS payment_type
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(json_extract_string(props, '$.k') AS INT) % 16 = 2),
+        |det AS (
+        |  SELECT event_id AS detail_id, user_id AS d_user, ts AS d_ts,
+        |         round(value, 2) AS split_total_amount
+        |  FROM events WHERE event_type = 'view')
+        |SELECT detail_id, pay_id, user_id, payment_type,
+        |       dic_name AS payment_type_name,
+        |       strftime(pay_ts, '%Y-%m-%d %H:%M:%S') AS callback_time,
+        |       pay_amount, split_total_amount
+        |FROM pay
+        |JOIN det ON user_id = d_user AND pay_ts >= d_ts
+        |        AND pay_ts <= d_ts + INTERVAL 24 HOUR
+        |JOIN dic ON payment_type = dic_code
+        |ORDER BY pay_id, detail_id""".stripMargin,
+    "job_cart_add" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low')),
+        |env AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_id % 3 = 0 THEN 'insert' ELSE 'update' END AS type,
+        |         CAST(json_extract_string(props, '$.k') AS INT) AS newn,
+        |         CASE WHEN event_id % 3 <> 0 THEN
+        |           CAST(json_extract_string(props, '$.k') AS INT)
+        |             - (event_id % 7) + 3 END AS oldn,
+        |         CAST((event_id % 5) + 1 AS VARCHAR) AS source_type
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS date_id,
+        |       CAST(CASE WHEN oldn IS NOT NULL THEN newn - oldn
+        |                 ELSE newn END AS INT) AS sku_num,
+        |       source_type, dic_name AS source_type_name
+        |FROM env JOIN dic ON source_type = dic_code
+        |WHERE type = 'insert'
+        |   OR (type = 'update' AND oldn IS NOT NULL AND newn > oldn)
+        |ORDER BY event_id""".stripMargin,
+    "job_comment_dic" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low'))
+        |SELECT event_id, user_id,
+        |       CAST((CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1
+        |            AS VARCHAR) AS appraise,
+        |       dic_name AS appraise_name,
+        |       strftime(ts, '%Y-%m-%d') AS date_id
+        |FROM events
+        |JOIN dic ON CAST((CAST(json_extract_string(props, '$.k') AS INT) % 5) + 1
+        |                 AS VARCHAR) = dic_code
+        |WHERE event_type = 'click' AND user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "job_user_register" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS date_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS create_time
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+    "job_coupon_phases" ->
+      """WITH env AS (
+        |  SELECT o_orderkey AS coupon_use_id, o_custkey AS user_id,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS date_id,
+        |         o_orderstatus AS st
+        |  FROM orders)
+        |SELECT 'get' AS phase, coupon_use_id, user_id, date_id
+        |FROM env WHERE st = 'O'
+        |UNION ALL
+        |SELECT 'order', coupon_use_id, user_id, date_id FROM env WHERE st = 'P'
+        |UNION ALL
+        |SELECT 'pay', coupon_use_id, user_id, date_id FROM env WHERE st = 'F'
+        |ORDER BY phase, coupon_use_id""".stripMargin,
+    "job_unique_visitor_detail" ->
+      """WITH pages AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_ts
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click') AND user_id IS NOT NULL),
+        |starts AS (
+        |  SELECT user_id, ts, event_id,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM pages
+        |  WHERE prev_ts IS NULL
+        |     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d') AS date_id, event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS visit_time
+        |FROM starts WHERE rn = 1
+        |ORDER BY user_id, date_id""".stripMargin,
+    "job_register_window" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10),
+        |                '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/10)*10 + 10),
+        |                '%Y-%m-%d %H:%M:%S') AS edt,
+        |       count(*) AS register_ct
+        |FROM events WHERE event_type = 'signup'
+        |GROUP BY 1, 2 ORDER BY stt""".stripMargin,
+    "job_cart_add_uu_window" ->
+      """WITH firsts AS (
+        |  SELECT user_id, ts,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10),
+        |                '%Y-%m-%d %H:%M:%S') AS stt,
+        |       strftime(to_timestamp(floor(epoch(ts)/10)*10 + 10),
+        |                '%Y-%m-%d %H:%M:%S') AS edt,
+        |       count(*) AS cart_add_uu_ct
+        |FROM firsts WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY stt""".stripMargin,
+    "job_order_window" ->
+      """WITH detail AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax,
+        |         row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |           ORDER BY l_extendedprice, l_discount, l_tax) AS rn
+        |  FROM lineitem),
+        |joined AS (
+        |  SELECT d.*, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS cur_date
+        |  FROM detail d JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE rn = 1),
+        |flagged AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY o_custkey, cur_date
+        |           ORDER BY l_orderkey, l_linenumber) AS urn,
+        |         min(cur_date) OVER (PARTITION BY o_custkey) AS first_date
+        |  FROM joined)
+        |SELECT cur_date,
+        |       CAST(sum(CASE WHEN urn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS order_uu_ct,
+        |       CAST(sum(CASE WHEN urn = 1 AND cur_date = first_date
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS order_new_ct,
+        |       round(sum(l_extendedprice * l_discount), 2)
+        |         AS activity_reduce_amount,
+        |       round(sum(l_extendedprice * l_tax), 2) AS coupon_reduce_amount,
+        |       round(sum(l_extendedprice), 2) AS original_total_amount
+        |FROM flagged GROUP BY cur_date ORDER BY cur_date""".stripMargin,
+    "job_tm_cat_refund_window" ->
+      """WITH agg AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS cur_date,
+        |         o_custkey AS user_id,
+        |         p_brand AS trademark_id, p_type AS category_id,
+        |         count(DISTINCT l_orderkey) AS refund_ct
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT cur_date, user_id, trademark_id,
+        |       replace(trademark_id, 'Brand#', 'TM-') AS trademark_name,
+        |       category_id,
+        |       upper(split_part(category_id, ' ', 1)) AS category_name,
+        |       refund_ct
+        |FROM agg
+        |ORDER BY cur_date, user_id, trademark_id, category_id""".stripMargin,
     "sql_hourly_type_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/3600)*3600), '%Y-%m-%d %H:%M:%S') AS stt,
         |       event_type, count(*) AS ev_ct,

@@ -30,6 +30,28 @@ class BatchQueriesSpec extends SparkTestBase {
     assert(maxUv <= 15) // sf0.001 has 15 distinct users
   }
 
+  test("job_coupon_phases is a disjoint 3-way split of the envelope") {
+    // every coupon_use row matches exactly one lifecycle filter
+    val phases = SparkEntry.queries("job_coupon_phases")(spark, sf0001)
+    val orders = core.Tables.orders(spark, sf0001).count()
+    assert(phases.count() == orders)
+    assert(phases.select("coupon_use_id").distinct().count() == orders)
+  }
+
+  test("job_cancel_detail rows are the Finished subset of the preprocess table") {
+    val pre = SparkEntry.queries("job_order_preprocess")(spark, sf0001)
+    val cancel = SparkEntry.queries("job_cancel_detail")(spark, sf0001)
+    val finished = pre.filter(org.apache.spark.sql.functions
+      .col("status_name") === "Finished").count()
+    assert(cancel.count() == finished)
+  }
+
+  test("job_order_window daily unique users bound the new users") {
+    import org.apache.spark.sql.functions._
+    val w = SparkEntry.queries("job_order_window")(spark, sf0001)
+    assert(w.filter(col("order_new_ct") > col("order_uu_ct")).count() == 0)
+  }
+
   test("j2 left join keeps all lineitem rows") {
     val li = core.Tables.lineitem(spark, sf0001).count()
     val j2 = SparkEntry.queries("j2_left_outer_activity")(spark, sf0001).count()

@@ -79,6 +79,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("job_unique_visitor_detail: session gap and daily dedup share one user exchange") {
+    // both window functions cluster on user_id; HashPartitioning(user_id)
+    // satisfies the (user_id, day) clustering of the second, so the
+    // events table must cross the wire exactly once
+    val p = plan("job_unique_visitor_detail")
+    val userExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(user_id")).size
+    assert(userExchanges == 1, s"expected 1 user exchange, plan:\n$p")
+  }
+
+  test("job_tm_cat_refund_window: sku dim joins before the agg, name dims after — all broadcast") {
+    val p = plan("job_tm_cat_refund_window")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // distinct order count expands to a two-level aggregate, never a
+    // per-group set materialization
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
