@@ -189,6 +189,16 @@ object SparkEntry {
       llm.DedupOps.simhashPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
     "llm_dedup_ngram_jaccard" -> ((s, d) =>
       llm.DedupOps.ngramJaccardPairs(llm.DedupOps.withNearDuplicates(Tables.documents(s, d)))),
+    // dedup clustering: pairs → connected components → one canonical
+    // doc per cluster (alternating large-star/small-star)
+    "llm_dedup_cc" -> ((s, d) =>
+      llm.Components.connectedComponents(
+        llm.Components.chainFixture(Tables.documents(s, d)))
+        .orderBy("doc_id")),
+    "llm_dedup_canonical" -> ((s, d) =>
+      llm.Components.canonicalize(Tables.documents(s, d),
+        llm.Components.chainFixture(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -940,6 +950,49 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
         |       count(*) AS dup_ct
         |FROM documents GROUP BY 1 ORDER BY 2""".stripMargin,
+    // connected-components oracles: DuckDB replays the deterministic
+    // chain/star fixture with a recursive reachability CTE — exact
+    // min-reachable-id per node, multi-hop (the Spark side contracts
+    // the same graph with large-star/small-star rounds)
+    "llm_dedup_cc" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+        |  WHERE doc_id % 7 < 4
+        |    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |  UNION
+        |  SELECT doc_id - doc_id % 50 AS u, doc_id AS v FROM documents
+        |  WHERE doc_id % 50 IN (10, 20, 30)
+        |    AND doc_id - doc_id % 50 IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT u AS a, v AS b FROM edges
+        |        UNION SELECT v, u FROM edges),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+        |SELECT node AS doc_id, min(r) AS component_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "llm_dedup_canonical" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+        |  WHERE doc_id % 7 < 4
+        |    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |  UNION
+        |  SELECT doc_id - doc_id % 50 AS u, doc_id AS v FROM documents
+        |  WHERE doc_id % 50 IN (10, 20, 30)
+        |    AND doc_id - doc_id % 50 IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT u AS a, v AS b FROM edges
+        |        UNION SELECT v, u FROM edges),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+        |comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |       coalesce(component_id, doc_id) AS component_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY coalesce(component_id, doc_id) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     // twin-variant oracles: replay the dedup machinery on the
     // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token
     // dropped) with md5-derived hashes DuckDB computes bit-identically

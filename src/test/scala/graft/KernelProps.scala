@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
+import graft.operators.llm.Components
 import graft.operators.state.Dedup
 import graft.operators.skew.Salting
 import graft.sinks.Sinks
@@ -85,6 +86,29 @@ object KernelProps extends Properties("kernels") {
               lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         got == want
+      }
+    }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(18, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+
+  property("connectedComponents == driver-side union-find on random graphs") =
+    forAll(edgesGen) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val got = Components.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Long): Long = {
+          var r = x; while (parent(r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+        got == nodes.map(n => n -> minOf(find(n))).toMap
       }
     }
 

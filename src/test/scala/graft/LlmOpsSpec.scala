@@ -49,6 +49,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("connected components contracts a 60-node path to one cluster") {
+    // worst case for min-label propagation (O(n) rounds); the star
+    // steps contract it logarithmically within the default maxIter
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Components.connectedComponents(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 60)
+    assert(comp.forall(_._2 == 0L), comp.filter(_._2 != 0L).mkString(","))
+  }
+
+  test("canonicalize keeps exactly one doc per near-dup chain") {
+    // A~B, B~C with no A~C pair: pairwise dropping can keep two
+    // near-dups or drop all three; component-canonical keeps exactly A
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val sub = docs.filter(col("doc_id") <= 5)
+    val kept = Components.canonicalize(sub, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(0L, 1L, 4L, 5L)), kept.mkString(","))
+  }
+
+  test("canonicalize over minhash pairs removes the planted twins") {
+    val pairs = DedupOps.minhashPairs(withDups)
+    val kept = Components.canonicalize(withDups, pairs)
+    val twinsKept = kept.filter(col("doc_id") >= 1000000L).count()
+    // most planted twins (id+1M) share a component with their original
+    // and lose the min-id tie-break; LSH recall is <100%, so allow a few
+    assert(twinsKept <= withDups.filter(col("doc_id") >= 1000000L).count() / 5,
+      s"too many twins survived: $twinsKept")
+    // no document vanishes entirely: kept + clustered == total
+    assert(kept.count() >= docs.count() / 2)
+  }
+
   test("brute-force ANN: k neighbors per query, ranks contiguous, sims sorted") {
     val res = Similarity.bruteForceTopK(Tables.embeddings(spark, sf0001),
       Seq(0L, 1L), k = 5).collect()
