@@ -227,6 +227,7 @@ object SparkEntry {
       llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     // LLM-pipeline ops: text analysis + multimodal plumbing
     "llm_text_quality" -> ((s, d) => llm.TextAnalysis.quality(Tables.documents(s, d))),
+    "llm_repetition" -> ((s, d) => llm.TextAnalysis.repetition(Tables.documents(s, d))),
     "llm_lang_id" -> ((s, d) => llm.TextAnalysis.langId(Tables.documents(s, d))),
     "llm_token_count" -> ((s, d) => llm.TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "llm_fingerprint" -> ((s, d) => llm.TextAnalysis.fingerprint(Tables.documents(s, d))),
@@ -1131,6 +1132,54 @@ object SparkEntry {
         |                          w -> w <> '') AS words
         |            FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CASE WHEN len(t) >= 2 THEN
+        |           list_transform(generate_series(1, len(t) - 1),
+        |                          i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END AS bi,
+        |         CASE WHEN len(t) >= 3 THEN
+        |           list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE [] END AS tri
+        |  FROM toks),
+        |bic AS (
+        |  SELECT doc_id, g, count(*) AS ct
+        |  FROM (SELECT doc_id, unnest(bi) AS g FROM grams) GROUP BY 1, 2),
+        |bitop AS (
+        |  SELECT doc_id, g AS top_bigram, CAST(ct AS BIGINT) AS top_bigram_ct
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                    ORDER BY ct DESC, g) AS rn FROM bic)
+        |  WHERE rn = 1),
+        |tria AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS BIGINT)
+        |           AS dup_tri_pos,
+        |         CAST(sum(ct) AS BIGINT) AS tri_pos
+        |  FROM (SELECT doc_id, g, count(*) AS ct
+        |        FROM (SELECT doc_id, unnest(tri) AS g FROM grams)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT g.doc_id, g.n_tokens, b.top_bigram, b.top_bigram_ct,
+        |       CASE WHEN g.n_tokens > 1
+        |            THEN round(b.top_bigram_ct * 2.0 / g.n_tokens, 4)
+        |       END AS top_bigram_frac,
+        |       CASE WHEN a.tri_pos > 0
+        |            THEN round(a.dup_tri_pos / a.tri_pos::DOUBLE, 4)
+        |       END AS dup_trigram_frac,
+        |       (coalesce(b.top_bigram_ct * 2.0 / g.n_tokens, 0) > 0.2 OR
+        |        coalesce(a.dup_tri_pos / a.tri_pos::DOUBLE, 0) > 0.15)
+        |         AS repetition_flag
+        |FROM grams g
+        |LEFT JOIN bitop b ON g.doc_id = b.doc_id
+        |LEFT JOIN tria a ON g.doc_id = a.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "llm_lang_id" ->
       """SELECT lang, pred_lang, count(*) AS doc_ct
         |FROM (SELECT lang,

@@ -121,6 +121,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (Gopher-style quality filters, Rae et al. 2021
+    * §A1.1, public literature): the fraction of the document covered by
+    * its most frequent word bigram, and the fraction of trigram
+    * positions whose trigram repeats. Documents dominated by boilerplate
+    * or generation loops score high and get `repetition_flag` (the
+    * published 0.20 top-n-gram / 0.15 dup-n-gram thresholds, adapted
+    * from characters to tokens — the corpus has no line structure).
+    *
+    * Shape: ONE exchange. The position window forces
+    * HashPartitioning(doc_id); every later window — per-(doc, gram)
+    * counts, the top-bigram rank — and the final per-doc aggregate
+    * cluster on supersets of doc_id, so Spark reuses the same
+    * partitioning end-to-end (PlanSpec asserts a single exchange). */
+  def repetition(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val biW = Window.partitionBy(col("doc_id"), col("bigram"))
+    val triW = Window.partitionBy(col("doc_id"), col("trigram"))
+    val toks = graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        posexplode_outer(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(posW))
+      .withColumn("w3", lead(col("w"), 2).over(posW))
+      .withColumn("bigram",
+        when(col("w2").isNotNull, concat_ws(" ", col("w"), col("w2"))))
+      .withColumn("trigram",
+        when(col("w3").isNotNull,
+          concat_ws(" ", col("w"), col("w2"), col("w3"))))
+    val counted = toks
+      .withColumn("bi_ct", when(col("bigram").isNotNull, count(lit(1)).over(biW)))
+      .withColumn("tri_ct", when(col("trigram").isNotNull, count(lit(1)).over(triW)))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("bi_ct").desc_nulls_last, col("bigram").asc_nulls_last,
+          col("pos"))))
+    // when-guarded: ANSI mode rejects the zero divisor outright, and a
+    // zero-token doc must yield NULL fracs, not an error or Infinity
+    val topFrac = when(col("n_tokens") > 0,
+      col("top_bigram_ct") * 2.0 / col("n_tokens"))
+    val dupFrac = when(col("tri_pos") > 0,
+      col("dup_tri_pos") / col("tri_pos").cast("double"))
+    counted.groupBy(col("doc_id"))
+      .agg(
+        count(col("w")).as("n_tokens"),
+        max(when(col("rn") === 1, col("bigram"))).as("top_bigram"),
+        max(when(col("rn") === 1, col("bi_ct"))).as("top_bigram_ct"),
+        sum(when(col("tri_ct") > 1, 1L).otherwise(0L)).as("dup_tri_pos"),
+        count(col("trigram")).as("tri_pos"))
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+        col("top_bigram_ct"),
+        when(col("n_tokens") > 1, round(topFrac, 4)).as("top_bigram_frac"),
+        round(dupFrac, 4).as("dup_trigram_frac"),
+        (coalesce(topFrac, lit(0.0)) > 0.2 ||
+          coalesce(dupFrac, lit(0.0)) > 0.15).as("repetition_flag"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -49,6 +49,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("repetition signals flag a generation loop, pass normal prose") {
+    val fixture = Seq(
+      (1L, "spam ham spam ham spam ham spam ham spam ham"),
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (3L, "one"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(fixture).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 1: "spam ham" covers 5 of 9 bigram slots -> top frac 10/10=1.0
+    assert(r(1L).getBoolean(6), "loop doc not flagged")
+    assert(r(1L).getString(2) == "spam ham")
+    assert(!r(2L).getBoolean(6), "prose doc wrongly flagged")
+    // single-token and empty docs survive with null fracs, no flag
+    assert(r(3L).isNullAt(4) && !r(3L).getBoolean(6))
+    assert(r(4L).getLong(1) == 0L && !r(4L).getBoolean(6))
+  }
+
   test("connected components contracts a 60-node path to one cluster") {
     // worst case for min-label propagation (O(n) rounds); the star
     // steps contract it logarithmically within the default maxIter

@@ -98,6 +98,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("llm_repetition: all windows and the final agg reuse one doc_id exchange") {
+    // position window, per-(doc,gram) counts, the top-bigram rank and
+    // the final aggregate all cluster on supersets of doc_id
+    val p = plan("llm_repetition")
+    val docExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(doc_id")).size
+    assert(docExchanges == 1, s"expected 1 doc_id exchange, plan:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
