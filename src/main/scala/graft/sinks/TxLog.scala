@@ -1,0 +1,183 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K3/K5 hardened — a minimal ACID commit protocol for the keyed
+  * parquet store, replacing `upsertParquet`'s rename-swap when multiple
+  * writers may race.
+  *
+  * Design (public literature: Armbrust et al., "Delta Lake:
+  * High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020 — same skeleton, full-manifest variant):
+  *
+  *  - Data files are IMMUTABLE and uniquely named
+  *    (`data/c<uuid>-part-*.parquet`); nothing ever overwrites them.
+  *  - A commit is one file `_txlog/v<version>.manifest` listing every
+  *    data file of that snapshot. It is published with atomic
+  *    create-if-absent, so exactly ONE writer wins each version number
+  *    (optimistic concurrency); losers re-read the new snapshot,
+  *    re-merge their batch, and retry — upserts are commutative-safe to
+  *    replay because the merge is keyed and version-ordered.
+  *  - Readers list the log, pick the highest version, and read exactly
+  *    its files: snapshot isolation with no locks, and any prefix of a
+  *    crashed commit (orphan data files, no manifest) is invisible.
+  *
+  * The full-manifest copy-on-write keeps the protocol small; a
+  * production table would add partition-level manifests and
+  * merge-on-read deltas, which change the I/O profile but not the
+  * commit protocol. `create(overwrite = false)` is atomic on
+  * HDFS-semantics filesystems (and good enough on the local FS for
+  * tests); S3-class object stores need a CAS service for the log
+  * append — the same caveat Delta documents.
+  */
+object TxLog {
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private val LogDir = "_txlog"
+  private val DataDir = "data"
+
+  private def fsOf(spark: SparkSession, table: String): FileSystem =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(table: String, version: Long): Path =
+    new Path(s"$table/$LogDir/v${"%020d".format(version)}.manifest")
+
+  /** Highest committed snapshot, or None for an empty/absent table. */
+  def latest(spark: SparkSession, table: String): Option[Snapshot] = {
+    val fs = fsOf(spark, table)
+    val dir = new Path(s"$table/$LogDir")
+    if (!fs.exists(dir)) None
+    else {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      if (versions.isEmpty) None else Some(readManifest(fs, table, versions.max))
+    }
+  }
+
+  private def readManifest(fs: FileSystem, table: String, version: Long): Snapshot = {
+    val in = fs.open(manifestPath(table, version))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val files = text.linesIterator.collect {
+      case l if l.startsWith("file=") => l.stripPrefix("file=")
+    }.toSeq
+    Snapshot(version, files)
+  }
+
+  /** Read the table at its latest version (None = never committed). */
+  def read(spark: SparkSession, table: String): Option[DataFrame] =
+    readVersion(spark, table, latest(spark, table).map(_.version).getOrElse(-1L))
+
+  /** Time travel: read the table exactly as of `version`. */
+  def readVersion(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
+    if (version < 0) return None
+    val fs = fsOf(spark, table)
+    val snap = readManifest(fs, table, version)
+    if (snap.files.isEmpty) None
+    else Some(spark.read.parquet(snap.files.map(f => s"$table/$f"): _*))
+  }
+
+  /** Merge `batch` into the table (last-wins by `pk` ordered by
+    * `versionCol`, the `Sinks.upsert` total order) and commit it as a
+    * new snapshot. Returns the committed version. Safe under concurrent
+    * writers: losing a version race re-reads and re-merges, so every
+    * retry folds the winner's rows into the next attempt. */
+  def commitUpsert(batch: DataFrame, table: String, pk: String,
+                   versionCol: String, maxRetries: Int = 20): Long = {
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = latest(spark, table)
+      val existing = snap.flatMap(s => readVersion(spark, table, s.version))
+      val merged = Sinks.upsert(batch, existing, pk, versionCol)
+      // stage immutable data files under a commit-unique prefix
+      val commitId = UUID.randomUUID().toString.take(8)
+      val tmp = new Path(s"$table/.staged-$commitId")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val dataDir = new Path(s"$table/$DataDir")
+      fs.mkdirs(dataDir)
+      val staged = fs.listStatus(tmp)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map { st =>
+          val name = s"c$commitId-${st.getPath.getName}"
+          if (!fs.rename(st.getPath, new Path(dataDir, name)))
+            sys.error(s"TxLog: failed to stage ${st.getPath}")
+          s"$DataDir/$name"
+        }.toSeq
+      fs.delete(tmp, true)
+      val target = snap.map(_.version).getOrElse(0L) + 1L
+      if (tryCommit(fs, table, target, staged)) return target
+      // lost the race: our files are unreferenced (invisible to every
+      // reader) — drop them and retry against the new snapshot
+      staged.foreach(f => fs.delete(new Path(s"$table/$f"), false))
+      if (attempt > maxRetries)
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+    }
+    -1L // unreachable
+  }
+
+  /** Atomic create-if-absent publish of one fully-written manifest.
+    * The body is staged to a temp file first so no reader can observe a
+    * half-written manifest; the publish step is then a single
+    * filesystem metadata operation that fails (never overwrites) when
+    * the version already exists:
+    *  - local FS: a POSIX hard link (`link(2)` is atomic, EEXIST loses)
+    *    — `create(overwrite=false)` and `rename` on the local FS are
+    *    check-then-act and can drop a racing commit;
+    *  - HDFS-semantics stores: `rename` (atomic in the namenode,
+    *    refuses an existing destination). S3-class stores need a CAS
+    *    service, as Delta documents. */
+  private def tryCommit(fs: FileSystem, table: String, version: Long,
+                        files: Seq[String]): Boolean = {
+    val target = manifestPath(table, version)
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (s"version=$version" +: files.map(f => s"file=$f"))
+        .mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+    val published =
+      if (fs.getUri.getScheme == "file") {
+        def nio(p: Path) = java.nio.file.Paths.get(p.toUri.getPath)
+        try { java.nio.file.Files.createLink(nio(target), nio(tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try fs.rename(tmp, target)
+        catch { case _: FileAlreadyExistsException => false }
+      }
+    fs.delete(tmp, false)
+    published
+  }
+
+  /** Delete data files no manifest references (the residue of crashed
+    * or beaten commits). Never touches committed history. Returns the
+    * number of files removed. */
+  def vacuumOrphans(spark: SparkSession, table: String): Int = {
+    val fs = fsOf(spark, table)
+    val logDir = new Path(s"$table/$LogDir")
+    val dataDir = new Path(s"$table/$DataDir")
+    if (!fs.exists(dataDir)) return 0
+    val referenced: Set[String] =
+      if (!fs.exists(logDir)) Set.empty
+      else fs.listStatus(logDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+        .flatMap(v => readManifest(fs, table, v).files).toSet
+    fs.listStatus(dataDir).map(_.getPath)
+      .filterNot(p => referenced.contains(s"$DataDir/${p.getName}"))
+      .count { p => fs.delete(p, false) }
+  }
+}

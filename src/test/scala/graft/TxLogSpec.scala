@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import graft.sinks.TxLog
+
+/** ACID commit protocol of the TxLog upsert sink: snapshot isolation,
+  * contiguous versions, time travel, orphan invisibility + vacuum, and
+  * last-wins convergence under genuinely concurrent writers. */
+class TxLogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val d = Files.createTempDirectory("txlog-")
+    d.toFile.deleteOnExit()
+    d.toString + "/t"
+  }
+
+  test("sequential upserts: contiguous versions, last-wins state, time travel") {
+    val t = freshTable()
+    val v1 = TxLog.commitUpsert(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "payload"), t, "k", "ver")
+    val v2 = TxLog.commitUpsert(
+      Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("k", "ver", "payload"), t, "k", "ver")
+    assert(v1 == 1L && v2 == 2L)
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // time travel: v1 predates key 3 and the key-2 update
+    val asOf1 = TxLog.readVersion(spark, t, 1L).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(asOf1 == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("older version wins nothing: stale batch cannot clobber a newer row") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 5L, "new")).toDF("k", "ver", "payload"), t, "k", "ver")
+    TxLog.commitUpsert(Seq((1L, 3L, "old")).toDF("k", "ver", "payload"), t, "k", "ver")
+    val row = TxLog.read(spark, t).get.collect()
+    assert(row.length == 1 && row(0).getString(2) == "new")
+  }
+
+  test("orphan data files are invisible to readers and removed by vacuum") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"), t, "k", "ver")
+    // simulate a writer that crashed after staging, before its commit:
+    // a data file with no manifest entry
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$t/data/cdead-part-orphan.parquet")
+    Seq((99L, 9L, "ghost")).toDF("k", "ver", "payload")
+      .write.parquet(s"$t/.orphan-src")
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/.orphan-src"))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    assert(fs.rename(src, orphan))
+    assert(TxLog.read(spark, t).get.count() == 1) // ghost invisible
+    assert(TxLog.vacuumOrphans(spark, t) == 1)
+    assert(!fs.exists(orphan))
+    assert(TxLog.read(spark, t).get.count() == 1) // committed data intact
+  }
+
+  test("concurrent writers converge: every commit lands, last-wins by version") {
+    val t = freshTable()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 4 writers x 3 rounds, overlapping keys; version encodes global
+      // recency so the expected survivor per key is the max version
+      val futures = (0 until 4).map { w =>
+        Future {
+          (0 until 3).foreach { r =>
+            val ver = (r * 4 + w + 1).toLong
+            val rows = Seq((1L, ver, s"w$w-r$r"), ((w % 2) + 2L, ver, s"w$w-r$r"))
+            TxLog.commitUpsert(rows.toDF("k", "ver", "payload"), t, "k", "ver")
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+    } finally pool.shutdown()
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.version == 12L, s"expected 12 commits, got ${snap.version}")
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // key 1 written by every commit: survivor must carry the global max
+    // version (12); keys 2/3 get the max version of their writer parity
+    assert(rows(1L) == 12L, s"key 1 survivor version ${rows(1L)}")
+    assert(rows(2L) == 11L && rows(3L) == 12L, rows.toString)
+    // monotone history: every intermediate version is readable
+    (1L to 12L).foreach { v =>
+      assert(TxLog.readVersion(spark, t, v).nonEmpty, s"version $v unreadable")
+    }
+    // losers' abandoned files were self-cleaned or are vacuumable
+    assert(TxLog.vacuumOrphans(spark, t) >= 0)
+  }
+}
