@@ -260,6 +260,22 @@ object StatefulStreams {
       }
   }
 
+  /** DwsTradeCartAddUuWindow streaming twin
+    * (`DwsTradeCartAddUuWindow.java:82-141`): per-user
+    * first-cart-add-of-day via watermark-bounded dedup state (the
+    * reference's `lastCartAddState` date compare, TTL = the watermark
+    * horizon), chained into the watermarked 10 s unique-user window —
+    * two stateful operators in one pipeline, the composition the
+    * reference runs as keyBy→RichFilter→windowAll. Batch twin:
+    * `DwsApps.cartAddUuWindow` (parity-tested). */
+  def cartAddUuStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    dailyUvStream(events.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull), watermark)
+      .groupBy(window(col("ts"), "10 seconds").as("w"))
+      .agg(count(lit(1)).as("cart_add_uu_ct"))
+      .select(TimeFns.stt(col("w")).as("stt"), TimeFns.edt(col("w")).as("edt"),
+        col("cart_add_uu_ct"))
+
   /** Traffic union streaming twin
     * (`DwsTrafficVcChArIsNewPageViewWindow.java:119-178`): the three
     * one-hot bean streams union, take the reference's single 14 s

@@ -273,6 +273,34 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamDaily, batchDaily)
   }
 
+  test("cart-add UU window: streaming (chained dedup + window) == batch") {
+    // click rows arrive in (ts, event_id) order so the stream's
+    // first-arrival dedup survivor matches the batch total order
+    val rows = Seq(
+      Ev(1, tsOf("2024-01-01T00:00:01Z"), 1, "click", 1.0),
+      Ev(2, tsOf("2024-01-01T00:00:02Z"), 1, "click", 1.0), // same-day dup
+      Ev(3, tsOf("2024-01-01T00:00:03Z"), 2, "click", 1.0),
+      Ev(4, tsOf("2024-01-01T00:00:11Z"), 3, "click", 1.0),
+      Ev(5, tsOf("2024-01-01T00:00:12Z"), 1, "view", 1.0),  // not a cart add
+      Ev(6, tsOf("2024-01-02T09:00:00Z"), 1, "click", 1.0)) // next day re-adds
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.cartAddUuStream(ms.toDF()).writeStream
+      .format("memory").queryName("cart_uu_out").outputMode("append").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    // the watermark column is assigned after the click filter, so the
+    // sentinel must BE a click to advance it; its own far-future window
+    // never closes, so it cannot leak into the append output
+    ms.addData(Ev(100, tsOf("2030-01-01T00:00:00Z"), 999, "click", 0.0))
+    q.processAllAvailable()
+    ms.addData(Ev(101, tsOf("2030-01-02T00:00:00Z"), 999, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("cart_uu_out").filter(col("stt") < "2029")
+    val batchRows = graft.operators.dws.DwsApps.cartAddUuWindow(rows.toDF())
+    assertSameRows(streamRows, batchRows)
+  }
+
   test("traffic union window: streaming (3-way union, 14s watermark) == batch") {
     def row(vc: String, ch: String, iso: String, uv: Long, sv: Long,
             pv: Long, dur: Double, uj: Long) =
