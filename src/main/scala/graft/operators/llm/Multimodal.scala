@@ -134,4 +134,66 @@ object Multimodal {
         sum(col("byte_len")).as("total_bytes"),
         max(col("byte_len")).as("max_bytes"))
       .orderBy("format")
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint — the public
+    * perceptual-hashing recipe: sample the decoded image on an 8×8
+    * grid, gray each sample, set bit i when gray(i) > the 64-sample
+    * mean. Near-identical images (recompression, small edits, minor
+    * resize) agree on most bits; unrelated images disagree on ~32.
+    * Non-decodable bytes and audio/video take the byte-checksum stub
+    * (format-prefixed so stub hashes never collide with image
+    * hashes across formats by construction of fnv input). */
+  private[llm] def aHash(r: MediaRow): Long = r.format match {
+    case "png" | "jpeg" =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        if (img == null) fnv(r.format.getBytes ++ r.media)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val grays = Array.tabulate(64) { i =>
+            val (gx, gy) = (i % 8, i / 8)
+            val px = img.getRGB(math.min(w - 1, gx * w / 8),
+              math.min(h - 1, gy * h / 8))
+            ((px >> 16 & 0xff) + (px >> 8 & 0xff) + (px & 0xff)) / 3
+          }
+          val mean = grays.sum / 64
+          grays.zipWithIndex.foldLeft(0L) { case (acc, (g, i)) =>
+            if (g > mean) acc | (1L << i) else acc
+          }
+        }
+      } catch { case _: Throwable => fnv(r.format.getBytes ++ r.media) }
+    case _ => fnv(r.format.getBytes ++ r.media)
+  }
+
+  /** Per-image perceptual hashes — partition-preserving, no shuffle. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(it => it.map(r => (r.doc_id, aHash(r))))
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs: band the 64-bit aHash into 4×16-bit
+    * chunks (a pair within `maxHamming` ≤ 15 bits must agree on ≥1
+    * whole chunk — same pigeonhole as the SimHash text path), bucket-
+    * join on (band, chunk), then verify exact Hamming distance. The
+    * candidate set is linear in |images|×4, never all-pairs. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 8): DataFrame = {
+    val hashes = imageHashes(spark, media)
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk",
+        expr("(ahash >> (band * 16)) & 65535"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -220,6 +220,36 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("perceptual aHash: near-identical images close, unrelated far, pairs found") {
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = png(64, 64)((x, _) => gray(x * 4)) // horizontal gradient
+    val nearDup = png(64, 64)((x, y) => // same gradient, tiny scribble
+      if (x < 3 && y < 3) gray(255) else gray(x * 4))
+    val other = png(64, 64)((_, y) => gray(255 - y * 4)) // inverted vertical
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, base, "png"), MediaRow(2L, nearDup, "png"),
+      MediaRow(3L, other, "png")).toDF("doc_id", "media", "format")
+    val hs = Multimodal.imageHashes(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 4,
+      s"near-dup hamming ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) > 16,
+      s"unrelated hamming ${ham(hs(1L), hs(3L))}")
+    val pairs = Multimodal.imageNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("stratified sample is deterministic and near the target fraction") {
     import graft.operators.llm.Sampling
     val total = docs.count().toDouble
