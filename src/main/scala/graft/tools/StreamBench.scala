@@ -97,6 +97,12 @@ object StreamBench {
       "first_wins_dedup" -> (() => StatefulStreams.firstWinsStream(events.as[Ev]).toDF),
       "last_wins_dedup" -> (() => StatefulStreams.lastWinsStream(events.as[Ev]).toDF),
       "bounce_sessions" -> (() => StatefulStreams.bounceStream(events.as[Ev]).toDF),
+      // the rate stream has no 'click' type; remap cart→click so the
+      // kernel's filter passes its realistic ~25% slice
+      "cart_add_uu" -> (() => StatefulStreams.cartAddUuStream(
+        events.withColumn("event_type",
+          when(col("event_type") === "cart", "click")
+            .otherwise(col("event_type"))))),
       "neardup_probe" -> (() => StreamingDedup.nearDupProbe(docStream, docIndex)),
       "ann_probe" -> (() => StreamingAnn.probe(embStream, centArr, cellIdx)))
 
