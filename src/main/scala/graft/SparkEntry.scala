@@ -199,6 +199,11 @@ object SparkEntry {
       llm.Components.canonicalize(Tables.documents(s, d),
         llm.Components.chainFixture(Tables.documents(s, d)))
         .orderBy("doc_id")),
+    "llm_dedup_cluster_stats" -> ((s, d) =>
+      llm.Components.clusterStats(
+        llm.Components.chainFixture(Tables.documents(s, d)))),
+    "llm_token_percentiles" -> ((s, d) =>
+      llm.TextAnalysis.tokenPercentiles(Tables.documents(s, d))),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -994,6 +999,39 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY coalesce(component_id, doc_id) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_cluster_stats" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+        |  WHERE doc_id % 7 < 4
+        |    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |  UNION
+        |  SELECT doc_id - doc_id % 50 AS u, doc_id AS v FROM documents
+        |  WHERE doc_id % 50 IN (10, 20, 30)
+        |    AND doc_id - doc_id % 50 IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT u AS a, v AS b FROM edges
+        |        UNION SELECT v, u FROM edges),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+        |comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+        |sizes AS (SELECT component_id, count(*) AS cluster_size
+        |          FROM comp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS cluster_ct,
+        |       CAST(sum(cluster_size) AS BIGINT) AS doc_ct
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_token_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              w -> w <> '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS doc_ct,
+        |       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+        |       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+        |       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
+        |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // twin-variant oracles: replay the dedup machinery on the
     // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token
     // dropped) with md5-derived hashes DuckDB computes bit-identically

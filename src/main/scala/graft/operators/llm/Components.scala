@@ -136,6 +136,18 @@ object Components {
       .drop("__rn")
   }
 
+  /** Cluster-size histogram — the planning number a dedup pass is run
+    * for: how many docs the canonical pass will remove. One extra
+    * aggregate over the components output. */
+  def clusterStats(edges: DataFrame): DataFrame =
+    connectedComponents(edges)
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("cluster_ct"),
+        sum(col("cluster_size")).as("doc_ct"))
+      .orderBy("cluster_size")
+
   /** Deterministic multi-hop edge fixture over `documents` for the
     * driver's DuckDB oracle: chains `(i, i+1)` where `i % 7 < 4`
     * (5-node paths — exercises multi-round contraction) plus star

@@ -177,6 +177,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact token-count percentiles per language — corpus length
+    * profiling (sequence-length budgeting for training). Exact
+    * `percentile` (continuous interpolation, matches DuckDB's
+    * `quantile_cont`) is the verifiable form; at 100 TB the one-line
+    * swap is `approx_percentile` (t-digest) with the same call shape,
+    * trading exactness for a single pass without the per-group sort. */
+  def tokenPercentiles(documents: DataFrame): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(col("lang"), size(Tokenize.tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n_tokens, 0.99)"), 4).as("p99"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .orderBy("lang")
+
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */
   def fingerprint(documents: DataFrame): DataFrame =
