@@ -38,7 +38,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** One committed data file; `part` carries the Hive-style partition
+    * value for files written by `commitUpsertPartitioned` (the
+    * partition column is NOT stored in the file, exactly like Hive/
+    * Delta layouts — it is restored from the manifest at read). */
+  final case class FileEntry(path: String, part: Option[(String, String)])
+
+  final case class Snapshot(version: Long, files: Seq[FileEntry])
 
   private val LogDir = "_txlog"
   private val DataDir = "data"
@@ -67,7 +73,12 @@ object TxLog {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val files = text.linesIterator.collect {
-      case l if l.startsWith("file=") => l.stripPrefix("file=")
+      case l if l.startsWith("file=") =>
+        FileEntry(l.stripPrefix("file="), None)
+      case l if l.startsWith("pfile=") =>
+        // pfile=<col>\u0001<value>\u0001<path>
+        val Array(c, v, p) = l.stripPrefix("pfile=").split('\u0001')
+        FileEntry(p, Some((c, v)))
     }.toSeq
     Snapshot(version, files)
   }
@@ -77,12 +88,38 @@ object TxLog {
     readVersion(spark, table, latest(spark, table).map(_.version).getOrElse(-1L))
 
   /** Time travel: read the table exactly as of `version`. */
-  def readVersion(spark: SparkSession, table: String, version: Long): Option[DataFrame] = {
+  def readVersion(spark: SparkSession, table: String, version: Long): Option[DataFrame] =
+    readFiles(spark, table, version, _ => true)
+
+  /** Partition-pruned read at the latest version: only data files whose
+    * manifest partition value passes `keep` are listed, opened, or
+    * scanned — manifest-level pruning, the same skip Hive/Delta get
+    * from partition dirs (proved via `df.inputFiles` in `TxLogSpec`).
+    * Unpartitioned files always load (they may hold any value). */
+  def readPruned(spark: SparkSession, table: String,
+                 keep: String => Boolean): Option[DataFrame] =
+    latest(spark, table).flatMap(s =>
+      readFiles(spark, table, s.version, e => e.part.forall(p => keep(p._2))))
+
+  private def readFiles(spark: SparkSession, table: String, version: Long,
+                        keep: FileEntry => Boolean): Option[DataFrame] = {
     if (version < 0) return None
     val fs = fsOf(spark, table)
     val snap = readManifest(fs, table, version)
-    if (snap.files.isEmpty) None
-    else Some(spark.read.parquet(snap.files.map(f => s"$table/$f"): _*))
+    val kept = snap.files.filter(keep)
+    if (kept.isEmpty) None
+    else {
+      // group by partition value: the partition column lives in the
+      // manifest, not the files, and is restored as a literal per group
+      val frames = kept.groupBy(_.part).map {
+        case (None, es) =>
+          spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+        case (Some((c, v)), es) =>
+          spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+            .withColumn(c, org.apache.spark.sql.functions.lit(v))
+      }
+      Some(frames.reduce(_.unionByName(_)))
+    }
   }
 
   /** Merge `batch` into the table (last-wins by `pk` ordered by
@@ -112,14 +149,61 @@ object TxLog {
           val name = s"c$commitId-${st.getPath.getName}"
           if (!fs.rename(st.getPath, new Path(dataDir, name)))
             sys.error(s"TxLog: failed to stage ${st.getPath}")
-          s"$DataDir/$name"
+          FileEntry(s"$DataDir/$name", None)
         }.toSeq
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
       if (tryCommit(fs, table, target, staged)) return target
       // lost the race: our files are unreferenced (invisible to every
       // reader) — drop them and retry against the new snapshot
-      staged.foreach(f => fs.delete(new Path(s"$table/$f"), false))
+      staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
+      if (attempt > maxRetries)
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+    }
+    -1L // unreachable
+  }
+
+  /** Partitioned variant: stage with Hive-style `partitionBy(partCol)`
+    * (one write job; the column is carried in the MANIFEST per file,
+    * like Hive/Delta partition dirs), commit the per-partition file
+    * list, and let `readPruned` skip non-matching files at the
+    * manifest level — partition pruning without opening a footer. The
+    * partition column must be string-typed; cardinality is bounded by
+    * the usual Hive-partitioning contract. */
+  def commitUpsertPartitioned(batch: DataFrame, table: String, pk: String,
+                              versionCol: String, partCol: String,
+                              maxRetries: Int = 20): Long = {
+    val spark = batch.sparkSession
+    val fs = fsOf(spark, table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = latest(spark, table)
+      val existing = snap.flatMap(s => readVersion(spark, table, s.version))
+      val merged = Sinks.upsert(batch, existing, pk, versionCol)
+      val commitId = UUID.randomUUID().toString.take(8)
+      val tmp = new Path(s"$table/.staged-$commitId")
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      val dataDir = new Path(s"$table/$DataDir")
+      fs.mkdirs(dataDir)
+      val staged = fs.listStatus(tmp).toSeq
+        .filter(_.getPath.getName.startsWith(s"$partCol="))
+        .flatMap { dir =>
+          val value = java.net.URLDecoder.decode(
+            dir.getPath.getName.stripPrefix(s"$partCol="), "UTF-8")
+          fs.listStatus(dir.getPath)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map { st =>
+              val name = s"c$commitId-$value-${st.getPath.getName}"
+              if (!fs.rename(st.getPath, new Path(dataDir, name)))
+                sys.error(s"TxLog: failed to stage ${st.getPath}")
+              FileEntry(s"$DataDir/$name", Some((partCol, value)))
+            }
+        }
+      fs.delete(tmp, true)
+      val target = snap.map(_.version).getOrElse(0L) + 1L
+      if (tryCommit(fs, table, target, staged)) return target
+      staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
       if (attempt > maxRetries)
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
     }
@@ -138,15 +222,18 @@ object TxLog {
     *    refuses an existing destination). S3-class stores need a CAS
     *    service, as Delta documents. */
   private def tryCommit(fs: FileSystem, table: String, version: Long,
-                        files: Seq[String]): Boolean = {
+                        files: Seq[FileEntry]): Boolean = {
     val target = manifestPath(table, version)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent,
       s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try {
-      val body = (s"version=$version" +: files.map(f => s"file=$f"))
-        .mkString("", "\n", "\n")
+      val body = (s"version=$version" +: files.map {
+        case FileEntry(p, None) => s"file=$p"
+        case FileEntry(p, Some((c, v))) =>
+          Seq("pfile=" + c, v, p).mkString("\u0001")
+      }).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     val published =
@@ -175,7 +262,7 @@ object TxLog {
       else fs.listStatus(logDir).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-        .flatMap(v => readManifest(fs, table, v).files).toSet
+        .flatMap(v => readManifest(fs, table, v).files.map(_.path)).toSet
     fs.listStatus(dataDir).map(_.getPath)
       .filterNot(p => referenced.contains(s"$DataDir/${p.getName}"))
       .count { p => fs.delete(p, false) }

@@ -64,6 +64,34 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.read(spark, t).get.count() == 1) // committed data intact
   }
 
+  test("partitioned commits: pruned reads open only matching files, column restored") {
+    val t = freshTable()
+    val rows = Seq(
+      (1L, 1L, "a", "2024-01-01"), (2L, 1L, "b", "2024-01-01"),
+      (3L, 1L, "c", "2024-01-02"), (4L, 1L, "d", "2024-01-03"))
+    TxLog.commitUpsertPartitioned(
+      rows.toDF("k", "ver", "payload", "dt"), t, "k", "ver", "dt")
+    // full read restores the manifest-held partition column
+    val full = TxLog.read(spark, t).get
+    assert(full.count() == 4)
+    assert(full.filter(col("dt") === "2024-01-02").count() == 1)
+    // pruned read: only the matching partition's files are even listed
+    val pruned = TxLog.readPruned(spark, t, _ == "2024-01-01").get
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L)))
+    assert(pruned.inputFiles.forall(_.contains("-2024-01-01-")),
+      pruned.inputFiles.mkString(","))
+    assert(pruned.inputFiles.length <
+      TxLog.read(spark, t).get.inputFiles.length)
+    // upsert across partitions: key 3 moves day, old row replaced
+    TxLog.commitUpsertPartitioned(
+      Seq((3L, 2L, "c2", "2024-01-05")).toDF("k", "ver", "payload", "dt"),
+      t, "k", "ver", "dt")
+    val after = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(after(3L) == "2024-01-05" && after.size == 4)
+  }
+
   test("concurrent writers converge: every commit lands, last-wins by version") {
     val t = freshTable()
     val pool = Executors.newFixedThreadPool(4)
