@@ -204,6 +204,8 @@ object SparkEntry {
         llm.Components.chainFixture(Tables.documents(s, d)))),
     "llm_token_percentiles" -> ((s, d) =>
       llm.TextAnalysis.tokenPercentiles(Tables.documents(s, d))),
+    "llm_content_signals" -> ((s, d) =>
+      llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -1032,6 +1034,27 @@ object SparkEntry {
         |       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_content_signals" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' see https://ex.org/p/' || doc_id || ' and http://a.io'
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN ' mail bot' || doc_id || '@spam.example'
+        |              ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t, 'https?://[a-z0-9./]+')) AS INT)
+        |         AS url_ct,
+        |       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS INT)
+        |         AS email_ct,
+        |       round(len(regexp_replace(t, '[^0-9]', '', 'g'))
+        |             / len(t)::DOUBLE, 4) AS digit_ratio,
+        |       round(len(regexp_replace(t, '[^A-Z]', '', 'g'))
+        |             / len(t)::DOUBLE, 4) AS upper_ratio
+        |FROM aug ORDER BY doc_id""".stripMargin,
     // twin-variant oracles: replay the dedup machinery on the
     // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token
     // dropped) with md5-derived hashes DuckDB computes bit-identically

@@ -36,7 +36,8 @@ object Components {
     * edges do not appear — union them back as their own singleton
     * component if the caller needs total coverage (`canonicalize`
     * does). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val spark = edges.sparkSession
     val scratchRoot = spark.conf.get("spark.graft.cc.scratch", {
       val d = Files.createTempDirectory("graft-cc-")
@@ -111,6 +112,7 @@ object Components {
       drop(round - 1)
       e = next
     }
+    roundsOut.foreach(_.set(round))
     // converged edges form stars rooted at each component's min id
     e.select(col("v").as("doc_id"), col("u").as("component_id"))
       .unionAll(e.select(col("u").as("doc_id"), col("u").as("component_id")))

@@ -177,6 +177,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Content signals for filtering pipelines: URL/email mention counts
+    * and digit/uppercase character ratios — the boilerplate/spam
+    * indicators CCNet-style cleaning thresholds on. Patterns restrict
+    * to the regex subset Java and RE2 agree on (no lookarounds), so
+    * the DuckDB oracle replays them verbatim. The synthetic corpus
+    * carries no URLs, so a deterministic injection (every 5th doc gets
+    * a URL, every 7th an email, keyed off doc_id) exercises both
+    * branches — same spirit as the dedup twin fixtures. */
+  def contentSignals(documents: DataFrame): DataFrame = {
+    val augmented = graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://ex.org/p/"), col("doc_id"),
+              lit(" and http://a.io"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" mail bot"), col("doc_id"), lit("@spam.example")))
+            .otherwise(lit(""))).as("t"))
+    augmented.select(
+        col("doc_id"),
+        regexp_count(col("t"), lit("https?://[a-z0-9./]+")).as("url_ct"),
+        regexp_count(col("t"), lit("[a-z0-9.]+@[a-z0-9.]+")).as("email_ct"),
+        length(col("t")).as("n_chars"),
+        length(regexp_replace(col("t"), "[^0-9]", "")).as("digit_chars"),
+        length(regexp_replace(col("t"), "[^A-Z]", "")).as("upper_chars"))
+      .select(col("doc_id"), col("url_ct"), col("email_ct"),
+        round(col("digit_chars") / col("n_chars").cast("double"), 4)
+          .as("digit_ratio"),
+        round(col("upper_chars") / col("n_chars").cast("double"), 4)
+          .as("upper_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-count percentiles per language — corpus length
     * profiling (sequence-length budgeting for training). Exact
     * `percentile` (continuous interpolation, matches DuckDB's

@@ -70,10 +70,14 @@ class LlmOpsSpec extends SparkTestBase {
     // worst case for min-label propagation (O(n) rounds); the star
     // steps contract it logarithmically within the default maxIter
     val path = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val comp = Components.connectedComponents(path)
+    val rounds = new java.util.concurrent.atomic.AtomicInteger
+    val comp = Components.connectedComponents(path, roundsOut = Some(rounds))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(comp.length == 60)
     assert(comp.forall(_._2 == 0L), comp.filter(_._2 != 0L).mkString(","))
+    // star contraction is logarithmic: a 60-node path must close in far
+    // fewer rounds than the 59 min-label propagation would need
+    assert(rounds.get() <= 10, s"took ${rounds.get()} rounds")
   }
 
   test("canonicalize keeps exactly one doc per near-dup chain") {
