@@ -206,6 +206,8 @@ object SparkEntry {
       llm.TextAnalysis.tokenPercentiles(Tables.documents(s, d))),
     "llm_content_signals" -> ((s, d) =>
       llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
+    "llm_embedding_stats" -> ((s, d) =>
+      llm.Similarity.embeddingStats(Tables.embeddings(s, d))),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -885,10 +887,13 @@ object SparkEntry {
         |         AS order_uu_ct,
         |       CAST(sum(CASE WHEN urn = 1 AND cur_date = first_date
         |                THEN 1 ELSE 0 END) AS BIGINT) AS order_new_ct,
-        |       round(sum(l_extendedprice * l_discount), 2)
+        |       round(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |                      AS BIGINT)) / 100.0, 2)
         |         AS activity_reduce_amount,
-        |       round(sum(l_extendedprice * l_tax), 2) AS coupon_reduce_amount,
-        |       round(sum(l_extendedprice), 2) AS original_total_amount
+        |       round(sum(CAST(round(l_extendedprice * l_tax * 100)
+        |                      AS BIGINT)) / 100.0, 2) AS coupon_reduce_amount,
+        |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |             / 100.0, 2) AS original_total_amount
         |FROM flagged GROUP BY cur_date ORDER BY cur_date""".stripMargin,
     "job_tm_cat_refund_window" ->
       """WITH agg AS (
@@ -1034,6 +1039,19 @@ object SparkEntry {
         |       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_embedding_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         round(sqrt(list_sum(list_transform(embedding,
+        |               x -> x::DOUBLE * x::DOUBLE))), 6) AS l2
+        |  FROM embeddings)
+        |SELECT label, count(*) AS vec_ct,
+        |       round(avg(l2), 4) AS avg_norm,
+        |       round(min(l2), 4) AS min_norm,
+        |       round(max(l2), 4) AS max_norm,
+        |       CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_norm_ct
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "llm_content_signals" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -70,6 +70,12 @@ object DwsApps {
     val perUserDay = Window.partitionBy(col("o_custkey"), col("cur_date"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
     val perUser = Window.partitionBy(col("o_custkey"))
+    // amounts sum in exact integer cents: price×rate products carry
+    // many decimals, and a floating sum's last ulp differs between
+    // engines by summation order — 2-decimal rounding of the raw sum is
+    // boundary-flaky (observed 16/2399 rows flipping a cent vs DuckDB)
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100).cast("long")
     joined
       .withColumn("rn", row_number().over(perUserDay))
       .withColumn("first_date", min(col("cur_date")).over(perUser))
@@ -78,11 +84,12 @@ object DwsApps {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("order_uu_ct"),
         sum(when(col("rn") === 1 && col("cur_date") === col("first_date"), 1L)
           .otherwise(0L)).as("order_new_ct"),
-        round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        round(sum(cents(col("l_extendedprice") * col("l_discount"))) / 100.0, 2)
           .as("activity_reduce_amount"),
-        round(sum(col("l_extendedprice") * col("l_tax")), 2)
+        round(sum(cents(col("l_extendedprice") * col("l_tax"))) / 100.0, 2)
           .as("coupon_reduce_amount"),
-        round(sum(col("l_extendedprice")), 2).as("original_total_amount"))
+        round(sum(cents(col("l_extendedprice"))) / 100.0, 2)
+          .as("original_total_amount"))
       .orderBy("cur_date")
   }
 

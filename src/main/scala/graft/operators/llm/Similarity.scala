@@ -243,4 +243,22 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a")
   }
+
+  /** Per-label embedding norm profile — the index-health report run
+    * before building an ANN index (zero-norm vectors break cosine;
+    * wildly varying norms argue for normalization first). One scan,
+    * one hash aggregate; norms via the double-precision HOF dot. */
+  def embeddingStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      // per-row rounding BEFORE the aggregate: the group avg is then a
+      // sum of 6-decimal values, far from any 4-decimal rounding
+      // boundary — immune to cross-engine summation-order ulps
+      .select(col("label"), round(norm(col("embedding")), 6).as("l2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("vec_ct"),
+        round(avg(col("l2")), 4).as("avg_norm"),
+        round(min(col("l2")), 4).as("min_norm"),
+        round(max(col("l2")), 4).as("max_norm"),
+        sum(when(col("l2") === 0.0, 1L).otherwise(0L)).as("zero_norm_ct"))
+      .orderBy("label")
 }
