@@ -152,6 +152,9 @@ object SparkEntry {
     "job_cancel_detail" -> ((s, d) =>
       DwdApps.cancelDetail(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.part(s, d), Joins.baseDic(s))),
+    "job_order_detail" -> ((s, d) =>
+      DwdApps.orderDetail(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Joins.baseDic(s))),
     "job_pay_detail_suc" -> ((s, d) =>
       DwdApps.payDetailSuc(Tables.events(s, d), Joins.baseDic(s))),
     "job_cart_add" -> ((s, d) =>
@@ -746,6 +749,25 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, o_custkey, order_date, status_name,
         |       activity_brand, coupon_type, amount, cancel_date
         |FROM pre WHERE o_orderstatus = 'F'
+        |ORDER BY l_orderkey, l_linenumber, coupon_type, amount""".stripMargin,
+    "job_order_detail" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low'))
+        |SELECT l_orderkey, l_linenumber, o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       dic_name AS status_name,
+        |       coalesce(a.activity_brand, '') AS activity_brand,
+        |       coalesce(c.coupon_type, '') AS coupon_type,
+        |       round(l_extendedprice, 2) AS amount
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN (SELECT p_partkey, p_brand AS activity_brand FROM part
+        |           WHERE p_retailprice > 1500) a ON l_partkey = a.p_partkey
+        |LEFT JOIN (SELECT p_partkey, p_type AS coupon_type FROM part
+        |           WHERE p_size > 40) c ON l_partkey = c.p_partkey
+        |JOIN dic ON o_orderstatus = dic_code
+        |WHERE o_orderstatus <> 'F'
         |ORDER BY l_orderkey, l_linenumber, coupon_type, amount""".stripMargin,
     "job_pay_detail_suc" ->
       """WITH dic(dic_code, dic_name) AS (VALUES

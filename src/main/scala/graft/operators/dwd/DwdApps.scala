@@ -47,6 +47,28 @@ object DwdApps {
         col("amount"))
   }
 
+  /** `DwdTradeOrderDetail` (`DwdTradeOrderDetail.java:89-147`): the
+    * preprocess table filtered to `type='insert'` rows — new-order
+    * detail. The insert set derives from the same orders envelope as
+    * `cancelDetail` (inserts = still-Open orders), completing the
+    * preprocess consumer pair. */
+  def orderDetail(lineitem: DataFrame, orders: DataFrame,
+                  part: DataFrame, dic: DataFrame): DataFrame = {
+    val envelope = orders.select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "F", lit("update"))
+        .otherwise(lit("insert")).as("type"))
+    val inserts = envelope.filter(col("type") === "insert")
+      .select(col("o_orderkey").as("ins_key"))
+    ComposedJobs.orderPreProcess(lineitem, orders, part, dic)
+      .join(inserts, col("l_orderkey") === col("ins_key"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("order_date"), col("status_name"), col("activity_brand"),
+        col("coupon_type"), col("amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("coupon_type"),
+        col("amount"))
+  }
+
   /** `DwdTradePayDetailSuc` (`DwdTradePayDetailSuc.java:43-120`):
     * pay-success rows (P11's status filter) interval-joined to order
     * detail within a bounded retention window, then

@@ -47,13 +47,26 @@ object Components {
     val fs = new Path(scratchRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    def write(df: DataFrame, round: Int): DataFrame = {
-      val dir = s"$scratchRoot/round_$round"
-      df.write.mode("overwrite").parquet(dir)
-      spark.read.parquet(dir)
-    }
+    // Adaptive iteration state. The round body references the previous
+    // round TWICE (symmetrize + self-aggregate), so un-materialized
+    // lineage grows 4^rounds — every round MUST materialize. Big edge
+    // sets round-trip through parquet (lineage cut + spillable, the
+    // 100 TB path); sets under `spark.graft.cc.inMemoryMaxEdges`
+    // materialize through the driver instead (bounded by the threshold
+    // contract — the same kmeansCentroids pattern), skipping two
+    // filesystem jobs per round and leaving zero persisted state.
+    var useFiles = true
+    def write(df: DataFrame, round: Int): DataFrame =
+      if (!useFiles) {
+        val rows = df.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+      } else {
+        val dir = s"$scratchRoot/round_$round"
+        df.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      }
     def drop(round: Int): Unit =
-      fs.delete(new Path(s"$scratchRoot/round_$round"), true)
+      if (useFiles) fs.delete(new Path(s"$scratchRoot/round_$round"), true)
 
     // canonical edge form: u < v, distinct, self-loops dropped
     def canon(df: DataFrame): DataFrame =
@@ -97,10 +110,13 @@ object Components {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
-    var e = write(canon(
+    val canonical = canon(
       edges.select(col("doc_a").cast("long").as("u"),
-        col("doc_b").cast("long").as("v"))), 0)
-    var sig = signature(e)
+        col("doc_b").cast("long").as("v")))
+    var sig = signature(canonical)
+    useFiles = sig._1 > spark.conf
+      .get("spark.graft.cc.inMemoryMaxEdges", "100000").toLong
+    var e = write(canonical, 0)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
