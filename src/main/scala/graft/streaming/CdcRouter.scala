@@ -65,7 +65,15 @@ object CdcRouter {
     * source mapped to N sinks carry N× rows into every slice. */
   def run(spark: SparkSession, cdcStream: DataFrame, config: DataFrame,
           tableCol: String, versionCol: String, outDir: String): Unit = {
-    val cfg = config.collect().map(r => (
+    // the config frame is broadcast-state-sized by contract (one row
+    // per routed table, matching the reference's MapState); guard the
+    // collect so a mis-wired fact table fails loudly, not with an OOM
+    val maxCfg = spark.conf
+      .get("spark.graft.cdc.maxConfigRows", "10000").toLong
+    val cfgRows = config.limit((maxCfg + 1).toInt).collect()
+    require(cfgRows.length <= maxCfg,
+      s"CdcRouter: config exceeds $maxCfg rows — not a config table")
+    val cfg = cfgRows.map(r => (
       r.getAs[String]("source_table"), r.getAs[String]("sink_table"),
       r.getAs[String]("sink_columns"), r.getAs[String]("sink_pk"))).toSeq
     val q = cdcStream.writeStream
