@@ -18,6 +18,10 @@ case class SessionOut(user_id: Long, sess_start: Timestamp, ev_ct: Long,
 /** A per-user visit flag row emitted by the visit-flags kernel. */
 case class VisitFlag(user_id: Long, cur_date: String, is_new: Int)
 
+/** A unique-visitor detail row (first session start per user-day). */
+case class UvDetail(user_id: Long, date_id: String, event_id: Long,
+                    visit_time: String)
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -256,6 +260,47 @@ object StatefulStreams {
             else if (d != last && d > last) { last = d; out += VisitFlag(user, d, 0) }
           }
           state.update((first, last))
+          out.iterator
+      }
+  }
+
+  /** DwdTrafficUniqueVisitorDetail streaming twin
+    * (`DwdTrafficUniqueVisitorDetail.java:52-105`): ONE stateful
+    * operator holding (lastTs, lastEmitDate) per user — a row is a
+    * session start when it is the user's first event or arrives more
+    * than `gapSec` after the previous one, and it is emitted only for
+    * the first session start of its calendar day (the reference's
+    * last-visit ValueState with its 1-day TTL mapped to the day
+    * bucket). Batch twin: `DwdApps.uniqueVisitorDetail` (parity
+    * test); same in-order-replay contract as `visitFlagsStream`. */
+  def uniqueVisitorDetailStream(events: Dataset[Ev],
+                                gapSec: Long = 1800L): Dataset[UvDetail] = {
+    import events.sparkSession.implicits._
+    val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    events
+      .filter(e => (e.event_type == "view" || e.event_type == "click"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, String), UvDetail](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(Long, String)]) =>
+          val day = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          day.setTimeZone(java.util.TimeZone.getTimeZone(zone))
+          val full = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+          full.setTimeZone(java.util.TimeZone.getTimeZone(zone))
+          var (lastTs, lastEmitDate) =
+            state.getOption.getOrElse((Long.MinValue, null: String))
+          val out = scala.collection.mutable.ArrayBuffer[UvDetail]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val start = lastTs == Long.MinValue ||
+              e.ts.getTime - lastTs > gapSec * 1000
+            val d = day.format(e.ts)
+            if (start && d != lastEmitDate) {
+              out += UvDetail(user, d, e.event_id, full.format(e.ts))
+              lastEmitDate = d
+            }
+            lastTs = e.ts.getTime
+          }
+          state.update((lastTs, lastEmitDate))
           out.iterator
       }
   }

@@ -273,6 +273,25 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamDaily, batchDaily)
   }
 
+  test("unique-visitor detail: streaming (session + day state) == batch") {
+    val rows = Seq(
+      Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "view", 1.0),  // day1 start -> emit
+      Ev(2, tsOf("2024-01-01T00:10:00Z"), 1, "view", 1.0),  // same session
+      Ev(3, tsOf("2024-01-01T01:00:00Z"), 1, "click", 1.0), // new session, same day
+      Ev(4, tsOf("2024-01-02T09:00:00Z"), 1, "view", 1.0),  // day2 start -> emit
+      Ev(5, tsOf("2024-01-01T03:00:00Z"), 2, "view", 1.0),  // day1 start -> emit
+      Ev(6, tsOf("2024-01-01T03:05:00Z"), 2, "purchase", 1.0)) // not a page view
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.uniqueVisitorDetailStream(ms.toDS()).writeStream
+      .format("memory").queryName("uvd_out").outputMode("append").start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamRows = spark.table("uvd_out")
+    val batchRows = graft.operators.dwd.DwdApps.uniqueVisitorDetail(rows.toDF())
+    assertSameRows(streamRows, batchRows)
+  }
+
   test("cart-add UU window: streaming (chained dedup + window) == batch") {
     // click rows arrive in (ts, event_id) order so the stream's
     // first-arrival dedup survivor matches the batch total order
