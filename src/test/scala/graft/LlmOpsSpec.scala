@@ -80,6 +80,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rounds.get() <= 10, s"took ${rounds.get()} rounds")
   }
 
+  test("connected components: parquet round path == in-memory path") {
+    // the file-backed iteration is the 100 TB path but only engages
+    // above the in-memory threshold — force it so it stays tested
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val inMem = Components.connectedComponents(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.inMemoryMaxEdges", "0")
+    try {
+      val viaFiles = Components.connectedComponents(path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaFiles == inMem)
+      assert(viaFiles.forall(_._2 == 0L))
+    } finally spark.conf.unset("spark.graft.cc.inMemoryMaxEdges")
+  }
+
   test("canonicalize keeps exactly one doc per near-dup chain") {
     // A~B, B~C with no A~C pair: pairwise dropping can keep two
     // near-dups or drop all three; component-canonical keeps exactly A
