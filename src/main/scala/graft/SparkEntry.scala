@@ -1090,10 +1090,12 @@ object SparkEntry {
         |         AS url_ct,
         |       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS INT)
         |         AS email_ct,
-        |       round(len(regexp_replace(t, '[^0-9]', '', 'g'))
-        |             / len(t)::DOUBLE, 4) AS digit_ratio,
-        |       round(len(regexp_replace(t, '[^A-Z]', '', 'g'))
-        |             / len(t)::DOUBLE, 4) AS upper_ratio
+        |       CASE WHEN len(t) > 0 THEN
+        |         round(len(regexp_replace(t, '[^0-9]', '', 'g'))
+        |               / len(t)::DOUBLE, 4) END AS digit_ratio,
+        |       CASE WHEN len(t) > 0 THEN
+        |         round(len(regexp_replace(t, '[^A-Z]', '', 'g'))
+        |               / len(t)::DOUBLE, 4) END AS upper_ratio
         |FROM aug ORDER BY doc_id""".stripMargin,
     // twin-variant oracles: replay the dedup machinery on the
     // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token

@@ -39,11 +39,18 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
                           roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None): DataFrame = {
     val spark = edges.sparkSession
-    val scratchRoot = spark.conf.get("spark.graft.cc.scratch", {
-      val d = Files.createTempDirectory("graft-cc-")
-      d.toFile.deleteOnExit()
-      d.toString
-    })
+    // per-call unique subdir: two runs sharing a configured scratch
+    // root (or racing concurrently) must never overwrite each other's
+    // round files — the FINAL round backs the returned frame for its
+    // whole lifetime. The conf names the parent only; stale call dirs
+    // are the caller's periodic cleanup (same contract as any staging
+    // area). The temp default is created lazily, only when needed.
+    val scratchRoot = spark.conf.getOption("spark.graft.cc.scratch")
+      .getOrElse {
+        val d = Files.createTempDirectory("graft-cc-")
+        d.toFile.deleteOnExit()
+        d.toString
+      } + s"/cc-${java.util.UUID.randomUUID().toString.take(8)}"
     val fs = new Path(scratchRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -174,10 +174,14 @@ object Multimodal {
   }
 
   /** Image near-duplicate pairs: band the 64-bit aHash into 4×16-bit
-    * chunks (a pair within `maxHamming` ≤ 15 bits must agree on ≥1
-    * whole chunk — same pigeonhole as the SimHash text path), bucket-
-    * join on (band, chunk), then verify exact Hamming distance. The
-    * candidate set is linear in |images|×4, never all-pairs. */
+    * chunks, bucket-join on (band, chunk), then verify exact Hamming
+    * distance — the SimHash text path's geometry. Recall: pigeonhole
+    * GUARANTEES a shared chunk only for Hamming ≤ 3; for 4..maxHamming
+    * a pair is missed iff its differing bits spread across ALL four
+    * chunks (~9% of 4-bit pairs under uniform spread, rarer as bits
+    * concentrate), the standard LSH recall trade — narrower 8-bit
+    * bands would guarantee ≤7 but inflate random chunk collisions
+    * 256×, going quadratic on large corpora. */
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 8): DataFrame = {
     val hashes = imageHashes(spark, media)

@@ -203,9 +203,13 @@ object TextAnalysis {
         length(regexp_replace(col("t"), "[^0-9]", "")).as("digit_chars"),
         length(regexp_replace(col("t"), "[^A-Z]", "")).as("upper_chars"))
       .select(col("doc_id"), col("url_ct"), col("email_ct"),
-        round(col("digit_chars") / col("n_chars").cast("double"), 4)
+        // when-guarded like repetition(): ANSI rejects a zero divisor,
+        // and an empty doc must yield NULL ratios, not a query failure
+        when(col("n_chars") > 0,
+          round(col("digit_chars") / col("n_chars").cast("double"), 4))
           .as("digit_ratio"),
-        round(col("upper_chars") / col("n_chars").cast("double"), 4)
+        when(col("n_chars") > 0,
+          round(col("upper_chars") / col("n_chars").cast("double"), 4))
           .as("upper_ratio"))
       .orderBy("doc_id")
   }

@@ -188,13 +188,22 @@ object TxLog {
       fs.mkdirs(dataDir)
       val staged = fs.listStatus(tmp).toSeq
         .filter(_.getPath.getName.startsWith(s"$partCol="))
-        .flatMap { dir =>
+        .zipWithIndex.flatMap { case (dir, idx) =>
+          // Hive-style dir names percent-escape specials but leave '+'
+          // literal; URLDecoder would turn that '+' into a space, so
+          // shield it before decoding. The value goes ONLY into the
+          // manifest (file names use a partition index — a value
+          // containing '/' must not become a path segment), and the
+          // manifest line format forbids its two separator chars.
           val value = java.net.URLDecoder.decode(
-            dir.getPath.getName.stripPrefix(s"$partCol="), "UTF-8")
+            dir.getPath.getName.stripPrefix(s"$partCol=")
+              .replace("+", "%2B"), "UTF-8")
+          require(!value.contains('\u0001') && !value.contains('\n'),
+            s"TxLog: partition value contains a manifest separator: '$value'")
           fs.listStatus(dir.getPath)
             .filter(_.getPath.getName.startsWith("part-"))
             .map { st =>
-              val name = s"c$commitId-$value-${st.getPath.getName}"
+              val name = s"c$commitId-p$idx-${st.getPath.getName}"
               if (!fs.rename(st.getPath, new Path(dataDir, name)))
                 sys.error(s"TxLog: failed to stage ${st.getPath}")
               FileEntry(s"$DataDir/$name", Some((partCol, value)))
@@ -250,9 +259,15 @@ object TxLog {
   }
 
   /** Delete data files no manifest references (the residue of crashed
-    * or beaten commits). Never touches committed history. Returns the
-    * number of files removed. */
-  def vacuumOrphans(spark: SparkSession, table: String): Int = {
+    * or beaten commits). Never touches committed history, and — like
+    * Delta's retention window — never touches files younger than
+    * `graceMs`: an in-flight commit stages its files into `data/`
+    * BEFORE publishing its manifest, so an age floor is what keeps a
+    * concurrent vacuum from deleting a commit that is about to
+    * succeed. Pass 0 only when no writer can be active (tests do).
+    * Returns the number of files removed. */
+  def vacuumOrphans(spark: SparkSession, table: String,
+                    graceMs: Long = 3600L * 1000): Int = {
     val fs = fsOf(spark, table)
     val logDir = new Path(s"$table/$LogDir")
     val dataDir = new Path(s"$table/$DataDir")
@@ -263,7 +278,10 @@ object TxLog {
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
         .flatMap(v => readManifest(fs, table, v).files.map(_.path)).toSet
-    fs.listStatus(dataDir).map(_.getPath)
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(dataDir)
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath)
       .filterNot(p => referenced.contains(s"$DataDir/${p.getName}"))
       .count { p => fs.delete(p, false) }
   }

@@ -70,7 +70,10 @@ object CdcRouter {
     // collect so a mis-wired fact table fails loudly, not with an OOM
     val maxCfg = spark.conf
       .get("spark.graft.cdc.maxConfigRows", "10000").toLong
-    val cfgRows = config.limit((maxCfg + 1).toInt).collect()
+    // clamp: a sky-high "disable the guard" setting must not overflow
+    // into a negative limit()
+    val probe = math.min(maxCfg + 1, Int.MaxValue.toLong).toInt
+    val cfgRows = config.limit(probe).collect()
     require(cfgRows.length <= maxCfg,
       s"CdcRouter: config exceeds $maxCfg rows — not a config table")
     val cfg = cfgRows.map(r => (

@@ -149,7 +149,12 @@ object StatefulStreams {
     * range. */
   def streamStreamIntervalJoin(left: DataFrame, right: DataFrame,
                                rangeSeconds: Long = 3600L,
-                               watermark: String = "2 seconds"): DataFrame = {
+                               watermark: String = "2 seconds"): DataFrame =
+    intervalJoin(left, right, rangeSeconds, watermark, "inner")
+
+  private def intervalJoin(left: DataFrame, right: DataFrame,
+                           rangeSeconds: Long, watermark: String,
+                           joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col("event_id").as("signup_id"), col("user_id"),
         col("ts").as("signup_ts"))
@@ -159,7 +164,8 @@ object StatefulStreams {
     l.join(r,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") > col("signup_ts") &&
-        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"))
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"),
+      joinType)
   }
 
   /** J2 streaming — watermarked stream-stream LEFT OUTER join
@@ -173,19 +179,8 @@ object StatefulStreams {
     * the left-outer interval join in `StreamingParitySpec`. */
   def streamStreamLeftOuterJoin(left: DataFrame, right: DataFrame,
                                 rangeSeconds: Long = 3600L,
-                                watermark: String = "2 seconds"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-      .select(col("event_id").as("signup_id"), col("user_id"),
-        col("ts").as("signup_ts"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-    l.join(r,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_ts") > col("signup_ts") &&
-        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $rangeSeconds SECONDS"),
-      "left_outer")
-  }
+                                watermark: String = "2 seconds"): DataFrame =
+    intervalJoin(left, right, rangeSeconds, watermark, "left_outer")
 
   /** A10 streaming — daily unique-visitor dedup
     * (`DwdTrafficUniqueVisitorDetail.java:76-105`: per-mid ValueState

@@ -49,6 +49,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("content signals: empty doc yields NULL ratios, not a divide error") {
+    // doc_id chosen off the %5/%7 injection lattice so text stays empty
+    val fixture = Seq((1L, ""), (2L, "Visit HTTP 42 things")).toDF("doc_id", "text")
+    val r = TextAnalysis.contentSignals(fixture).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).isNullAt(3) && r(1L).isNullAt(4))
+    assert(!r(2L).isNullAt(3) && r(2L).getDouble(4) > 0.0)
+  }
+
   test("repetition signals flag a generation loop, pass normal prose") {
     val fixture = Seq(
       (1L, "spam ham spam ham spam ham spam ham spam ham"),
