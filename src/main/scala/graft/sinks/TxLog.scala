@@ -3,7 +3,6 @@ package graft.sinks
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
