@@ -22,6 +22,10 @@ case class VisitFlag(user_id: Long, cur_date: String, is_new: Int)
 case class UvDetail(user_id: Long, date_id: String, event_id: Long,
                     visit_time: String)
 
+/** An event tagged by the late-row splitter. */
+case class TaggedEv(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, is_late: Boolean)
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -256,6 +260,33 @@ object StatefulStreams {
           }
           state.update((first, last))
           out.iterator
+      }
+  }
+
+  /** `allowedLateness` side output — the reference's
+    * `sideOutputLateData` (Flink sends beyond-allowance rows to a side
+    * topic instead of dropping them). Spark's stateful aggregations
+    * drop late rows silently, but `flatMapGroupsWithState` receives
+    * ALL rows and can observe the current watermark — so this kernel
+    * tags each row `is_late` = (event time < watermark) and emits it
+    * either way. Downstream routes: on-time → the windowed aggregate
+    * (whose own watermark drop is now a no-op — late rows were split
+    * off), late → the K7 quarantine sink, exactly the reference's
+    * side-output wiring. Within-allowance updates are Spark-native:
+    * the watermark delay IS the allowance (update-mode re-emission).
+    * Stateless per key — no stored state, nothing to expire. */
+  def lateRowSplit(events: Dataset[Ev],
+                   watermark: String = "2 seconds"): Dataset[TaggedEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, TaggedEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Boolean]) =>
+          val wm = state.getCurrentWatermarkMs()
+          it.map(e => TaggedEv(e.event_id, e.ts, e.user_id, e.event_type,
+            e.value, e.ts.getTime < wm)).toIndexedSeq.iterator
       }
   }
 

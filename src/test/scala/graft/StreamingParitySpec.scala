@@ -273,6 +273,28 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamDaily, batchDaily)
   }
 
+  test("late-row split: beyond-watermark rows are tagged, not dropped") {
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.lateRowSplit(ms.toDS()).writeStream
+      .format("memory").queryName("late_out").outputMode("append").start()
+    // batch 1 advances the watermark to 09:59:58 (10:00:00 - 2 s)
+    ms.addData(
+      Ev(1, tsOf("2024-01-01T09:00:00Z"), 1, "view", 1.0),
+      Ev(2, tsOf("2024-01-01T10:00:00Z"), 1, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: one genuinely late row, one on-time row
+    ms.addData(
+      Ev(3, tsOf("2024-01-01T08:00:00Z"), 1, "view", 1.0),
+      Ev(4, tsOf("2024-01-01T10:30:00Z"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // every row survives; only the beyond-watermark one is tagged —
+    // the reference's sideOutputLateData vs Spark's silent drop
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false), out)
+  }
+
   test("unique-visitor detail: streaming (session + day state) == batch") {
     val rows = Seq(
       Ev(1, tsOf("2024-01-01T00:00:00Z"), 1, "view", 1.0),  // day1 start -> emit
