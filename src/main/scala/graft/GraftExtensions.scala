@@ -15,9 +15,10 @@ import graft.functions.{CosineSim, Mix64}
   * // or: --conf spark.sql.extensions=graft.GraftExtensions
   * }}}
   *
-  * No custom optimizer rules or planner strategies are injected: every
-  * reference operator maps onto Catalyst's existing ones (SURVEY §4),
-  * and the two custom expressions are pure scalar functions.
+  * One OPT-IN optimizer rule is injected (`plans.FuseCosine`,
+  * `spark.graft.fuseCosine.enabled`): it rewrites the canonical HOF
+  * cosine tree to the fused `CosineSim`. Everything else maps onto
+  * Catalyst's existing operators (SURVEY §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
@@ -25,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name expects $n arguments, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),

@@ -27,6 +27,32 @@ class ExtensionsSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("expects"))
   }
 
+  test("FuseCosine rewrites the HOF cosine tree to CosineSim when enabled") {
+    import graft.operators.llm.Similarity
+    // parquet-backed (a local Seq relation constant-folds at optimize
+    // time and the rule never sees the expression)
+    val df = core.Tables.embeddings(spark, sf0001)
+      .select(transform(col("embedding"), x => x.cast("double")).as("a"),
+        reverse(transform(col("embedding"), x => x.cast("double"))).as("b"))
+    val hof = df.select(Similarity.cosineHof(col("a"), col("b")).as("c"))
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseCosine
+    // default off: the optimized plan keeps the interpreted aggregate
+    assert(hof.queryExecution.optimizedPlan.toString.contains("aggregate("))
+    spark.conf.set("spark.graft.fuseCosine.enabled", "true")
+    try {
+      val fused = df.select(Similarity.cosineHof(col("a"), col("b")).as("c"))
+      val opt = fused.queryExecution.optimizedPlan.toString
+      assert(opt.contains("cosinesim"), opt)
+      assert(!opt.contains("aggregate("), opt)
+      // same answers on non-degenerate vectors, bit for bit
+      val expect = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+        .collect().map(_.getDouble(0))
+      assert(fused.collect().map(_.getDouble(0)).sameElements(expect))
+    } finally spark.conf.unset("spark.graft.fuseCosine.enabled")
+  }
+
   test("A10 streaming dedup == batch daily-first semantics") {
     val evs = Seq(
       Ev(1, tsOf("2024-01-01T01:00:00Z"), 1, "view", 1.0),
