@@ -211,6 +211,11 @@ object SparkEntry {
       llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
     "llm_embedding_stats" -> ((s, d) =>
       llm.Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "llm_decontaminate" -> ((s, d) => {
+      val (corpus, bench) =
+        llm.DedupOps.contaminationFixture(Tables.documents(s, d))
+      llm.DedupOps.contaminationReport(corpus, bench)
+    }),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -1074,6 +1079,41 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS zero_norm_ct
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "llm_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |bench AS (
+        |  SELECT doc_id / 97 AS b_idx,
+        |         array_to_string(t[1:12], ' ') AS snippet, t AS bt
+        |  FROM tok WHERE doc_id % 97 = 0),
+        |corpus AS (
+        |  SELECT d.doc_id,
+        |         list_filter(string_split_regex(lower(
+        |           CASE WHEN d.doc_id % 31 = 5 AND b.snippet IS NOT NULL
+        |                THEN d.text || ' ' || b.snippet
+        |                ELSE d.text END), '\s+'), w -> w <> '') AS t
+        |  FROM tok d LEFT JOIN bench b ON d.doc_id % 5 = b.b_idx
+        |  WHERE d.doc_id % 97 <> 0),
+        |cg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |    list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |           || ' ' || t[i+7]) ELSE [] END) AS gram
+        |  FROM corpus),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(bt) >= 8 THEN
+        |    list_transform(generate_series(1, len(bt) - 7),
+        |      i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2] || ' ' || bt[i+3]
+        |           || ' ' || bt[i+4] || ' ' || bt[i+5] || ' ' || bt[i+6]
+        |           || ' ' || bt[i+7]) ELSE [] END) AS gram
+        |  FROM bench)
+        |SELECT doc_id, count(DISTINCT gram) AS leaked_gram_ct
+        |FROM cg JOIN bg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_content_signals" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -361,6 +361,72 @@ object DedupOps {
       .orderBy("doc_a")
   }
 
+  /** Relational word n-gram rows for arbitrary n — `shingleRows`
+    * generalized (one posexplode + n-1 `lead()` columns over a single
+    * doc_id window; docs shorter than n emit nothing, correct for the
+    * long-gram uses below). */
+  def gramRows(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
+    val withLeads = (1 until n).foldLeft(words)((df, i) =>
+      df.withColumn(s"w$i", lead(col("w"), i).over(byDoc)))
+    val gramCols = col("w") +: (1 until n).map(i => col(s"w$i"))
+    (if (n > 1) withLeads.filter(col(s"w${n - 1}").isNotNull) else withLeads)
+      .select(col("doc_id"), concat_ws(" ", gramCols: _*).as("gram"))
+  }
+
+  /** Benchmark decontamination — the training-data hygiene pass that
+    * removes eval-set leakage before training: flag every corpus doc
+    * sharing at least one exact `n`-gram (default 8, long enough that
+    * chance collisions vanish) with any benchmark document. The
+    * benchmark gram set is |bench|×grams rows — eval suites are tiny
+    * relative to a corpus — so it broadcasts and the corpus is scanned
+    * once; at benchmark sizes past broadcast the same plan shuffles on
+    * the gram hash. Output: one row per contaminated doc with the
+    * count of distinct leaked grams (`decontaminate` keeps the clean
+    * complement). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val benchGrams = broadcast(
+      gramRows(benchmark, n).select(col("gram")).distinct())
+    gramRows(corpus, n)
+      .join(benchGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("leaked_gram_ct"))
+      .orderBy("doc_id")
+  }
+
+  /** The clean complement: corpus rows with no benchmark n-gram. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 8): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, benchmark, n).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
+  /** Deterministic contamination fixture for the driver oracle: the
+    * benchmark is every 97th doc; corpus docs with `doc_id % 31 == 5`
+    * whose `doc_id % 5` matches a benchmark index get that benchmark's
+    * first 12 tokens appended — 5 planted 8-grams each, replayable in
+    * SQL. Returns (corpus-with-injections, benchmark). */
+  def contaminationFixture(documents: DataFrame): (DataFrame, DataFrame) = {
+    val benchmark = documents.filter(col("doc_id") % 97 === 0)
+    val snippets = broadcast(benchmark.select(
+      (col("doc_id") / 97).cast("long").as("b_idx"),
+      concat_ws(" ", slice(Tokenize.tokens(col("text")), 1, 12)).as("snippet")))
+    val corpus = documents.filter(col("doc_id") % 97 =!= 0)
+      .join(snippets, col("doc_id") % 5 === col("b_idx"), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") % 31 === 5 && col("snippet").isNotNull,
+          concat_ws(" ", col("text"), col("snippet")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    (corpus, benchmark)
+  }
+
   /** Deterministic near-duplicate generator for exercising the dedup
     * operators at any scale: every `every`-th doc gets a mutated twin
     * (doc_id + 1_000_000) with every 15th token dropped (shingle

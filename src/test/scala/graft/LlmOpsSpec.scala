@@ -49,6 +49,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("decontamination: planted eval leakage flagged, clean corpus untouched") {
+    val (corpus, bench) = DedupOps.contaminationFixture(docs)
+    val report = DedupOps.contaminationReport(corpus, bench)
+    val flagged = report.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every planted doc (id%31==5 with a matching benchmark index) is
+    // caught with its 5 intact appended 8-grams; the small-vocabulary
+    // corpus ALSO contains genuine verbatim repeats of benchmark
+    // grams (boilerplate — the thing decontamination exists to catch),
+    // so planted is a subset, not the whole set
+    val benchIdx = bench.select((col("doc_id") / 97).cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val planted = corpus.filter(col("doc_id") % 31 === 5).select("doc_id")
+      .collect().map(_.getLong(0)).filter(id => benchIdx.contains(id % 5))
+    assert(flagged.nonEmpty)
+    assert(planted.forall(flagged.contains), s"planted not all flagged")
+    assert(planted.forall(id => flagged(id) >= 5L), flagged.toString)
+    // the clean complement drops exactly the flagged docs
+    val clean = DedupOps.decontaminate(corpus, bench)
+    assert(clean.count() == corpus.count() - flagged.size)
+    assert(DedupOps.contaminationReport(clean, bench).count() == 0)
+  }
+
   test("content signals: empty doc yields NULL ratios, not a divide error") {
     // doc_id chosen off the %5/%7 injection lattice so text stays empty
     val fixture = Seq((1L, ""), (2L, "Visit HTTP 42 things")).toDF("doc_id", "text")
