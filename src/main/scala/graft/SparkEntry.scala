@@ -211,6 +211,8 @@ object SparkEntry {
       llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
     "llm_embedding_stats" -> ((s, d) =>
       llm.Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "llm_sequence_packing" -> ((s, d) =>
+      llm.Sampling.sequencePacking(Tables.documents(s, d))),
     "llm_decontaminate" -> ((s, d) => {
       val (corpus, bench) =
         llm.DedupOps.contaminationFixture(Tables.documents(s, d))
@@ -1079,6 +1081,18 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS zero_norm_ct
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "llm_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              w -> w <> '')) AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_tokens,
+        |       CAST(floor((CAST(sum(n_tokens) OVER (
+        |              PARTITION BY lang, source ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+        |            / 2048.0) AS BIGINT) AS pack_id
+        |FROM t ORDER BY lang, source, doc_id""".stripMargin,
     "llm_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, text,

@@ -1,5 +1,6 @@
 package graft.operators.llm
 
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -32,6 +33,31 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("doc_id")
+
+  /** Deterministic sequence packing — assign docs to fixed-token-budget
+    * packs for training (short docs concatenated up to `seqLen`
+    * tokens). Exact greedy packing is inherently sequential; the
+    * distributed form is the standard streaming-cumsum approximation:
+    * within each (lang, source) stream, docs in stable doc_id order
+    * are cut into packs wherever the running token total crosses the
+    * budget. One window pass per stream — a pack can overshoot by at
+    * most one document, the same bound the sequential packer has when
+    * it cannot split documents. Deterministic under retries and
+    * repartitioning (ordering is (doc_id), not arrival). */
+  def sequencePacking(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val byStream = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(graft.functions.Tokenize.tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(byStream).cast("long"))
+      .withColumn("pack_id",
+        ((col("cum_tokens") - col("n_tokens")) / seqLen).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("pack_id"))
+      .orderBy("lang", "source", "doc_id")
+  }
 
   /** Corpus report: per (lang, source) doc counts and char volume —
     * the summary a pipeline emits after every build stage. One

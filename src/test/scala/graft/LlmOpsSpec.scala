@@ -49,6 +49,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("sequence packing: packs stay within budget + one document overshoot") {
+    import graft.operators.llm.Sampling
+    val packed = Sampling.sequencePacking(docs, seqLen = 256)
+    val packSums = packed.groupBy("lang", "source", "pack_id")
+      .agg(sum(col("n_tokens")).as("tok"), count(lit(1)).as("docs")).collect()
+    val maxDoc = packed.agg(max(col("n_tokens"))).collect()(0).getInt(0)
+    assert(packSums.forall(_.getLong(3) <= 256L + maxDoc))
+    // multi-doc packs exist (the op actually packs, not 1 doc per pack)
+    assert(packSums.exists(_.getLong(4) > 1))
+  }
+
   test("decontamination: planted eval leakage flagged, clean corpus untouched") {
     val (corpus, bench) = DedupOps.contaminationFixture(docs)
     val report = DedupOps.contaminationReport(corpus, bench)
