@@ -71,6 +71,32 @@ object StreamingDedup {
         round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
+  /** Stateless contamination probe at ingest: the streaming twin of
+    * `DedupOps.contaminationReport`. The benchmark's distinct n-grams
+    * are DRIVER-BOUNDED (eval suites are tiny) and ship as one literal
+    * array, so the probe is a single narrow expression per row —
+    * gram-array build + `array_intersect` — no join, no state, restart
+    * = replay. Emits (doc_id, leaked_gram_ct) for contaminated docs
+    * only; route them to the K7 quarantine before they reach the
+    * corpus. The batch gram builder (posexplode + window) is not
+    * streaming-legal, hence the per-row array form here — bit-equal
+    * counts proven in `StreamingDedupSpec`. */
+  def contaminationProbe(stream: DataFrame, benchmark: DataFrame,
+                         n: Int = 8): DataFrame = {
+    val benchGrams = DedupOps.gramRows(benchmark, n)
+      .select(col("gram")).distinct().collect().map(_.getString(0)).toSeq
+    val ws = graft.functions.Tokenize.tokens(col("text"))
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array())
+    stream
+      .select(col("doc_id"),
+        size(array_intersect(grams, typedlit(benchGrams)))
+          .cast("long").as("leaked_gram_ct"))
+      .filter(col("leaked_gram_ct") > 0)
+  }
+
   /** Exact dedup at ingest: content-hash + watermark-bounded state
     * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
     * state for a hash is dropped once the watermark passes it, so a

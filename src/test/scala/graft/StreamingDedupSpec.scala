@@ -27,6 +27,18 @@ class StreamingDedupSpec extends SparkTestBase {
     assertSameRows(batch, inline)
   }
 
+  test("contamination probe (stateless array form) == batch report counts") {
+    val (corpus, bench) = DedupOps.contaminationFixture(
+      Tables.documents(spark, sf0001))
+    val batch = DedupOps.contaminationReport(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probe = graft.streaming.StreamingDedup
+      .contaminationProbe(corpus, bench) // same expressions, batch frame
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(probe == batch, s"probe=$probe batch=$batch")
+    assert(batch.nonEmpty)
+  }
+
   test("near-dup probe stream flags planted near-duplicates against the index") {
     val base = Tables.documents(spark, sf0001)
     val index = StreamingDedup.bandIndex(base)
