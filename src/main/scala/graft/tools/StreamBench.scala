@@ -104,6 +104,8 @@ object StreamBench {
           when(col("event_type") === "cart", "click")
             .otherwise(col("event_type"))))),
       "neardup_probe" -> (() => StreamingDedup.nearDupProbe(docStream, docIndex)),
+      "contamination_probe" -> (() => StreamingDedup.contaminationProbe(
+        docStream, graft.core.Tables.documents(spark, sfDir).limit(20))),
       "ann_probe" -> (() => StreamingAnn.probe(embStream, centArr, cellIdx)))
 
     val results = kernels.map { case (name, k) =>
