@@ -46,19 +46,24 @@ object Tokenize {
         .otherwise(array(t))))
   }
 
+  /** Scala-side twin of `tokens` (same lowercase/Han-bigram rules) for
+    * typed `mapPartitions` paths that tokenize in plain JVM code. */
+  private[graft] def tokensScala(s: String): Seq[String] =
+    if (s == null) Seq.empty[String]
+    else {
+      val spaced = s.toLowerCase.replaceAll("(\\p{IsHan}+)", " $1 ")
+      spaced.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
+        if (t.length >= 2 && t.matches("\\p{IsHan}+"))
+          t.sliding(2).toSeq
+        else Seq(t)
+      }
+    }
+
   /** U1-contract UDF: tokenizes (same semantics as `tokens`), and on
     * any error emits the input unchanged as a single token
     * (`SplitFunction.java:28-33`). */
   val tokenizeUdf = udf { (s: String) =>
-    if (s == null) Seq.empty[String]
-    else
-      try {
-        val spaced = s.toLowerCase.replaceAll("(\\p{IsHan}+)", " $1 ")
-        spaced.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
-          if (t.length >= 2 && t.matches("\\p{IsHan}+"))
-            t.sliding(2).toSeq
-          else Seq(t)
-        }
-      } catch { case _: Throwable => Seq(s) }
+    try tokensScala(s)
+    catch { case _: Throwable => Seq(s) }
   }
 }

@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** One JVM-scoped temp parent for unconfigured scratch, removed
+    * recursively on shutdown — each call's final round files must
+    * outlive their returned frame, so they cannot be cleaned earlier. */
+  private lazy val tempRoot: String = {
+    val d = Files.createTempDirectory("graft-cc-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
+
   /** Resolve each node of `edges` (cols `doc_a`, `doc_b`) to its
     * component id (the minimum doc_id reachable from it). Nodes with no
     * edges do not appear — union them back as their own singleton
@@ -43,14 +58,13 @@ object Components {
     // root (or racing concurrently) must never overwrite each other's
     // round files — the FINAL round backs the returned frame for its
     // whole lifetime. The conf names the parent only; stale call dirs
-    // are the caller's periodic cleanup (same contract as any staging
-    // area). The temp default is created lazily, only when needed.
+    // there are the caller's periodic cleanup (same contract as any
+    // staging area). The temp default is one JVM-scoped parent removed
+    // recursively at shutdown (deleteOnExit alone never fires on a
+    // non-empty directory).
     val scratchRoot = spark.conf.getOption("spark.graft.cc.scratch")
-      .getOrElse {
-        val d = Files.createTempDirectory("graft-cc-")
-        d.toFile.deleteOnExit()
-        d.toString
-      } + s"/cc-${java.util.UUID.randomUUID().toString.take(8)}"
+      .getOrElse(tempRoot) +
+      s"/cc-${java.util.UUID.randomUUID().toString.take(8)}"
     val fs = new Path(scratchRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 

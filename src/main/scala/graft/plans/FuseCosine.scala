@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.CosineSim
 
 /** Optimizer rule: rewrite the canonical higher-order-function cosine —
@@ -30,21 +30,40 @@ object FuseCosine extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def isVar(e: Expression): Boolean =
-    stripCast(e).isInstanceOf[NamedLambdaVariable]
+  /** The lambda body must use BOTH bound parameters, once each —
+    * `x*x` or `s+s` is not a dot/sum and must not fuse. */
+  private def usesBothParams(l: Expression, r: Expression,
+                             params: Seq[NamedLambdaVariable]): Boolean =
+    (stripCast(l), stripCast(r)) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        params.length == 2 &&
+          Set(a.exprId, b.exprId) == params.map(_.exprId).toSet
+      case _ => false
+    }
+
+  /** CosineSim's loop reads 8-byte doubles / 4-byte floats; any other
+    * element type would mis-read raw ArrayData after the unchecked
+    * post-analysis rewrite. */
+  private def fusableArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   /** Matches `aggregate(zip_with(x, y, (p,q) -> p*q), 0.0, (a,v) -> a+v)`
     * with the identity finish lambda — the `Similarity.dot` shape. */
   private object Dot {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(x, y, LambdaFunction(mul: Multiply, _, _)),
+            ZipWith(x, y, LambdaFunction(mul: Multiply, mulArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(add: Add, _, _),
+            LambdaFunction(add: Add, addArgs, _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _))
-          if isVar(mul.left) && isVar(mul.right) &&
-            isVar(add.left) && isVar(add.right) &&
-            fin.exprId == arg.exprId =>
+          if usesBothParams(mul.left, mul.right,
+              mulArgs.collect { case v: NamedLambdaVariable => v }) &&
+            usesBothParams(add.left, add.right,
+              addArgs.collect { case v: NamedLambdaVariable => v }) &&
+            fin.exprId == arg.exprId &&
+            fusableArray(x) && fusableArray(y) =>
         Some((x, y))
       case _ => None
     }

@@ -284,9 +284,12 @@ object StatefulStreams {
       .flatMapGroupsWithState[Boolean, TaggedEv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_, it, state: GroupState[Boolean]) =>
+          // no state is written, so the lazily mapped iterator can be
+          // returned as-is — buffering a hot key's whole micro-batch
+          // here would be pure memory pressure
           val wm = state.getCurrentWatermarkMs()
           it.map(e => TaggedEv(e.event_id, e.ts, e.user_id, e.event_type,
-            e.value, e.ts.getTime < wm)).toIndexedSeq.iterator
+            e.value, e.ts.getTime < wm))
       }
   }
 
@@ -313,18 +316,23 @@ object StatefulStreams {
           day.setTimeZone(java.util.TimeZone.getTimeZone(zone))
           val full = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
           full.setTimeZone(java.util.TimeZone.getTimeZone(zone))
+          // gap compare in MICROseconds: the batch twin uses
+          // unix_micros and the events table carries micro precision —
+          // a millisecond compare would disagree at sub-ms boundaries
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
           var (lastTs, lastEmitDate) =
             state.getOption.getOrElse((Long.MinValue, null: String))
           val out = scala.collection.mutable.ArrayBuffer[UvDetail]()
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val start = lastTs == Long.MinValue ||
-              e.ts.getTime - lastTs > gapSec * 1000
+              micros(e.ts) - lastTs > gapSec * 1000000L
             val d = day.format(e.ts)
             if (start && d != lastEmitDate) {
               out += UvDetail(user, d, e.event_id, full.format(e.ts))
               lastEmitDate = d
             }
-            lastTs = e.ts.getTime
+            lastTs = micros(e.ts)
           }
           state.update((lastTs, lastEmitDate))
           out.iterator

@@ -73,28 +73,38 @@ object StreamingDedup {
 
   /** Stateless contamination probe at ingest: the streaming twin of
     * `DedupOps.contaminationReport`. The benchmark's distinct n-grams
-    * are DRIVER-BOUNDED (eval suites are tiny) and ship as one literal
-    * array, so the probe is a single narrow expression per row —
-    * gram-array build + `array_intersect` — no join, no state, restart
-    * = replay. Emits (doc_id, leaked_gram_ct) for contaminated docs
-    * only; route them to the K7 quarantine before they reach the
-    * corpus. The batch gram builder (posexplode + window) is not
-    * streaming-legal, hence the per-row array form here — bit-equal
-    * counts proven in `StreamingDedupSpec`. */
+    * are DRIVER-BOUNDED (eval suites are tiny) and broadcast as one
+    * hash set; each row tokenizes once in plain JVM code and slides an
+    * n-window over its tokens — no join, no state, restart = replay.
+    * Typed `mapPartitions` (not expressions) deliberately: the batch
+    * gram builder (posexplode + window) is not streaming-legal, and an
+    * expression-level per-row gram array re-evaluates the tokenize
+    * pipeline inside the interpreted lambda (CollapseProject inlines
+    * the binding back — measured ~1.7k rows/s vs ~54k for this form).
+    * Emits (doc_id, leaked_gram_ct) for contaminated docs only; route
+    * them to the K7 quarantine before they reach the corpus.
+    * Count-exact vs the batch report (`StreamingDedupSpec`). */
   def contaminationProbe(stream: DataFrame, benchmark: DataFrame,
                          n: Int = 8): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
     val benchGrams = DedupOps.gramRows(benchmark, n)
-      .select(col("gram")).distinct().collect().map(_.getString(0)).toSeq
-    val ws = graft.functions.Tokenize.tokens(col("text"))
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
-      .otherwise(array())
-    stream
-      .select(col("doc_id"),
-        size(array_intersect(grams, typedlit(benchGrams)))
-          .cast("long").as("leaked_gram_ct"))
-      .filter(col("leaked_gram_ct") > 0)
+      .select(col("gram")).distinct().collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(benchGrams)
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bench = bc.value
+        it.flatMap { case (id, text) =>
+          val t = graft.functions.Tokenize.tokensScala(text)
+          val leaked =
+            if (t.length < n) 0
+            else t.sliding(n).map(_.mkString(" ")).filter(bench.contains)
+              .toSet.size
+          if (leaked > 0) Some((id, leaked.toLong)) else None
+        }
+      }
+      .toDF("doc_id", "leaked_gram_ct")
   }
 
   /** Exact dedup at ingest: content-hash + watermark-bounded state
