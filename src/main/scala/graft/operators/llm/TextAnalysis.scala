@@ -214,6 +214,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Redaction — the scrub twin of `contentSignals`: URLs and email
+    * mentions replaced with typed placeholders before text ships to
+    * training. Same injection fixture and Java/RE2-common patterns, so
+    * DuckDB replays the rewrite verbatim; `redaction_ct` counts the
+    * replaced spans so the pipeline can report scrub volume. */
+  def redact(documents: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" see https://ex.org/p/"), col("doc_id"),
+          lit(" and http://a.io"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" mail bot"), col("doc_id"), lit("@spam.example")))
+        .otherwise(lit("")))
+    val urlPat = "https?://[a-z0-9./]+"
+    val mailPat = "[a-z0-9.]+@[a-z0-9.]+"
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), urlPat, "<URL>"),
+          mailPat, "<EMAIL>").as("text_redacted"),
+        (regexp_count(col("t"), lit(urlPat)) +
+          regexp_count(col("t"), lit(mailPat))).as("redaction_ct"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-count percentiles per language — corpus length
     * profiling (sequence-length budgeting for training). Exact
     * `percentile` (continuous interpolation, matches DuckDB's
@@ -231,6 +256,36 @@ object TextAnalysis {
         round(expr("percentile(n_tokens, 0.99)"), 4).as("p99"),
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .orderBy("lang")
+
+  /** The capstone filter composition — what a corpus build actually
+    * runs: quality, repetition, and content signals joined on doc_id
+    * into one keep/drop verdict with the FIRST failing rule as the
+    * reason (priority: too_short → low_quality → repetitive →
+    * digit_heavy → ok). Each input kernel is independently
+    * oracle-verified; this query verifies the composition and the
+    * rule order. Three doc_id-keyed joins — same-key partitioning
+    * reused, no extra exchange class at scale. */
+  def qualityGate(documents: DataFrame,
+                  minWords: Long = 20L, minScore: Double = 0.1,
+                  maxDigitRatio: Double = 0.3): DataFrame = {
+    val q = quality(documents)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val r = repetition(documents)
+      .select(col("doc_id"), col("repetition_flag"))
+    val s = contentSignals(documents)
+      .select(col("doc_id"), col("digit_ratio"))
+    val reason =
+      when(col("n_words") < minWords, "too_short")
+        .when(col("quality_score") < minScore, "low_quality")
+        .when(col("repetition_flag"), "repetitive")
+        .when(coalesce(col("digit_ratio"), lit(0.0)) > maxDigitRatio,
+          "digit_heavy")
+        .otherwise("ok")
+    q.join(r, "doc_id").join(s, "doc_id")
+      .select(col("doc_id"), reason.as("reason"),
+        (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
 
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */

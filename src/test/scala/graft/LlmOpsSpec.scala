@@ -49,6 +49,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("quality gate: rule priority and redaction round-trip") {
+    val fixture = Seq(
+      (1L, "short doc"),                             // too_short
+      (2L, ("spam ham " * 30).trim),                 // low_quality (uniq 2/60)
+      // repetitive: "x y" dominates (frac 0.5) but 52 distinct tokens
+      // keep the quality score at 0.26, past the low_quality rule
+      (3L, ("x y " * 25).trim + " " + (1 to 50).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 40).map(i => s"${i}23456789").mkString(" ")), // digit_heavy
+      // distinct letter-only fillers (base-26): w$i tokens are ~2/3
+      // digits (digit rule) and a cycling alphabet repeats trigrams
+      // (repetition rule) — both must stay quiet for the ok case
+      (5L, (1 to 40).map(i =>
+        s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+        .mkString(" ")))                                       // ok
+      .toDF("doc_id", "text")
+    val gate = TextAnalysis.qualityGate(fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gate == Map(1L -> "too_short", 2L -> "low_quality",
+      3L -> "repetitive", 4L -> "digit_heavy", 5L -> "ok"), gate.toString)
+    // redaction scrubs exactly the injected URL mentions (ids x5 hit
+    // the %5 injection lattice, not the %7 email one)
+    val red = TextAnalysis.redact(fixture.withColumn("doc_id", col("doc_id") * 5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    red.foreach { case (_, t, ct) =>
+      assert(!t.contains("http") && !t.contains("@"), t)
+      assert(ct == 2 && t.contains("<URL>"), s"ct=$ct t=$t")
+    }
+  }
+
   test("sequence packing: packs stay within budget + one document overshoot") {
     import graft.operators.llm.Sampling
     val packed = Sampling.sequencePacking(docs, seqLen = 256)
