@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * executor-memory state survives the call, and the returned frame is
   * an ordinary file-backed scan. At cluster scale, point
   * `spark.graft.cc.scratch` at durable shared storage (HDFS/S3); the
-  * default is a JVM-temp directory registered for delete-on-exit.
+  * default is one JVM-scoped temp parent removed recursively by a
+  * shutdown hook (a call's final round must outlive its returned
+  * frame, so per-call cleanup cannot run earlier). Small edge sets
+  * skip files entirely and materialize rounds through the driver.
   */
 object Components {
 

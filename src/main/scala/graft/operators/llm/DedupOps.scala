@@ -60,18 +60,12 @@ object DedupOps {
     * Output is a bag (duplicates kept). Short docs (<3 tokens) fall
     * back to the whole text as one shingle, matching `shingles()`. */
   def shingleRows(documents: DataFrame): DataFrame = {
-    val spreadDocs = graft.core.Tables.spread(documents)
-    val words = spreadDocs.select(col("doc_id"),
-      posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = words
-      .withColumn("w1", lead(col("w"), 1).over(byDoc))
-      .withColumn("w2", lead(col("w"), 2).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("shingle"))
-    val shortDocs = spreadDocs
+    // 3-gram kernel shared with gramRows (one copy of the
+    // posexplode + lead pipeline); the whole-text fallback for
+    // sub-3-token docs is the shingle-specific part
+    val grams = gramRows(documents, 3)
+      .withColumnRenamed("gram", "shingle")
+    val shortDocs = graft.core.Tables.spread(documents)
       .filter(size(Tokenize.tokens(col("text"))) < 3)
       .select(col("doc_id"),
         concat_ws(" ", Tokenize.tokens(col("text"))).as("shingle"))

@@ -264,7 +264,12 @@ object TextAnalysis {
     * digit_heavy → ok). Each input kernel is independently
     * oracle-verified; this query verifies the composition and the
     * rule order. Three doc_id-keyed joins — same-key partitioning
-    * reused, no extra exchange class at scale. */
+    * reused, no extra exchange class at scale. The corpus IS scanned
+    * once per kernel (three text passes): the composition trades that
+    * for three independently-verified kernels with no duplicated
+    * logic; if gating dominates a build, the documented optimization
+    * is a fused single-pass aggregate computing all three stat sets
+    * from one tokenize — same outputs, one scan. */
   def qualityGate(documents: DataFrame,
                   minWords: Long = 20L, minScore: Double = 0.1,
                   maxDigitRatio: Double = 0.3): DataFrame = {

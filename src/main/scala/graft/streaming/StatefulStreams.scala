@@ -318,9 +318,13 @@ object StatefulStreams {
           full.setTimeZone(java.util.TimeZone.getTimeZone(zone))
           // gap compare in MICROseconds: the batch twin uses
           // unix_micros and the events table carries micro precision —
-          // a millisecond compare would disagree at sub-ms boundaries
+          // a millisecond compare would disagree at sub-ms boundaries.
+          // floorDiv keeps pre-epoch (corrupt/zeroed) rows correct.
+          // NOTE: this changed the stored lastTs unit from ms to µs —
+          // a checkpoint written by the previous revision must not be
+          // resumed across the change (state carries no version tag).
           def micros(t: java.sql.Timestamp): Long =
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
           var (lastTs, lastEmitDate) =
             state.getOption.getOrElse((Long.MinValue, null: String))
           val out = scala.collection.mutable.ArrayBuffer[UvDetail]()
