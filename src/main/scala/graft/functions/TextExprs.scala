@@ -1,0 +1,82 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native winnowing kernel: all window minima of the rolling k-gram
+  * hash sequence of one document, in ONE imperative pass per row.
+  *
+  * Semantics are bit-identical to the relational form
+  * (`TextAnalysis.winnowFingerprintsRelational`: posexplode positions →
+  * md5-prefix hash → sliding rows-window min): h(pos) = first 4 bytes
+  * of md5(lower(text).substring(pos, k)) as an unsigned big-endian
+  * long, wmin(pos) = min h(pos..pos+w-1) clamped at the end, one
+  * position when the text is shorter than k — asserted by
+  * `LlmOpsSpec`'s parity test and the unchanged DuckDB oracle.
+  *
+  * Why an Expression: the relational form explodes one row per
+  * CHARACTER (≈1k rows/doc) through a sort + sliding window — the
+  * heaviest query in the bench. This loop touches each row once;
+  * `CodegenFallback` is fine because the surrounding projection is
+  * trivial and the cost is the md5 calls either way. */
+case class WinnowMinima(child: Expression, k: Int, w: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"winnow k/w must be positive, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  // MessageDigest is stateful and expression instances can be shared
+  // across local-mode threads — one digest per thread
+  @transient private lazy val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val digest = md.get()
+    // UTF8String.toLowerCase matches Spark's lower(), not the JVM
+    // default-locale toLowerCase
+    val t = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val n = math.max(t.length - (k - 1), 1)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val g = t.substring(i, math.min(i + k, t.length))
+      val d = digest.digest(g.getBytes(StandardCharsets.UTF_8))
+      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      var m = Long.MaxValue
+      var j = p
+      val end = math.min(p + w, n)
+      while (j < end) { if (h(j) < m) m = h(j); j += 1 }
+      out(p) = m
+      p += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinima =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column form of the winnow-minima kernel. */
+  def winnow_minima(text: Column, k: Int = 8, w: Int = 8): Column =
+    Bridge.column(WinnowMinima(Bridge.expression(text), k, w))
+}

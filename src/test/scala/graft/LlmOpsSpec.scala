@@ -49,6 +49,14 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("native winnow expression == relational form bit-for-bit") {
+    // includes the short-doc (<k chars) and empty-text edges
+    val fixture = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, "tiny"), (9002L, "")).toDF("doc_id", "text"))
+    assert(rowsOf(TextAnalysis.winnowFingerprints(fixture)) ==
+      rowsOf(TextAnalysis.winnowFingerprintsRelational(fixture)))
+  }
+
   test("quality gate: rule priority and redaction round-trip") {
     val fixture = Seq(
       (1L, "short doc"),                             // too_short
