@@ -12,6 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native winnowing kernel: all window minima of the rolling k-gram
   * hash sequence of one document, in ONE imperative pass per row.
+  * Positions and lengths are in code points (Spark `substring`/`length`
+  * semantics), so supplementary-plane text matches the relational twin.
   *
   * Semantics are bit-identical to the relational form
   * (`TextAnalysis.winnowFingerprintsRelational`: posexplode positions →
@@ -46,12 +48,23 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
     // UTF8String.toLowerCase matches Spark's lower(), not the JVM
     // default-locale toLowerCase
     val t = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val n = math.max(t.length - (k - 1), 1)
+    // Spark's length()/substring() count CODE POINTS, not UTF-16 code
+    // units — index by code points so supplementary-plane characters
+    // (emoji, CJK ext-B) keep the relational twin's gram positions and
+    // never split a surrogate pair mid-gram. The all-BMP case (no
+    // surrogates) is the common one and skips the int-array copy.
+    val cps: Array[Int] =
+      if (t.codePointCount(0, t.length) == t.length) null
+      else t.codePoints().toArray
+    val len = if (cps == null) t.length else cps.length
+    def gram(i: Int): String =
+      if (cps == null) t.substring(i, math.min(i + k, len))
+      else new String(cps, i, math.min(k, len - i))
+    val n = math.max(len - (k - 1), 1)
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val g = t.substring(i, math.min(i + k, t.length))
-      val d = digest.digest(g.getBytes(StandardCharsets.UTF_8))
+      val d = digest.digest(gram(i).getBytes(StandardCharsets.UTF_8))
       h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1

@@ -51,7 +51,12 @@ object Tokenize {
   private[graft] def tokensScala(s: String): Seq[String] =
     if (s == null) Seq.empty[String]
     else {
-      val spaced = s.toLowerCase.replaceAll("(\\p{IsHan}+)", " $1 ")
+      // UTF8String.toLowerCase == Spark's lower(): locale-independent,
+      // unlike String.toLowerCase (Turkish-I would diverge from the
+      // column twin and break probe/batch agreement)
+      val lowered = org.apache.spark.unsafe.types.UTF8String
+        .fromString(s).toLowerCase.toString
+      val spaced = lowered.replaceAll("(\\p{IsHan}+)", " $1 ")
       spaced.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
         if (t.length >= 2 && t.matches("\\p{IsHan}+"))
           t.sliding(2).toSeq

@@ -152,6 +152,19 @@ object Components {
       drop(round - 1)
       e = next
     }
+    // An unconverged edge set means the star contraction was cut short:
+    // component ids downstream (canonicalize / clusterStats) would be
+    // silently WRONG. O(log²n) rounds makes maxIter=25 generous at any
+    // real scale, so hitting it is a defect signal — fail loudly unless
+    // the caller explicitly opts into partial results.
+    if (!converged) {
+      val msg = s"connectedComponents: no convergence after $maxIter " +
+        "rounds — component ids would be incomplete"
+      if (spark.conf.get("spark.graft.cc.allowUnconverged", "false").toBoolean)
+        Console.err.println(s"WARN $msg (allowUnconverged=true, emitting anyway)")
+      else throw new IllegalStateException(
+        s"$msg; raise maxIter or set spark.graft.cc.allowUnconverged=true")
+    }
     roundsOut.foreach(_.set(round))
     // converged edges form stars rooted at each component's min id
     e.select(col("v").as("doc_id"), col("u").as("component_id"))

@@ -48,6 +48,9 @@ object TxLog {
   private val LogDir = "_txlog"
   private val DataDir = "data"
 
+  /** Hive's directory-name sentinel for a NULL partition value. */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
   private def fsOf(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -114,8 +117,15 @@ object TxLog {
         case (None, es) =>
           spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
         case (Some((c, v)), es) =>
+          // Hive writes NULL partition values as a sentinel dir name;
+          // restore it as a real NULL (as Hive/Delta do), not the
+          // literal sentinel string
+          val restored =
+            if (v == HiveNullPart)
+              org.apache.spark.sql.functions.lit(null).cast("string")
+            else org.apache.spark.sql.functions.lit(v)
           spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
-            .withColumn(c, org.apache.spark.sql.functions.lit(v))
+            .withColumn(c, restored)
       }
       Some(frames.reduce(_.unionByName(_)))
     }
@@ -197,7 +207,8 @@ object TxLog {
           val value = java.net.URLDecoder.decode(
             dir.getPath.getName.stripPrefix(s"$partCol=")
               .replace("+", "%2B"), "UTF-8")
-          require(!value.contains('\u0001') && !value.contains('\n'),
+          require(!value.contains('\u0001') && !value.contains('\n') &&
+            !value.contains('\r'),  // linesIterator splits on \r too
             s"TxLog: partition value contains a manifest separator: '$value'")
           fs.listStatus(dir.getPath)
             .filter(_.getPath.getName.startsWith("part-"))

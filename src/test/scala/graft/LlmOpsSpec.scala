@@ -50,9 +50,16 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("native winnow expression == relational form bit-for-bit") {
-    // includes the short-doc (<k chars) and empty-text edges
+    // includes the short-doc (<k chars) and empty-text edges, plus
+    // supplementary-plane text (emoji + CJK ext-B, surrogate pairs in
+    // UTF-16): gram positions must follow Spark's code-point substring
+    // semantics, not Java's code-unit indexing
     val fixture = docs.select(col("doc_id"), col("text"))
-      .unionByName(Seq((9001L, "tiny"), (9002L, "")).toDF("doc_id", "text"))
+      .unionByName(Seq(
+        (9001L, "tiny"), (9002L, ""),
+        (9003L, "café 😀😁 mixed 🍕 pizza emoji run"),
+        (9004L, "𠀀𠀁𠀂 cjk ext b supplementary plane"))
+        .toDF("doc_id", "text"))
     assert(rowsOf(TextAnalysis.winnowFingerprints(fixture)) ==
       rowsOf(TextAnalysis.winnowFingerprintsRelational(fixture)))
   }
@@ -157,6 +164,20 @@ class LlmOpsSpec extends SparkTestBase {
     // star contraction is logarithmic: a 60-node path must close in far
     // fewer rounds than the 59 min-label propagation would need
     assert(rounds.get() <= 10, s"took ${rounds.get()} rounds")
+  }
+
+  test("connected components fails loudly when maxIter cuts contraction short") {
+    // a 60-node path cannot contract in 1 round: silent partial ids
+    // would poison canonicalize downstream, so the default is a throw
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(path, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("no convergence"))
+    // explicit opt-in emits the partial result with a warning instead
+    spark.conf.set("spark.graft.cc.allowUnconverged", "true")
+    try assert(Components.connectedComponents(path, maxIter = 1).count() > 0)
+    finally spark.conf.unset("spark.graft.cc.allowUnconverged")
   }
 
   test("connected components: parquet round path == in-memory path") {

@@ -112,6 +112,33 @@ class TxLogSpec extends SparkTestBase {
     assert(plus.length == 1 && plus(0).getLong(0) == 0L)
   }
 
+  test("partition values holding any line terminator are rejected at commit") {
+    // linesIterator splits on \n AND \r: a value accepted at commit but
+    // split at read would make committed data unreadable or invisible
+    Seq("bad\rvalue", "bad\nvalue", "badvalue").foreach { v =>
+      val t = freshTable()
+      val ex = intercept[IllegalArgumentException] {
+        TxLog.commitUpsertPartitioned(
+          Seq((1L, 1L, v)).toDF("k", "ver", "pv"), t, "k", "ver", "pv")
+      }
+      assert(ex.getMessage.contains("manifest separator"))
+      assert(TxLog.latest(spark, t).isEmpty) // nothing half-committed
+    }
+  }
+
+  test("NULL partition value round-trips as NULL, not the Hive sentinel string") {
+    val t = freshTable()
+    TxLog.commitUpsertPartitioned(
+      Seq((1L, 1L, "a", Some("2024-01-01")), (2L, 1L, "b", None))
+        .toDF("k", "ver", "payload", "dt"), t, "k", "ver", "dt")
+    val got = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(got == Map(1L -> Some("2024-01-01"), 2L -> None), got.toString)
+    // no row ever surfaces the sentinel as data
+    assert(TxLog.read(spark, t).get
+      .filter(col("dt") === "__HIVE_DEFAULT_PARTITION__").count() == 0)
+  }
+
   test("concurrent writers converge: every commit lands, last-wins by version") {
     val t = freshTable()
     val pool = Executors.newFixedThreadPool(4)
