@@ -32,8 +32,9 @@ object Bench {
     // blocks), so the min reflects the plan, not a leaked cache; only
     // JIT warm-up and the OS page cache carry across runs — that policy
     // is recorded in the emitted JSON.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -53,7 +54,16 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_2_runs_each_from_cleared_spark_state_jit_and_page_cache_warm","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line can be truncated by log-capture harnesses (round
+    // 2 lost 40 of 96 per-query numbers that way) — always persist the
+    // complete JSON to a file too, so the round's numbers survive.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

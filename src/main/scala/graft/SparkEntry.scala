@@ -155,6 +155,9 @@ object SparkEntry {
     "job_order_detail" -> ((s, d) =>
       DwdApps.orderDetail(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.part(s, d), Joins.baseDic(s))),
+    "job_order_refund" -> ((s, d) =>
+      DwdApps.orderRefund(Tables.lineitem(s, d), Tables.orders(s, d),
+        Joins.baseDic(s))),
     "job_pay_detail_suc" -> ((s, d) =>
       DwdApps.payDetailSuc(Tables.events(s, d), Joins.baseDic(s))),
     "job_cart_add" -> ((s, d) =>
@@ -737,6 +740,35 @@ object SparkEntry {
         |       round(sum(dur), 2) AS dur_sum, CAST(sum(uj) AS BIGINT) AS uj_ct
         |FROM u GROUP BY 1, 2, 3, 4, 5, 6
         |ORDER BY 1, 3, 4, 5, 6""".stripMargin,
+    "job_order_refund" ->
+      """WITH dic(dic_code, dic_name) AS (VALUES
+        |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),
+        |  ('2','High'),('3','Medium'),('4','NotSpecified'),('5','Low')),
+        |ri AS (
+        |  SELECT l_linenumber AS id, l_suppkey AS user_id,
+        |         l_orderkey AS order_id, l_partkey AS sku_id,
+        |         ((l_partkey % 5) + 1)::VARCHAR AS refund_type_code,
+        |         ((l_suppkey % 5) + 1)::VARCHAR AS refund_reason_type_code,
+        |         'reason-' || ((l_suppkey % 5) + 1)::VARCHAR AS refund_reason_txt,
+        |         round(l_quantity, 2) AS refund_num,
+        |         round(l_extendedprice, 2) AS refund_amount,
+        |         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS create_time,
+        |         strftime(l_shipdate, '%Y-%m-%d') AS date_id
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |oi AS (
+        |  SELECT o_orderkey AS oi_id,
+        |         string_split(o_orderpriority, '-')[1] AS province_id
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT ri.id, ri.user_id, ri.order_id, ri.sku_id, oi.province_id,
+        |       ri.date_id, ri.create_time,
+        |       ri.refund_type_code, td.dic_name AS refund_type_name,
+        |       ri.refund_reason_type_code, rd.dic_name AS refund_reason_type_name,
+        |       ri.refund_reason_txt, ri.refund_num, ri.refund_amount
+        |FROM ri
+        |JOIN oi ON ri.order_id = oi.oi_id
+        |JOIN dic td ON ri.refund_type_code = td.dic_code
+        |JOIN dic rd ON ri.refund_reason_type_code = rd.dic_code
+        |ORDER BY ri.order_id, ri.id""".stripMargin,
     "job_cancel_detail" ->
       """WITH dic(dic_code, dic_name) AS (VALUES
         |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),

@@ -69,6 +69,63 @@ object DwdApps {
         col("amount"))
   }
 
+  /** `DwdTradeOrderRefund` (`DwdTradeOrderRefund.java:62-123`): the
+    * refund-info insert stream joined to orders that just transitioned
+    * into refund state — `type='update' AND data['order_status']='1005'
+    * AND old['order_status'] IS NOT NULL`, the P4 envelope filter with
+    * the reference's own status literal — then the J3 double-aliased
+    * dictionary lookup (type_dic + reason_dic on one `base_dic`).
+    * Refund rows derive from returned lineitem (`l_returnflag='R'`);
+    * refund/reason codes key off part/supplier so the two dictionary
+    * joins hit different rows. Both dictionaries broadcast (never
+    * shuffle); the fact side shuffles once on order_id. */
+  def orderRefund(lineitem: DataFrame, orders: DataFrame,
+                  dic: DataFrame): DataFrame = {
+    val refundInfo = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_linenumber").as("id"), col("l_suppkey").as("user_id"),
+        col("l_orderkey").as("order_id"), col("l_partkey").as("sku_id"),
+        ((col("l_partkey") % 5) + 1).cast("string").as("refund_type_code"),
+        ((col("l_suppkey") % 5) + 1).cast("string").as("refund_reason_type_code"),
+        round(col("l_quantity"), 2).as("refund_num"),
+        round(col("l_extendedprice"), 2).as("refund_amount"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("create_time"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("date_id"))
+      .withColumn("refund_reason_txt",
+        concat(lit("reason-"), col("refund_reason_type_code")))
+    // order side: the CDC envelope reconstructed as in P4, filtered on
+    // the reference's literal refund-pending status transition
+    val envelope = orders.select(
+      when(col("o_orderstatus") === "F", lit("update"))
+        .otherwise(lit("insert")).as("type"),
+      map(lit("id"), col("o_orderkey").cast("string"),
+        lit("order_status"),
+        when(col("o_orderstatus") === "F", lit("1005")).otherwise(lit("1001")),
+        lit("province_id"),
+        split_part(col("o_orderpriority"), lit("-"), lit(1))).as("data"),
+      when(col("o_orderstatus") === "F",
+        map(lit("order_status"), lit("1002"))).as("old"))
+    val orderRefundSide = envelope
+      .filter(col("type") === "update" &&
+        col("data")("order_status") === "1005" &&
+        col("old")("order_status").isNotNull)
+      .select(col("data")("id").cast("long").as("oi_id"),
+        col("data")("province_id").as("province_id"))
+    val typeDic = broadcast(dic.select(col("dic_code").as("type_code"),
+      col("dic_name").as("refund_type_name")))
+    val reasonDic = broadcast(dic.select(col("dic_code").as("reason_code"),
+      col("dic_name").as("refund_reason_type_name")))
+    refundInfo
+      .join(orderRefundSide, col("order_id") === col("oi_id"))
+      .join(typeDic, col("refund_type_code") === col("type_code"))
+      .join(reasonDic, col("refund_reason_type_code") === col("reason_code"))
+      .select(col("id"), col("user_id"), col("order_id"), col("sku_id"),
+        col("province_id"), col("date_id"), col("create_time"),
+        col("refund_type_code"), col("refund_type_name"),
+        col("refund_reason_type_code"), col("refund_reason_type_name"),
+        col("refund_reason_txt"), col("refund_num"), col("refund_amount"))
+      .orderBy(col("order_id"), col("id"))
+  }
+
   /** `DwdTradePayDetailSuc` (`DwdTradePayDetailSuc.java:43-120`):
     * pay-success rows (P11's status filter) interval-joined to order
     * detail within a bounded retention window, then
