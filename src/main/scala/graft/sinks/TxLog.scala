@@ -57,16 +57,65 @@ object TxLog {
   private def manifestPath(table: String, version: Long): Path =
     new Path(s"$table/$LogDir/v${"%020d".format(version)}.manifest")
 
-  /** Highest committed snapshot, or None for an empty/absent table. */
+  /** Every Nth commit also records its version in `_last_checkpoint`
+    * (the Delta-paper move): readers start from that hint and probe the
+    * short dense tail instead of listing the whole log directory, so
+    * snapshot resolution stays O(interval) as commit count grows
+    * unbounded. The hint is best-effort and monotone-safe: any value it
+    * holds is a committed version (written post-publish), so a stale or
+    * lost hint only lengthens the probe, never breaks correctness. */
+  private val CheckpointInterval = 10L
+  private val CheckpointHint = "_last_checkpoint"
+
+  /** Test instrumentation: counts full log-directory listings taken by
+    * `latest` (the O(commits) path the checkpoint hint avoids). */
+  private[graft] val logListCount = new java.util.concurrent.atomic.AtomicLong
+
+  private def readHint(fs: FileSystem, table: String): Option[Long] = {
+    val p = new Path(s"$table/$LogDir/$CheckpointHint")
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        val v = text.toLong
+        // the hint must reference a real manifest — a torn write or a
+        // corrupt value falls back to the listing path
+        if (v >= 1 && fs.exists(manifestPath(table, v))) Some(v) else None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def writeHint(fs: FileSystem, table: String, version: Long): Unit =
+    try {
+      val out = fs.create(new Path(s"$table/$LogDir/$CheckpointHint"), true)
+      try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () } // best-effort: readers fall back
+
+  /** Highest committed snapshot, or None for an empty/absent table.
+    * With a checkpoint hint present this never lists the log directory:
+    * versions are dense (each commit is prev+1), so probing forward
+    * from the hinted version until the first gap finds the head in
+    * O(commits since last checkpoint) existence checks. */
   def latest(spark: SparkSession, table: String): Option[Snapshot] = {
     val fs = fsOf(spark, table)
     val dir = new Path(s"$table/$LogDir")
-    if (!fs.exists(dir)) None
-    else {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
-        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-      if (versions.isEmpty) None else Some(readManifest(fs, table, versions.max))
+    readHint(fs, table) match {
+      case Some(hinted) =>
+        var v = hinted
+        while (fs.exists(manifestPath(table, v + 1))) v += 1
+        Some(readManifest(fs, table, v))
+      case None =>
+        if (!fs.exists(dir)) None
+        else {
+          logListCount.incrementAndGet()
+          val versions = fs.listStatus(dir).map(_.getPath.getName)
+            .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+            .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+          if (versions.isEmpty) None else Some(readManifest(fs, table, versions.max))
+        }
     }
   }
 
@@ -162,7 +211,10 @@ object TxLog {
         }.toSeq
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
-      if (tryCommit(fs, table, target, staged)) return target
+      if (tryCommit(fs, table, target, staged)) {
+        if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+        return target
+      }
       // lost the race: our files are unreferenced (invisible to every
       // reader) — drop them and retry against the new snapshot
       staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
@@ -221,7 +273,10 @@ object TxLog {
         }
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
-      if (tryCommit(fs, table, target, staged)) return target
+      if (tryCommit(fs, table, target, staged)) {
+        if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+        return target
+      }
       staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
       if (attempt > maxRetries)
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")

@@ -139,6 +139,35 @@ class TxLogSpec extends SparkTestBase {
       .filter(col("dt") === "__HIVE_DEFAULT_PARTITION__").count() == 0)
   }
 
+  test("checkpoint hint: after 50 commits reads resolve without listing the log") {
+    val t = freshTable()
+    (1 to 50).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong % 7, i.toLong, s"p$i")).toDF("k", "ver", "payload"),
+        t, "k", "ver")
+    }
+    val before = TxLog.logListCount.get()
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.version == 50L)
+    assert(TxLog.read(spark, t).get.count() == 7)
+    assert(TxLog.logListCount.get() == before,
+      "latest() listed the log directory despite a checkpoint hint")
+    // a stale hint (regressed by a racing writer) only lengthens the
+    // probe: head resolution stays exact
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new org.apache.hadoop.fs.Path(s"$t/_txlog/_last_checkpoint")
+    val out = fs.create(hint, true)
+    out.write("37".getBytes("UTF-8")); out.close()
+    assert(TxLog.latest(spark, t).get.version == 50L)
+    assert(TxLog.logListCount.get() == before)
+    // a corrupt hint falls back to the listing path, never fails
+    val out2 = fs.create(hint, true)
+    out2.write("not-a-number".getBytes("UTF-8")); out2.close()
+    assert(TxLog.latest(spark, t).get.version == 50L)
+    assert(TxLog.logListCount.get() == before + 1)
+  }
+
   test("concurrent writers converge: every commit lands, last-wins by version") {
     val t = freshTable()
     val pool = Executors.newFixedThreadPool(4)
