@@ -73,27 +73,47 @@ object Similarity {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
   /** LSH-bucketed ANN: score only candidates sharing at least one
-    * 4-bit band of the 16-bit signature with the query — the scale
-    * path for corpora where brute force is infeasible. Same output
-    * shape as bruteForceTopK (rank within retrieved candidates). */
+    * `bandBits`-bit band of the `nBits`-bit signature with the query —
+    * the scale path for corpora where brute force is infeasible. Same
+    * output shape as bruteForceTopK (rank within retrieved candidates). */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame =
     lshTopKWhere(embeddings, col("vec_id").isin(queryIds: _*), k)
 
   /** lshTopK with the query set given as a predicate over the corpus —
     * lets a query set be defined relationally (e.g. "all twin ids")
     * instead of a driver-side id list. The query side must stay
-    * broadcast-sized, same contract as the id-list form. */
-  def lshTopKWhere(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val signed = embeddings.withColumn("sig", lshSignature(col("embedding")))
+    * broadcast-sized, same contract as the id-list form.
+    *
+    * Bucket space is `(nBits/bandBits) × 2^bandBits` — the 32-bit/8-bit
+    * default gives 1024 buckets, so corpus-scale query sets don't
+    * degenerate into a handful of giant candidate joins the way the
+    * original 16-bit/4-bit (64-bucket) layout did. Corpus-side buckets
+    * larger than `maxBucketSize` are dropped entirely (DedupOps.
+    * capBuckets contract): a capped bucket's vectors still reach
+    * queries through their other bands, and a vector colliding in
+    * EVERY band is a near-duplicate, not an ANN candidate. */
+  def lshTopKWhere(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                   nBits: Int = 32, bandBits: Int = 8,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    require(nBits > 0 && nBits <= 63 && bandBits > 0 && nBits % bandBits == 0,
+      s"signature must split evenly into bands, got nBits=$nBits bandBits=$bandBits")
+    val nBands = nBits / bandBits
+    val keyMask = (1L << bandBits) - 1
+    val signed = embeddings.withColumn("sig", lshSignature(col("embedding"), nBits))
     val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("band_key",
-        call_function("shiftright", col("sig"), col("band") * 4).bitwiseAND(lit(0xFL)))
+        call_function("shiftright", col("sig"), col("band") * bandBits)
+          .bitwiseAND(lit(keyMask)))
+    // queries keep ALL their bands (the cap guards the corpus-side
+    // explosion; a query in a capped bucket still probes it)
     val queries = broadcast(banded
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("band").as("q_band"), col("band_key").as("q_key")))
-    val candidates = banded
+    val corpusSide = DedupOps.capBuckets(banded, Seq("band", "band_key"),
+      maxBucketSize)
+    val candidates = corpusSide
       .join(queries, col("band") === col("q_band") &&
         col("band_key") === col("q_key") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
