@@ -96,6 +96,12 @@ object SparkEntry {
     "a3_province_order_window" -> ((s, d) =>
       ProvinceOrderWindow(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d))),
+    // the 100 TB distinct swap as a runnable flag (rows-only check:
+    // HLL++ estimates have no exact oracle; drift vs the exact twin is
+    // bounded in DwsJobSpec)
+    "a3_province_order_window_approx" -> ((s, d) =>
+      ProvinceOrderWindow.approx(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
     "a5_global_tumbling_window" -> ((s, d) => TrafficWindows.globalWindow(Tables.events(s, d))),
     "a10_daily_unique_visitors" -> ((s, d) => TrafficWindows.dailyUv(Tables.events(s, d))),
     // §2.5 stateful kernels (batch twins; streaming forms in graft.streaming)
@@ -210,6 +216,10 @@ object SparkEntry {
         llm.Components.chainFixture(Tables.documents(s, d)))),
     "llm_token_percentiles" -> ((s, d) =>
       llm.TextAnalysis.tokenPercentiles(Tables.documents(s, d))),
+    // the 100 TB percentile swap (t-digest) as a runnable flag
+    // (rows-only check; drift vs the exact twin bounded in LlmOpsSpec)
+    "llm_token_percentiles_approx" -> ((s, d) =>
+      llm.TextAnalysis.tokenPercentilesApprox(Tables.documents(s, d))),
     "llm_content_signals" -> ((s, d) =>
       llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
     "llm_embedding_stats" -> ((s, d) =>

@@ -273,6 +273,25 @@ object TextAnalysis {
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .orderBy("lang")
 
+  /** The 100 TB percentile swap as a RUNNABLE variant, not a comment:
+    * `approx_percentile` (t-digest, one pass, no per-group sort) in the
+    * exact form's call shape. `accuracy` is the t-digest knob
+    * (1/accuracy relative error bound); the exact twin above stays the
+    * oracle-verified form, and `LlmOpsSpec` bounds the drift between
+    * the two so flipping the flag is a measured decision. */
+  def tokenPercentilesApprox(documents: DataFrame,
+                             accuracy: Int = 10000): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(col("lang"), size(Tokenize.tokens(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        expr(s"approx_percentile(n_tokens, 0.5, $accuracy)").cast("double").as("p50"),
+        expr(s"approx_percentile(n_tokens, 0.9, $accuracy)").cast("double").as("p90"),
+        expr(s"approx_percentile(n_tokens, 0.99, $accuracy)").cast("double").as("p99"),
+        max(col("n_tokens")).cast("long").as("max_tokens"))
+      .orderBy("lang")
+
   /** The capstone filter composition — what a corpus build actually
     * runs: quality, repetition, and content signals joined on doc_id
     * into one keep/drop verdict with the FIRST failing rule as the

@@ -64,6 +64,24 @@ class LlmOpsSpec extends SparkTestBase {
       rowsOf(TextAnalysis.winnowFingerprintsRelational(fixture)))
   }
 
+  test("approx percentile swap tracks the exact twin within t-digest error") {
+    def grab(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = grab(TextAnalysis.tokenPercentiles(docs))
+    val approx = grab(TextAnalysis.tokenPercentilesApprox(docs))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, (p50, p90, p99)) =>
+      val (a50, a90, a99) = approx(lang)
+      // integer token counts: the approx quantile must land on a real
+      // data point within a tight relative band of the exact one
+      Seq((p50, a50), (p90, a90), (p99, a99)).foreach { case (e, a) =>
+        assert(math.abs(e - a) <= math.max(2.0, e * 0.05),
+          s"$lang: exact=$e approx=$a")
+      }
+    }
+  }
+
   test("quality gate: rule priority and redaction round-trip") {
     val fixture = Seq(
       (1L, "short doc"),                             // too_short
@@ -240,6 +258,29 @@ class LlmOpsSpec extends SparkTestBase {
     lsh.foreach { r =>
       bf.get(r.getLong(1)).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-9))
     }
+  }
+
+  test("LSH ANN bucket cap kills clone buckets, leaves real corpus recall alone") {
+    // 40 identical vectors collide in EVERY band — the degenerate
+    // bucket that would go quadratic at corpus scale; the cap drops
+    // them all (a true clone is near-dup territory, not ANN)
+    val clones = (0L until 40L)
+      .map(i => (i, Array.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.lshTopKWhere(clones, col("vec_id") < 5,
+      k = 3, maxBucketSize = 10).count() == 0)
+    // the same call at default cap retrieves candidates
+    assert(Similarity.lshTopKWhere(clones, col("vec_id") < 5, k = 3)
+      .count() > 0)
+    // on the genuine corpus the cap is invisible: same result with and
+    // without it
+    val emb = Tables.embeddings(spark, sf0001)
+    val capped = Similarity.lshTopKWhere(emb, col("vec_id") === 0L, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val uncapped = Similarity.lshTopKWhere(emb, col("vec_id") === 0L, k = 5,
+      maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(capped == uncapped)
   }
 
   test("IVF ANN: probes cells, scores agree with brute force") {
