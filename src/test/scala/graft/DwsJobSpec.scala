@@ -40,6 +40,45 @@ class DwsJobSpec extends SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("end-to-end soak: file stream -> LogSplit -> window -> TxLog, restart mid-stream == batch twin") {
+    val base = Files.createTempDirectory("e2e").toString
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val store = s"$base/store"
+    val ckpt = s"$base/ckpt"
+    def page(vc: String, durMs: Long, tsMs: Long): String =
+      s"""{"common":{"mid":"m","uid":"1","vc":"$vc","ch":"c","ar":"a","is_new":"1","ba":"b","md":"m","os":"o"},""" +
+        s""""page":{"page_id":"home","last_page_id":null,"item":null,"item_type":null,"during_time":$durMs},"ts":$tsMs}"""
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$srcDir/$name"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // phase 1: two windows for v1, one dirty line (quarantined, not fatal)
+    writeFile("a.txt", Seq(
+      page("v1", 100, t0 + 1000), page("v1", 200, t0 + 4000),
+      page("v2", 50, t0 + 11000), "{broken"))
+    def stream = spark.readStream.option("maxFilesPerTrigger", "1").text(srcDir.toString)
+    DwsJob.runLogPipeline(spark, stream, store, ckpt)
+    // phase 2 (restart from the SAME checkpoint): more rows into an
+    // already-seen window key + a far-future sentinel to flush all
+    writeFile("b.txt", Seq(
+      page("v1", 300, t0 + 5000), page("v2", 75, t0 + 14000)))
+    writeFile("z_sentinel.txt", Seq(page("zz", 0, 1893456000000L))) // 2030
+    DwsJob.runLogPipeline(spark, stream, store, ckpt)
+    // a third restart with no new data must change nothing (idempotent)
+    DwsJob.runLogPipeline(spark, stream, store, ckpt)
+
+    val got = graft.sinks.TxLog.read(spark, store).get
+      .filter(col("vc") =!= "zz")
+      .select("stt", "vc", "pv_ct", "dur_sum")
+    val want = DwsJob.logPageWindowAgg(spark.read.text(srcDir.toString))
+      .filter(col("vc") =!= "zz")
+      .select("stt", "vc", "pv_ct", "dur_sum")
+    // the v1 window spans the stop/restart boundary (rows on both
+    // sides) and must come out MERGED; both v2 rows share one window
+    assert(got.count() == 2)
+    assertSameRows(got, want)
+  }
+
   test("approx_count_distinct swap stays within HLL error bound") {
     val d = sf0001
     val exact = graft.operators.dws.ProvinceOrderWindow(
