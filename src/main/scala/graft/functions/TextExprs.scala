@@ -49,25 +49,43 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
     // default-locale toLowerCase
     val t = input.asInstanceOf[UTF8String].toLowerCase.toString
     // Spark's length()/substring() count CODE POINTS, not UTF-16 code
-    // units — index by code points so supplementary-plane characters
-    // (emoji, CJK ext-B) keep the relational twin's gram positions and
-    // never split a surrogate pair mid-gram. The all-BMP case (no
-    // surrogates) is the common one and skips the int-array copy.
-    val cps: Array[Int] =
-      if (t.codePointCount(0, t.length) == t.length) null
-      else t.codePoints().toArray
-    val len = if (cps == null) t.length else cps.length
-    def gram(i: Int): String =
-      if (cps == null) t.substring(i, math.min(i + k, len))
-      else new String(cps, i, math.min(k, len - i))
-    val n = math.max(len - (k - 1), 1)
+    // units — supplementary-plane text (emoji, CJK ext-B) must index
+    // grams by code points to keep the relational twin's positions and
+    // never split a surrogate pair mid-gram. The all-BMP case (the
+    // overwhelmingly common one) keeps the original tight
+    // char-indexed loop; only strings that actually contain a
+    // surrogate take the int-array path.
+    var hasSurrogate = false
+    var s = 0
+    while (s < t.length && !hasSurrogate) {
+      if (Character.isHighSurrogate(t.charAt(s))) hasSurrogate = true
+      s += 1
+    }
+    val n: Int = {
+      val len = if (!hasSurrogate) t.length
+      else t.codePointCount(0, t.length)
+      math.max(len - (k - 1), 1)
+    }
     val h = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val d = digest.digest(gram(i).getBytes(StandardCharsets.UTF_8))
-      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
+    if (!hasSurrogate) {
+      var i = 0
+      while (i < n) {
+        val g = t.substring(i, math.min(i + k, t.length))
+        val d = digest.digest(g.getBytes(StandardCharsets.UTF_8))
+        h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        i += 1
+      }
+    } else {
+      val cps = t.codePoints().toArray
+      var i = 0
+      while (i < n) {
+        val g = new String(cps, i, math.min(k, cps.length - i))
+        val d = digest.digest(g.getBytes(StandardCharsets.UTF_8))
+        h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        i += 1
+      }
     }
     val out = new Array[Long](n)
     var p = 0
