@@ -230,6 +230,9 @@ object SparkEntry {
       llm.TextAnalysis.redact(Tables.documents(s, d))),
     "llm_quality_gate" -> ((s, d) =>
       llm.TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // the capstone composition: gate -> exact-dedup canonical -> pack
+    "llm_corpus_build" -> ((s, d) =>
+      llm.TextAnalysis.corpusBuild(Tables.documents(s, d))),
     "llm_decontaminate" -> ((s, d) => {
       val (corpus, bench) =
         llm.DedupOps.contaminationFixture(Tables.documents(s, d))
@@ -1229,6 +1232,92 @@ object SparkEntry {
         |         JOIN sig ON q.doc_id = sig.doc_id)
         |SELECT doc_id, reason, reason = 'ok' AS keep
         |FROM verdict ORDER BY doc_id""".stripMargin,
+    "llm_corpus_build" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |         CASE WHEN len(t) = 0 THEN 0.0
+        |              ELSE round(least(len(t) / 200.0, 1.0)
+        |                         * (len(list_distinct(t)) / len(t)), 4) END
+        |           AS quality_score
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CASE WHEN len(t) >= 2 THEN
+        |           list_transform(generate_series(1, len(t) - 1),
+        |                          i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END AS bi,
+        |         CASE WHEN len(t) >= 3 THEN
+        |           list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE [] END AS tri
+        |  FROM toks),
+        |bitop AS (
+        |  SELECT doc_id, max(ct) AS top_bigram_ct
+        |  FROM (SELECT doc_id, g, count(*) AS ct
+        |        FROM (SELECT doc_id, unnest(bi) AS g FROM grams)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tria AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS dup_tri_pos,
+        |         sum(ct) AS tri_pos
+        |  FROM (SELECT doc_id, g, count(*) AS ct
+        |        FROM (SELECT doc_id, unnest(tri) AS g FROM grams)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rep AS (
+        |  SELECT g.doc_id,
+        |         (coalesce(b.top_bigram_ct * 2.0 / g.n_tokens, 0) > 0.2 OR
+        |          coalesce(a.dup_tri_pos / a.tri_pos::DOUBLE, 0) > 0.15)
+        |           AS repetition_flag
+        |  FROM grams g
+        |  LEFT JOIN bitop b ON g.doc_id = b.doc_id
+        |  LEFT JOIN tria a ON g.doc_id = a.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t2) > 0 THEN
+        |           round(len(regexp_replace(t2, '[^0-9]', '', 'g'))
+        |                 / len(t2)::DOUBLE, 4) END AS digit_ratio
+        |  FROM (SELECT doc_id,
+        |               text ||
+        |               CASE WHEN doc_id % 5 = 0
+        |                    THEN ' see https://ex.org/p/' || doc_id
+        |                         || ' and http://a.io' ELSE '' END ||
+        |               CASE WHEN doc_id % 7 = 0
+        |                    THEN ' mail bot' || doc_id || '@spam.example'
+        |                    ELSE '' END AS t2
+        |        FROM documents)),
+        |verdict AS (
+        |  SELECT q.doc_id,
+        |         CASE WHEN q.n_words < 20 THEN 'too_short'
+        |              WHEN q.quality_score < 0.1 THEN 'low_quality'
+        |              WHEN rep.repetition_flag THEN 'repetitive'
+        |              WHEN coalesce(sig.digit_ratio, 0) > 0.3 THEN 'digit_heavy'
+        |              ELSE 'ok' END AS reason
+        |  FROM q JOIN rep ON q.doc_id = rep.doc_id
+        |         JOIN sig ON q.doc_id = sig.doc_id),
+        |keepers AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source
+        |  FROM documents d JOIN verdict v ON d.doc_id = v.doc_id
+        |  WHERE v.reason = 'ok'),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM keepers GROUP BY md5(text)),
+        |surv AS (
+        |  SELECT k.doc_id, k.lang, k.source,
+        |         CAST(len(list_filter(string_split_regex(lower(k.text), '\s+'),
+        |                              w -> w <> '')) AS INT) AS n_tokens
+        |  FROM keepers k JOIN canon c ON k.doc_id = c.doc_id)
+        |SELECT doc_id, lang, source, n_tokens,
+        |       CAST(floor((CAST(sum(n_tokens) OVER (
+        |              PARTITION BY lang, source ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+        |            / 2048.0) AS BIGINT) AS pack_id
+        |FROM surv ORDER BY lang, source, doc_id""".stripMargin,
     "llm_decontaminate" ->
       """WITH tok AS (
         |  SELECT doc_id, text,

@@ -327,6 +327,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The whole training-corpus build as ONE pipeline — the capstone of
+    * capstones: quality gate (keep only 'ok' docs) → exact content
+    * dedup (min-doc_id canonical per md5 group) → fixed-budget
+    * sequence packing of the survivors. Every stage is independently
+    * oracle-verified (`llm_quality_gate`, `llm_dedup_exact`,
+    * `llm_sequence_packing`); this query verifies their COMPOSITION
+    * end-to-end against one DuckDB replay. Exact dedup stands in for
+    * the LSH spine so the chain stays SQL-expressible; the LSH form of
+    * the same chain is the measured `tools/DedupSoak` artifact
+    * (SCALE.md). All three joins are doc_id-keyed — one partitioning
+    * class; the dedup aggregate is the only content-keyed exchange. */
+  def corpusBuild(documents: DataFrame, seqLen: Int = 2048): DataFrame = {
+    val keep = qualityGate(documents).filter(col("keep")).select("doc_id")
+    val kept = documents.join(keep, "doc_id")
+    val canonical = DedupOps.exact(kept)
+      .select(col("canonical_doc_id").as("doc_id"))
+    Sampling.sequencePacking(kept.join(canonical, "doc_id"), seqLen)
+  }
+
   /** Document fingerprinting: content hash + prefix key for sharded
     * storage (rolling-hash family; md5 keeps the oracle exact). */
   def fingerprint(documents: DataFrame): DataFrame =

@@ -82,6 +82,24 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("corpus build composition: gated, deduped, packed") {
+    val built = TextAnalysis.corpusBuild(docs)
+    val ids = built.select("doc_id").collect().map(_.getLong(0)).toSet
+    // survivors are exactly a subset of the gate's keepers
+    val keep = TextAnalysis.qualityGate(docs).filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(keep))
+    // an exact duplicate of a surviving doc (new id) must vanish in the
+    // build — the dedup stage keeps the min-id canonical
+    val srcId = ids.min
+    val clone = docs.filter(col("doc_id") === srcId)
+      .select(lit(999999L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val rebuilt = TextAnalysis.corpusBuild(docs.unionByName(clone))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rebuilt == ids, "clone leaked into the built corpus")
+  }
+
   test("quality gate: rule priority and redaction round-trip") {
     val fixture = Seq(
       (1L, "short doc"),                             // too_short
