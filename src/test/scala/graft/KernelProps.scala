@@ -128,4 +128,28 @@ object KernelProps extends Properties("kernels") {
         stepwise == want
       }
     }
+
+  // Unicode corpus mixing ASCII, BMP CJK, and supplementary-plane
+  // characters (emoji, CJK ext-B) — the surrogate-pair cases where
+  // UTF-16 code-unit indexing would diverge from Spark's code-point
+  // substring semantics.
+  private val uniTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.const(" "),
+      2 -> Gen.oneOf("\u4e00", "\u597d", "\u00e9"),
+      2 -> Gen.oneOf("\ud83d\ude00", "\ud83c\udf55", "\ud840\udc00")))
+      .map(_.mkString)
+
+  property("native winnow == relational twin on arbitrary unicode") =
+    forAll(Gen.listOfN(8, uniTextGen)) { texts =>
+      import graft.operators.llm.TextAnalysis
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      rows(TextAnalysis.winnowFingerprints(docs)) ==
+        rows(TextAnalysis.winnowFingerprintsRelational(docs))
+    }
 }

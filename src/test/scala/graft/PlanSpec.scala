@@ -40,6 +40,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("job_order_refund: both dictionary aliases broadcast, no shuffle join") {
+    val p = plan("job_order_refund")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the refund-side filter reaches the lineitem scan
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("l_returnflag"), p)
+  }
+
   test("whole-stage codegen is active on the windowed agg") {
     // AQE finalizes codegen stages only at execution: run, then inspect
     val df = SparkEntry.queries("a1_keyed_tumbling_window")(spark, sf0001)
