@@ -14,19 +14,29 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, format: String,
 case class FrameRow(doc_id: Long, frame_idx: Int, ts_ms: Long,
                     frame_bytes: Array[Byte])
 
+/** Extracted audio features for one media record (true values for
+  * WAV/AIFF via the JDK decoder; deterministic stub otherwise). */
+case class AudioFeatures(doc_id: Long, byte_len: Long, format: String,
+                         sample_rate: Int, channels: Int, frames: Long,
+                         duration_ms: Long, rms: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
   * The Spark-side plumbing is real — schema, partition-preserving
-  * batched `mapPartitions`, feature frame. IMAGE decode is real too:
+  * batched `mapPartitions`, feature frame. IMAGE decode is real:
   * PNG/JPEG bytes go through the JDK's built-in `javax.imageio`
   * (offline-safe, no extra deps) and yield true pixel dimensions.
-  * Audio/video stay STUBBED (no codec libraries in this container):
-  * `decodeStub` derives deterministic fake dimensions/checksums from
-  * the bytes, and non-image bytes tagged as images (the driver's
+  * AUDIO decode is real for WAV/AIFF: the JDK's built-in
+  * `javax.sound.sampled` parses the container and PCM frames — true
+  * sample rate / channel count / frame length plus RMS amplitude over
+  * the samples. Only compressed audio (mp3/aac) and VIDEO remain
+  * STUBBED (their codecs are not in the JDK and not in this
+  * container): `decodeStub` derives deterministic fake features from
+  * the bytes, and mis-tagged bytes no decoder accepts (the driver's
   * text-as-binary test media) fall back to the same stub path. A
-  * production deployment swaps the remaining stub for a real
-  * demuxer without touching the pipeline shape.
+  * production deployment swaps the remaining stub for a real demuxer
+  * without touching the pipeline shape.
   */
 object Multimodal {
 
@@ -69,6 +79,56 @@ object Multimodal {
           img.getWidth, img.getHeight, fnv(r.media))
       } catch { case _: Throwable => decodeStub(r) }
     case _ => decodeStub(r)
+  }
+
+  /** Deterministic stub audio features (the non-PCM / mis-tagged
+    * fallback — same posture as `decodeStub`). */
+  private[llm] def audioStub(r: MediaRow): AudioFeatures = {
+    val len = r.media.length.toLong
+    val rate = 8000 + (len % 8).toInt * 1000
+    AudioFeatures(r.doc_id, len, r.format, rate,
+      channels = (len % 2).toInt + 1, frames = len / 2,
+      duration_ms = (len / 2) * 1000 / rate, rms = 0.0)
+  }
+
+  /** REAL audio decode for WAV/AIFF via the JDK's
+    * `javax.sound.sampled` (no external codec): true sample rate,
+    * channel count, frame length, duration, and RMS amplitude over
+    * the 16-bit PCM samples (normalized to [0,1]; a pure sine of
+    * amplitude a has RMS a/√2 — asserted in the spec). Compressed
+    * formats and undecodable bytes take the stub; never throws. */
+  private[llm] def decodeAudio(r: MediaRow): AudioFeatures =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val rms =
+        if (fmt.getSampleSizeInBits == 16) {
+          val data = in.readAllBytes()
+          val le = !fmt.isBigEndian
+          var sum = 0.0; var n = 0; var i = 0
+          while (i + 1 < data.length) {
+            val lo = data(if (le) i else i + 1) & 0xff
+            val hi = data(if (le) i + 1 else i).toInt
+            val s = (hi << 8) | lo
+            sum += s.toDouble * s; n += 1; i += 2
+          }
+          if (n == 0) 0.0 else math.sqrt(sum / n) / 32768.0
+        } else 0.0
+      AudioFeatures(r.doc_id, r.media.length.toLong, r.format,
+        fmt.getSampleRate.toInt, fmt.getChannels, frames,
+        duration_ms = if (fmt.getSampleRate > 0 && frames >= 0)
+          (frames * 1000L / fmt.getSampleRate.toLong) else 0L,
+        rms = rms)
+    } catch { case _: Throwable => audioStub(r) }
+
+  /** Batched audio decode — same partition-preserving shape as
+    * `extractFeatures`. */
+  def extractAudioFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(decodeAudio))
   }
 
   /** Batched decode over partitions: the real-world shape for feeding

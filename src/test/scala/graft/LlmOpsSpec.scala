@@ -345,6 +345,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f0.width >= 1 && f0.height >= 1)
   }
 
+  test("multimodal real audio decode: javax.sound yields true rate/frames/RMS") {
+    // a deterministic 250 ms 440 Hz mono sine at amplitude 0.5,
+    // 16 kHz 16-bit little-endian PCM, written as a real WAV container
+    def wavBytes(rate: Float = 16000f, ms: Int = 250,
+                 freq: Double = 440.0, amp: Double = 0.5): Array[Byte] = {
+      val n = (rate * ms / 1000).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(0L, wavBytes(), "wav"),
+      MediaRow(1L, wavBytes(rate = 8000f, ms = 500, amp = 0.25), "wav"),
+      MediaRow(2L, "not audio at all".getBytes, "wav") // stub fallback
+    ).toDF()
+    val a = Multimodal.extractAudioFeatures(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(a(0).sample_rate == 16000 && a(0).channels == 1)
+    assert(a(0).frames == 4000 && a(0).duration_ms == 250)
+    // sine RMS = amp/sqrt(2): 0.5 -> 0.3536, 0.25 -> 0.1768
+    assert(math.abs(a(0).rms - 0.5 / math.sqrt(2)) < 0.01, a(0).toString)
+    assert(a(1).sample_rate == 8000 && a(1).frames == 4000 &&
+      a(1).duration_ms == 500)
+    assert(math.abs(a(1).rms - 0.25 / math.sqrt(2)) < 0.01, a(1).toString)
+    // undecodable bytes: deterministic stub, never a throw
+    assert(a(2).rms == 0.0 && a(2).sample_rate >= 8000)
+  }
+
   test("multimodal real image decode: javax.imageio yields true dimensions") {
     def pngBytes(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
