@@ -166,19 +166,65 @@ object Multimodal {
     * byte stride (standing in for a time stride; a real demuxer slots
     * into the same flatMap). Explode-shaped — one input row fans out to
     * N — but narrow: no shuffle, output bounded by maxFrames. */
+  private def strideFrames(r: MediaRow, frameBytes: Int, everyMs: Long,
+                           maxFrames: Int): Seq[FrameRow] = {
+    val n = math.min(maxFrames,
+      math.max(1, r.media.length / math.max(1, frameBytes)))
+    (0 until n).map { i =>
+      val from = i * frameBytes
+      val until = math.min(r.media.length, from + frameBytes)
+      FrameRow(r.doc_id, i, i * everyMs,
+        java.util.Arrays.copyOfRange(r.media, from, math.max(from, until)))
+    }
+  }
+
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    frameBytes: Int = 256, everyMs: Long = 1000,
                    maxFrames: Int = 8): Dataset[FrameRow] = {
     import spark.implicits._
+    media.as[MediaRow].flatMap(r => strideFrames(r, frameBytes, everyMs, maxFrames))
+  }
+
+  /** REAL frame demux for animated GIF — the one multi-frame format
+    * the JDK decodes (`javax.imageio` gif reader): true frame count,
+    * each frame decoded to pixels and re-encoded as standalone PNG
+    * bytes. `ts_ms` is `frame_idx × everyMs` (frame delays live in GIF
+    * metadata extensions; a production demuxer would read them — the
+    * sampling contract only needs monotone stamps). Bytes no gif
+    * reader accepts fall back to the byte-stride stub frames; never
+    * throws. */
+  private[llm] def gifFrames(r: MediaRow, everyMs: Long,
+                             maxFrames: Int): Seq[FrameRow] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new java.io.IOException("no reader")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = math.min(reader.getNumImages(true), maxFrames)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          FrameRow(r.doc_id, i, i * everyMs, bos.toByteArray)
+        }
+      } finally reader.dispose()
+    } catch {
+      case _: Throwable => strideFrames(r, 256, everyMs, maxFrames)
+    }
+
+  /** Frame sampling with the real demux where the JDK has one:
+    * `gif`-tagged blobs go through the animated-GIF reader, everything
+    * else keeps the byte-stride stub. Same narrow explode shape. */
+  def sampleFramesReal(spark: SparkSession, media: DataFrame,
+                       everyMs: Long = 1000,
+                       maxFrames: Int = 8): Dataset[FrameRow] = {
+    import spark.implicits._
     media.as[MediaRow].flatMap { r =>
-      val n = math.min(maxFrames,
-        math.max(1, r.media.length / math.max(1, frameBytes)))
-      (0 until n).map { i =>
-        val from = i * frameBytes
-        val until = math.min(r.media.length, from + frameBytes)
-        FrameRow(r.doc_id, i, i * everyMs,
-          java.util.Arrays.copyOfRange(r.media, from, math.max(from, until)))
-      }
+      if (r.format == "gif") gifFrames(r, everyMs, maxFrames)
+      else strideFrames(r, 256, everyMs, maxFrames)
     }
   }
 

@@ -345,6 +345,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(f0.width >= 1 && f0.height >= 1)
   }
 
+  test("multimodal real GIF demux: true frame count, decodable frames") {
+    // write a genuine 3-frame animated GIF through the JDK encoder
+    def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, (x * 31 + y * 7 + f * 101) & 0xffffff)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close()
+      bos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(0L, gifBytes(20, 10, 3), "gif"),
+      MediaRow(1L, "definitely not a gif".getBytes, "gif"), // stub path
+      MediaRow(2L, ("x" * 600).getBytes, "wav")             // stride path
+    ).toDF()
+    val frames = Multimodal.sampleFramesReal(spark, media)
+      .collect().groupBy(_.doc_id)
+    // true demux: exactly 3 frames, each a standalone decodable PNG
+    // with the source GIF's true pixel dimensions
+    assert(frames(0L).length == 3)
+    frames(0L).foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_bytes))
+      assert(img != null && img.getWidth == 20 && img.getHeight == 10)
+    }
+    assert(frames(0L).map(_.ts_ms).sorted.sameElements(Array(0L, 1000L, 2000L)))
+    // non-gif bytes fall back to stride frames, never throw
+    assert(frames(1L).nonEmpty && frames(2L).length == 2)
+  }
+
   test("multimodal real audio decode: javax.sound yields true rate/frames/RMS") {
     // a deterministic 250 ms 440 Hz mono sine at amplitude 0.5,
     // 16 kHz 16-bit little-endian PCM, written as a real WAV container
