@@ -104,10 +104,109 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Native one-pass MinHash signature of one document — bit-identical
+  * to the relational pipeline `DedupOps.signaturesFromShingles(
+  * shingleRows(docs))` (parity spec; the twin oracle is unchanged):
+  * tokenize via `Tokenize.tokensScala` (the proven JVM twin of the
+  * column tokenizer, CJK rules included) → word 3-gram shingles as a
+  * bag with the whole-text fallback under 3 tokens → `xxhash64`
+  * (Spark's XXH64, seed 42) per shingle → per-permutation minimum of
+  * `mix64(h, golden·(2p+1))`.
+  *
+  * Why an Expression: the relational form explodes one row per TOKEN
+  * through a window sort and re-aggregates through a doc_id shuffle —
+  * two exchanges of gram-scale data for every signature build. This
+  * loop touches each document once, narrow, and at production scale
+  * runs shuffle-free on the scan's own partitioning. */
+case class MinHashSig(child: Expression, perms: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(perms >= 1, s"perms must be positive, got $perms")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val tokens = graft.functions.Tokenize
+      .tokensScala(input.asInstanceOf[UTF8String].toString)
+    val out = Array.fill(perms)(Long.MaxValue)
+    def add(shingle: String): Unit = {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(shingle), 42L)
+      var p = 0
+      while (p < perms) {
+        val m = Mix64Impl.fmix(h, Mix64Impl.golden * (2L * p + 1L))
+        if (m < out(p)) out(p) = m
+        p += 1
+      }
+    }
+    if (tokens.length >= 3) {
+      var i = 0
+      while (i + 2 < tokens.length) {
+        add(tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2))
+        i += 1
+      }
+    } else add(tokens.mkString(" "))
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native distinct gram-hash set of one document, sorted ascending —
+  * the set-equal twin of `collect_set(xxhash64(shingle))` over
+  * `DedupOps.shingleRows` (whole-text fallback under `n` tokens
+  * included; collect_set order is engine-nondeterministic, this array
+  * is sorted, and every consumer — `array_intersect` Jaccard — is
+  * order-insensitive). Same tokenizer/gram rules as `MinHashSig`; one
+  * narrow pass, no explode, no shuffle. */
+case class GramHashSet(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"gram size must be positive, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val tokens = graft.functions.Tokenize
+      .tokensScala(input.asInstanceOf[UTF8String].toString)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    def add(gram: String): Unit = {
+      set.add(XXH64.hashUTF8String(UTF8String.fromString(gram), 42L)); ()
+    }
+    if (tokens.length >= n) {
+      var i = 0
+      while (i + n - 1 < tokens.length) {
+        add(tokens.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+    } else add(tokens.mkString(" "))
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashSet =
+    copy(child = newChild)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.Bridge
 
   /** Column form of the winnow-minima kernel. */
   def winnow_minima(text: Column, k: Int = 8, w: Int = 8): Column =
     Bridge.column(WinnowMinima(Bridge.expression(text), k, w))
+
+  /** Column form of the one-pass MinHash signature. */
+  def minhash_sig(text: Column, perms: Int = 64): Column =
+    Bridge.column(MinHashSig(Bridge.expression(text), perms))
+
+  /** Column form of the sorted distinct gram-hash set. */
+  def gram_hash_set(text: Column, n: Int = 3): Column =
+    Bridge.column(GramHashSet(Bridge.expression(text), n))
 }

@@ -146,6 +146,13 @@ case class Mix64(child: Expression, c: Long)
 
 /** Static helper referenced from generated code. */
 object Mix64Impl {
+  /** Golden-ratio odd constant parameterizing the mix64 permutation
+    * family (permutation p uses c = golden·(2p+1)); the single source
+    * shared by the relational aggregate, the streaming inline form,
+    * and the native `MinHashSig` expression so all three are
+    * bit-identical. */
+  val golden = 0x9E3779B97F4A7C15L
+
   def fmix(x0: Long, c: Long): Long = {
     var z = x0 ^ c
     z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL

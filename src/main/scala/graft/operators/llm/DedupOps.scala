@@ -80,10 +80,9 @@ object DedupOps {
     * destroys recall. min() is duplicate-insensitive, so the bag-of-
     * shingles input needs no distinct. One shuffle (groupBy doc_id)
     * with map-side combine. */
-  /** Golden-ratio odd constants parameterizing the mix64 permutation
-    * family; shared by the batch aggregate and the streaming inline
-    * form so their signatures are bit-identical. */
-  private[graft] val golden = 0x9E3779B97F4A7C15L
+  /** Golden-ratio mix64 family constant — single source in
+    * `Mix64Impl.golden` (shared with the native `MinHashSig`). */
+  private[graft] val golden = graft.functions.Mix64Impl.golden
 
   /** Streaming-safe signature from a MATERIALIZED shingle-hash-array
     * column. The column must be a bound attribute (`withColumn` first):
@@ -110,6 +109,28 @@ object DedupOps {
 
   def signatures(documents: DataFrame, perms: Int = 64): DataFrame =
     signaturesFromShingles(shingleRows(documents), perms)
+
+  /** Native one-pass signature table — bit-identical to `signatures`
+    * (`MinHashSig` parity spec) with ZERO exchanges: the relational
+    * form explodes a row per token through a window sort and
+    * re-aggregates through a doc_id shuffle; this is one narrow
+    * projection on the scan's own partitioning (locally `spread`
+    * round-robins the single-file inputs first). The default
+    * signature source for the LSH pipeline. */
+  def signaturesNative(documents: DataFrame, perms: Int = 64): DataFrame =
+    graft.core.Tables.spread(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhash_sig(col("text"), perms).as("sig"))
+
+  /** Native sorted gram-hash sets — set-equal to the
+    * `collect_set(xxhash64(shingle))` aggregate over `shingleRows`
+    * (parity spec), same zero-exchange shape as `signaturesNative`. */
+  def gramSetsNative(documents: DataFrame, n: Int = 3): DataFrame =
+    graft.core.Tables.spread(documents)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.gram_hash_set(col("text"), n).as("grams"))
 
   /** Signature aggregate over precomputed (doc_id, shingle) rows —
     * callers that also consume the shingle rows elsewhere (e.g. the
@@ -152,10 +173,11 @@ object DedupOps {
                    shingles: Option[DataFrame] = None): DataFrame = {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
-    // no persist: the self-join reuses the aggregate's shuffle exchange
-    // (ReuseExchange), so caching would only pin memory for the session
-    val sigs = signaturesFromShingles(
-      shingles.getOrElse(shingleRows(documents)))
+    // signature source: the native one-pass kernel (zero exchanges) —
+    // bit-identical to the relational aggregate, which remains the
+    // path for callers passing a precomputed shingle frame
+    val sigs = shingles.fold(signaturesNative(documents))(
+      sh => signaturesFromShingles(sh))
     val banded = capBuckets(
       bandRows(sigs, bands, rowsPerBand)
         .select("doc_id", "band", "band_hash", "sig"),
@@ -255,17 +277,14 @@ object DedupOps {
     * it broadcasts into both gram joins. */
   def ngramJaccardPairs(documents: DataFrame, lshThreshold: Double = 0.3,
                         jaccardThreshold: Double = 0.5): DataFrame = {
-    // NOT persisted: materializing the exploded shingle table blocks
-    // pipelining and costs more than recomputing it per consumer
-    // (measured at sf0.1: 3.2 s unpersisted vs 6.7 s persisted — and
-    // the persisted blocks leaked past the query, distorting every
-    // later timing in the session)
-    val sh = shingleRows(documents)
-    val grams = sh
-      .groupBy(col("doc_id"))
-      .agg(collect_set(xxhash64(col("shingle"))).as("grams"))
+    // Both sides are native one-pass kernels now (signatures inside
+    // minhashPairs, gram sets here) — no exploded shingle table to
+    // share or persist; each is a narrow projection over the corpus.
+    // (The old shared-shingle form measured 3.2 s at sf0.1; see the
+    // bench artifact for the native chain.)
+    val grams = gramSetsNative(documents)
     val candidates = broadcast(
-      minhashPairs(documents, lshThreshold, shingles = Some(sh))
+      minhashPairs(documents, lshThreshold)
         .select("doc_a", "doc_b"))
     candidates
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")

@@ -49,6 +49,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(found >= planted / 2)
   }
 
+  test("native minhash signature and gram set == relational pipeline") {
+    // real corpus + planted near-dups + CJK (bigram segmentation path)
+    // + the short-doc/empty/two-token fallback edges
+    val fixture = withDups.select("doc_id", "text")
+      .unionByName(graft.operators.dws.TrafficWindows.cjkFixture(spark)
+        .select(col("doc_id") + 5000000L as "doc_id", col("text")))
+      .unionByName(Seq((9001L, ""), (9002L, "one"), (9003L, "two tokens"),
+        (9004L, "exactly three tokens")).toDF("doc_id", "text"))
+    def sigMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nat = sigMap(DedupOps.signaturesNative(fixture))
+    val rel = sigMap(DedupOps.signatures(fixture))
+    assert(nat.keySet == rel.keySet)
+    nat.foreach { case (id, s) =>
+      assert(s == rel(id), s"signature mismatch for doc $id") }
+    // gram sets: SET equality (collect_set order is nondeterministic;
+    // the native array is sorted)
+    val natG = DedupOps.gramSetsNative(fixture).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val relG = DedupOps.shingleRows(fixture)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("shingle"))).as("grams"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(natG == relG)
+    // the native arrays really are sorted (determinism contract)
+    DedupOps.gramSetsNative(fixture).collect().foreach { r =>
+      val a = r.getSeq[Long](1)
+      assert(a == a.sorted, s"unsorted gram set for doc ${r.getLong(0)}")
+    }
+  }
+
   test("native winnow expression == relational form bit-for-bit") {
     // includes the short-doc (<k chars) and empty-text edges, plus
     // supplementary-plane text (emoji + CJK ext-B, surrogate pairs in
