@@ -195,6 +195,46 @@ case class GramHashSet(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native one-pass SimHash fingerprint — bit-identical to the
+  * relational `DedupOps.simhashTable` default (xxhash64 family,
+  * 64 bits; parity spec): per token-BAG occurrence, ±1 per bit of
+  * xxhash64(token); fingerprint bit j set when sum(j) > 0. A
+  * zero-token document contributes one null-token row in the
+  * relational form, whose hash is xxhash64(NULL) = the seed (42) —
+  * reproduced here exactly. One narrow pass; the relational form
+  * explodes a row per token and shuffles on doc_id. */
+case class SimHashFp(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val tokens = graft.functions.Tokenize
+      .tokensScala(input.asInstanceOf[UTF8String].toString)
+    val sums = new Array[Int](64)
+    def add(h: Long): Unit = {
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+        j += 1
+      }
+    }
+    if (tokens.isEmpty) add(42L) // xxhash64(NULL) = seed: the
+    // explode_outer null-token row of the relational form
+    else tokens.foreach(t =>
+      add(XXH64.hashUTF8String(UTF8String.fromString(t), 42L)))
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (sums(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFp =
+    copy(child = newChild)
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -209,4 +249,8 @@ object TextExprs {
   /** Column form of the sorted distinct gram-hash set. */
   def gram_hash_set(text: Column, n: Int = 3): Column =
     Bridge.column(GramHashSet(Bridge.expression(text), n))
+
+  /** Column form of the one-pass SimHash fingerprint. */
+  def simhash_fp(text: Column): Column =
+    Bridge.column(SimHashFp(Bridge.expression(text)))
 }

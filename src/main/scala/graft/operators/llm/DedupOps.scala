@@ -224,9 +224,9 @@ object DedupOps {
                    hashFn: Column => Column = xxhash64(_),
                    bits: Int = 64): DataFrame = {
     // explode_outer: a zero-token doc keeps one null-token row, whose
-    // bit-sums are all -1 → fp = 0, exactly what inline `simhash`
-    // returns (empty aggregate = 0 per bit → no bit set); plain explode
-    // would drop the doc and lose empty-vs-empty duplicate pairs
+    // hash is hashFn(NULL) (= the seed 42 for xxhash64), giving a
+    // well-defined fingerprint; plain explode would drop the doc and
+    // lose empty-vs-empty duplicate pairs
     val words = graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode_outer(Tokenize.tokens(col("text"))).as("w"))
       .withColumn("h", hashFn(col("w")))
@@ -244,9 +244,19 @@ object DedupOps {
     * keys, bucket-join, keep pairs with Hamming distance ≤ maxHamming.
     * Buckets larger than `maxBucketSize` are dropped (see `capBuckets`).
     * Returns (doc_a, doc_b, hamming). */
+  /** Native one-pass fingerprint table — bit-identical to
+    * `simhashTable`'s xxhash64/64 default (parity spec), zero
+    * exchanges. NULL text maps to the relational form's null-token
+    * fingerprint (42) via coalesce. */
+  def simhashTableNative(documents: DataFrame): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        coalesce(graft.functions.TextExprs.simhash_fp(col("text")),
+          lit(42L)).as("fp"))
+
   def simhashPairs(documents: DataFrame, maxHamming: Int = 6,
                    maxBucketSize: Int = 10000): DataFrame = {
-    val fps = simhashTable(documents)
+    val fps = simhashTableNative(documents)
     val banded = capBuckets(fps.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key",

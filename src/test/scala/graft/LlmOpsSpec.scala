@@ -78,6 +78,14 @@ class LlmOpsSpec extends SparkTestBase {
       val a = r.getSeq[Long](1)
       assert(a == a.sorted, s"unsorted gram set for doc ${r.getLong(0)}")
     }
+    // simhash: native fingerprint == relational default, empty doc
+    // lands on the null-token fingerprint in both
+    def fpMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natF = fpMap(DedupOps.simhashTableNative(fixture))
+    val relF = fpMap(DedupOps.simhashTable(fixture))
+    assert(natF == relF)
+    assert(natF(9001L) == 42L) // empty text -> seed fingerprint
   }
 
   test("native winnow expression == relational form bit-for-bit") {
