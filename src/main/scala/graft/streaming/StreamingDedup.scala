@@ -31,18 +31,18 @@ object StreamingDedup {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
     DedupOps.capBuckets(
-      DedupOps.bandRows(DedupOps.signatures(documents), bands, rowsPerBand),
+      DedupOps.bandRows(DedupOps.signaturesNative(documents), bands, rowsPerBand),
       Seq("band", "band_hash"), maxBucketSize)
       .select(col("band"), col("band_hash"),
         col("doc_id").as("idx_doc_id"), col("sig").as("idx_sig"))
   }
 
   /** Stateless near-dup probe over a document stream (`doc_id`,
-    * `text`): inline MinHash signature (bit-identical to the batch
-    * aggregate — the hash array is materialized first so the 64
-    * permutations reference a bound attribute, not 64 copies of the
-    * shingle pipeline), band, join the static index, verify by
-    * signature-match fraction.
+    * `text`): the native one-pass `MinHashSig` per row (bit-identical
+    * to the batch aggregate — parity spec; it replaced the inline
+    * hash-array + 64-permutation expression form, which measured ~4×
+    * the batch aggregate's cost), band, join the static index, verify
+    * by signature-match fraction.
     *
     * Emits one row per MATCHING BAND in append mode; a pair colliding
     * in k bands appears k times with identical `est_jaccard`. The
@@ -55,11 +55,8 @@ object StreamingDedup {
                    threshold: Double = 0.5): DataFrame = {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
-    val sigs = stream
-      .withColumn("hs",
-        transform(DedupOps.shingles(col("text")), sh => xxhash64(sh)))
-      .withColumn("sig", DedupOps.signatureFromHashes(col("hs")))
-      .select(col("doc_id"), col("sig"))
+    val sigs = stream.select(col("doc_id"),
+      graft.functions.TextExprs.minhash_sig(col("text")).as("sig"))
     DedupOps.bandRows(sigs, bands, rowsPerBand)
       .join(broadcast(index), Seq("band", "band_hash"))
       .filter(col("doc_id") =!= col("idx_doc_id"))
