@@ -228,6 +228,20 @@ object SparkEntry {
       llm.Sampling.sequencePacking(Tables.documents(s, d))),
     "llm_redact" -> ((s, d) =>
       llm.TextAnalysis.redact(Tables.documents(s, d))),
+    // fixture: the corpus has no newlines, so chunk each doc into
+    // 8-token lines first (the oracle applies the same rewrite); the
+    // planted duplicate docs make their chunk lines corpus-repeated
+    "llm_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val tk = split(col("text"), " ")
+      val chunked = Tables.documents(s, d).select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+            i => array_join(slice(tk, i * lit(8) + 1, lit(8)), " ")),
+          "\n").as("text"))
+      llm.TextAnalysis.lineDedup(chunked)
+    }),
     "llm_quality_gate" -> ((s, d) =>
       llm.TextAnalysis.qualityGate(Tables.documents(s, d))),
     // the capstone composition: gate -> exact-dedup canonical -> pack
@@ -1161,6 +1175,24 @@ object SparkEntry {
         |            + len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))
         |            AS INT) AS redaction_ct
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "llm_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |         array_to_string(tk[i*8+1 : i*8+8], ' ') AS line
+        |  FROM t, UNNEST(generate_series(0, CAST(ceil(len(tk)/8.0) AS INT) - 1)) AS u(i)
+        |),
+        |freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+        |         count(*) AS n_lines_kept
+        |  FROM kept GROUP BY doc_id),
+        |per_doc AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT p.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |       p.n_lines, p.n_lines - coalesce(r.n_lines_kept, 0) AS n_lines_removed
+        |FROM per_doc p LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "llm_quality_gate" ->
       """WITH toks AS (
         |  SELECT doc_id,

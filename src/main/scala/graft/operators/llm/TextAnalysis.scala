@@ -255,6 +255,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4-style line-level boilerplate dedup (the "discard repeated
+    * lines" pass of Raffel et al. 2020 §2.2 and RefinedWeb's line-wise
+    * filtering): a line whose exact text occurs at least `minRepeat`
+    * times across the WHOLE corpus is dropped from every document, and
+    * each document is rebuilt from its surviving lines in original
+    * order. Emits the rebuilt text plus per-doc removal counts so the
+    * pipeline can report scrub volume; a document whose every line is
+    * boilerplate survives as an empty string (the caller's gate drops
+    * it — dropping here would silently change corpus row counts).
+    *
+    * Shape at 100 TB: one posexplode scan → a line-frequency
+    * hash-aggregate (exchange keyed on the line text) → anti join of
+    * the line stream against the over-threshold set → one doc_id
+    * hash-aggregate to rebuild. The boilerplate side carries NO
+    * broadcast hint: its size is corpus-dependent (every duplicated
+    * paragraph lands in it, not just headers/footers), so Catalyst
+    * auto-broadcasts while it fits and degrades to a shuffle anti join
+    * beyond — same posture as the fact-scaled join sides elsewhere. At
+    * 100 TB the line-keyed exchanges would carry `xxhash64(line)`
+    * instead of the raw strings (64-bit keys vs ~100-byte lines); the
+    * exact-string form is kept here because DuckDB replays it
+    * verbatim, and the swap is a two-line key change. */
+  def lineDedup(documents: DataFrame, minRepeat: Int = 2): DataFrame = {
+    val lines = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+    val boiler = lines.groupBy("line")
+      .agg(count(lit(1)).as("line_ct"))
+      .filter(col("line_ct") >= minRepeat)
+      .select("line")
+    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id").agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
+          .as("n_lines_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-count percentiles per language — corpus length
     * profiling (sequence-length budgeting for training). Exact
     * `percentile` (continuous interpolation, matches DuckDB's

@@ -567,6 +567,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(sum == docs.count())
   }
 
+  test("line dedup drops corpus-repeated lines, keeps order, keeps emptied docs") {
+    val corpus = Seq(
+      (1L, "unique alpha\nCOPYRIGHT FOOTER\nunique beta"),
+      (2L, "unique gamma\nCOPYRIGHT FOOTER"),
+      (3L, "COPYRIGHT FOOTER"),
+      (4L, "solo line stays\nrepeated twice here\nrepeated twice here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(corpus, minRepeat = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the footer occurs in 3 docs -> removed everywhere, order intact
+    assert(out(1L) == (("unique alpha\nunique beta", 3L, 1L)))
+    assert(out(2L) == (("unique gamma", 2L, 1L)))
+    // a doc that is ALL boilerplate survives as an empty row, not a drop
+    assert(out(3L) == (("", 1L, 1L)))
+    // within-doc repetition counts toward the corpus threshold
+    assert(out(4L) == (("solo line stays", 3L, 2L)))
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
