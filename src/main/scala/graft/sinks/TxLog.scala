@@ -37,11 +37,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxLog {
 
+  /** Per-file min/max of one integral column (long/int/timestamp),
+    * harvested from the parquet FOOTER at commit time — the manifest
+    * half of Delta's per-file `stats` JSON. Files whose stats don't
+    * overlap a read predicate are skipped without opening them. */
+  final case class ColStats(col: String, min: Long, max: Long)
+
   /** One committed data file; `part` carries the Hive-style partition
     * value for files written by `commitUpsertPartitioned` (the
     * partition column is NOT stored in the file, exactly like Hive/
-    * Delta layouts — it is restored from the manifest at read). */
-  final case class FileEntry(path: String, part: Option[(String, String)])
+    * Delta layouts — it is restored from the manifest at read);
+    * `stats` the optional footer min/max of the table's stats column. */
+  final case class FileEntry(path: String, part: Option[(String, String)],
+                             stats: Option[ColStats] = None)
 
   final case class Snapshot(version: Long, files: Seq[FileEntry])
 
@@ -124,12 +132,20 @@ object TxLog {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val files = text.linesIterator.collect {
+      // file=<path>[\u0001<statsCol>\u0001<min>\u0001<max>]
       case l if l.startsWith("file=") =>
-        FileEntry(l.stripPrefix("file="), None)
+        l.stripPrefix("file=").split('\u0001') match {
+          case Array(p) => FileEntry(p, None)
+          case Array(p, sc, mn, mx) =>
+            FileEntry(p, None, Some(ColStats(sc, mn.toLong, mx.toLong)))
+        }
+      // pfile=<col>\u0001<value>\u0001<path>[\u0001<statsCol>\u0001<min>\u0001<max>]
       case l if l.startsWith("pfile=") =>
-        // pfile=<col>\u0001<value>\u0001<path>
-        val Array(c, v, p) = l.stripPrefix("pfile=").split('\u0001')
-        FileEntry(p, Some((c, v)))
+        l.stripPrefix("pfile=").split('\u0001') match {
+          case Array(c, v, p) => FileEntry(p, Some((c, v)))
+          case Array(c, v, p, sc, mn, mx) =>
+            FileEntry(p, Some((c, v)), Some(ColStats(sc, mn.toLong, mx.toLong)))
+        }
     }.toSeq
     Snapshot(version, files)
   }
@@ -151,6 +167,53 @@ object TxLog {
                  keep: String => Boolean): Option[DataFrame] =
     latest(spark, table).flatMap(s =>
       readFiles(spark, table, s.version, e => e.part.forall(p => keep(p._2))))
+
+  /** Stats-pruned read at the latest version: only data files whose
+    * manifest `[min, max]` for `statsCol` overlaps `[lo, hi]` are
+    * opened — Delta-style file skipping from footer stats, effective
+    * when commits range-cluster on the column (`statsCol` at commit).
+    * File granularity means the survivors are a SUPERSET of the
+    * matching rows; compose with the row filter. Files without stats
+    * for this column (older commits, all-null files) always load. */
+  def readRange(spark: SparkSession, table: String, statsCol: String,
+                lo: Long, hi: Long): Option[DataFrame] =
+    latest(spark, table).flatMap(s =>
+      readFiles(spark, table, s.version, e => e.stats.forall(cs =>
+        cs.col != statsCol || (cs.max >= lo && cs.min <= hi))))
+
+  /** Footer min/max of an integral-typed column across a parquet
+    * file's row groups, plus its row count — a metadata-only read (no
+    * data pages), the same information Delta persists as write-time
+    * stats. None when the column is missing, non-integral, or
+    * all-null in the file (such a file is never skipped). */
+  private def footerStats(fs: FileSystem, file: Path,
+                          statsCol: String): (Long, Option[(Long, Long)]) = {
+    import scala.jdk.CollectionConverters._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+        fs.getFileStatus(file), fs.getConf))
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks.flatMap { b =>
+        b.getColumns.asScala
+          .find(_.getPath.toDotString == statsCol)
+          .flatMap { c =>
+            val st = c.getStatistics
+            if (st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                Some((mn.longValue(), mx.longValue()))
+              case _ => None
+            }
+          }
+      }
+      val merged =
+        if (ranges.isEmpty) None
+        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
+      (rows, merged)
+    } finally rdr.close()
+  }
 
   private def readFiles(spark: SparkSession, table: String, version: Long,
                         keep: FileEntry => Boolean): Option[DataFrame] = {
@@ -184,9 +247,19 @@ object TxLog {
     * `versionCol`, the `Sinks.upsert` total order) and commit it as a
     * new snapshot. Returns the committed version. Safe under concurrent
     * writers: losing a version race re-reads and re-merges, so every
-    * retry folds the winner's rows into the next attempt. */
+    * retry folds the winner's rows into the next attempt.
+    *
+    * With `statsCol` set the merged output is RANGE-CLUSTERED on that
+    * column into (at most) `clusterFiles` data files, and each file's
+    * footer min/max is carried into the manifest — so `readRange` can
+    * skip non-overlapping files without opening them (Delta's
+    * single-column OPTIMIZE-ZORDER analog; multi-column interleaving
+    * is the documented extension). The stats harvest is one footer
+    * read per staged file — metadata-only, no data scan. */
   def commitUpsert(batch: DataFrame, table: String, pk: String,
-                   versionCol: String, maxRetries: Int = 20): Long = {
+                   versionCol: String, maxRetries: Int = 20,
+                   statsCol: Option[String] = None,
+                   clusterFiles: Int = 8): Long = {
     val spark = batch.sparkSession
     val fs = fsOf(spark, table)
     var attempt = 0
@@ -198,16 +271,29 @@ object TxLog {
       // stage immutable data files under a commit-unique prefix
       val commitId = UUID.randomUUID().toString.take(8)
       val tmp = new Path(s"$table/.staged-$commitId")
-      merged.write.mode("overwrite").parquet(tmp.toString)
+      val toWrite = statsCol match {
+        case Some(sc) => merged.repartitionByRange(
+          clusterFiles, org.apache.spark.sql.functions.col(sc))
+        case None => merged
+      }
+      toWrite.write.mode("overwrite").parquet(tmp.toString)
       val dataDir = new Path(s"$table/$DataDir")
       fs.mkdirs(dataDir)
       val staged = fs.listStatus(tmp)
         .filter(_.getPath.getName.startsWith("part-"))
-        .map { st =>
-          val name = s"c$commitId-${st.getPath.getName}"
-          if (!fs.rename(st.getPath, new Path(dataDir, name)))
-            sys.error(s"TxLog: failed to stage ${st.getPath}")
-          FileEntry(s"$DataDir/$name", None)
+        .flatMap { st =>
+          val stats = statsCol.map(sc => footerStats(fs, st.getPath, sc))
+          if (stats.exists(_._1 == 0L)) {
+            // a row-less file from an empty range partition carries no
+            // stats and would defeat skipping — never reference it
+            fs.delete(st.getPath, false); None
+          } else {
+            val name = s"c$commitId-${st.getPath.getName}"
+            if (!fs.rename(st.getPath, new Path(dataDir, name)))
+              sys.error(s"TxLog: failed to stage ${st.getPath}")
+            Some(FileEntry(s"$DataDir/$name", None, statsCol.flatMap(sc =>
+              stats.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) })))
+          }
         }.toSeq
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
@@ -230,10 +316,18 @@ object TxLog {
     * list, and let `readPruned` skip non-matching files at the
     * manifest level — partition pruning without opening a footer. The
     * partition column must be string-typed; cardinality is bounded by
-    * the usual Hive-partitioning contract. */
+    * the usual Hive-partitioning contract.
+    *
+    * `statsCol` composes with partitioning the way Delta composes
+    * partition dirs with file stats: the write range-clusters on
+    * (partCol, statsCol) so each partition's files carry narrow
+    * footer ranges, and `readRange` prunes WITHIN the partitions a
+    * `readPruned` predicate keeps. */
   def commitUpsertPartitioned(batch: DataFrame, table: String, pk: String,
                               versionCol: String, partCol: String,
-                              maxRetries: Int = 20): Long = {
+                              maxRetries: Int = 20,
+                              statsCol: Option[String] = None,
+                              clusterFiles: Int = 8): Long = {
     val spark = batch.sparkSession
     val fs = fsOf(spark, table)
     var attempt = 0
@@ -244,7 +338,13 @@ object TxLog {
       val merged = Sinks.upsert(batch, existing, pk, versionCol)
       val commitId = UUID.randomUUID().toString.take(8)
       val tmp = new Path(s"$table/.staged-$commitId")
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      val toWrite = statsCol match {
+        case Some(sc) => merged.repartitionByRange(clusterFiles,
+          org.apache.spark.sql.functions.col(partCol),
+          org.apache.spark.sql.functions.col(sc))
+        case None => merged
+      }
+      toWrite.write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
       val dataDir = new Path(s"$table/$DataDir")
       fs.mkdirs(dataDir)
       val staged = fs.listStatus(tmp).toSeq
@@ -265,10 +365,13 @@ object TxLog {
           fs.listStatus(dir.getPath)
             .filter(_.getPath.getName.startsWith("part-"))
             .map { st =>
+              val stats = statsCol.flatMap(sc =>
+                footerStats(fs, st.getPath, sc)._2.map {
+                  case (mn, mx) => ColStats(sc, mn, mx) })
               val name = s"c$commitId-p$idx-${st.getPath.getName}"
               if (!fs.rename(st.getPath, new Path(dataDir, name)))
                 sys.error(s"TxLog: failed to stage ${st.getPath}")
-              FileEntry(s"$DataDir/$name", Some((partCol, value)))
+              FileEntry(s"$DataDir/$name", Some((partCol, value)), stats)
             }
         }
       fs.delete(tmp, true)
@@ -303,10 +406,13 @@ object TxLog {
       s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try {
+      def statsSuffix(st: Option[ColStats]): Seq[String] =
+        st.toSeq.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
       val body = (s"version=$version" +: files.map {
-        case FileEntry(p, None) => s"file=$p"
-        case FileEntry(p, Some((c, v))) =>
-          Seq("pfile=" + c, v, p).mkString("\u0001")
+        case FileEntry(p, None, st) =>
+          ((("file=" + p) +: statsSuffix(st))).mkString("\u0001")
+        case FileEntry(p, Some((c, v)), st) =>
+          (Seq("pfile=" + c, v, p) ++ statsSuffix(st)).mkString("\u0001")
       }).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()

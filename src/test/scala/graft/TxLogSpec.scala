@@ -97,6 +97,63 @@ class TxLogSpec extends SparkTestBase {
     assert(after(3L) == "2024-01-05" && after.size == 4)
   }
 
+  test("file stats skipping: a range read opens only overlapping files") {
+    val t = freshTable()
+    val batch = (0L until 1000L).map(i => (i, 1L, s"r$i"))
+      .toDF("id", "ver", "payload")
+    TxLog.commitUpsert(batch, t, "id", "ver",
+      statsCol = Some("id"), clusterFiles = 8)
+    val full = TxLog.read(spark, t).get
+    assert(full.count() == 1000)
+    assert(full.inputFiles.length >= 4,
+      s"range clustering should spread files, got ${full.inputFiles.length}")
+    // a narrow range touches 1-2 files, not the whole table
+    val pruned = TxLog.readRange(spark, t, "id", 10L, 20L).get
+    assert(pruned.inputFiles.length <= 2,
+      s"expected <=2 overlapping files, got ${pruned.inputFiles.length}")
+    // file granularity = superset; the row filter closes the gap exactly
+    assert(pruned.filter(col("id").between(10, 20)).count() == 11)
+    // a re-merge commit re-harvests stats: skipping still works after it
+    TxLog.commitUpsert(
+      Seq((10L, 2L, "updated")).toDF("id", "ver", "payload"),
+      t, "id", "ver", statsCol = Some("id"), clusterFiles = 8)
+    val after = TxLog.readRange(spark, t, "id", 10L, 20L).get
+    assert(after.inputFiles.length <= 2)
+    val hit = after.filter(col("id") === 10L).collect()
+    assert(hit.length == 1 && hit(0).getString(2) == "updated")
+    // a disjoint range opens different files than the low range
+    val high = TxLog.readRange(spark, t, "id", 900L, 950L).get
+    assert(high.inputFiles.toSet.intersect(after.inputFiles.toSet).isEmpty)
+  }
+
+  test("stats-less tables never skip: readRange degrades to a full read") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (0L until 100L).map(i => (i, 1L, s"r$i")).toDF("id", "ver", "payload"),
+      t, "id", "ver") // no statsCol: manifest has no stats fields
+    val ranged = TxLog.readRange(spark, t, "id", 5L, 6L).get
+    assert(ranged.inputFiles.length ==
+      TxLog.read(spark, t).get.inputFiles.length)
+    assert(ranged.filter(col("id").between(5, 6)).count() == 2)
+  }
+
+  test("partition pruning and stats skipping compose") {
+    val t = freshTable()
+    val rows = (0L until 400L).map(i =>
+      (i, 1L, s"r$i", if (i % 2 == 0) "even" else "odd"))
+    TxLog.commitUpsertPartitioned(rows.toDF("id", "ver", "payload", "par"),
+      t, "id", "ver", "par", statsCol = Some("id"), clusterFiles = 4)
+    val full = TxLog.read(spark, t).get
+    assert(full.count() == 400)
+    // stats prune within the partitioned layout
+    val ranged = TxLog.readRange(spark, t, "id", 0L, 40L).get
+    assert(ranged.inputFiles.length < full.inputFiles.length)
+    assert(ranged.filter(col("id") <= 40L).count() == 41)
+    // and the partition column still restores from the manifest
+    assert(ranged.filter(col("par") === "even" && col("id") === 40L)
+      .count() == 1)
+  }
+
   test("partition values with Hive-escaped and '+' characters round-trip") {
     val t = freshTable()
     // ':' is Hive-percent-escaped in dir names; '+' is left literal
