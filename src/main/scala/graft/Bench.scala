@@ -32,8 +32,33 @@ object Bench {
     // blocks), so the min reflects the plan, not a leaked cache; only
     // JIT warm-up and the OS page cache carry across runs — that policy
     // is recorded in the emitted JSON.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(v => v.trim.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got '$v'")))
+      .getOrElse(2)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 (or prefixes) scopes a probe
+    // run to a query subset under the SAME measurement policy as the
+    // full artifact — the one timing loop, not a hand-rolled copy.
+    // Scoped runs warm each selected query once first (the full bench
+    // amortizes JIT warm-up across 100 queries; a short list would
+    // otherwise charge it to the first timings).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case None => SparkEntry.queries.toSeq
+      case Some(pats) =>
+        val sel = SparkEntry.queries.toSeq.filter { case (name, _) =>
+          pats.exists(name.startsWith) }
+        require(sel.nonEmpty, s"SPARK_GRAFT_BENCH_ONLY matched no query: $only")
+        sel.foreach { case (name, fn) =>
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
+          clearState(spark)
+        }
+        sel
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -51,9 +76,9 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (sentinel -1) are excluded from the total — summing
     // them in would make a round WITH failures report a better total
-    val ok = results.values.filter(_ >= 0)
+    val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val failed = results.values.count(_ < 0)
+    val failed = results.count(_._2 < 0)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The stdout line can be truncated by log-capture harnesses (round

@@ -173,22 +173,28 @@ case class GramHashSet(child: Expression, n: Int)
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val tokens = graft.functions.Tokenize
       .tokensScala(input.asInstanceOf[UTF8String].toString)
-    val set = new java.util.TreeSet[java.lang.Long]()
-    def add(gram: String): Unit = {
-      set.add(XXH64.hashUTF8String(UTF8String.fromString(gram), 42L)); ()
-    }
+    // primitive buffer + sort + in-place dedup: this runs once per
+    // corpus document, and a boxed TreeSet would allocate a node per
+    // gram for the same sorted-distinct result
+    val nGrams = if (tokens.length >= n) tokens.length - n + 1 else 1
+    val buf = new Array[Long](nGrams)
+    def hash(gram: String): Long =
+      XXH64.hashUTF8String(UTF8String.fromString(gram), 42L)
     if (tokens.length >= n) {
       var i = 0
       while (i + n - 1 < tokens.length) {
-        add(tokens.slice(i, i + n).mkString(" "))
+        buf(i) = hash(tokens.slice(i, i + n).mkString(" "))
         i += 1
       }
-    } else add(tokens.mkString(" "))
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    } else buf(0) = hash(tokens.mkString(" "))
+    java.util.Arrays.sort(buf)
+    var w = 0
     var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    ArrayData.toArrayData(out)
+    while (i < nGrams) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(buf, w))
   }
 
   override protected def withNewChildInternal(newChild: Expression): GramHashSet =

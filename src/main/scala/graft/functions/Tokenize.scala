@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * lowercase-whitespace-split. Pure-ASCII text takes the plain
   * whitespace path unchanged, gated by one document-level regex probe.
   * `tokenizeUdf` keeps U1's error-passthrough contract for callers that
-  * need the UDTF shape. Surrogate-pair (non-BMP) CJK extension chars
-  * follow each engine's code-point substring semantics — fixtures and
-  * the dedup shingles stay in the BMP.
+  * need the UDTF shape. Both forms segment Han runs by CODE POINT
+  * (Spark's `length`/`substr` are code-point-based; the Scala twin
+  * iterates `codePoints`), so surrogate-pair (ext-B) Han bigrams agree
+  * between the column form, the typed twin, and the native kernels
+  * built on it — no bigram ever splits a surrogate pair.
   */
 object Tokenize {
 
@@ -58,8 +60,12 @@ object Tokenize {
         .fromString(s).toLowerCase.toString
       val spaced = lowered.replaceAll("(\\p{IsHan}+)", " $1 ")
       spaced.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { t =>
-        if (t.length >= 2 && t.matches("\\p{IsHan}+"))
-          t.sliding(2).toSeq
+        // code-point bigrams, matching the column form's code-point
+        // length()/substr() — String.sliding(2) would split the
+        // surrogate pairs of ext-B Han into garbage half-tokens
+        val cps = t.codePoints.toArray
+        if (cps.length >= 2 && t.matches("\\p{IsHan}+"))
+          (0 until cps.length - 1).map(i => new String(cps, i, 2))
         else Seq(t)
       }
     }

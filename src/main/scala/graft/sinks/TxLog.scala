@@ -162,11 +162,15 @@ object TxLog {
     * manifest partition value passes `keep` are listed, opened, or
     * scanned — manifest-level pruning, the same skip Hive/Delta get
     * from partition dirs (proved via `df.inputFiles` in `TxLogSpec`).
-    * Unpartitioned files always load (they may hold any value). */
+    * Unpartitioned files always load (they may hold any value). A
+    * NULL partition value reaches `keep` as `null` — the same decoding
+    * the read path applies to the restored column — never as Hive's
+    * `__HIVE_DEFAULT_PARTITION__` sentinel string. */
   def readPruned(spark: SparkSession, table: String,
                  keep: String => Boolean): Option[DataFrame] =
     latest(spark, table).flatMap(s =>
-      readFiles(spark, table, s.version, e => e.part.forall(p => keep(p._2))))
+      readFiles(spark, table, s.version, e => e.part.forall(p =>
+        keep(if (p._2 == HiveNullPart) null else p._2))))
 
   /** Stats-pruned read at the latest version: only data files whose
     * manifest `[min, max]` for `statsCol` overlaps `[lo, hi]` are

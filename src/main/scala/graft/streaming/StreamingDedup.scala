@@ -55,8 +55,12 @@ object StreamingDedup {
                    threshold: Double = 0.5): DataFrame = {
     require(bands * rowsPerBand == 64,
       s"bands*rowsPerBand must equal the 64-perm signature, got $bands x $rowsPerBand")
-    val sigs = stream.select(col("doc_id"),
-      graft.functions.TextExprs.minhash_sig(col("text")).as("sig"))
+    // same null contract as the batch signature pipelines: a NULL text
+    // has no signature and probes nothing (unfiltered it would band a
+    // null sig into a junk bucket hash and ride the join as dead rows)
+    val sigs = stream.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.minhash_sig(col("text")).as("sig"))
     DedupOps.bandRows(sigs, bands, rowsPerBand)
       .join(broadcast(index), Seq("band", "band_hash"))
       .filter(col("doc_id") =!= col("idx_doc_id"))

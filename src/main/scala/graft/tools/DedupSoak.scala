@@ -93,13 +93,18 @@ object DedupSoak {
     val totalSec = (System.nanoTime() - t0) / 1e9
 
     // planted-structure validation: every 10th base doc forms a
-    // cluster of `copies`; recall = clustered planted docs / planted
-    val planted = cc.filter(col("doc_id") % 10 === 0 ||
-      col("doc_id") >= 10000000L)
+    // cluster of `copies`. The replica offset (10^7) is a multiple of
+    // 10, so `doc_id % 10 == 0` identifies planted docs across base
+    // AND replicas; anything else in cc is a FALSE POSITIVE (salted
+    // replicas are distinct by construction) and is reported as such,
+    // not folded into recall.
+    val planted = cc.filter(col("doc_id") % 10 === 0)
+    val falsePos = cc.filter(col("doc_id") % 10 =!= 0)
     val clusters = cc.groupBy("component_id").count()
     println(s"[soak] docs=$nDocs verifiedPairs=$nPairs " +
       s"clusters=${clusters.count()} clusteredDocs=${cc.count()} " +
-      s"plantedClustered=${planted.count()} kept=$kept")
+      s"plantedClustered=${planted.count()} falsePosClustered=${falsePos.count()} " +
+      s"kept=$kept")
     println(f"[soak] TOTAL ${totalSec}%.1f s = ${nDocs / totalSec}%.0f docs/s " +
       s"(shuffle total=${mb(shuffleTotal.get)} peak stage=${mb(shufflePeak.get)})")
     spark.stop()

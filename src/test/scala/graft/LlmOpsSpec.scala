@@ -609,6 +609,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(udfOut == out(0).toSeq)
   }
 
+  test("ext-B Han (surrogate pairs): column and Scala tokenizers agree per code point") {
+    // three CJK ext-B ideographs (each a surrogate pair) + BMP tail
+    val extB = new String(Array(0x20000, 0x20001, 0x20002), 0, 3) + "的 ok"
+    val colOut = Seq(extB).toDF("s")
+      .select(graft.functions.Tokenize.tokens(col("s")).as("t"))
+      .collect().head.getSeq[String](0)
+    val scalaOut = graft.functions.Tokenize.tokensScala(extB)
+    assert(colOut == scalaOut, s"column=$colOut scala=$scalaOut")
+    // the 4-code-point Han run yields 3 bigrams of 2 WHOLE code points
+    // each (never a split surrogate), then the ascii tail
+    val bigrams = scalaOut.dropRight(1)
+    assert(bigrams.length == 3 && scalaOut.last == "ok")
+    assert(bigrams.forall(t => t.codePointCount(0, t.length) == 2))
+    assert(bigrams.forall(t => !Character.isLowSurrogate(t.charAt(0)) &&
+      !Character.isHighSurrogate(t.charAt(t.length - 1))))
+    // and the native one-pass signature matches the relational one on it
+    val df = Seq((1L, extB), (2L, "plain text only")).toDF("doc_id", "text")
+    val native = graft.operators.llm.DedupOps.signaturesNative(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = graft.operators.llm.DedupOps.signatures(df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == relational)
+  }
+
   test("CJK near-dup: shingle dedup finds a planted Chinese near-duplicate") {
     val cjk = Seq(
       (0L, "今天 天气 很好 我们 一起 去 公园 散步 然后 回家 吃饭 休息 明天 继续 工作 学习"),

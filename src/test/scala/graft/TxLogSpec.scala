@@ -194,6 +194,14 @@ class TxLogSpec extends SparkTestBase {
     // no row ever surfaces the sentinel as data
     assert(TxLog.read(spark, t).get
       .filter(col("dt") === "__HIVE_DEFAULT_PARTITION__").count() == 0)
+    // and the pruning predicate sees null, not the sentinel: a
+    // null-selecting keep finds the null partition, a value-shaped
+    // keep never sees the sentinel string
+    val nulls = TxLog.readPruned(spark, t, v => v == null).get.collect()
+    assert(nulls.map(_.getLong(0)).toSeq == Seq(2L))
+    val dated = TxLog.readPruned(spark, t,
+      v => v != null && v.startsWith("2024")).get.collect()
+    assert(dated.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("checkpoint hint: after 50 commits reads resolve without listing the log") {
