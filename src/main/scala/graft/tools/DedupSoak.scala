@@ -95,16 +95,21 @@ object DedupSoak {
     // planted-structure validation: every 10th base doc forms a
     // cluster of `copies`. The replica offset (10^7) is a multiple of
     // 10, so `doc_id % 10 == 0` identifies planted docs across base
-    // AND replicas; anything else in cc is a FALSE POSITIVE (salted
-    // replicas are distinct by construction) and is reported as such,
-    // not folded into recall.
+    // AND replicas. The rest of cc splits into organic base-corpus
+    // near-dups (ids < 10^7 — real duplicates the generator planted in
+    // the source table; benign) and clustered SALTED replicas — those
+    // are distinct by construction, so any of them in cc is a false
+    // positive the soak must surface, never fold into recall.
     val planted = cc.filter(col("doc_id") % 10 === 0)
-    val falsePos = cc.filter(col("doc_id") % 10 =!= 0)
+    val organic = cc.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") < 10000000L)
+    val saltedFp = cc.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") >= 10000000L)
     val clusters = cc.groupBy("component_id").count()
     println(s"[soak] docs=$nDocs verifiedPairs=$nPairs " +
       s"clusters=${clusters.count()} clusteredDocs=${cc.count()} " +
-      s"plantedClustered=${planted.count()} falsePosClustered=${falsePos.count()} " +
-      s"kept=$kept")
+      s"plantedClustered=${planted.count()} organicClustered=${organic.count()} " +
+      s"saltedFalsePos=${saltedFp.count()} kept=$kept")
     println(f"[soak] TOTAL ${totalSec}%.1f s = ${nDocs / totalSec}%.0f docs/s " +
       s"(shuffle total=${mb(shuffleTotal.get)} peak stage=${mb(shufflePeak.get)})")
     spark.stop()
