@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, Mix64}
+import graft.functions.{CosineSim, GramHashSet, MinHashSig, Mix64, SimHashFp, WinnowMinima}
 
 /** SparkSessionExtensions entry point — registers graft's native
   * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
@@ -24,6 +24,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def arity(name: String, args: Seq[Expression], n: Int): Unit =
     if (args.length != n) throw new IllegalArgumentException(
       s"$name expects $n arguments, got ${args.length}")
+
+  /** Static int parameter of a kernel (band width, gram size): must be
+    * an integer LITERAL in SQL — these are constructor parameters that
+    * shape the expression, not runtime columns. */
+  private def intLit(name: String, e: Expression): Int = e match {
+    case Literal(c: Int, _)   => c
+    case Literal(c: Long, _)  => c.toInt
+    case Literal(c: Short, _) => c.toInt
+    case Literal(c: Byte, _)  => c.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name parameter must be an integer literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
@@ -49,6 +61,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"mix64 second argument must be an integer literal, got $other")
         }
+      }))
+    // the one-pass text kernels: callable from pure SQL with the same
+    // defaults as the Column helpers in `TextExprs`
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t)    => MinHashSig(t, 64)
+        case Seq(t, p) => MinHashSig(t, intLit("minhash_sig perms", p))
+        case _ => throw new IllegalArgumentException(
+          s"minhash_sig expects 1-2 arguments, got ${args.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hash_set"),
+      new ExpressionInfo(classOf[GramHashSet].getName, "gram_hash_set"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t)    => GramHashSet(t, 3)
+        case Seq(t, n) => GramHashSet(t, intLit("gram_hash_set n", n))
+        case _ => throw new IllegalArgumentException(
+          s"gram_hash_set expects 1-2 arguments, got ${args.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      (args: Seq[Expression]) => {
+        arity("simhash_fp", args, 1)
+        SimHashFp(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_minima"),
+      new ExpressionInfo(classOf[WinnowMinima].getName, "winnow_minima"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t)       => WinnowMinima(t, 8, 8)
+        case Seq(t, k)    => WinnowMinima(t, intLit("winnow_minima k", k), 8)
+        case Seq(t, k, w) => WinnowMinima(t, intLit("winnow_minima k", k),
+          intLit("winnow_minima w", w))
+        case _ => throw new IllegalArgumentException(
+          s"winnow_minima expects 1-3 arguments, got ${args.length}")
       }))
   }
 }

@@ -27,6 +27,40 @@ class ExtensionsSpec extends SparkTestBase {
       e.getMessage.toLowerCase.contains("expects"))
   }
 
+  test("text kernels are SQL-callable and match their Column twins") {
+    org.apache.spark.sql.graftbridge.Bridge.installFunctions(
+      new GraftExtensions(), spark)
+    Seq((1L, "spark shuffles the hash join build side"),
+        (2L, "实时数据仓库"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT doc_id, minhash_sig(text) AS sig, minhash_sig(text, 64) AS sig2,
+        |       gram_hash_set(text) AS gs, gram_hash_set(text, 2) AS gs2,
+        |       simhash_fp(text) AS fp, winnow_minima(text) AS wm,
+        |       winnow_minima(text, 8, 8) AS wm2
+        |FROM ext_docs ORDER BY doc_id""".stripMargin).collect()
+    val twins = spark.table("ext_docs").select(col("doc_id"),
+        graft.functions.TextExprs.minhash_sig(col("text")).as("sig"),
+        graft.functions.TextExprs.gram_hash_set(col("text")).as("gs"),
+        graft.functions.TextExprs.gram_hash_set(col("text"), 2).as("gs2"),
+        graft.functions.TextExprs.simhash_fp(col("text")).as("fp"),
+        graft.functions.TextExprs.winnow_minima(col("text")).as("wm"))
+      .orderBy("doc_id").collect()
+    sql.zip(twins).foreach { case (s, t) =>
+      assert(s.getSeq[Long](1) == t.getSeq[Long](1))   // sig == twin
+      assert(s.getSeq[Long](1) == s.getSeq[Long](2))   // default == explicit
+      assert(s.getSeq[Long](3) == t.getSeq[Long](2))   // gram set
+      assert(s.getSeq[Long](4) == t.getSeq[Long](3))   // gram set n=2
+      assert(s.getLong(5) == t.getLong(4))             // simhash
+      assert(s.getSeq[Long](6) == t.getSeq[Long](5))   // winnow
+      assert(s.getSeq[Long](6) == s.getSeq[Long](7))
+    }
+    // static params must be literals — a column there is a clear error
+    val e = intercept[Exception](
+      spark.sql("SELECT gram_hash_set(text, doc_id) FROM ext_docs").collect())
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("FuseCosine rewrites the HOF cosine tree to CosineSim when enabled") {
     import graft.operators.llm.Similarity
     // parquet-backed (a local Seq relation constant-folds at optimize
