@@ -277,14 +277,21 @@ object TextAnalysis {
     * instead of the raw strings (64-bit keys vs ~100-byte lines); the
     * exact-string form is kept here because DuckDB replays it
     * verbatim, and the swap is a two-line key change. */
+  /** The corpus's over-threshold line set — the "index" half of line
+    * dedup, exposed so the streaming probe can broadcast it. */
+  def boilerLines(documents: DataFrame, minRepeat: Int = 2): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(explode(split(col("text"), "\n")).as("line"))
+      .groupBy("line")
+      .agg(count(lit(1)).as("line_ct"))
+      .filter(col("line_ct") >= minRepeat)
+      .select("line")
+
   def lineDedup(documents: DataFrame, minRepeat: Int = 2): DataFrame = {
     val lines = graft.core.Tables.spread(documents)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .toDF("doc_id", "pos", "line")
-    val boiler = lines.groupBy("line")
-      .agg(count(lit(1)).as("line_ct"))
-      .filter(col("line_ct") >= minRepeat)
-      .select("line")
+    val boiler = boilerLines(documents, minRepeat)
     val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
       .groupBy("doc_id").agg(
         array_join(

@@ -108,6 +108,37 @@ object StreamingDedup {
       .toDF("doc_id", "leaked_gram_ct")
   }
 
+  /** The corpus's boilerplate lines as exact strings, collected for
+    * broadcast into `lineDedupProbe`. DRIVER-BOUNDED by contract, like
+    * the contamination gram set: the caller picks a `minRepeat` (or
+    * pre-filters) such that the over-threshold line set is
+    * broadcast-sized — true boilerplate (headers, footers, cookie
+    * banners) is tiny relative to any corpus. When a corpus's repeated
+    * -line set outgrows broadcast, strip lines in batch
+    * (`TextAnalysis.lineDedup`'s shuffle anti join) instead. */
+  def lineIndex(documents: DataFrame, minRepeat: Int = 2): Array[String] =
+    graft.operators.llm.TextAnalysis.boilerLines(documents, minRepeat)
+      .collect().map(_.getString(0))
+
+  /** Stateless line-level boilerplate strip at ingest: the streaming
+    * twin of `TextAnalysis.lineDedup` against a STATIC corpus line
+    * index. Pure per-row expression work — split, filter against the
+    * broadcast literal set, rejoin — no join, no state, restart =
+    * replay. Matching is by exact line string (same rule as the batch
+    * anti join), so twin outputs are identical for the same index.
+    * Emits every row with its cleaned text and removal counts; a doc
+    * whose every line is boilerplate survives as an empty string,
+    * exactly like the batch form. */
+  def lineDedupProbe(stream: DataFrame, index: Array[String]): DataFrame = {
+    val boiler = typedLit(index.toSeq)
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l => !array_contains(boiler, l))
+    stream.select(col("doc_id"),
+      array_join(kept, "\n").as("clean_text"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_lines_removed"))
+  }
+
   /** Exact dedup at ingest: content-hash + watermark-bounded state
     * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
     * state for a hash is dropped once the watermark passes it, so a

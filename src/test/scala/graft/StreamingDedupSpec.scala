@@ -91,6 +91,34 @@ class StreamingDedupSpec extends SparkTestBase {
       s"missing: ${(batchPairs -- streamPairs).take(5)}")
   }
 
+  test("line-dedup probe strips the same lines as the batch form") {
+    val corpus = Seq(
+      (1L, "unique alpha\nCOPYRIGHT FOOTER\nunique beta"),
+      (2L, "unique gamma\nCOPYRIGHT FOOTER"),
+      (3L, "COPYRIGHT FOOTER"),
+      (4L, "solo line\nCOPYRIGHT FOOTER\nanother solo"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.lineIndex(corpus, minRepeat = 2)
+    assert(index.toSeq == Seq("COPYRIGHT FOOTER"))
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.lineDedupProbe(ms.toDF(), index)
+      .writeStream.format("memory").queryName("linededup_out")
+      .outputMode("append").start()
+    ms.addData(corpus.as[StreamDoc].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("linededup_out").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val batch = graft.operators.llm.TextAnalysis.lineDedup(corpus, 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the all-boilerplate doc survives as an empty row in both forms
+    assert(streamed(3L) == (("", 1L, 1L)))
+  }
+
   test("exact ingest dedup re-admits content after the watermark drops its state") {
     val ms = MemoryStream[TsDoc]
     val q = StreamingDedup.exactIngestDedup(ms.toDF(), watermark = "10 seconds")
