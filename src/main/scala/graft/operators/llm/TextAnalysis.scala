@@ -265,13 +265,16 @@ object TextAnalysis {
     * boilerplate survives as an empty string (the caller's gate drops
     * it — dropping here would silently change corpus row counts).
     *
-    * Shape at 100 TB: one posexplode scan → a line-frequency
-    * hash-aggregate (exchange keyed on the line text) → anti join of
-    * the line stream against the over-threshold set → one doc_id
-    * hash-aggregate to rebuild. The boilerplate side carries NO
-    * broadcast hint: its size is corpus-dependent (every duplicated
+    * Shape at 100 TB: TWO corpus scans total — one builds the
+    * over-threshold line set (explode → line-keyed hash-aggregate),
+    * one streams every (doc, pos, line) through a LEFT join against
+    * that set and a single doc_id hash-aggregate that rebuilds the
+    * text and counts removals in the same pass (keeping a membership
+    * FLAG instead of anti-joining means no third scan for per-doc
+    * line totals and no per-doc rejoin). The boilerplate side carries
+    * NO broadcast hint: its size is corpus-dependent (every duplicated
     * paragraph lands in it, not just headers/footers), so Catalyst
-    * auto-broadcasts while it fits and degrades to a shuffle anti join
+    * auto-broadcasts while it fits and degrades to a shuffle join
     * beyond — same posture as the fact-scaled join sides elsewhere. At
     * 100 TB the line-keyed exchanges would carry `xxhash64(line)`
     * instead of the raw strings (64-bit keys vs ~100-byte lines); the
@@ -292,19 +295,19 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .toDF("doc_id", "pos", "line")
     val boiler = boilerLines(documents, minRepeat)
-    val rebuilt = lines.join(boiler, Seq("line"), "left_anti")
-      .groupBy("doc_id").agg(
+      .withColumn("bflag", lit(1))
+    // collect_list skips nulls, so flagged lines vanish from the
+    // rebuild while still counting into n_lines/n_lines_removed —
+    // an all-boilerplate doc keeps its row with clean_text = ''
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(
         array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          transform(array_sort(collect_list(
+            when(col("bflag").isNull, struct(col("pos"), col("line"))))),
             s => s.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_lines_kept"))
-    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0L)))
-          .as("n_lines_removed"))
+        count(lit(1)).as("n_lines"),
+        count(col("bflag")).as("n_lines_removed"))
       .orderBy("doc_id")
   }
 
