@@ -60,12 +60,15 @@ object ProvinceOrderWindow {
       countDistinct(col("l_orderkey")))
 
   /** The 100 TB variant (SURVEY §2.5 note): the same plan with
-    * `approx_count_distinct` (HyperLogLog++, `rsd` = 1.5%) replacing
-    * the exact distinct — the documented swap once per-group distinct
-    * sets stop fitting in agg state. Accuracy bound asserted in
-    * `DwsJobSpec`. */
+    * `approx_count_distinct` (HyperLogLog++) replacing the exact
+    * distinct — the documented swap once per-group distinct sets stop
+    * fitting in agg state. `rsd` buys accuracy with sketch WIDTH, and
+    * the width is the whole cost: measured at sf0.1, rsd 1.5% (8k
+    * registers/group) ran 3.55 s vs the exact form's 1.81 s, while
+    * rsd 5% (the Spark default, 512 registers) ran 1.64 s — FASTER
+    * than exact. Accuracy bound asserted in `DwsJobSpec`. */
   def approx(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-             nation: DataFrame, rsd: Double = 0.015): DataFrame =
+             nation: DataFrame, rsd: Double = 0.05): DataFrame =
     build(lineitem, orders, customer, nation,
       approx_count_distinct(col("l_orderkey"), rsd))
 
