@@ -141,6 +141,55 @@ object KernelProps extends Properties("kernels") {
       2 -> Gen.oneOf("\ud83d\ude00", "\ud83c\udf55", "\ud840\udc00")))
       .map(_.mkString)
 
+  property("native dedup kernels == relational pipelines on arbitrary unicode") =
+    forAll(Gen.listOfN(6, uniTextGen)) { texts =>
+      import graft.operators.llm.DedupOps
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def sigMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val sigOk =
+        sigMap(DedupOps.signaturesNative(docs)) == sigMap(DedupOps.signatures(docs))
+      val natG = DedupOps.gramSetsNative(docs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val relG = DedupOps.shingleRows(docs)
+        .groupBy(col("doc_id"))
+        .agg(collect_set(xxhash64(col("shingle"))).as("grams"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      def fpMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fpOk =
+        fpMap(DedupOps.simhashTableNative(docs)) == fpMap(DedupOps.simhashTable(docs))
+      sigOk && natG == relG && fpOk
+    }
+
+  // small line pool so cross-document repeats arise naturally
+  private val lineDocsGen: Gen[List[String]] =
+    Gen.listOfN(6, Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha beta", "copy footer", "gamma", "delta x", "epsilon", "zeta q"))
+      .map(_.take(5).mkString("\n")))
+
+  property("lineDedup == scala model (corpus counts, order, emptied docs)") =
+    forAll(lineDocsGen) { docs =>
+      import graft.operators.llm.TextAnalysis
+      docs.isEmpty || {
+        val df = docs.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val counts = docs.flatMap(_.split("\n", -1))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val want = docs.zipWithIndex.map { case (t, i) =>
+          val ls = t.split("\n", -1).toSeq
+          val kept = ls.filter(l => counts(l) < 2)
+          (i.toLong, kept.mkString("\n"),
+            ls.size.toLong, (ls.size - kept.size).toLong)
+        }.toSet
+        val got = TextAnalysis.lineDedup(df, 2).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        got == want
+      }
+    }
+
   property("native winnow == relational twin on arbitrary unicode") =
     forAll(Gen.listOfN(8, uniTextGen)) { texts =>
       import graft.operators.llm.TextAnalysis
