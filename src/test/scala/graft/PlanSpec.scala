@@ -117,6 +117,21 @@ class PlanSpec extends SparkTestBase {
     assert(docExchanges == 1, s"expected 1 doc_id exchange, plan:\n$p")
   }
 
+  test("llm_line_dedup: one doc_id aggregate pass, boiler side broadcast") {
+    val p = plan("llm_line_dedup")
+    // the rebuild is ONE partial->final aggregate on doc_id (the
+    // flag-join form); an anti-join + per-doc-count rejoin shape would
+    // show a second doc_id exchange
+    val docExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(doc_id")).size
+    assert(docExchanges == 1, s"expected 1 doc_id exchange, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one line-keyed exchange: the boilerplate frequency agg
+    val lineExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(line")).size
+    assert(lineExchanges == 1, s"expected 1 line exchange, plan:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
