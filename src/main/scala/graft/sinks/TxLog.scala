@@ -283,22 +283,24 @@ object TxLog {
       toWrite.write.mode("overwrite").parquet(tmp.toString)
       val dataDir = new Path(s"$table/$DataDir")
       fs.mkdirs(dataDir)
-      val staged = fs.listStatus(tmp)
-        .filter(_.getPath.getName.startsWith("part-"))
-        .flatMap { st =>
-          val stats = statsCol.map(sc => footerStats(fs, st.getPath, sc))
-          if (stats.exists(_._1 == 0L)) {
-            // a row-less file from an empty range partition carries no
-            // stats and would defeat skipping — never reference it
-            fs.delete(st.getPath, false); None
-          } else {
-            val name = s"c$commitId-${st.getPath.getName}"
-            if (!fs.rename(st.getPath, new Path(dataDir, name)))
-              sys.error(s"TxLog: failed to stage ${st.getPath}")
-            Some(FileEntry(s"$DataDir/$name", None, statsCol.flatMap(sc =>
-              stats.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) })))
-          }
-        }.toSeq
+      val parts = fs.listStatus(tmp)
+        .filter(_.getPath.getName.startsWith("part-")).toSeq
+        .map(st => (st, statsCol.map(sc => footerStats(fs, st.getPath, sc))))
+      // drop row-less files from empty range partitions: they carry no
+      // stats and would defeat skipping — but keep ONE when the whole
+      // merge result is empty, so an empty table still reads as an
+      // empty frame with its schema (same as the no-stats path)
+      val withRows = parts.filter { case (_, info) => !info.exists(_._1 == 0L) }
+      val chosen = if (withRows.nonEmpty) withRows else parts.take(1)
+      parts.diff(chosen).foreach { case (st, _) =>
+        fs.delete(st.getPath, false) }
+      val staged = chosen.map { case (st, info) =>
+        val name = s"c$commitId-${st.getPath.getName}"
+        if (!fs.rename(st.getPath, new Path(dataDir, name)))
+          sys.error(s"TxLog: failed to stage ${st.getPath}")
+        FileEntry(s"$DataDir/$name", None, statsCol.flatMap(sc =>
+          info.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) }))
+      }
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
       if (tryCommit(fs, table, target, staged)) {

@@ -126,6 +126,23 @@ class TxLogSpec extends SparkTestBase {
     assert(high.inputFiles.toSet.intersect(after.inputFiles.toSet).isEmpty)
   }
 
+  test("empty commit with statsCol still anchors the schema") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      Seq.empty[(Long, Long, String)].toDF("id", "ver", "payload"),
+      t, "id", "ver", statsCol = Some("id"), clusterFiles = 4)
+    val read = TxLog.read(spark, t)
+    assert(read.isDefined, "empty committed table must read as an empty frame")
+    assert(read.get.count() == 0)
+    assert(read.get.columns.toSeq == Seq("id", "ver", "payload"))
+    // and a later real commit range-skips normally
+    TxLog.commitUpsert(
+      (0L until 100L).map(i => (i, 1L, s"r$i")).toDF("id", "ver", "payload"),
+      t, "id", "ver", statsCol = Some("id"), clusterFiles = 4)
+    val pruned = TxLog.readRange(spark, t, "id", 0L, 10L).get
+    assert(pruned.inputFiles.length < TxLog.read(spark, t).get.inputFiles.length)
+  }
+
   test("stats-less tables never skip: readRange degrades to a full read") {
     val t = freshTable()
     TxLog.commitUpsert(
