@@ -242,6 +242,8 @@ object SparkEntry {
           "\n").as("text"))
       llm.TextAnalysis.lineDedup(chunked)
     }),
+    "llm_span_dedup" -> ((s, d) =>
+      llm.TextAnalysis.spanDedup(Tables.documents(s, d))),
     "llm_quality_gate" -> ((s, d) =>
       llm.TextAnalysis.qualityGate(Tables.documents(s, d))),
     // the capstone composition: gate -> exact-dedup canonical -> pack
@@ -1193,6 +1195,33 @@ object SparkEntry {
         |       p.n_lines, p.n_lines - coalesce(r.n_lines_kept, 0) AS n_lines_removed
         |FROM per_doc p LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "llm_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+        |  FROM t, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(tk[i : i+9], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(1, len(tk) - 9)) AS u(i)),
+        |freq AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |starts AS (SELECT g.doc_id, g.pos FROM grams g SEMI JOIN freq f USING (gram)),
+        |marked AS (
+        |  SELECT k.doc_id, k.pos, k.tok,
+        |         CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END AS dstart
+        |  FROM toks k LEFT JOIN starts s USING (doc_id, pos)),
+        |covd AS (
+        |  SELECT doc_id, pos, tok, dstart,
+        |         max(dstart) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM marked)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+        |                           ORDER BY pos), '') AS clean_text,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(cov) AS BIGINT) AS n_tokens_removed,
+        |       CAST(sum(dstart) AS BIGINT) AS n_dup_spans
+        |FROM covd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_quality_gate" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -311,6 +311,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring dedup at n-token granularity — the word-level
+    * analog of Lee et al. 2022's suffix-array substring dedup ("one
+    * epoch of a memorized 50-token span is enough"): every n-token
+    * span whose exact text occurs at least `minRepeat` times anywhere
+    * in the corpus (other documents OR elsewhere in the same one)
+    * marks its n covering token positions, and each document is
+    * rebuilt from the uncovered tokens in original order. Overlapping
+    * duplicated spans merge through the coverage max, so a long
+    * verbatim repeat is excised once, not per-gram. Documents shorter
+    * than n tokens carry no gram and survive whole; a fully-duplicated
+    * document survives as an empty string (caller's gate drops it —
+    * same contract as [[lineDedup]]).
+    *
+    * Shape at 100 TB: tokens explode once, one doc_id window computes
+    * all n lead()s (a single exchange+sort), the gram-keyed
+    * hash-aggregate builds the over-threshold set (map-side combine),
+    * and a LEFT join back marks start flags; coverage max and the
+    * rebuild share the second doc_id exchange. The dup side carries no
+    * broadcast hint (corpus-dependent size — Catalyst broadcasts while
+    * it fits, shuffles beyond). As with lineDedup the gram exchanges
+    * would carry xxhash64(gram) at scale; raw strings kept so DuckDB
+    * replays verbatim. */
+  def spanDedup(documents: DataFrame, n: Int = 10,
+                minRepeat: Int = 2): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "tok")
+    // concat_ws skips nulls: a tail position would emit a SHORT gram
+    // that could alias a genuine full-length gram elsewhere, so grams
+    // are only valid where the (n-1)-th lead still exists
+    val grams = toks.select(
+      col("doc_id"), col("pos"), col("tok"),
+      concat_ws(" ", col("tok") +:
+        (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*).as("gram"),
+      lead(col("tok"), n - 1).over(byDoc).isNotNull.as("valid"))
+    val dup = grams.filter(col("valid"))
+      .groupBy("gram").agg(count(lit(1)).as("gram_ct"))
+      .filter(col("gram_ct") >= minRepeat)
+      .select(col("gram"), lit(1).as("dflag"))
+    val marked = grams.join(dup, Seq("gram"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(col("valid") && col("dflag").isNotNull, 1).otherwise(0)
+          .as("dstart"))
+    // pos is dense per doc, so ROWS [pos-n+1, pos] is exactly the set
+    // of starts whose span covers pos
+    val cover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    marked.withColumn("cov", max(col("dstart")).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("cov")).cast("long").as("n_tokens_removed"),
+        sum(col("dstart")).cast("long").as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
   /** Exact token-count percentiles per language — corpus length
     * profiling (sequence-length budgeting for training). Exact
     * `percentile` (continuous interpolation, matches DuckDB's

@@ -586,6 +586,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(4L) == (("solo line stays", 3L, 2L)))
   }
 
+  test("span dedup excises repeated n-token spans, merging overlaps") {
+    val phrase = "aa bb cc dd ee" // 5 tokens -> two overlapping 4-grams
+    val corpus = Seq(
+      (1L, s"x1 $phrase y1"),
+      (2L, s"x2 x3 $phrase"),
+      (3L, "solo doc nothing repeated here at all"),
+      (4L, "s t u v s t u v"), // the same 4-gram twice within ONE doc
+      (5L, "aa bb cc")) // shorter than n: carries no gram, survives
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(corpus, n = 4, minRepeat = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the shared 5-token phrase = two dup 4-grams whose coverage merges
+    // into ONE contiguous excision; the unique flanks survive in order
+    assert(out(1L) == (("x1 y1", 7L, 5L, 2L)))
+    assert(out(2L) == (("x2 x3", 7L, 5L, 2L)))
+    assert(out(3L) == (("solo doc nothing repeated here at all", 7L, 0L, 0L)))
+    // self-repetition counts; a fully-duplicated doc empties, not drops
+    assert(out(4L) == (("", 8L, 8L, 2L)))
+    assert(out(5L) == (("aa bb cc", 3L, 0L, 0L)))
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
