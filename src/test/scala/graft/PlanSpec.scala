@@ -132,6 +132,21 @@ class PlanSpec extends SparkTestBase {
     assert(lineExchanges == 1, s"expected 1 line exchange, plan:\n$p")
   }
 
+  test("llm_span_dedup: coverage window and rebuild reuse the token exchange") {
+    val p = plan("llm_span_dedup")
+    // two identical doc_id token shuffles (probe branch + dup-frequency
+    // branch — AQE reuses the stage at runtime); a THIRD would mean the
+    // coverage window or the rebuild re-partitioned after the join
+    val docExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(doc_id")).size
+    assert(docExchanges == 2, s"expected 2 doc_id exchanges, plan:\n$p")
+    val gramExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(gram")).size
+    assert(gramExchanges == 1, s"expected 1 gram exchange, plan:\n$p")
+    // the over-threshold gram set broadcasts back onto the probe side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
