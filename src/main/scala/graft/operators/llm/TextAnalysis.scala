@@ -333,8 +333,7 @@ object TextAnalysis {
     * it fits, shuffles beyond). As with lineDedup the gram exchanges
     * would carry xxhash64(gram) at scale; raw strings kept so DuckDB
     * replays verbatim. */
-  def spanDedup(documents: DataFrame, n: Int = 10,
-                minRepeat: Int = 2): DataFrame = {
+  private def spanGrams(documents: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"span length must be >= 2 tokens, got $n")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -344,15 +343,28 @@ object TextAnalysis {
     // concat_ws skips nulls: a tail position would emit a SHORT gram
     // that could alias a genuine full-length gram elsewhere, so grams
     // are only valid where the (n-1)-th lead still exists
-    val grams = toks.select(
+    toks.select(
       col("doc_id"), col("pos"), col("tok"),
       concat_ws(" ", col("tok") +:
         (1 until n).map(k => lead(col("tok"), k).over(byDoc)): _*).as("gram"),
       lead(col("tok"), n - 1).over(byDoc).isNotNull.as("valid"))
-    val dup = grams.filter(col("valid"))
+  }
+
+  /** The corpus's over-threshold n-token gram set — the "index" half
+    * of span dedup, exposed so the streaming probe can broadcast it. */
+  def dupSpans(documents: DataFrame, n: Int = 10,
+               minRepeat: Int = 2): DataFrame =
+    spanGrams(documents, n).filter(col("valid"))
       .groupBy("gram").agg(count(lit(1)).as("gram_ct"))
       .filter(col("gram_ct") >= minRepeat)
-      .select(col("gram"), lit(1).as("dflag"))
+      .select("gram")
+
+  def spanDedup(documents: DataFrame, n: Int = 10,
+                minRepeat: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spanGrams(documents, n)
+    val dup = dupSpans(documents, n, minRepeat)
+      .withColumn("dflag", lit(1))
     val marked = grams.join(dup, Seq("gram"), "left")
       .select(col("doc_id"), col("pos"), col("tok"),
         when(col("valid") && col("dflag").isNotNull, 1).otherwise(0)

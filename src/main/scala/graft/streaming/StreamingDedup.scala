@@ -139,6 +139,58 @@ object StreamingDedup {
       (size(lines) - size(kept)).cast("long").as("n_lines_removed"))
   }
 
+  /** The corpus's duplicated n-token spans as exact strings, collected
+    * for broadcast into `spanDedupProbe`. DRIVER-BOUNDED by contract
+    * (same as `lineIndex`): pick `minRepeat`/pre-filter so the
+    * over-threshold span set is broadcast-sized; when it outgrows
+    * broadcast, strip spans in batch (`TextAnalysis.spanDedup`'s
+    * shuffle flag join) instead. */
+  def spanIndex(documents: DataFrame, n: Int = 10,
+                minRepeat: Int = 2): Array[String] =
+    graft.operators.llm.TextAnalysis.dupSpans(documents, n, minRepeat)
+      .collect().map(_.getString(0))
+
+  /** Stateless repeated-span strip at ingest: the streaming twin of
+    * `TextAnalysis.spanDedup` against a STATIC dup-span index. Typed
+    * `mapPartitions` like `contaminationProbe` — an expression-level
+    * per-row gram array re-evaluates the split inside the interpreted
+    * lambda (the measured HOF trap) — sliding an n-token window
+    * against the broadcast set and merging covered positions exactly
+    * like the batch coverage max. Same index in, bit-identical
+    * clean_text/counts out (parity spec); no join, no state,
+    * restart = replay. */
+  def spanDedupProbe(stream: DataFrame, index: Array[String],
+                     n: Int = 10): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.toSet)
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val dup = bc.value
+        it.map { case (id, text) =>
+          // split(" ", -1) == Spark's split(text, ' '): keeps empty
+          // tokens, "" -> [""] — the batch twin's exact tokenization
+          val tk = text.split(" ", -1)
+          val covered = new Array[Boolean](tk.length)
+          var spans = 0L
+          var i = 0
+          while (i + n <= tk.length) {
+            if (dup.contains(tk.slice(i, i + n).mkString(" "))) {
+              spans += 1
+              java.util.Arrays.fill(covered, i, i + n, true)
+            }
+            i += 1
+          }
+          val kept = tk.indices.collect { case j if !covered(j) => tk(j) }
+          (id, kept.mkString(" "), tk.length.toLong,
+            covered.count(identity).toLong, spans)
+        }
+      }
+      .toDF("doc_id", "clean_text", "n_tokens", "n_tokens_removed",
+        "n_dup_spans")
+  }
+
   /** Exact dedup at ingest: content-hash + watermark-bounded state
     * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
     * state for a hash is dropped once the watermark passes it, so a

@@ -119,6 +119,34 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed(3L) == (("", 1L, 1L)))
   }
 
+  test("span probe strips duplicated spans identically to batch spanDedup") {
+    val phrase = "aa bb cc dd ee"
+    val corpus = Seq(
+      (1L, s"x1 $phrase y1"),
+      (2L, s"x2 x3 $phrase"),
+      (3L, "solo doc nothing repeated here at all"),
+      (4L, "s t u v s t u v"),
+      (5L, "aa bb cc"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.spanIndex(corpus, n = 4, minRepeat = 2)
+    assert(index.sorted.toSeq == Seq("aa bb cc dd", "bb cc dd ee", "s t u v"))
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.spanDedupProbe(ms.toDF(), index, n = 4)
+      .writeStream.format("memory").queryName("spandedup_out")
+      .outputMode("append").start()
+    ms.addData(corpus.as[StreamDoc].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val streamed = spark.table("spandedup_out").collect().map(key).toMap
+    val batch = graft.operators.llm.TextAnalysis.spanDedup(corpus, 4, 2)
+      .collect().map(key).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the fully-self-duplicated doc empties in both forms
+    assert(streamed(4L) == (("", 8L, 8L, 2L)))
+  }
+
   test("exact ingest dedup re-admits content after the watermark drops its state") {
     val ms = MemoryStream[TsDoc]
     val q = StreamingDedup.exactIngestDedup(ms.toDF(), watermark = "10 seconds")
