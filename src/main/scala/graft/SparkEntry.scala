@@ -290,6 +290,8 @@ object SparkEntry {
       llm.TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
     "llm_stratified_sample" -> ((s, d) =>
       llm.Sampling.stratifiedSample(Tables.documents(s, d))),
+    "llm_budget_select" -> ((s, d) =>
+      llm.Sampling.budgetSelect(Tables.documents(s, d))),
     "llm_corpus_stats" -> ((s, d) =>
       llm.Sampling.corpusStats(Tables.documents(s, d))),
     "llm_multimodal_format_stats" -> ((s, d) =>
@@ -1674,6 +1676,28 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |           AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "llm_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_words,
+        |         CASE WHEN n_words = 0 THEN 0.0
+        |              ELSE round(least(n_words / 200.0, 1.0)
+        |                         * (uniq_ct / n_words), 4) END AS quality_score
+        |  FROM (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |               CAST(len(list_distinct(words)) AS BIGINT) AS uniq_ct
+        |        FROM (SELECT doc_id,
+        |                list_filter(string_split_regex(lower(text), '\s+'),
+        |                            w -> w <> '') AS words
+        |              FROM documents))),
+        |b AS (SELECT quality_score, CAST(sum(n_words) AS BIGINT) AS bucket_tokens
+        |      FROM q GROUP BY quality_score),
+        |c AS (SELECT quality_score, bucket_tokens,
+        |             CAST(sum(bucket_tokens) OVER (ORDER BY quality_score DESC)
+        |                  AS BIGINT) AS cum
+        |      FROM b),
+        |sel AS (SELECT quality_score FROM c WHERE cum - bucket_tokens < 10000)
+        |SELECT q.doc_id, q.n_words, q.quality_score
+        |FROM q SEMI JOIN sel USING (quality_score)
         |ORDER BY doc_id""".stripMargin,
     "llm_corpus_stats" ->
       """SELECT lang, source, count(*) AS doc_ct,

@@ -59,6 +59,38 @@ object Sampling {
       .orderBy("lang", "source", "doc_id")
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * until a token budget is filled (the curation step that turns a
+    * scored corpus into a fixed-size training set). Selection is by
+    * QUALITY-SCORE BUCKET, not per-document rank: per-bucket token
+    * totals cumulate in score-descending order and every bucket whose
+    * cumulative start sits under the budget is kept whole — the
+    * boundary bucket may overshoot, bounded by one bucket (the same
+    * contract as [[sequencePacking]]'s one-document overshoot).
+    *
+    * Shape at 100 TB: the only total order in the plan is over DISTINCT
+    * ROUNDED SCORES (≤ 10^4 rows at 4-dp rounding — the single-partition
+    * window is over the bucket table, never the corpus); a per-document
+    * global sort-and-cumsum would be the textbook scale-killer this
+    * form exists to avoid. Docs rejoin the kept-bucket set on the
+    * score key (tiny side, auto-broadcast). */
+  def budgetSelect(documents: DataFrame,
+                   budgetTokens: Long = 10000L): DataFrame = {
+    val q = TextAnalysis.quality(documents)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val buckets = q.groupBy("quality_score")
+      .agg(sum(col("n_words")).cast("long").as("bucket_tokens"))
+    val byScoreDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc)
+    val kept = buckets
+      .withColumn("cum", sum(col("bucket_tokens")).over(byScoreDesc))
+      .filter(col("cum") - col("bucket_tokens") < budgetTokens)
+      .select("quality_score")
+    q.join(kept, Seq("quality_score"))
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus report: per (lang, source) doc counts and char volume —
     * the summary a pipeline emits after every build stage. One
     * hash-aggregate, partial→final. */

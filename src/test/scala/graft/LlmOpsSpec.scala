@@ -608,6 +608,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(5L) == (("aa bb cc", 3L, 0L, 0L)))
   }
 
+  test("budget select keeps whole top-score buckets until the token budget") {
+    val budget = 5000L
+    val kept = Sampling.budgetSelect(docs, budgetTokens = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(kept.nonEmpty)
+    val total = kept.map(_._2).sum
+    // cumulative-START rule: the budget is filled unless the corpus ran out
+    assert(total >= budget || kept.length == docs.count())
+    // buckets are kept WHOLE: every unselected doc scores strictly below
+    // every selected one
+    val minKept = kept.map(_._3).min
+    val keptIds = kept.map(_._1).toSet
+    val unkept = TextAnalysis.quality(docs)
+      .select("doc_id", "quality_score").collect()
+      .filterNot(r => keptIds(r.getLong(0)))
+    assert(unkept.forall(_.getDouble(1) < minKept))
+    // overshoot is bounded by the single boundary bucket
+    val boundaryTokens = kept.filter(_._3 == minKept).map(_._2).sum
+    assert(total - boundaryTokens < budget)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
