@@ -280,6 +280,14 @@ object SparkEntry {
       llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
     "llm_ann_neardup_cosine" -> ((s, d) =>
       llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
+    // SemDeDup: kmeans cells → same-cell cosine pairs → components →
+    // canonical (general form rows-only; LlmOpsSpec pins it equal to
+    // the exact twin below on the planted-twin corpus)
+    "llm_semdedup" -> ((s, d) =>
+      llm.Similarity.semanticDedup(
+        llm.Similarity.withVectorTwins(Tables.embeddings(s, d)))),
+    "llm_semdedup_twin" -> ((s, d) =>
+      llm.Similarity.semanticDedupTwin(Tables.embeddings(s, d))),
     // LLM-pipeline ops: text analysis + multimodal plumbing
     "llm_text_quality" -> ((s, d) => llm.TextAnalysis.quality(Tables.documents(s, d))),
     "llm_repetition" -> ((s, d) => llm.TextAnalysis.repetition(Tables.documents(s, d))),
@@ -292,6 +300,10 @@ object SparkEntry {
       llm.Sampling.stratifiedSample(Tables.documents(s, d))),
     "llm_budget_select" -> ((s, d) =>
       llm.Sampling.budgetSelect(Tables.documents(s, d))),
+    "llm_mixture_rebalance" -> ((s, d) =>
+      llm.Sampling.mixtureRebalance(Tables.documents(s, d))),
+    "llm_dsir_score" -> ((s, d) =>
+      llm.TextAnalysis.importanceScores(Tables.documents(s, d))),
     "llm_corpus_stats" -> ((s, d) =>
       llm.Sampling.corpusStats(Tables.documents(s, d))),
     "llm_multimodal_format_stats" -> ((s, d) =>
@@ -1559,6 +1571,25 @@ object SparkEntry {
         |             list_transform(embedding[2:], x -> x::DOUBLE))), 4) AS cos_sim
         |  FROM embeddings WHERE vec_id % 10 = 0)
         |WHERE cos_sim >= 0.9 ORDER BY vec_a""".stripMargin,
+    // twin-blocked pairs make components exact: each twin reaches only
+    // its source, so component = source id, canonical = the source
+    "llm_semdedup_twin" ->
+      """WITH dup AS (
+        |  SELECT vec_id AS src, vec_id + 1000000 AS twin FROM (
+        |    SELECT vec_id, round(list_cosine_similarity(
+        |      list_transform(embedding, x -> x::DOUBLE),
+        |      list_concat([embedding[1]::DOUBLE + 0.05],
+        |        list_transform(embedding[2:], x -> x::DOUBLE))), 4) AS cos_sim
+        |    FROM embeddings WHERE vec_id % 10 = 0)
+        |  WHERE cos_sim >= 0.9),
+        |corpus AS (SELECT vec_id FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT c.vec_id, coalesce(d.src, c.vec_id) AS component_id,
+        |       CAST(CASE WHEN d.src IS NULL THEN 1 ELSE 0 END AS INT)
+        |         AS is_canonical
+        |FROM corpus c LEFT JOIN dup d ON c.vec_id = d.twin
+        |ORDER BY vec_id""".stripMargin,
     "llm_text_quality" ->
       """SELECT doc_id, n_words,
         |       round(stop_ct / n_words, 4) AS stop_ratio,
@@ -1677,6 +1708,47 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |           AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    // binding stratum (min count/weight) keeps all docs; others
+    // hash-sample down — pure integer cross-multiplication boundary
+    "llm_mixture_rebalance" ->
+      """WITH w(lang, w_bp) AS (VALUES ('de', 2000), ('en', 4000),
+        |    ('es', 1000), ('fr', 1000), ('zh', 2000)),
+        |c AS (SELECT lang, count(*) AS ct FROM documents GROUP BY lang),
+        |cw AS (SELECT c.lang, ct, w_bp FROM c JOIN w USING (lang)),
+        |b AS (SELECT ct AS bind_ct, w_bp AS bind_w FROM cw
+        |      ORDER BY CAST(ct AS DOUBLE) / w_bp, lang LIMIT 1)
+        |SELECT doc_id, d.lang, source
+        |FROM documents d JOIN cw ON d.lang = cw.lang CROSS JOIN b
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |           AS BIGINT) % 10000 * ct * bind_w
+        |      < w_bp * bind_ct * 10000
+        |ORDER BY doc_id""".stripMargin,
+    // hashed-unigram log-likelihood ratio vs the lang='en' target slice;
+    // bucket weights round to 6 dp before the per-doc mean (4 dp)
+    "llm_dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target, w,
+        |         CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |        FROM documents)),
+        |dist AS (SELECT b, count(*) AS q_ct,
+        |                sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_ct
+        |         FROM toks GROUP BY b),
+        |tot AS (SELECT CAST(sum(q_ct) AS BIGINT) AS q_tot,
+        |               CAST(sum(t_ct) AS BIGINT) AS t_tot FROM dist),
+        |wt AS (SELECT b, round(ln(((t_ct + 1.0) / (t_tot + 4096)) /
+        |                          ((q_ct + 1.0) / (q_tot + 4096))), 6) AS w_b
+        |       FROM dist CROSS JOIN tot),
+        |agg AS (SELECT d.doc_id, count(t.w) AS n_tokens, sum(wt.w_b) AS s
+        |        FROM documents d
+        |        LEFT JOIN toks t ON d.doc_id = t.doc_id
+        |        LEFT JOIN wt ON t.b = wt.b
+        |        GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CASE WHEN n_tokens = 0 THEN 0.0
+        |            ELSE round(s / n_tokens, 4) END AS dsir_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "llm_budget_select" ->
       """WITH q AS (
         |  SELECT doc_id, n_words,

@@ -91,6 +91,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Domain mixture rebalancing: deterministically subsample language
+    * strata so the surviving corpus matches target proportions (basis
+    * points per lang — the mixture knob every pretraining recipe sets).
+    * The largest feasible total is taken: the BINDING stratum
+    * (min count/weight) keeps everything; every other stratum
+    * hash-samples down to its weight-proportional size. Selection is
+    * the [[stratifiedSample]] md5 selector at 1/10000 granularity, and
+    * the keep predicate is pure INTEGER cross-multiplication
+    * (`sel·ct·w_bind < w·ct_bind·10000`) — no float rate is ever
+    * computed, so the decision boundary is exact in any engine.
+    *
+    * Shape at 100 TB: one tiny count aggregate (≤ #strata rows), the
+    * binding stratum picked by a 1-row sort over it, both broadcast
+    * back; the corpus pass is a narrow filter. The int64 product is
+    * safe to ~9e10 docs per stratum (sel·ct·w < 2^63); past that,
+    * coarsen the selector granularity first. */
+  def mixtureRebalance(documents: DataFrame,
+                       targetsBp: Map[String, Int] = Map(
+                         "en" -> 4000, "zh" -> 2000, "de" -> 2000,
+                         "fr" -> 1000, "es" -> 1000)): DataFrame = {
+    require(targetsBp.values.sum == 10000, "targets must sum to 10000 bp")
+    require(targetsBp.values.forall(_ > 0), "every target weight must be > 0")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val weights = targetsBp.toSeq.sorted.toDF("lang", "w_bp")
+    // inner join: langs without a target weight are dropped entirely
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("ct"))
+      .join(weights, "lang")
+    val binding = counts
+      .orderBy((col("ct").cast("double") / col("w_bp")).asc, col("lang"))
+      .limit(1)
+      .select(col("ct").as("bind_ct"), col("w_bp").as("bind_w"))
+    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    documents.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(binding))
+      .filter(sel * col("ct") * col("bind_w") <
+        col("w_bp") * col("bind_ct") * 10000L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus report: per (lang, source) doc counts and char volume —
     * the summary a pipeline emits after every build stage. One
     * hash-aggregate, partial→final. */

@@ -264,6 +264,70 @@ object Similarity {
       .orderBy("vec_a")
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., 2023 —
+    * public literature): k-means cells bound the quadratic pair
+    * search — only same-cell vectors are scored, so the scored count is
+    * Σ|cell|², not n². At 100 TB, scale `nCentroids` with the corpus
+    * (the paper runs ~100k cells over billions of embeddings, keeping
+    * cells at ~10⁴–10⁵ vectors) and the degenerate-cell cap
+    * (`DedupOps.capBuckets`) kills the all-identical-embedding blowup
+    * the way the MinHash path caps boilerplate buckets. Returns
+    * (vec_a, vec_b, cos_sim) with vec_a < vec_b. */
+  def semanticPairs(corpus: DataFrame, nCentroids: Int = 16,
+                    threshold: Double = 0.9,
+                    maxCellSize: Int = 10000): DataFrame = {
+    val centroids = broadcast(kmeansCentroids(corpus, nCentroids))
+    val assigned = DedupOps.capBuckets(
+      assignCells(corpus, centroids), Seq("cell"), maxCellSize)
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+  }
+
+  /** Pairs → connected components → canonical flag: every vector gets
+    * its component id (min reachable vec_id; singletons are their own)
+    * and `is_canonical` = 1 on exactly the component minimum — the row
+    * a dedup pass keeps. Shared tail of the cell-blocked form and the
+    * exact-twin form. */
+  private[llm] def semanticCanonical(corpus: DataFrame,
+                                     pairs: DataFrame): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    corpus.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left_outer")
+      .withColumn("component_id", coalesce(col("component_id"), col("vec_id")))
+      .withColumn("is_canonical",
+        (col("vec_id") === min(col("vec_id")).over(
+          Window.partitionBy(col("component_id")))).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  /** Full semantic dedup over an embedded corpus: cells → same-cell
+    * cosine pairs → components → canonical selection. The general form
+    * is approximate exactly where SemDeDup is (a cross-cell near-dup
+    * pair is missed); `LlmOpsSpec` pins it equal to the exact twin on
+    * the planted-twin corpus. */
+  def semanticDedup(corpus: DataFrame, nCentroids: Int = 16,
+                    threshold: Double = 0.9): DataFrame =
+    semanticCanonical(corpus,
+      semanticPairs(corpus, nCentroids, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  /** Exact-twin semantic dedup: the pair stage is the deterministic
+    * twin-blocked linear join ([[cosineNearDupPairs]]), so the whole
+    * pairs → components → canonical tail lands on a DuckDB-replayable
+    * exact answer — the oracle hook for [[semanticDedup]]. */
+  def semanticDedupTwin(embeddings: DataFrame, every: Int = 10,
+                        threshold: Double = 0.9): DataFrame =
+    semanticCanonical(withVectorTwins(embeddings, every),
+      cosineNearDupPairs(embeddings, every, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
   /** Per-label embedding norm profile — the index-health report run
     * before building an ANN index (zero-norm vectors break cosine;
     * wildly varying norms argue for normalization first). One scan,

@@ -1,6 +1,6 @@
 package graft.operators.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Tokenize
 
@@ -422,6 +422,52 @@ object TextAnalysis {
         expr(s"approx_percentile(n_tokens, 0.99, $accuracy)").cast("double").as("p99"),
         max(col("n_tokens")).cast("long").as("max_tokens"))
       .orderBy("lang")
+
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23 — public
+    * literature): score every document by how target-like its hashed
+    * unigram distribution is. Token features hash into `nBuckets` md5
+    * buckets; the per-bucket weight is the smoothed log-likelihood
+    * ratio `ln(p_target(b) / p_corpus(b))` (add-one smoothing over the
+    * bucket vocabulary), and a document scores the MEAN weight of its
+    * tokens — positive means "looks like the target slice".
+    *
+    * Shape at 100 TB: the weight table is bounded by `nBuckets` rows
+    * regardless of corpus size (that is the whole point of hashed
+    * features) and broadcasts back for the scoring join; the corpus is
+    * token-exploded twice (once to build the distribution, once to
+    * score). A single-scan variant would cache the exploded frame —
+    * at 100 TB the double scan is usually cheaper than materializing
+    * the token table; weigh against storage bandwidth. Per-bucket
+    * weights round to 6 dp BEFORE the per-doc mean (4 dp) so
+    * cross-engine `ln` ulps and summation order cannot flip the
+    * comparison (the [[Similarity.embeddingStats]] precedent). */
+  def importanceScores(documents: DataFrame,
+                       targetPred: Column = col("lang") === "en",
+                       nBuckets: Int = 4096): DataFrame = {
+    val toks = graft.core.Tables.spread(documents)
+      // explode_outer: a zero-token doc must still score (0.0), not vanish
+      .select(col("doc_id"), targetPred.as("is_target"),
+        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % nBuckets)
+    val dist = toks.filter(col("w").isNotNull).groupBy("b")
+      .agg(count(lit(1)).as("q_ct"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("t_ct"))
+    val totals = dist.agg(sum(col("q_ct")).as("q_tot"), sum(col("t_ct")).as("t_tot"))
+    val weights = dist.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+        ((col("t_ct") + 1).cast("double") / (col("t_tot") + nBuckets)) /
+          ((col("q_ct") + 1).cast("double") / (col("q_tot") + nBuckets))), 6)
+        .as("w_b"))
+    toks.join(broadcast(weights), Seq("b"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(col("w")).as("n_tokens"), sum(col("w_b")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("s") / col("n_tokens"), 4)).as("dsir_score"))
+      .orderBy("doc_id")
+  }
 
   /** The capstone filter composition — what a corpus build actually
     * runs: quality, repetition, and content signals joined on doc_id

@@ -629,6 +629,74 @@ class LlmOpsSpec extends SparkTestBase {
     assert(total - boundaryTokens < budget)
   }
 
+  test("mixture rebalance hits target proportions; binding stratum kept whole") {
+    val targets = Map("en" -> 4000, "zh" -> 2000, "de" -> 2000,
+      "fr" -> 1000, "es" -> 1000)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = Sampling.mixtureRebalance(docs, targets).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum (min count/weight) is kept in full
+    val binding = targets.keys.minBy(l => (before(l).toDouble / targets(l), l))
+    assert(after(binding) == before(binding))
+    // every stratum's share lands near its target (hash sampling is
+    // exact only in expectation; ±40% relative at this tiny SF)
+    val total = after.values.sum.toDouble
+    targets.foreach { case (l, bp) =>
+      val got = after.getOrElse(l, 0L) / total
+      assert(math.abs(got - bp / 10000.0) < 0.4 * bp / 10000.0,
+        s"lang=$l got=$got want=${bp / 10000.0}")
+    }
+    // no stratum grew
+    after.foreach { case (l, ct) => assert(ct <= before(l)) }
+  }
+
+  test("dsir scores rank the target slice above the rest") {
+    val out = TextAnalysis.importanceScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (target, rest) = out.partition { case (id, _) => langOf(id) == "en" }
+    val avgT = target.values.sum / target.size
+    val avgR = rest.values.sum / rest.size
+    // the corpus langs share most vocabulary (only stopword markers
+    // differ), so the margin is small — but the target slice must rank
+    // strictly above the rest on average
+    assert(avgT > avgR + 0.001, s"target avg $avgT vs rest avg $avgR")
+    assert(out.size == docs.count())
+  }
+
+  test("dsir weights separate disjoint vocabularies by sign") {
+    // target docs draw from one vocabulary, the rest from another:
+    // target-vocab buckets weight ln((Q+V)/(T+V)) > 0, rest-vocab
+    // buckets go negative — every doc's sign is determined
+    val planted = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "beta gamma alpha gamma beta"),
+      (3L, "de", "rot blau gruen rot blau"),
+      (4L, "de", "blau gruen rot gruen blau"),
+      (5L, "de", "gruen rot blau rot gruen"),
+      (6L, "de", "")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.importanceScores(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.filter(r => r._1 <= 2).forall(_._3 > 0))
+    assert(out.filter(r => r._1 >= 3 && r._2 > 0).forall(_._3 < 0))
+    // the zero-token doc scores 0.0, not null / missing
+    assert(out.find(_._1 == 6L).get._3 == 0.0)
+  }
+
+  test("semantic dedup general form equals the exact twin on planted twins") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val general = Similarity.semanticDedup(Similarity.withVectorTwins(emb))
+    val exact = Similarity.semanticDedupTwin(emb)
+    assertSameRows(general, exact)
+    // and the canonical selection drops exactly the twins
+    val kept = exact.filter(col("is_canonical") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ < 1000000L))
+    assert(kept.size == emb.count())
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
