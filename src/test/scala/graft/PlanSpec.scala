@@ -147,6 +147,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("llm_mixture_rebalance: stratum stats broadcast back, corpus side never shuffle-joins") {
+    val p = plan("llm_mixture_rebalance")
+    // counts (≤ #strata rows) joins broadcast; the 1-row binding
+    // stratum arrives via broadcast nested-loop cross join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("llm_dsir_score: bucket weight table broadcasts for the scoring join") {
+    val p = plan("llm_dsir_score")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("llm_budget_select: single-partition window only over the bucket table") {
+    val p = plan("llm_budget_select")
+    // the kept-score set joins back broadcast — the corpus is never
+    // globally sorted for selection
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one SinglePartition exchange (the ≤10^4-row score-bucket
+    // cumsum), never a corpus-wide one — plus the final presentation sort
+    val single = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(single <= 2, s"unexpected single-partition stages:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
