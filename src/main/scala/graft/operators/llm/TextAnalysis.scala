@@ -442,24 +442,38 @@ object TextAnalysis {
     * weights round to 6 dp BEFORE the per-doc mean (4 dp) so
     * cross-engine `ln` ulps and summation order cannot flip the
     * comparison (the [[Similarity.embeddingStats]] precedent). */
-  def importanceScores(documents: DataFrame,
-                       targetPred: Column = col("lang") === "en",
-                       nBuckets: Int = 4096): DataFrame = {
-    val toks = graft.core.Tables.spread(documents)
+  private def dsirToks(documents: DataFrame, targetPred: Column,
+                       nBuckets: Int): DataFrame =
+    graft.core.Tables.spread(documents)
       // explode_outer: a zero-token doc must still score (0.0), not vanish
       .select(col("doc_id"), targetPred.as("is_target"),
         explode_outer(Tokenize.tokens(col("text"))).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % nBuckets)
-    val dist = toks.filter(col("w").isNotNull).groupBy("b")
+
+  /** The DSIR bucket-weight table (b → 6-dp LLR weight) on its own —
+    * ≤ `nBuckets` rows by construction, the broadcast side of batch
+    * scoring and the static index of the streaming probe. */
+  def importanceWeights(documents: DataFrame,
+                        targetPred: Column = col("lang") === "en",
+                        nBuckets: Int = 4096): DataFrame = {
+    val dist = dsirToks(documents, targetPred, nBuckets)
+      .filter(col("w").isNotNull).groupBy("b")
       .agg(count(lit(1)).as("q_ct"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("t_ct"))
     val totals = dist.agg(sum(col("q_ct")).as("q_tot"), sum(col("t_ct")).as("t_tot"))
-    val weights = dist.crossJoin(broadcast(totals))
+    dist.crossJoin(broadcast(totals))
       .select(col("b"), round(log(
         ((col("t_ct") + 1).cast("double") / (col("t_tot") + nBuckets)) /
           ((col("q_ct") + 1).cast("double") / (col("q_tot") + nBuckets))), 6)
         .as("w_b"))
+  }
+
+  def importanceScores(documents: DataFrame,
+                       targetPred: Column = col("lang") === "en",
+                       nBuckets: Int = 4096): DataFrame = {
+    val toks = dsirToks(documents, targetPred, nBuckets)
+    val weights = importanceWeights(documents, targetPred, nBuckets)
     toks.join(broadcast(weights), Seq("b"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(col("w")).as("n_tokens"), sum(col("w_b")).as("s"))

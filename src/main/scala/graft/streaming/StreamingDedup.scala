@@ -191,6 +191,55 @@ object StreamingDedup {
         "n_dup_spans")
   }
 
+  /** The batch-built DSIR weight table collected for broadcast into
+    * `dsirScoreProbe`. DRIVER-BOUNDED by construction — hashed
+    * features cap it at `nBuckets` rows regardless of corpus size. */
+  def dsirIndex(documents: DataFrame, nBuckets: Int = 4096): Map[Long, Double] =
+    graft.operators.llm.TextAnalysis
+      .importanceWeights(documents, nBuckets = nBuckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Stateless DSIR scoring at ingest: the streaming twin of
+    * `TextAnalysis.importanceScores` against a STATIC weight index —
+    * score arriving documents for target-likeness before they enter
+    * the corpus (route low scorers to quarantine, or resample on the
+    * score downstream). Typed `mapPartitions` like the other probes
+    * (per-row md5-bucket + map lookup; no join, no state, restart =
+    * replay). A token whose bucket is absent from the index
+    * contributes 0 — the batch left join's null-skip contract.
+    * `n_tokens` is count-exact vs batch; the score agrees to within
+    * one 4-dp rounding step (summation order differs; weights are
+    * 6-dp so the drift is fp-epsilon — StreamingDedupSpec bounds it). */
+  def dsirScoreProbe(stream: DataFrame, index: Map[Long, Double],
+                     nBuckets: Int = 4096): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val w = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = graft.functions.Tokenize.tokensScala(text)
+          var s = 0.0
+          toks.foreach { t =>
+            // first 4 hex chars of md5 — the Spark-side
+            // conv(substring(md5(w),1,4),16,10) bucket, bit-identical
+            val d = md.digest(t.getBytes("UTF-8"))
+            val hex = f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
+            s += w.getOrElse(java.lang.Long.parseLong(hex, 16) % nBuckets, 0.0)
+          }
+          val n = toks.length.toLong
+          val score = if (n == 0) 0.0
+            else BigDecimal(s / n)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, n, score)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "dsir_score")
+  }
+
   /** Exact dedup at ingest: content-hash + watermark-bounded state
     * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
     * state for a hash is dropped once the watermark passes it, so a

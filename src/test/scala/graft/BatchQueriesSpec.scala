@@ -20,6 +20,9 @@ class BatchQueriesSpec extends SparkTestBase {
     // rows-only entries must be a deliberate, documented set
     val allowed = Set("llm_dedup_minhash", "llm_dedup_simhash",
       "llm_dedup_ngram_jaccard", "llm_ann_lsh", "llm_ann_ivf",
+      // cell-blocked SemDeDup: exact twin llm_semdedup_twin is the
+      // oracle; LlmOpsSpec pins general == twin on planted duplicates
+      "llm_semdedup",
       // approx swaps: estimators have no exact oracle; drift vs the
       // exact twins is bounded in DwsJobSpec / LlmOpsSpec
       "a3_province_order_window_approx", "llm_token_percentiles_approx")

@@ -147,6 +147,33 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(streamed(4L) == (("", 8L, 8L, 2L)))
   }
 
+  test("dsir probe scores a stream count-exact and within one rounding step of batch") {
+    val corpus = Tables.documents(spark, sf0001)
+    val index = StreamingDedup.dsirIndex(corpus)
+    assert(index.size <= 4096)
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.dsirScoreProbe(ms.toDF(), index)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    ms.addData(corpus.select("doc_id", "text").as[StreamDoc].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.operators.llm.TextAnalysis.importanceScores(corpus)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, (n, score)) =>
+      val (sn, sScore) = streamed(id)
+      assert(sn == n, s"doc $id token count: stream $sn vs batch $n")
+      // summation order differs; 6-dp weights bound drift to one
+      // 4-dp rounding step
+      assert(math.abs(sScore - score) <= 1e-4 + 1e-9,
+        s"doc $id score: stream $sScore vs batch $score")
+    }
+  }
+
   test("exact ingest dedup re-admits content after the watermark drops its state") {
     val ms = MemoryStream[TsDoc]
     val q = StreamingDedup.exactIngestDedup(ms.toDF(), watermark = "10 seconds")
