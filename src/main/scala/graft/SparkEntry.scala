@@ -304,6 +304,8 @@ object SparkEntry {
       llm.Sampling.mixtureRebalance(Tables.documents(s, d))),
     "llm_dsir_score" -> ((s, d) =>
       llm.TextAnalysis.importanceScores(Tables.documents(s, d))),
+    "llm_lm_perplexity" -> ((s, d) =>
+      llm.TextAnalysis.lmPerplexity(Tables.documents(s, d))),
     "llm_corpus_stats" -> ((s, d) =>
       llm.Sampling.corpusStats(Tables.documents(s, d))),
     "llm_multimodal_format_stats" -> ((s, d) =>
@@ -1749,6 +1751,47 @@ object SparkEntry {
         |       CASE WHEN n_tokens = 0 THEN 0.0
         |            ELSE round(s / n_tokens, 4) END AS dsir_score
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // hashed-bigram LM trained on the en slice; P(b2|b1) add-one
+    // smoothed over the bucket vocab, unseen bigrams back off to the
+    // context count; 6-dp model log-probs before any per-doc sum
+    "llm_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         list_transform(list_filter(
+        |             string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |           w -> CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT)
+        |                % 4096) AS bs
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, is_target, p[1] AS b1, p[2] AS b2
+        |  FROM (SELECT doc_id, is_target,
+        |          unnest(CASE WHEN len(bs) >= 2 THEN
+        |            list_transform(generate_series(1, len(bs) - 1),
+        |                           i -> [bs[i], bs[i+1]])
+        |          ELSE [] END) AS p
+        |        FROM toks)),
+        |uni AS (SELECT b1, count(*) AS c1 FROM bi WHERE is_target GROUP BY b1),
+        |model AS (
+        |  SELECT m.b1, m.b2, round(ln((c12 + 1.0) / (c1 + 4096)), 6) AS logp
+        |  FROM (SELECT b1, b2, count(*) AS c12 FROM bi
+        |        WHERE is_target GROUP BY 1, 2) m
+        |  JOIN uni USING (b1)),
+        |sc AS (
+        |  SELECT bi.doc_id, count(*) AS n_bigrams,
+        |         sum(coalesce(model.logp,
+        |             round(ln(1.0 / (coalesce(uni.c1, 0) + 4096)), 6))) AS s
+        |  FROM bi
+        |  LEFT JOIN model ON bi.b1 = model.b1 AND bi.b2 = model.b2
+        |  LEFT JOIN uni ON bi.b1 = uni.b1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |            ELSE round(s / n_bigrams, 4) END AS avg_logp,
+        |       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |            ELSE round(exp(-s / n_bigrams), 4) END AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "llm_budget_select" ->
       """WITH q AS (
         |  SELECT doc_id, n_words,

@@ -483,6 +483,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style n-gram LM perplexity (Wenzek et al., LREC'20 —
+    * public literature; CCNet scores with a KenLM 5-gram, this is the
+    * same signal from an add-one-smoothed hashed-BIGRAM model): train
+    * on the target slice, score every document by mean bigram log-prob
+    * and perplexity — low ppl means "reads like the target", the
+    * classic quality cut between prose and boilerplate/gibberish.
+    *
+    * Model: buckets from the same md5 hash as [[importanceScores]];
+    * `P(b2|b1) = (c12+1)/(c1+nBuckets)` where `c1` counts b1 AS
+    * CONTEXT (so the distribution normalizes); unseen bigrams back off
+    * to `(0+1)/(c1+nBuckets)`. Log-probs round to 6 dp in the model
+    * table before any per-doc sum (the cross-engine `ln` discipline).
+    *
+    * Shape at 100 TB: the unigram context table is ≤ nBuckets rows;
+    * the bigram table is bounded by the DISTINCT bigrams of the target
+    * slice — curated target sets broadcast (the decontamination
+    * contract); drop the broadcast hints and let the scoring join
+    * shuffle when training on an uncurated slice. Scoring is one
+    * corpus token-explode + window-lead pass (one doc_id exchange),
+    * plus two target-slice passes to train. */
+  def lmPerplexity(documents: DataFrame,
+                   targetPred: Column = col("lang") === "en",
+                   nBuckets: Int = 4096): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), targetPred.as("is_target"),
+        posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("b1",
+        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % nBuckets)
+      .withColumn("b2", lead(col("b1"), 1).over(byPos))
+      .filter(col("b2").isNotNull)
+      .select(col("doc_id"), col("is_target"), col("b1"), col("b2"))
+    val uni = bi.filter(col("is_target"))
+      .groupBy("b1").agg(count(lit(1)).as("c1"))
+    val model = bi.filter(col("is_target"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("c12"))
+      .join(uni, "b1")
+      .select(col("b1"), col("b2"), round(log(
+        (col("c12") + 1).cast("double") / (col("c1") + nBuckets)), 6)
+        .as("logp"))
+    val scored = bi
+      .join(broadcast(model), Seq("b1", "b2"), "left_outer")
+      .join(broadcast(uni), Seq("b1"), "left_outer")
+      .withColumn("lp", coalesce(col("logp"),
+        round(log(lit(1.0) / (coalesce(col("c1"), lit(0L)) + nBuckets)), 6)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+    documents.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+          .otherwise(round(col("s") / col("n_bigrams"), 4)).as("avg_logp"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, 0.0)
+          .otherwise(round(exp(-col("s") / col("n_bigrams")), 4)).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** The capstone filter composition — what a corpus build actually
     * runs: quality, repetition, and content signals joined on doc_id
     * into one keep/drop verdict with the FIRST failing rule as the

@@ -697,6 +697,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(kept.size == emb.count())
   }
 
+  test("lm perplexity ranks target-like text below alien text") {
+    val planted = Seq(
+      (1L, "en", "the cat sat on the mat the cat sat on the mat"),
+      (2L, "en", "the dog sat on the mat the dog sat on the mat"),
+      // target-like probe: every bigram seen in training
+      (3L, "xx", "the cat sat on the mat"),
+      // alien probe: no bigram (or unigram context) ever seen
+      (4L, "xx", "zq wv xk pj zq wv xk pj"),
+      // degenerate docs score (0, 0.0, 0.0), not null / missing
+      (5L, "xx", "solo"),
+      (6L, "xx", "")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.lmPerplexity(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(3L)._3 < out(4L)._3,
+      s"seen-bigram ppl ${out(3L)._3} must undercut alien ppl ${out(4L)._3}")
+    assert(out(3L)._2 > out(4L)._2) // avg log-prob orders the same way
+    assert(out(5L) == ((0L, 0.0, 0.0)))
+    assert(out(6L) == ((0L, 0.0, 0.0)))
+    assert(out.size == 6)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
