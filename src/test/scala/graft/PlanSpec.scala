@@ -174,6 +174,19 @@ class PlanSpec extends SparkTestBase {
     assert(single <= 2, s"unexpected single-partition stages:\n$p")
   }
 
+  test("llm_lm_perplexity: model tables broadcast; training exchange is reused") {
+    // AQE finalizes the join strategy at execution: run, then inspect
+    val df = SparkEntry.queries("llm_lm_perplexity")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+    // model, backoff-unigram, and doc-coverage joins all broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    // the unigram table rides the bigram model's target-slice exchange
+    // instead of re-exploding the slice
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("top-k plans as TakeOrderedAndProject, never a global sort") {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
