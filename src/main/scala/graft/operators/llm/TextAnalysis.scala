@@ -503,12 +503,13 @@ object TextAnalysis {
     * shuffle when training on an uncurated slice. Scoring is one
     * corpus token-explode + window-lead pass (one doc_id exchange),
     * plus two target-slice passes to train. */
-  def lmPerplexity(documents: DataFrame,
-                   targetPred: Column = col("lang") === "en",
-                   nBuckets: Int = 4096): DataFrame = {
+  /** The per-doc hashed-bigram stream feeding [[lmPerplexity]] —
+    * (doc_id, is_target, b1, b2) per adjacent token pair. */
+  private def lmBigrams(documents: DataFrame, targetPred: Column,
+                        nBuckets: Int): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = graft.core.Tables.spread(documents)
+    graft.core.Tables.spread(documents)
       .select(col("doc_id"), targetPred.as("is_target"),
         posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
       .withColumn("b1",
@@ -516,6 +517,17 @@ object TextAnalysis {
       .withColumn("b2", lead(col("b1"), 1).over(byPos))
       .filter(col("b2").isNotNull)
       .select(col("doc_id"), col("is_target"), col("b1"), col("b2"))
+  }
+
+  /** The trained LM on its own: (bigram model (b1, b2, logp),
+    * unigram context table (b1, c1)) — the batch scoring sides and the
+    * static index of the streaming probe. Sizes are bounded by the
+    * TARGET slice (uni ≤ nBuckets rows; model ≤ the slice's distinct
+    * bigrams). */
+  def lmModel(documents: DataFrame,
+              targetPred: Column = col("lang") === "en",
+              nBuckets: Int = 4096): (DataFrame, DataFrame) = {
+    val bi = lmBigrams(documents, targetPred, nBuckets)
     val uni = bi.filter(col("is_target"))
       .groupBy("b1").agg(count(lit(1)).as("c1"))
     val model = bi.filter(col("is_target"))
@@ -524,6 +536,14 @@ object TextAnalysis {
       .select(col("b1"), col("b2"), round(log(
         (col("c12") + 1).cast("double") / (col("c1") + nBuckets)), 6)
         .as("logp"))
+    (model, uni)
+  }
+
+  def lmPerplexity(documents: DataFrame,
+                   targetPred: Column = col("lang") === "en",
+                   nBuckets: Int = 4096): DataFrame = {
+    val bi = lmBigrams(documents, targetPred, nBuckets)
+    val (model, uni) = lmModel(documents, targetPred, nBuckets)
     val scored = bi
       .join(broadcast(model), Seq("b1", "b2"), "left_outer")
       .join(broadcast(uni), Seq("b1"), "left_outer")

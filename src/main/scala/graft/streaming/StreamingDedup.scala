@@ -240,6 +240,72 @@ object StreamingDedup {
       .toDF("doc_id", "n_tokens", "dsir_score")
   }
 
+  /** The batch-trained LM collected for broadcast into
+    * `lmPerplexityProbe`: (bigram → 6-dp logp, context-bucket →
+    * backoff logp). DRIVER-BOUNDED by the curated-target contract —
+    * uni ≤ nBuckets rows, model ≤ the target slice's distinct bigrams.
+    * Both maps collect from Spark frames so every logp carries the
+    * batch side's exact 6-dp rounding. */
+  def lmIndex(documents: DataFrame, nBuckets: Int = 4096)
+      : (Map[(Long, Long), Double], Map[Long, Double]) = {
+    val (model, uni) = graft.operators.llm.TextAnalysis
+      .lmModel(documents, nBuckets = nBuckets)
+    val m = model.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val backoff = uni.select(col("b1"),
+        round(log(lit(1.0) / (col("c1") + nBuckets)), 6).as("lp0"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (m, backoff)
+  }
+
+  /** Stateless LM-perplexity scoring at ingest: the streaming twin of
+    * `TextAnalysis.lmPerplexity` against the static trained model —
+    * the CCNet-style ingest quality cut (route high-ppl rows to
+    * quarantine). Typed `mapPartitions` like the other probes; a
+    * bigram absent from the model backs off to its context bucket, an
+    * unseen context to `ln(1/nBuckets)` — the batch join's exact
+    * coalesce chain. Bigram counts are count-exact vs batch; scores
+    * agree within one 4-dp rounding step (StreamingDedupSpec). */
+  def lmPerplexityProbe(stream: DataFrame,
+                        index: (Map[(Long, Long), Double], Map[Long, Double]),
+                        nBuckets: Int = 4096): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index)
+    val defaultLp = BigDecimal(math.log(1.0 / nBuckets))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (model, backoff) = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val bs = graft.functions.Tokenize.tokensScala(text).map { t =>
+            val d = md.digest(t.getBytes("UTF-8"))
+            java.lang.Long.parseLong(
+              f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16) % nBuckets
+          }
+          var s = 0.0
+          var n = 0L
+          bs.sliding(2).foreach {
+            case Seq(b1, b2) =>
+              s += model.getOrElse((b1, b2),
+                backoff.getOrElse(b1, defaultLp))
+              n += 1
+            case _ => ()
+          }
+          if (n == 0) (id, 0L, 0.0, 0.0)
+          else {
+            val avg = s / n
+            def r4(x: Double) = BigDecimal(x)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (id, n, r4(avg), r4(math.exp(-avg)))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "avg_logp", "ppl")
+  }
+
   /** Exact dedup at ingest: content-hash + watermark-bounded state
     * (`dropDuplicatesWithinWatermark`) — emits only first-seen content;
     * state for a hash is dropped once the watermark passes it, so a

@@ -174,6 +174,32 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("lm perplexity probe matches batch scoring on the same corpus") {
+    val corpus = Tables.documents(spark, sf0001)
+    val index = StreamingDedup.lmIndex(corpus)
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.lmPerplexityProbe(ms.toDF(), index)
+      .writeStream.format("memory").queryName("ppl_out")
+      .outputMode("append").start()
+    ms.addData(corpus.select("doc_id", "text").as[StreamDoc].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ppl_out").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = graft.operators.llm.TextAnalysis.lmPerplexity(corpus)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (id, (n, avg, ppl)) =>
+      val (sn, sAvg, sPpl) = streamed(id)
+      assert(sn == n, s"doc $id bigram count: stream $sn vs batch $n")
+      assert(math.abs(sAvg - avg) <= 1e-4 + 1e-9, s"doc $id avg_logp: $sAvg vs $avg")
+      assert(math.abs(sPpl - ppl) <= 1e-4 + 1e-9, s"doc $id ppl: $sPpl vs $ppl")
+    }
+  }
+
   test("exact ingest dedup re-admits content after the watermark drops its state") {
     val ms = MemoryStream[TsDoc]
     val q = StreamingDedup.exactIngestDedup(ms.toDF(), watermark = "10 seconds")
