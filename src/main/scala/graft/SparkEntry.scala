@@ -246,6 +246,9 @@ object SparkEntry {
       llm.TextAnalysis.spanDedup(Tables.documents(s, d))),
     "llm_quality_gate" -> ((s, d) =>
       llm.TextAnalysis.qualityGate(Tables.documents(s, d))),
+    // the full verdict: gate rules + DSIR target-likeness + LM ppl
+    "llm_selection_verdict" -> ((s, d) =>
+      llm.TextAnalysis.selectionVerdict(Tables.documents(s, d))),
     // the capstone composition: gate -> exact-dedup canonical -> pack
     "llm_corpus_build" -> ((s, d) =>
       llm.TextAnalysis.corpusBuild(Tables.documents(s, d))),
@@ -1307,6 +1310,141 @@ object SparkEntry {
         |              ELSE 'ok' END AS reason
         |  FROM q JOIN rep ON q.doc_id = rep.doc_id
         |         JOIN sig ON q.doc_id = sig.doc_id)
+        |SELECT doc_id, reason, reason = 'ok' AS keep
+        |FROM verdict ORDER BY doc_id""".stripMargin,
+    // gate rules + DSIR + LM ppl, first failing rule wins — assembled
+    // from the three independently-green oracle blocks
+    "llm_selection_verdict" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |         CASE WHEN len(t) = 0 THEN 0.0
+        |              ELSE round(least(len(t) / 200.0, 1.0)
+        |                         * (len(list_distinct(t)) / len(t)), 4) END
+        |           AS quality_score
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CASE WHEN len(t) >= 2 THEN
+        |           list_transform(generate_series(1, len(t) - 1),
+        |                          i -> t[i] || ' ' || t[i+1])
+        |         ELSE [] END AS bi,
+        |         CASE WHEN len(t) >= 3 THEN
+        |           list_transform(generate_series(1, len(t) - 2),
+        |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE [] END AS tri
+        |  FROM toks),
+        |bitop AS (
+        |  SELECT doc_id, max(ct) AS top_bigram_ct
+        |  FROM (SELECT doc_id, g, count(*) AS ct
+        |        FROM (SELECT doc_id, unnest(bi) AS g FROM grams)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tria AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN ct > 1 THEN ct ELSE 0 END) AS dup_tri_pos,
+        |         sum(ct) AS tri_pos
+        |  FROM (SELECT doc_id, g, count(*) AS ct
+        |        FROM (SELECT doc_id, unnest(tri) AS g FROM grams)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rep AS (
+        |  SELECT g.doc_id,
+        |         (coalesce(b.top_bigram_ct * 2.0 / g.n_tokens, 0) > 0.2 OR
+        |          coalesce(a.dup_tri_pos / a.tri_pos::DOUBLE, 0) > 0.15)
+        |           AS repetition_flag
+        |  FROM grams g
+        |  LEFT JOIN bitop b ON g.doc_id = b.doc_id
+        |  LEFT JOIN tria a ON g.doc_id = a.doc_id),
+        |sig AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t2) > 0 THEN
+        |           round(len(regexp_replace(t2, '[^0-9]', '', 'g'))
+        |                 / len(t2)::DOUBLE, 4) END AS digit_ratio
+        |  FROM (SELECT doc_id,
+        |               text ||
+        |               CASE WHEN doc_id % 5 = 0
+        |                    THEN ' see https://ex.org/p/' || doc_id
+        |                         || ' and http://a.io' ELSE '' END ||
+        |               CASE WHEN doc_id % 7 = 0
+        |                    THEN ' mail bot' || doc_id || '@spam.example'
+        |                    ELSE '' END AS t2
+        |        FROM documents)),
+        |gv AS (
+        |  SELECT q.doc_id,
+        |         CASE WHEN q.n_words < 20 THEN 'too_short'
+        |              WHEN q.quality_score < 0.1 THEN 'low_quality'
+        |              WHEN rep.repetition_flag THEN 'repetitive'
+        |              WHEN coalesce(sig.digit_ratio, 0) > 0.3 THEN 'digit_heavy'
+        |              ELSE 'ok' END AS gate_reason
+        |  FROM q JOIN rep ON q.doc_id = rep.doc_id
+        |         JOIN sig ON q.doc_id = sig.doc_id),
+        |dtok AS (
+        |  SELECT doc_id, lang = 'en' AS is_target, w,
+        |         CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, unnest(t) AS w
+        |        FROM toks JOIN documents USING (doc_id))),
+        |ddist AS (SELECT b, count(*) AS q_ct,
+        |                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_ct
+        |          FROM dtok GROUP BY b),
+        |dtot AS (SELECT CAST(sum(q_ct) AS BIGINT) AS q_tot,
+        |                CAST(sum(t_ct) AS BIGINT) AS t_tot FROM ddist),
+        |dwt AS (SELECT b, round(ln(((t_ct + 1.0) / (t_tot + 4096)) /
+        |                           ((q_ct + 1.0) / (q_tot + 4096))), 6) AS w_b
+        |        FROM ddist CROSS JOIN dtot),
+        |dagg AS (SELECT d.doc_id, count(t.w) AS n_tokens, sum(dwt.w_b) AS s
+        |         FROM documents d
+        |         LEFT JOIN dtok t ON d.doc_id = t.doc_id
+        |         LEFT JOIN dwt ON t.b = dwt.b
+        |         GROUP BY d.doc_id),
+        |dsir AS (SELECT doc_id,
+        |                CASE WHEN n_tokens = 0 THEN 0.0
+        |                     ELSE round(s / n_tokens, 4) END AS dsir_score
+        |         FROM dagg),
+        |ptok AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         list_transform(t,
+        |           w -> CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT)
+        |                % 4096) AS bs
+        |  FROM toks JOIN documents USING (doc_id)),
+        |pbi AS (
+        |  SELECT doc_id, is_target, p[1] AS b1, p[2] AS b2
+        |  FROM (SELECT doc_id, is_target,
+        |          unnest(CASE WHEN len(bs) >= 2 THEN
+        |            list_transform(generate_series(1, len(bs) - 1),
+        |                           i -> [bs[i], bs[i+1]])
+        |          ELSE [] END) AS p
+        |        FROM ptok)),
+        |puni AS (SELECT b1, count(*) AS c1 FROM pbi WHERE is_target GROUP BY b1),
+        |pmodel AS (
+        |  SELECT m.b1, m.b2, round(ln((c12 + 1.0) / (c1 + 4096)), 6) AS logp
+        |  FROM (SELECT b1, b2, count(*) AS c12 FROM pbi
+        |        WHERE is_target GROUP BY 1, 2) m
+        |  JOIN puni USING (b1)),
+        |psc AS (
+        |  SELECT pbi.doc_id, count(*) AS n_bigrams,
+        |         sum(coalesce(pmodel.logp,
+        |             round(ln(1.0 / (coalesce(puni.c1, 0) + 4096)), 6))) AS s
+        |  FROM pbi
+        |  LEFT JOIN pmodel ON pbi.b1 = pmodel.b1 AND pbi.b2 = pmodel.b2
+        |  LEFT JOIN puni ON pbi.b1 = puni.b1
+        |  GROUP BY 1),
+        |ppl AS (SELECT d.doc_id,
+        |               CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |                    ELSE round(exp(-s / n_bigrams), 4) END AS ppl
+        |        FROM documents d LEFT JOIN psc ON d.doc_id = psc.doc_id),
+        |verdict AS (
+        |  SELECT gv.doc_id,
+        |         CASE WHEN gv.gate_reason <> 'ok' THEN gv.gate_reason
+        |              WHEN dsir.dsir_score < -0.17 THEN 'off_target'
+        |              WHEN ppl.ppl > 340 THEN 'high_ppl'
+        |              ELSE 'ok' END AS reason
+        |  FROM gv JOIN dsir ON gv.doc_id = dsir.doc_id
+        |          JOIN ppl ON gv.doc_id = ppl.doc_id)
         |SELECT doc_id, reason, reason = 'ok' AS keep
         |FROM verdict ORDER BY doc_id""".stripMargin,
     "llm_corpus_build" ->

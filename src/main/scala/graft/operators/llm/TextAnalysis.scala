@@ -562,6 +562,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The FULL selection verdict — [[qualityGate]] extended with the
+    * model-based signals: after the surface rules, a document must
+    * look target-like (DSIR score above `minDsir`) and read like the
+    * target (LM perplexity below `maxPpl`). First-failing-rule
+    * priority: gate reasons → off_target → high_ppl → ok. Five
+    * doc_id-keyed joins over independently-oracled kernels — the same
+    * one-exchange-class composition contract as the gate. */
+  def selectionVerdict(documents: DataFrame,
+                       minDsir: Double = -0.17,
+                       maxPpl: Double = 340.0): DataFrame = {
+    val g = qualityGate(documents)
+      .select(col("doc_id"), col("reason").as("gate_reason"))
+    val d = importanceScores(documents).select(col("doc_id"), col("dsir_score"))
+    val p = lmPerplexity(documents).select(col("doc_id"), col("ppl"))
+    val reason = when(col("gate_reason") =!= "ok", col("gate_reason"))
+      .when(col("dsir_score") < minDsir, "off_target")
+      .when(col("ppl") > maxPpl, "high_ppl")
+      .otherwise("ok")
+    g.join(d, "doc_id").join(p, "doc_id")
+      .select(col("doc_id"), reason.as("reason"), (reason === "ok").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The capstone filter composition — what a corpus build actually
     * runs: quality, repetition, and content signals joined on doc_id
     * into one keep/drop verdict with the FIRST failing rule as the

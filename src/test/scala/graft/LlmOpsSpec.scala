@@ -719,6 +719,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.size == 6)
   }
 
+  test("selection verdict composes the three kernels with rule priority") {
+    val v = TextAnalysis.selectionVerdict(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val g = TextAnalysis.qualityGate(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dsir = TextAnalysis.importanceScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ppl = TextAnalysis.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(v.keySet == g.keySet)
+    v.foreach { case (id, reason) =>
+      val expect =
+        if (g(id) != "ok") g(id)
+        else if (dsir(id) < -0.17) "off_target"
+        else if (ppl(id) > 340.0) "high_ppl"
+        else "ok"
+      assert(reason == expect, s"doc $id: got $reason want $expect")
+    }
+    // the verdict genuinely splits the corpus, it is not all-pass
+    assert(v.values.toSet.size >= 2, v.values.toSet.toString)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
