@@ -305,6 +305,13 @@ object SparkEntry {
       llm.Sampling.budgetSelect(Tables.documents(s, d))),
     "llm_mixture_rebalance" -> ((s, d) =>
       llm.Sampling.mixtureRebalance(Tables.documents(s, d))),
+    // dedup-aware split over the oracled multi-hop CC fixture: a whole
+    // near-dup component always lands in one split
+    "llm_split_assign" -> ((s, d) =>
+      llm.Sampling.splitAssign(Tables.documents(s, d),
+        llm.Components.chainFixture(Tables.documents(s, d)))),
+    "llm_training_order" -> ((s, d) =>
+      llm.Sampling.trainingOrder(Tables.documents(s, d))),
     "llm_dsir_score" -> ((s, d) =>
       llm.TextAnalysis.importanceScores(Tables.documents(s, d))),
     "llm_lm_perplexity" -> ((s, d) =>
@@ -1847,6 +1854,49 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |           AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    // split by hashed COMPONENT id (recursive-CTE components over the
+    // chain/star fixture), so near-dups never straddle splits
+    "llm_split_assign" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+        |  WHERE doc_id % 7 < 4
+        |    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |  UNION
+        |  SELECT doc_id - doc_id % 50 AS u, doc_id AS v FROM documents
+        |  WHERE doc_id % 50 IN (10, 20, 30)
+        |    AND doc_id - doc_id % 50 IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT u AS a, v AS b FROM edges
+        |        UNION SELECT v, u FROM edges),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node),
+        |comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+        |SELECT doc_id, component_id,
+        |       CASE WHEN sel < 80 THEN 'train'
+        |            WHEN sel < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, component_id,
+        |        CAST(('0x' || substring(md5(CAST(component_id AS VARCHAR)),
+        |                                1, 4)) AS BIGINT) % 100 AS sel
+        |      FROM assigned)
+        |ORDER BY doc_id""".stripMargin,
+    // seeded hash shard + per-shard position: the only sorts are
+    // per-shard windows, never a corpus-wide order
+    "llm_training_order" ->
+      """SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |              ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |                                    || ':42'), 1, 8)) AS BIGINT) AS h,
+        |        CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |                   || ':42'), 1, 8)) AS BIGINT) % 32 AS INT) AS shard
+        |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // binding stratum (min count/weight) keeps all docs; others
     // hash-sample down — pure integer cross-multiplication boundary

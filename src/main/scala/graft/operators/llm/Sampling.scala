@@ -133,6 +133,58 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Dedup-aware train/val/test split: every document maps to its
+    * near-dup COMPONENT (from a verified pair set; singletons are
+    * their own), and the split is assigned by hashing the COMPONENT
+    * id — so a document and its near-duplicates can never straddle
+    * splits (the classic eval-leakage bug a doc-level hash split
+    * ships). Weights are percent points (train, val; test = rest).
+    *
+    * Shape at 100 TB: components come from the parquet-backed CC
+    * iteration; the assignment itself is a narrow left join on doc_id
+    * plus a hash — no extra shuffle class beyond the CC output join. */
+  def splitAssign(documents: DataFrame, pairs: DataFrame,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"percents must leave room for test, got train=$trainPct val=$valPct")
+    val comp = Components.connectedComponents(pairs)
+    val sel = conv(substring(md5(col("component_id").cast("string")), 1, 4),
+      16, 10).cast("long") % 100
+    documents
+      .join(comp, Seq("doc_id"), "left_outer")
+      .withColumn("component_id",
+        coalesce(col("component_id"), col("doc_id")))
+      .withColumn("split",
+        when(sel < trainPct, "train")
+          .when(sel < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("component_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic training-order shuffle — the step that randomizes
+    * document order before training WITHOUT a corpus-wide sort: docs
+    * hash into `nShards` shards (seeded, so re-rolls are one seed
+    * bump) and get a position WITHIN their shard by pseudo-random
+    * order. The only sorts are per-shard window sorts — embarrassingly
+    * parallel; a training loader consumes shards in any order. The
+    * per-shard key sort is the price of an exact position column;
+    * writers that only need randomized file order skip it and write
+    * hash-ordered shards directly. */
+  def trainingOrder(documents: DataFrame, nShards: Int = 32,
+                    seed: Long = 42L): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), lit(seed))), 1, 8), 16, 10).cast("long")
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", (row_number().over(byShard) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus report: per (lang, source) doc counts and char volume —
     * the summary a pipeline emits after every build stage. One
     * hash-aggregate, partial→final. */

@@ -741,6 +741,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(v.values.toSet.size >= 2, v.values.toSet.toString)
   }
 
+  test("split assign keeps every near-dup component in one split") {
+    val pairs = Components.chainFixture(docs)
+    val out = Sampling.splitAssign(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == docs.count())
+    // one split per component — the leakage guarantee
+    out.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"component $comp straddles splits: ${members.toSeq}")
+    }
+    // all three splits appear and the multi-doc components exist
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    assert(out.groupBy(_._2).exists(_._2.length > 1))
+  }
+
+  test("training order is dense per shard and reshuffles with the seed") {
+    val a = Sampling.trainingOrder(docs, nShards = 4, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.length == docs.count())
+    // positions within each shard are exactly 0..n-1
+    a.groupBy(_._2).foreach { case (shard, members) =>
+      assert(members.map(_._3).sorted.toSeq == (0L until members.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // deterministic under re-run; a different seed produces a
+    // different assignment
+    val b = Sampling.trainingOrder(docs, nShards = 4, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    val c = Sampling.trainingOrder(docs, nShards = 4, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq != c.toSeq)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
