@@ -112,6 +112,22 @@ object KernelProps extends Properties("kernels") {
       }
     }
 
+  property("splitAssign never splits a component, on random graphs") =
+    forAll(edgesGen) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val docs = nodes.map(n => (n, s"doc $n text")).toDF("doc_id", "text")
+        val out = graft.operators.llm.Sampling
+          .splitAssign(docs, edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        // exactly one row per node, one split per component, and the
+        // split is a pure function of the component id
+        out.length == nodes.length &&
+          out.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1)
+      }
+    }
+
   property("upsert sequential batches == last-wins over the union") =
     forAll(rowsGen) { rows =>
       rows.isEmpty || {
