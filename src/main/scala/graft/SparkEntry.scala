@@ -249,6 +249,12 @@ object SparkEntry {
     // the full verdict: gate rules + DSIR target-likeness + LM ppl
     "llm_selection_verdict" -> ((s, d) =>
       llm.TextAnalysis.selectionVerdict(Tables.documents(s, d))),
+    "llm_chunk_split" -> ((s, d) =>
+      llm.TextAnalysis.chunkSplit(Tables.documents(s, d))),
+    // JDK-zlib codec boundary — rows-only (DuckDB has no deflate);
+    // invariants pinned in LlmOpsSpec
+    "llm_compression_ratio" -> ((s, d) =>
+      llm.TextAnalysis.compressionRatio(Tables.documents(s, d))),
     // the capstone composition: gate -> exact-dedup canonical -> pack
     "llm_corpus_build" -> ((s, d) =>
       llm.TextAnalysis.corpusBuild(Tables.documents(s, d))),
@@ -1855,6 +1861,27 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |           AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    // sliding token windows: stride = max - overlap; ≤-budget docs
+    // yield one chunk, empty docs none
+    "llm_chunk_split" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     w -> w <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t,
+        |             CASE WHEN len(t) = 0 THEN 0
+        |                  WHEN len(t) <= 64 THEN 1
+        |                  ELSE CAST(ceil((len(t) - 64) / 56.0) AS INT) + 1
+        |             END AS n_chunks
+        |      FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(len(t[i * 56 + 1 : i * 56 + 64]) AS BIGINT) AS n_tokens,
+        |       list_aggregate(t[i * 56 + 1 : i * 56 + 64], 'string_agg', ' ')
+        |         AS chunk_text
+        |FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+        |WHERE n_chunks > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // split by hashed COMPONENT id (recursive-CTE components over the
     // chain/star fixture), so near-dups never straddle splits
     "llm_split_assign" ->

@@ -562,6 +562,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: split long documents into overlapping
+    * `maxTokens`-token chunks (stride = maxTokens − overlap) — the
+    * preprocessing step that turns documents into model-sized
+    * segments. Everything is per-row array expressions (sequence →
+    * slice → join), codegen'd, no shuffle except the presentation
+    * sort; a doc at or under the budget yields exactly one chunk,
+    * zero-token docs yield none (they were gated out upstream). */
+  def chunkSplit(documents: DataFrame, maxTokens: Int = 64,
+                 overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must sit inside the chunk, got $overlap/$maxTokens")
+    val stride = maxTokens - overlap
+    val t = Tokenize.tokens(col("text"))
+    val nChunks = when(size(t) <= maxTokens, least(size(t), lit(1)))
+      .otherwise(ceil((size(t) - maxTokens).cast("double") / stride)
+        .cast("int") + 1)
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), t.as("t"), nChunks.as("n"))
+      // Spark's sequence(0, -1) DESCENDS — a zero-chunk doc must be
+      // filtered out, not handed an inverted range
+      .filter(col("n") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n") - 1), i => struct(
+          i.cast("long").as("chunk_id"),
+          slice(col("t"), i * stride + 1, lit(maxTokens)).as("ct")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.ct")).cast("long").as("n_tokens"),
+        array_join(col("c.ct"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Compression-ratio quality signal: deflate each document (JDK
+    * zlib, fixed level) and report compressed/raw byte ratio — highly
+    * repetitive or templated text compresses far below prose, the
+    * cheap corpus-agnostic repetition signal large corpus builds run
+    * alongside the n-gram ones (Gopher reports it; RefinedWeb filters
+    * on it). Typed `mapPartitions` at the codec boundary — the
+    * `Multimodal.decode` contract: the JDK codec isn't expressible as
+    * Catalyst expressions, everything around it stays relational.
+    * Not DuckDB-expressible → rows-only check + invariants spec
+    * (deterministic per JVM; ratios ordered repetitive < prose). */
+  def compressionRatio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(raw); d.finish()
+          // zlib worst case ≈ raw + 5 B per 16 KiB block + header
+          val buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          d.end()
+          val ratio =
+            if (raw.length == 0) 0.0
+            else BigDecimal(n.toDouble / raw.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, raw.length.toLong, n.toLong, ratio)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "compression_ratio")
+      .orderBy("doc_id")
+  }
+
   /** The FULL selection verdict — [[qualityGate]] extended with the
     * model-based signals: after the surface rules, a document must
     * look target-like (DSIR score above `minDsir`) and read like the

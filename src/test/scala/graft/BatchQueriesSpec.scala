@@ -23,6 +23,9 @@ class BatchQueriesSpec extends SparkTestBase {
       // cell-blocked SemDeDup: exact twin llm_semdedup_twin is the
       // oracle; LlmOpsSpec pins general == twin on planted duplicates
       "llm_semdedup",
+      // JDK-zlib codec boundary: DuckDB has no deflate; invariants
+      // (determinism, repetitive < prose ordering) pinned in LlmOpsSpec
+      "llm_compression_ratio",
       // approx swaps: estimators have no exact oracle; drift vs the
       // exact twins is bounded in DwsJobSpec / LlmOpsSpec
       "a3_province_order_window_approx", "llm_token_percentiles_approx")

@@ -775,6 +775,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a.toSeq != c.toSeq)
   }
 
+  test("chunk split covers every token with the declared stride") {
+    val n = 150
+    val planted = Seq(
+      (1L, (1 to n).map(i => s"w$i").mkString(" ")), // 3 chunks of 64/64/38
+      (2L, "a b c"),                                 // one short chunk
+      (3L, "")).toDF("doc_id", "text")               // no chunks
+    val out = TextAnalysis.chunkSplit(planted, maxTokens = 64, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3).toSeq == Seq(64L, 64L, 38L))
+    // stride 56: chunk k starts at token 56k+1; overlap tokens repeat
+    assert(doc1(1)._4.startsWith("w57 "))
+    assert(doc1(0)._4.endsWith(" w64") && doc1(1)._4.contains("w57"))
+    // full coverage: every token appears in some chunk
+    val seen = doc1.flatMap(_._4.split(" ")).toSet
+    assert(seen == (1 to n).map(i => s"w$i").toSet)
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("compression ratio orders repetitive text below prose") {
+    val planted = Seq(
+      (1L, ("lorem " * 200).trim),
+      (2L, (1 to 200).map(i => s"tok${i * 7919 % 997}x$i").mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // the all-repeats doc compresses far below the diverse-token doc
+    assert(out(1L)._3 < out(2L)._3 / 2,
+      s"repetitive ${out(1L)._3} vs diverse ${out(2L)._3}")
+    assert(out(3L) == ((0L, out(3L)._2, 0.0)))
+    // deterministic per JVM
+    val again = TextAnalysis.compressionRatio(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(again == out)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
