@@ -816,6 +816,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("mixture rebalance drops langs without a target weight") {
+    val out = Sampling.mixtureRebalance(docs,
+      Map("en" -> 9000, "zh" -> 1000)).collect()
+    val langs = out.map(_.getString(1)).toSet
+    assert(langs.subsetOf(Set("en", "zh")), langs.toString)
+    assert(out.nonEmpty)
+  }
+
+  test("chunk split with zero overlap partitions tokens disjointly") {
+    val planted = Seq((1L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSplit(planted, maxTokens = 32, overlap = 0)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    val all = out.flatMap(_._2.split(" "))
+    // no token repeats and nothing is lost: an exact partition
+    assert(all.length == 100 && all.toSet.size == 100)
+  }
+
+  test("budget select with a tiny budget keeps exactly the top score bucket") {
+    val out = Sampling.budgetSelect(docs, budgetTokens = 1L).collect()
+      .map(r => r.getDouble(2))
+    assert(out.nonEmpty)
+    // cum-start < 1 admits only the first (highest) bucket
+    assert(out.toSet.size == 1)
+    val top = TextAnalysis.quality(docs)
+      .agg(org.apache.spark.sql.functions.max(col("quality_score")))
+      .collect()(0).getDouble(0)
+    assert(out.head == top)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
