@@ -609,15 +609,16 @@ object TextAnalysis {
     documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        // one native zlib context per partition, reset per row
+        val d = new java.util.zip.Deflater(6)
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes("UTF-8")
-          val d = new java.util.zip.Deflater(6)
+          d.reset()
           d.setInput(raw); d.finish()
           // zlib worst case ≈ raw + 5 B per 16 KiB block + header
           val buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
           var n = 0
           while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
-          d.end()
           val ratio =
             if (raw.length == 0) 0.0
             else BigDecimal(n.toDouble / raw.length)
