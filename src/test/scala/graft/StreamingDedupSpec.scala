@@ -174,6 +174,26 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental batch dedup: probe vs old index == full detector on new x old") {
+    // the 100 TB operational pattern: an increment probes the EXISTING
+    // corpus index instead of re-deduping everything. The probe is
+    // batch-legal (plain DataFrames), so the same code path serves both.
+    val all = DedupOps.withNearDuplicates(Tables.documents(spark, sf0001))
+    // planted near-dups live at doc_id + 1000000 — put the originals
+    // in the "old" corpus and their twins in the arriving increment
+    val old = all.filter(col("doc_id") < 1000000L)
+    val incoming = all.filter(col("doc_id") >= 1000000L)
+    val index = StreamingDedup.bandIndex(old)
+    val probed = StreamingDedup.nearDupProbe(incoming, index)
+      .select(col("doc_id"), col("idx_doc_id")).distinct().collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    val full = DedupOps.minhashPairs(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < 1000000L && p._2 >= 1000000L).toSet
+    assert(probed == full, s"probe=$probed full=$full")
+    assert(probed.nonEmpty)
+  }
+
   test("lm perplexity probe matches batch scoring on the same corpus") {
     val corpus = Tables.documents(spark, sf0001)
     val index = StreamingDedup.lmIndex(corpus)
