@@ -106,6 +106,10 @@ object StreamBench {
       "neardup_probe" -> (() => StreamingDedup.nearDupProbe(docStream, docIndex)),
       "contamination_probe" -> (() => StreamingDedup.contaminationProbe(
         docStream, graft.core.Tables.documents(spark, sfDir).limit(20))),
+      "dsir_probe" -> (() => StreamingDedup.dsirScoreProbe(docStream,
+        StreamingDedup.dsirIndex(graft.core.Tables.documents(spark, sfDir)))),
+      "ppl_probe" -> (() => StreamingDedup.lmPerplexityProbe(docStream,
+        StreamingDedup.lmIndex(graft.core.Tables.documents(spark, sfDir)))),
       "ann_probe" -> (() => StreamingAnn.probe(embStream, centArr, cellIdx)))
 
     val results = kernels.map { case (name, k) =>
