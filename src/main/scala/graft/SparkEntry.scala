@@ -251,6 +251,8 @@ object SparkEntry {
       llm.TextAnalysis.selectionVerdict(Tables.documents(s, d))),
     "llm_chunk_split" -> ((s, d) =>
       llm.TextAnalysis.chunkSplit(Tables.documents(s, d))),
+    "llm_tfidf_terms" -> ((s, d) =>
+      llm.TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     // JDK-zlib codec boundary — rows-only (DuckDB has no deflate);
     // invariants pinned in LlmOpsSpec
     "llm_compression_ratio" -> ((s, d) =>
@@ -1861,6 +1863,29 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
         |           AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    // per-doc top-3 terms by tf × 6-dp-rounded idf, (score desc, term)
+    // tie-break
+    "llm_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS ct,
+        |         sum(count(*)) OVER (PARTITION BY doc_id) AS len
+        |  FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, w,
+        |         round((ct / CAST(len AS DOUBLE)) *
+        |               round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf
+        |  FROM tf JOIN df USING (w) CROSS JOIN n)
+        |SELECT doc_id, w AS term, CAST(rank AS INT) AS rank, tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, w) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // sliding token windows: stride = max - overlap; ≤-budget docs
     // yield one chunk, empty docs none
     "llm_chunk_split" ->

@@ -562,6 +562,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms: the per-document keyword extraction every text
+    * stack ships — term frequency × corpus inverse document frequency,
+    * top `k` terms per doc with stable (score desc, term) ranking.
+    * IDF rounds to 6 dp before the product (the cross-engine `ln`
+    * discipline); the TF side never leaves the doc_id exchange.
+    *
+    * Shape at 100 TB: the doc-frequency table is vocab-sized, so its
+    * join is a SHUFFLE join on the term key by design (vocabularies
+    * outgrow broadcast; Catalyst still broadcasts while it fits); the
+    * corpus count rides a 1-row broadcast. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val toks = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("ct"))
+      .withColumn("len", sum(col("ct")).over(byDoc))
+    val docFreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(docFreq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("idf",
+        round(log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("tfidf",
+        round((col("ct").cast("double") / col("len")) * col("idf"), 6))
+      .withColumn("rank", row_number().over(byDoc
+        .orderBy(col("tfidf").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("w").as("term"),
+        col("rank").cast("int").as("rank"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Context-window chunking: split long documents into overlapping
     * `maxTokens`-token chunks (stride = maxTokens − overlap) — the
     * preprocessing step that turns documents into model-sized

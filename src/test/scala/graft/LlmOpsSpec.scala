@@ -847,6 +847,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.head == top)
   }
 
+  test("tfidf ranks a document's distinctive term above corpus-wide ones") {
+    val planted = Seq(
+      (1L, "common common common zebra common"),
+      (2L, "common common common common common"),
+      (3L, "common yak yak common common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(planted, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    // the unique terms win rank 1 in their docs despite low tf
+    assert(out.find(r => r._1 == 1L && r._3 == 1).get._2 == "zebra")
+    assert(out.find(r => r._1 == 3L && r._3 == 1).get._2 == "yak")
+    // 'common' appears in every doc → idf = ln(1) = 0 → score 0
+    assert(out.filter(_._2 == "common").forall(_._4 == 0.0))
+    assert(out.count(_._1 == 2L) == 1) // single-term doc yields one row
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
