@@ -1933,8 +1933,9 @@ object SparkEntry {
         |            WHEN sel < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM (SELECT doc_id, component_id,
-        |        CAST(('0x' || substring(md5(CAST(component_id AS VARCHAR)),
-        |                                1, 4)) AS BIGINT) % 100 AS sel
+        |        CAST(('0x' || substring(
+        |          md5('split:' || CAST(component_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) % 100 AS sel
         |      FROM assigned)
         |ORDER BY doc_id""".stripMargin,
     // seeded hash shard + per-shard position: the only sorts are
@@ -1961,7 +1962,7 @@ object SparkEntry {
         |      ORDER BY CAST(ct AS DOUBLE) / w_bp, lang LIMIT 1)
         |SELECT doc_id, d.lang, source
         |FROM documents d JOIN cw ON d.lang = cw.lang CROSS JOIN b
-        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |           AS BIGINT) % 10000 * ct * bind_w
         |      < w_bp * bind_ct * 10000
         |ORDER BY doc_id""".stripMargin,

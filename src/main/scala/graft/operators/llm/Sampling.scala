@@ -76,6 +76,10 @@ object Sampling {
     * score key (tiny side, auto-broadcast). */
   def budgetSelect(documents: DataFrame,
                    budgetTokens: Long = 10000L): DataFrame = {
+    // the contract guarantees the top bucket is always kept; a
+    // non-positive budget (e.g. an upstream remaining-budget gone
+    // negative) must fail here, not flow on as an empty training set
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     val q = TextAnalysis.quality(documents)
       .select(col("doc_id"), col("n_words"), col("quality_score"))
     val buckets = q.groupBy("quality_score")
@@ -119,11 +123,22 @@ object Sampling {
     // inner join: langs without a target weight are dropped entirely
     val counts = documents.groupBy("lang").agg(count(lit(1)).as("ct"))
       .join(weights, "lang")
+    // a target lang absent from the corpus makes the promised mixture
+    // infeasible — fail loudly instead of silently re-normalizing the
+    // output to the surviving strata (the tiny count table makes this
+    // driver check free at any scale)
+    require(counts.count() == targetsBp.size,
+      s"target langs missing from the corpus: " +
+        (targetsBp.keySet -- counts.select("lang").collect()
+          .map(_.getString(0))).mkString(", "))
     val binding = counts
       .orderBy((col("ct").cast("double") / col("w_bp")).asc, col("lang"))
       .limit(1)
       .select(col("ct").as("bind_ct"), col("w_bp").as("bind_w"))
-    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+    // 8 hex chars (32 bits): 2^32 mod 10000 leaves ~1e-5 relative
+    // non-uniformity, where the 4-hex form's 65536 mod 10000 skewed
+    // residues 0–5535 by +1/6 (~7% relative keep-rate error)
+    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000
     documents.join(broadcast(counts), "lang")
       .crossJoin(broadcast(binding))
@@ -148,8 +163,13 @@ object Sampling {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"percents must leave room for test, got train=$trainPct val=$valPct")
     val comp = Components.connectedComponents(pairs)
-    val sel = conv(substring(md5(col("component_id").cast("string")), 1, 4),
-      16, 10).cast("long") % 100
+    // salted ('split:') and 8-hex-widened: an UNsalted selector is the
+    // same md5 value the sampling ops filter on, and 100 | 10000 makes
+    // the decisions fully correlated — a stratum mixtureRebalance keeps
+    // at rate sel%10000 < 80 would land EVERY survivor in 'train'
+    val sel = conv(substring(md5(concat(lit("split:"),
+      col("component_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
     documents
       .join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component_id",

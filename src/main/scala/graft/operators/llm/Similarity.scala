@@ -269,21 +269,30 @@ object Similarity {
     * search — only same-cell vectors are scored, so the scored count is
     * Σ|cell|², not n². At 100 TB, scale `nCentroids` with the corpus
     * (the paper runs ~100k cells over billions of embeddings, keeping
-    * cells at ~10⁴–10⁵ vectors) and the degenerate-cell cap
-    * (`DedupOps.capBuckets`) kills the all-identical-embedding blowup
-    * the way the MinHash path caps boilerplate buckets. Returns
-    * (vec_a, vec_b, cos_sim) with vec_a < vec_b. */
+    * cells at ~10⁴–10⁵ vectors). Degenerate cells — the mass-duplicated
+    * boilerplate case SemDeDup exists for — are SUB-SPLIT by vec_id
+    * hash rather than dropped: a `capBuckets`-style drop would skip
+    * dedup on exactly the worst offenders (a vector has ONE cell, so
+    * unlike a capped LSH band there is no other band to catch it).
+    * Sub-splitting bounds the scored pairs at |cell|·maxCellSize and
+    * still finds within-sub-cell duplicates; cross-sub-cell pairs
+    * inside an oversized cell are the documented recall trade.
+    * Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b. */
   def semanticPairs(corpus: DataFrame, nCentroids: Int = 16,
                     threshold: Double = 0.9,
                     maxCellSize: Int = 10000): DataFrame = {
     val centroids = broadcast(kmeansCentroids(corpus, nCentroids))
-    val assigned = DedupOps.capBuckets(
-      assignCells(corpus, centroids), Seq("cell"), maxCellSize)
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"))
-    a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+    val assigned = assignCells(corpus, centroids)
+      .withColumn("__n_sub", ceil(
+        count(lit(1)).over(Window.partitionBy(col("cell")))
+          .cast("double") / maxCellSize).cast("long"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("__n_sub")))
+      .drop("__n_sub")
+    val a = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("sub"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("cell", "sub")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))

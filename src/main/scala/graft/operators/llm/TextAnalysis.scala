@@ -442,14 +442,22 @@ object TextAnalysis {
     * weights round to 6 dp BEFORE the per-doc mean (4 dp) so
     * cross-engine `ln` ulps and summation order cannot flip the
     * comparison (the [[Similarity.embeddingStats]] precedent). */
+  /** Engine-portable hashed-feature bucket: first 4 md5 hex chars mod
+    * `nBuckets` (65536 is a multiple of the 4096 default, so buckets
+    * are exactly uniform). PARITY-CRITICAL triple: the DuckDB oracles
+    * and the streaming probes' JVM twin (`StreamingDedup.md5Bucket`)
+    * replicate this expression bit-for-bit — change all three
+    * together or batch/stream/oracle agreement silently breaks. */
+  private[graft] def md5Bucket(c: Column, nBuckets: Int): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
+
   private def dsirToks(documents: DataFrame, targetPred: Column,
                        nBuckets: Int): DataFrame =
     graft.core.Tables.spread(documents)
       // explode_outer: a zero-token doc must still score (0.0), not vanish
       .select(col("doc_id"), targetPred.as("is_target"),
         explode_outer(Tokenize.tokens(col("text"))).as("w"))
-      .withColumn("b",
-        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % nBuckets)
+      .withColumn("b", md5Bucket(col("w"), nBuckets))
 
   /** The DSIR bucket-weight table (b → 6-dp LLR weight) on its own —
     * ≤ `nBuckets` rows by construction, the broadcast side of batch
@@ -512,8 +520,7 @@ object TextAnalysis {
     graft.core.Tables.spread(documents)
       .select(col("doc_id"), targetPred.as("is_target"),
         posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
-      .withColumn("b1",
-        conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % nBuckets)
+      .withColumn("b1", md5Bucket(col("w"), nBuckets))
       .withColumn("b2", lead(col("b1"), 1).over(byPos))
       .filter(col("b2").isNotNull)
       .select(col("doc_id"), col("is_target"), col("b1"), col("b2"))
@@ -642,8 +649,12 @@ object TextAnalysis {
     documents.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        // one native zlib context per partition, reset per row
+        // one native zlib context per partition, reset per row; end()
+        // at task completion — zlib state is off-heap, and waiting for
+        // finalization leaks native memory on long-lived executors
         val d = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes("UTF-8")
           d.reset()

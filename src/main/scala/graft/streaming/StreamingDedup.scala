@@ -191,6 +191,16 @@ object StreamingDedup {
         "n_dup_spans")
   }
 
+  /** JVM twin of `TextAnalysis.md5Bucket` (first 2 md5 bytes as hex,
+    * mod nBuckets) — the scoring probes' side of the parity-critical
+    * triple (column expression / DuckDB oracle / this). */
+  private def md5Bucket(md: java.security.MessageDigest, s: String,
+                        nBuckets: Int): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16) % nBuckets
+  }
+
   /** The batch-built DSIR weight table collected for broadcast into
     * `dsirScoreProbe`. DRIVER-BOUNDED by construction — hashed
     * features cap it at `nBuckets` rows regardless of corpus size. */
@@ -224,11 +234,7 @@ object StreamingDedup {
           val toks = graft.functions.Tokenize.tokensScala(text)
           var s = 0.0
           toks.foreach { t =>
-            // first 4 hex chars of md5 — the Spark-side
-            // conv(substring(md5(w),1,4),16,10) bucket, bit-identical
-            val d = md.digest(t.getBytes("UTF-8"))
-            val hex = f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x"
-            s += w.getOrElse(java.lang.Long.parseLong(hex, 16) % nBuckets, 0.0)
+            s += w.getOrElse(md5Bucket(md, t, nBuckets), 0.0)
           }
           val n = toks.length.toLong
           val score = if (n == 0) 0.0
@@ -280,11 +286,8 @@ object StreamingDedup {
         val (model, backoff) = bc.value
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val bs = graft.functions.Tokenize.tokensScala(text).map { t =>
-            val d = md.digest(t.getBytes("UTF-8"))
-            java.lang.Long.parseLong(
-              f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16) % nBuckets
-          }
+          val bs = graft.functions.Tokenize.tokensScala(text)
+            .map(md5Bucket(md, _, nBuckets))
           var s = 0.0
           var n = 0L
           bs.sliding(2).foreach {

@@ -862,6 +862,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.count(_._1 == 2L) == 1) // single-term doc yields one row
   }
 
+  test("semantic pairs sub-split oversized cells instead of dropping them") {
+    // 12 identical vectors land in ONE cell; maxCellSize=4 forces 3
+    // sub-cells. A capBuckets-style whole-cell drop would emit zero
+    // pairs here — exactly the mass-duplicate case dedup exists for.
+    val emb = (0L until 12L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticPairs(emb, nCentroids = 1,
+      threshold = 0.9, maxCellSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // within-sub-cell duplicates all pair up (cross-sub-cell recall is
+    // the documented trade); nearly every member reaches the pair set
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(nodes.size >= 10, s"only ${nodes.size} of 12 dups paired")
+    // and the bound holds: no sub-cell exceeded the cap
+    val bySide = pairs.groupBy(_._1).map(_._2.length).max
+    assert(bySide < 4 * 4)
+  }
+
   test("U1 tokenizer UDF shape: null-safe lowercase split") {
     val out = Seq(Some("Hello  World"), Some(""), None).toDF("s")
       .select(graft.functions.Tokenize.tokenizeUdf(col("s")).as("t"))
