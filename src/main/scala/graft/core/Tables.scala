@@ -28,17 +28,29 @@ object Tables {
       df.repartition()
     else df
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. `Sessions.local` sets
-    * `spark.sql.legacy.parquet.nanosAsLong` once at build time (a
-    * session using another builder must do the same); the nanos Long is
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so `Sessions.local` sets
+    * `spark.sql.legacy.parquet.nanosAsLong` and the nanos Long is
     * truncated to micros here, matching DuckDB's nanos→micros
     * truncation bit-for-bit (`ts div 1000` floors; all values are
-    * positive). */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    * positive) — and plain TIMESTAMP(MICROS), which arrives as
+    * TIMESTAMP_NTZ and only needs a cast to the session-local type
+    * (identical instants under the UTC session TZ, same values DuckDB
+    * reads). Dispatch on the scanned type so both generations read to
+    * the same column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (micros encoding)
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
