@@ -47,9 +47,11 @@ object TxLog {
     * value for files written by `commitUpsertPartitioned` (the
     * partition column is NOT stored in the file, exactly like Hive/
     * Delta layouts — it is restored from the manifest at read);
-    * `stats` the optional footer min/max of the table's stats column. */
+    * `stats` the footer min/max per harvested stats column — one entry
+    * for range-clustered commits, one PER z-order column for files
+    * written by `optimize`, so `readRange` skips on any of them. */
   final case class FileEntry(path: String, part: Option[(String, String)],
-                             stats: Option[ColStats] = None)
+                             stats: Seq[ColStats] = Nil)
 
   final case class Snapshot(version: Long, files: Seq[FileEntry])
 
@@ -131,21 +133,23 @@ object TxLog {
     val in = fs.open(manifestPath(table, version))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+    // trailing stats suffix = zero or more <col>\u0001<min>\u0001<max> triples
+    def statsOf(rest: Seq[String]): Seq[ColStats] = {
+      require(rest.length % 3 == 0,
+        s"TxLog: malformed stats suffix in v$version manifest")
+      rest.grouped(3).map { case Seq(sc, mn, mx) =>
+        ColStats(sc, mn.toLong, mx.toLong) }.toSeq
+    }
     val files = text.linesIterator.collect {
-      // file=<path>[\u0001<statsCol>\u0001<min>\u0001<max>]
+      // file=<path>[stats triples...]
       case l if l.startsWith("file=") =>
-        l.stripPrefix("file=").split('\u0001') match {
-          case Array(p) => FileEntry(p, None)
-          case Array(p, sc, mn, mx) =>
-            FileEntry(p, None, Some(ColStats(sc, mn.toLong, mx.toLong)))
-        }
-      // pfile=<col>\u0001<value>\u0001<path>[\u0001<statsCol>\u0001<min>\u0001<max>]
+        val fields = l.stripPrefix("file=").split('\u0001').toSeq
+        FileEntry(fields.head, None, statsOf(fields.tail))
+      // pfile=<col>\u0001<value>\u0001<path>[stats triples...]
       case l if l.startsWith("pfile=") =>
-        l.stripPrefix("pfile=").split('\u0001') match {
-          case Array(c, v, p) => FileEntry(p, Some((c, v)))
-          case Array(c, v, p, sc, mn, mx) =>
-            FileEntry(p, Some((c, v)), Some(ColStats(sc, mn.toLong, mx.toLong)))
-        }
+        val fields = l.stripPrefix("pfile=").split('\u0001').toSeq
+        FileEntry(fields(2), Some((fields(0), fields(1))),
+          statsOf(fields.drop(3)))
     }.toSeq
     Snapshot(version, files)
   }
@@ -192,6 +196,15 @@ object TxLog {
     * all-null in the file (such a file is never skipped). */
   private def footerStats(fs: FileSystem, file: Path,
                           statsCol: String): (Long, Option[(Long, Long)]) = {
+    val (rows, stats) = footerStatsMulti(fs, file, Seq(statsCol))
+    (rows, stats.headOption.map(cs => (cs.min, cs.max)))
+  }
+
+  /** Footer min/max of several integral columns in ONE metadata read —
+    * the multi-column harvest `optimize`'s z-order commit uses (one
+    * `ColStats` per z-order column per file). */
+  private def footerStatsMulti(fs: FileSystem, file: Path,
+                               cols: Seq[String]): (Long, Seq[ColStats]) = {
     import scala.jdk.CollectionConverters._
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
@@ -199,23 +212,24 @@ object TxLog {
     try {
       val blocks = rdr.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val ranges = blocks.flatMap { b =>
-        b.getColumns.asScala
-          .find(_.getPath.toDotString == statsCol)
-          .flatMap { c =>
-            val st = c.getStatistics
-            if (st == null || !st.hasNonNullValue) None
-            else (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Number, mx: java.lang.Number) =>
-                Some((mn.longValue(), mx.longValue()))
-              case _ => None
+      val stats = cols.flatMap { statsCol =>
+        val ranges = blocks.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == statsCol)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Number, mx: java.lang.Number) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
             }
-          }
-      }
-      val merged =
+        }
         if (ranges.isEmpty) None
-        else Some((ranges.map(_._1).min, ranges.map(_._2).max))
-      (rows, merged)
+        else Some(ColStats(statsCol, ranges.map(_._1).min, ranges.map(_._2).max))
+      }
+      (rows, stats)
     } finally rdr.close()
   }
 
@@ -299,7 +313,7 @@ object TxLog {
         if (!fs.rename(st.getPath, new Path(dataDir, name)))
           sys.error(s"TxLog: failed to stage ${st.getPath}")
         FileEntry(s"$DataDir/$name", None, statsCol.flatMap(sc =>
-          info.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) }))
+          info.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) }).toSeq)
       }
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
@@ -373,7 +387,7 @@ object TxLog {
             .map { st =>
               val stats = statsCol.flatMap(sc =>
                 footerStats(fs, st.getPath, sc)._2.map {
-                  case (mn, mx) => ColStats(sc, mn, mx) })
+                  case (mn, mx) => ColStats(sc, mn, mx) }).toSeq
               val name = s"c$commitId-p$idx-${st.getPath.getName}"
               if (!fs.rename(st.getPath, new Path(dataDir, name)))
                 sys.error(s"TxLog: failed to stage ${st.getPath}")
@@ -412,8 +426,8 @@ object TxLog {
       s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try {
-      def statsSuffix(st: Option[ColStats]): Seq[String] =
-        st.toSeq.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
+      def statsSuffix(st: Seq[ColStats]): Seq[String] =
+        st.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
       val body = (s"version=$version" +: files.map {
         case FileEntry(p, None, st) =>
           ((("file=" + p) +: statsSuffix(st))).mkString("\u0001")
@@ -433,6 +447,101 @@ object TxLog {
       }
     fs.delete(tmp, false)
     published
+  }
+
+  /** Morton (Z-order) key over `cols`: each column is quantile-bucketed
+    * into `2^bits` ranks — boundaries from one driver-bounded
+    * `approxQuantile` pass, so skewed columns still spread evenly, the
+    * property equal-width bucketing loses — and the rank bits are
+    * interleaved. Range-partitioning on the key then clusters ALL the
+    * columns at once, so every file carries a narrow min/max on EVERY
+    * z-order column (the Delta paper's OPTIMIZE ZORDER BY). File-level
+    * skipping needs only as many distinct cells as files, so small
+    * `bits` (default 6 → 64 ranks/column) is enough at any scale; the
+    * 2^bits-element boundary array is a broadcast literal and the
+    * per-row bucket probe stays inside codegen. NULL ranks as 0. */
+  private def zorderKey(df: DataFrame, cols: Seq[String],
+                        bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && bits >= 1 && bits * cols.length <= 62,
+      s"z-order needs 1..${62 / math.max(1, cols.length)} bits for ${cols.length} cols")
+    val n = 1 << bits
+    val qs = (1 until n).map(_.toDouble / n).toArray
+    val rankExprs = cols.map { c =>
+      val bnds = df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, qs, 0.001).distinct.sorted
+      // rank = number of boundaries <= value (0..n-1); NULL compares
+      // to null inside the lambda, filter drops it → rank 0
+      size(filter(lit(bnds), b => b <= col(c).cast("double")))
+    }
+    rankExprs.zipWithIndex.map { case (rank, i) =>
+      (0 until bits).map { j =>
+        shiftleft(shiftright(rank, j).bitwiseAND(1), j * cols.length + i)
+          .cast("long")
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  /** OPTIMIZE: rewrite the latest snapshot into (at most) `targetFiles`
+    * data files WITHOUT changing its rows, as a normal OCC commit —
+    * the Delta paper's compaction, plus multi-column Z-order clustering
+    * when `zorderCols` is non-empty (each file's manifest then carries
+    * footer min/max on every z-order column, so `readRange` skips on
+    * any of them). Small-file debt from many incremental upserts is
+    * the target: N tiny commits → one compacted snapshot.
+    *
+    * Concurrency: compaction races with upserts like any writer — if
+    * an upsert wins the version, the compactor re-reads the NEW
+    * snapshot (the upsert's rows are folded in) and retries, so no
+    * concurrent write is ever lost. Returns the committed version, or
+    * None for an empty/absent table. */
+  def optimize(spark: SparkSession, table: String,
+               zorderCols: Seq[String] = Nil, targetFiles: Int = 8,
+               bits: Int = 6, maxRetries: Int = 20): Option[Long] = {
+    val fs = fsOf(spark, table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = latest(spark, table) match {
+        case None => return None
+        case Some(s) => s
+      }
+      val df = readVersion(spark, table, snap.version).getOrElse(return None)
+      val toWrite =
+        if (zorderCols.isEmpty) df.repartition(targetFiles)
+        else df.withColumn("__z", zorderKey(df, zorderCols, bits))
+          .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
+          .drop("__z")
+      val commitId = UUID.randomUUID().toString.take(8)
+      val tmp = new Path(s"$table/.staged-$commitId")
+      toWrite.write.mode("overwrite").parquet(tmp.toString)
+      val dataDir = new Path(s"$table/$DataDir")
+      fs.mkdirs(dataDir)
+      val parts = fs.listStatus(tmp)
+        .filter(_.getPath.getName.startsWith("part-")).toSeq
+        .map(st => (st, footerStatsMulti(fs, st.getPath, zorderCols)))
+      // drop row-less files (empty range cells), but keep one for an
+      // empty table — same policy as commitUpsert
+      val withRows = parts.filter { case (_, (rows, _)) => rows > 0L }
+      val chosen = if (withRows.nonEmpty) withRows else parts.take(1)
+      parts.diff(chosen).foreach { case (st, _) => fs.delete(st.getPath, false) }
+      val staged = chosen.map { case (st, (_, stats)) =>
+        val name = s"c$commitId-${st.getPath.getName}"
+        if (!fs.rename(st.getPath, new Path(dataDir, name)))
+          sys.error(s"TxLog: failed to stage ${st.getPath}")
+        FileEntry(s"$DataDir/$name", None, stats)
+      }
+      fs.delete(tmp, true)
+      val target = snap.version + 1L
+      if (tryCommit(fs, table, target, staged)) {
+        if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+        return Some(target)
+      }
+      staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
+      if (attempt > maxRetries)
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+    }
+    None // unreachable
   }
 
   /** Delete data files no manifest references (the residue of crashed

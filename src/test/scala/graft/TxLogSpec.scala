@@ -283,4 +283,73 @@ class TxLogSpec extends SparkTestBase {
     // losers' abandoned files were self-cleaned or are vacuumable
     assert(TxLog.vacuumOrphans(spark, t) >= 0)
   }
+
+  test("optimize compacts small-file debt without changing rows") {
+    val t = freshTable()
+    // 12 incremental upserts -> 12 commits of small files
+    (0 until 12).foreach { i =>
+      val rows = (0L until 50L).map(j => (i * 50L + j, 1L, s"r$i-$j"))
+      TxLog.commitUpsert(rows.toDF("id", "ver", "payload"), t, "id", "ver",
+        statsCol = Some("id"), clusterFiles = 4)
+    }
+    val before = TxLog.read(spark, t).get
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val v = TxLog.optimize(spark, t, targetFiles = 3).get
+    assert(v == 13L, s"optimize should commit the next version, got $v")
+    val after = TxLog.read(spark, t).get
+    assert(after.inputFiles.length <= 3,
+      s"expected <=3 compacted files, got ${after.inputFiles.length}")
+    assert(after.collect().map(_.toSeq).toSet == beforeRows)
+    // pre-optimize history still time-travels
+    assert(TxLog.readVersion(spark, t, 12L).get.count() == 600)
+    // the superseded small files are vacuumable only where unreferenced
+    // by ANY manifest (they are still referenced by v<=12), so vacuum
+    // removes nothing here
+    assert(TxLog.vacuumOrphans(spark, t, graceMs = 0) == 0)
+  }
+
+  test("optimize z-order: every z column carries file stats and skips") {
+    val t = freshTable()
+    // two independent dimensions; single-column range clustering can
+    // only make ONE of them skippable — z-order makes both
+    val rows = for (a <- 0L until 64L; b <- 0L until 16L)
+      yield (a * 16L + b, 1L, a, b)
+    TxLog.commitUpsert(rows.toDF("id", "ver", "a", "b"), t, "id", "ver")
+    TxLog.optimize(spark, t, zorderCols = Seq("a", "b"), targetFiles = 16).get
+    val total = TxLog.read(spark, t).get.inputFiles.length
+    assert(total >= 8, s"z-order should spread cells across files, got $total")
+    val onA = TxLog.readRange(spark, t, "a", 0L, 3L).get
+    val onB = TxLog.readRange(spark, t, "b", 0L, 1L).get
+    assert(onA.inputFiles.length < total,
+      s"range on a opened all $total files")
+    assert(onB.inputFiles.length < total,
+      s"range on b opened all $total files")
+    // file granularity is a superset; the row filter closes it exactly
+    assert(onA.filter(col("a") <= 3L).count() == 4 * 16)
+    assert(onB.filter(col("b") <= 1L).count() == 64 * 2)
+  }
+
+  test("optimize races with a concurrent upsert: neither write is lost") {
+    val t = freshTable()
+    (0 until 6).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, s"r$i")).toDF("id", "ver", "payload"),
+        t, "id", "ver")
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fOpt = Future { TxLog.optimize(spark, t, targetFiles = 2).get }
+      val fUp = Future {
+        TxLog.commitUpsert(
+          Seq((99L, 2L, "late")).toDF("id", "ver", "payload"),
+          t, "id", "ver")
+      }
+      Await.result(Future.sequence(Seq(fOpt, fUp)), 5.minutes)
+    } finally pool.shutdown()
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.size == 7 && rows(99L) == "late",
+      s"concurrent upsert lost: $rows")
+  }
 }
