@@ -322,6 +322,8 @@ object SparkEntry {
       llm.Sampling.trainingOrder(Tables.documents(s, d))),
     "llm_dsir_score" -> ((s, d) =>
       llm.TextAnalysis.importanceScores(Tables.documents(s, d))),
+    "llm_classifier_score" -> ((s, d) =>
+      llm.TextAnalysis.classifierScore(Tables.documents(s, d))),
     "llm_lm_perplexity" -> ((s, d) =>
       llm.TextAnalysis.lmPerplexity(Tables.documents(s, d))),
     "llm_corpus_stats" -> ((s, d) =>
@@ -1968,6 +1970,29 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // hashed-unigram log-likelihood ratio vs the lang='en' target slice;
     // bucket weights round to 6 dp before the per-doc mean (4 dp)
+    // fastText-shaped hashed-feature linear scorer; stand-in weights
+    // derive from md5 of the bucket id so both engines replay them
+    "llm_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |         (CAST(('0x' || substring(md5('w:' || CAST(
+        |            CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT) % 4096
+        |          AS VARCHAR)), 1, 4)) AS BIGINT) % 2001) - 1000 AS w_i
+        |  FROM toks),
+        |agg AS (SELECT d.doc_id, count(w.w_i) AS n_tokens, sum(w.w_i) AS s
+        |        FROM documents d LEFT JOIN wt w ON d.doc_id = w.doc_id
+        |        GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CASE WHEN n_tokens > 0
+        |            THEN round((s / 1000.0) / n_tokens, 6) END AS quality_score,
+        |       coalesce(CASE WHEN n_tokens > 0
+        |            THEN round((s / 1000.0) / n_tokens, 6) END >= 0.0,
+        |         false) AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "llm_dsir_score" ->
       """WITH toks AS (
         |  SELECT doc_id, lang = 'en' AS is_target, w,

@@ -451,6 +451,45 @@ object TextAnalysis {
   private[graft] def md5Bucket(c: Column, nBuckets: Int): Column =
     conv(substring(md5(c), 1, 4), 16, 10).cast("long") % nBuckets
 
+  /** Model-based quality filter — the fastText-shaped linear
+    * classifier over hashed token features behind CommonCrawl-style
+    * quality filtering (Joulin et al., EACL 2017 shape; CCNet/GPT-3
+    * data papers use exactly this scorer): score = mean over tokens of
+    * `w[h(token) mod dim]`, keep = score >= threshold. The weights
+    * here are a deterministic stand-in derived from the bucket id —
+    * an integer in [-1000, 1000] scaled by 1e-3 — so the DuckDB
+    * oracle replays them exactly; production swaps the weight
+    * expression for a broadcast-joined trained table of `dim` rows
+    * (the [[importanceScores]] join shape). Integer weight sums are
+    * exact and order-free, so the one rounded division at the end is
+    * the only FP step (the cross-engine discipline all scorers here
+    * follow).
+    *
+    * Shape at 100 TB: one token explode → one doc_id hash-aggregate
+    * (partial→final, single exchange); no joins, no higher-order
+    * array functions in the hot path. */
+  def classifierScore(documents: DataFrame, dim: Int = 4096,
+                      threshold: Double = 0.0): DataFrame = {
+    // weight of bucket b: md5("w:" + b) → [-1000, 1000]
+    val wInt = conv(substring(md5(concat(lit("w:"),
+      md5Bucket(col("w"), dim).cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 2001L - 1000L
+    graft.core.Tables.spread(documents)
+      // explode_outer: a zero-token doc must still get a verdict row
+      .select(col("doc_id"),
+        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+      .withColumn("w_i", wInt) // null token (empty doc) → null weight
+      .groupBy("doc_id")
+      .agg(count(col("w_i")).as("n_tokens"), sum(col("w_i")).as("s"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        when(col("n_tokens") > 0,
+          round((col("s") / lit(1000.0)) / col("n_tokens"), 6))
+          .as("quality_score"))
+      .withColumn("keep",
+        coalesce(col("quality_score") >= lit(threshold), lit(false)))
+      .orderBy("doc_id")
+  }
+
   private def dsirToks(documents: DataFrame, targetPred: Column,
                        nBuckets: Int): DataFrame =
     graft.core.Tables.spread(documents)

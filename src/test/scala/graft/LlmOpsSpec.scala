@@ -978,4 +978,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(est.length == jac.length)
     est.foreach(r => assert(r.getDouble(2) > 0.3, r.toString))
   }
+
+  test("classifier score: bounded mean weight, verdict tracks threshold, empty doc kept out") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content with many other words here"),
+      (3L, "")).toDF("doc_id", "text")
+    val scored = TextAnalysis.classifierScore(fixture).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))).toMap
+    // weights live in [-1, 1], so any mean of them does too
+    scored.values.foreach { case (_, s, _) =>
+      s.foreach(v => assert(v >= -1.0 && v <= 1.0, s"score $v out of range")) }
+    // a zero-token doc gets a row with NULL score and keep = false
+    assert(scored(3L) == ((0L, None, false)))
+    // verdict is exactly score >= threshold for scored docs
+    scored.collect { case (_, (n, Some(s), keep)) if n > 0 =>
+      assert(keep == (s >= 0.0), s"keep $keep vs score $s") }
+    // deterministic: a rerun reproduces every score bit-for-bit
+    val rerun = TextAnalysis.classifierScore(fixture).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    scored.foreach { case (id, (_, s, _)) => assert(rerun(id) == s) }
+  }
 }
