@@ -20,6 +20,14 @@ case class AudioFeatures(doc_id: Long, byte_len: Long, format: String,
                          sample_rate: Int, channels: Int, frames: Long,
                          duration_ms: Long, rms: Double)
 
+/** Container-level video metadata for one media record: a REAL
+  * ISO BMFF (MP4/MOV) box parse — brand, duration, track count,
+  * presentation size — with a deterministic stub for non-container
+  * bytes. Codec-free by design: only sample decode needs a codec. */
+case class VideoMeta(doc_id: Long, byte_len: Long, container: String,
+                     brand: String, duration_ms: Long, track_ct: Int,
+                     width: Int, height: Int)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
@@ -30,13 +38,16 @@ case class AudioFeatures(doc_id: Long, byte_len: Long, format: String,
   * AUDIO decode is real for WAV/AIFF: the JDK's built-in
   * `javax.sound.sampled` parses the container and PCM frames — true
   * sample rate / channel count / frame length plus RMS amplitude over
-  * the samples. Only compressed audio (mp3/aac) and VIDEO remain
-  * STUBBED (their codecs are not in the JDK and not in this
-  * container): `decodeStub` derives deterministic fake features from
-  * the bytes, and mis-tagged bytes no decoder accepts (the driver's
-  * text-as-binary test media) fall back to the same stub path. A
-  * production deployment swaps the remaining stub for a real demuxer
-  * without touching the pipeline shape.
+  * the samples. VIDEO container metadata is real too: `parseMp4`
+  * walks the ISO BMFF box tree (brand, duration, track count,
+  * presentation size) with no codec at all. Only compressed-audio
+  * (mp3/aac) and video SAMPLE decode remain STUBBED (those codecs
+  * are not in the JDK and not in this container): `decodeStub`
+  * derives deterministic fake features from the bytes, and mis-tagged
+  * bytes no decoder accepts (the driver's text-as-binary test media)
+  * fall back to the same stub path. A production deployment swaps the
+  * remaining stub for a real codec without touching the pipeline
+  * shape.
   */
 object Multimodal {
 
@@ -226,6 +237,97 @@ object Multimodal {
       if (r.format == "gif") gifFrames(r, everyMs, maxFrames)
       else strideFrames(r, 256, everyMs, maxFrames)
     }
+  }
+
+  /** Parsed container-level video metadata (codec-free): ISO BMFF box
+    * structure is plain length-prefixed bytes, so brand, duration,
+    * track count, and the tkhd presentation size are all readable
+    * without any codec — only SAMPLE decode needs one. */
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def boxType(b: Array[Byte], o: Int): String =
+    new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the ISO BMFF (MP4/MOV/3GP) box tree of `media`:
+    * `ftyp` major brand, `mvhd` duration (timescale-normalized to ms,
+    * version 0 and 1 layouts), `trak` count, and the first `tkhd`
+    * non-zero presentation size (16.16 fixed-point). REAL container
+    * parse — no codec involved; bytes that aren't BMFF (no well-formed
+    * top-level boxes) fall back to the deterministic stub, same
+    * never-throws posture as the other decoders. */
+  private[llm] def parseMp4(r: MediaRow): VideoMeta = {
+    val b = r.media
+    try {
+      var brand = ""
+      var durationMs = 0L
+      var trackCt = 0
+      var w = 0
+      var h = 0
+      // one pass over [size][type][payload] boxes; descend into the
+      // pure containers the metadata lives under
+      def walk(from: Long, to: Long, depth: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val size0 = be32(b, o.toInt)
+          val t = boxType(b, o.toInt)
+          val (payload, size) =
+            if (size0 == 1L && o + 16 <= to) (o + 16, be64(b, o.toInt + 8))
+            else if (size0 == 0L) (o + 8, to - o) // box runs to end
+            else (o + 8, size0)
+          if (size < 8 || o + size > to) throw new java.io.IOException("bad box")
+          val end = o + size
+          t match {
+            case "ftyp" if payload + 4 <= end =>
+              brand = boxType(b, payload.toInt - 4).trim
+            case "moov" | "trak" | "mdia" if depth < 8 =>
+              if (t == "trak") trackCt += 1
+              walk(payload, end, depth + 1)
+            case "mvhd" if payload + 4 <= end =>
+              val v = b(payload.toInt) & 0xff
+              if (v == 1 && payload + 32 <= end) {
+                val ts = be32(b, payload.toInt + 20)
+                val d = be64(b, payload.toInt + 24)
+                if (ts > 0) durationMs = d * 1000L / ts
+              } else if (v == 0 && payload + 20 <= end) {
+                val ts = be32(b, payload.toInt + 12)
+                val d = be32(b, payload.toInt + 16)
+                if (ts > 0) durationMs = d * 1000L / ts
+              }
+            case "tkhd" if w == 0 && end - 8 >= payload =>
+              // width/height are the final two 16.16 words of tkhd in
+              // both versions
+              val ww = (be32(b, end.toInt - 8) >> 16).toInt
+              val hh = (be32(b, end.toInt - 4) >> 16).toInt
+              if (ww > 0 && hh > 0) { w = ww; h = hh }
+            case _ => ()
+          }
+          o = end
+        }
+        if (o != to) throw new java.io.IOException("trailing bytes")
+      }
+      walk(0L, b.length.toLong, 0)
+      if (brand.isEmpty && trackCt == 0) throw new java.io.IOException("not bmff")
+      VideoMeta(r.doc_id, b.length.toLong, "bmff", brand, durationMs,
+        trackCt, w, h)
+    } catch {
+      case _: Throwable =>
+        VideoMeta(r.doc_id, b.length.toLong, "unknown", "", 0L, 0,
+          (b.length % 640) + 1, (b.length % 480) + 1)
+    }
+  }
+
+  /** Batched container-metadata extraction — the video analog of
+    * `extractAudioFeatures`: partition-preserving, no shuffle, real
+    * BMFF parse, stub fallback for non-container bytes. */
+  def extractVideoMeta(spark: SparkSession,
+                       media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(parseMp4))
   }
 
   /** Pipeline: documents → media frame → per-format size stats.

@@ -464,6 +464,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(a(2).rms == 0.0 && a(2).sample_rate >= 8000)
   }
 
+  test("multimodal real MP4 container parse: brand, duration, tracks, size — codec-free") {
+    // hand-assembled minimal ISO BMFF: ftyp(isom) + moov(mvhd v0 + trak(tkhd))
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isom".getBytes)
+    // mvhd v0: ver/flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000))
+    // tkhd: ver/flags + 12 filler bytes, then width/height as 16.16
+    val tkhd = box("tkhd", be32(0) ++ Array.fill[Byte](12)(0) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    val media = Seq(
+      MediaRow(0L, mp4, "mp4"),
+      MediaRow(1L, "definitely not a video".getBytes, "mp4") // stub path
+    ).toDF()
+    val metas = Multimodal.extractVideoMeta(spark, media)
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).container == "bmff" && metas(0).brand == "isom")
+    assert(metas(0).duration_ms == 5000L, metas(0).toString)
+    assert(metas(0).track_ct == 1)
+    assert(metas(0).width == 640 && metas(0).height == 360)
+    // non-container bytes: deterministic stub, never a throw
+    assert(metas(1).container == "unknown" && metas(1).track_ct == 0)
+    assert(metas(1).width == ("definitely not a video".length % 640) + 1)
+  }
+
   test("multimodal real image decode: javax.imageio yields true dimensions") {
     def pngBytes(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,

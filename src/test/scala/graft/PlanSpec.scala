@@ -117,6 +117,18 @@ class PlanSpec extends SparkTestBase {
     assert(docExchanges == 1, s"expected 1 doc_id exchange, plan:\n$p")
   }
 
+  test("llm_classifier_score: one doc_id exchange, no joins anywhere") {
+    // token explode -> weight expression -> partial->final aggregate;
+    // the weight lookup is pure expression, so a join appearing here
+    // means someone materialized the stand-in weight table
+    val p = plan("llm_classifier_score")
+    val docExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(doc_id")).size
+    assert(docExchanges == 1, s"expected 1 doc_id exchange, plan:\n$p")
+    assert(!p.contains("Join"), s"classifier must be join-free, plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("llm_line_dedup: one doc_id aggregate pass, boiler side broadcast") {
     val p = plan("llm_line_dedup")
     // the rebuild is ONE partial->final aggregate on doc_id (the
