@@ -246,6 +246,45 @@ object StreamingDedup {
       .toDF("doc_id", "n_tokens", "dsir_score")
   }
 
+  /** Stateless model-based quality filtering at ingest: the streaming
+    * twin of `TextAnalysis.classifierScore` — score arriving documents
+    * with the hashed-feature linear classifier and attach the keep
+    * verdict before they reach the corpus (route rejects to the K7
+    * quarantine). Needs NO index at all: the stand-in weights derive
+    * from the bucket id, so the probe is pure per-row JVM work — no
+    * join, no broadcast, no state, restart = replay (a trained
+    * deployment broadcasts its weight array exactly like
+    * `dsirScoreProbe`'s map). Integer weight sums are exact and
+    * order-free, so — unlike the fp-bounded DSIR/LM probes — stream
+    * scores are BIT-IDENTICAL to batch (StreamingDedupSpec asserts
+    * equality, not a bound). */
+  def classifierScoreProbe(stream: DataFrame, dim: Int = 4096,
+                           threshold: Double = 0.0): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = graft.functions.Tokenize.tokensScala(text)
+          var s = 0L
+          toks.foreach { t =>
+            // weight of bucket b: first 4 md5 hex of "w:b" % 2001 - 1000
+            // — the batch column expression's exact arithmetic
+            s += md5Bucket(md, s"w:${md5Bucket(md, t, dim)}", 2001) - 1000L
+          }
+          val n = toks.length.toLong
+          val score =
+            if (n == 0) None
+            else Some(BigDecimal((s / 1000.0) / n)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (id, n, score, score.exists(_ >= threshold))
+        }
+      }
+      .toDF("doc_id", "n_tokens", "quality_score", "keep")
+  }
+
   /** The batch-trained LM collected for broadcast into
     * `lmPerplexityProbe`: (bigram → 6-dp logp, context-bucket →
     * backoff logp). DRIVER-BOUNDED by the curated-target contract —

@@ -174,6 +174,27 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("classifier probe scores a stream bit-identical to the batch classifier") {
+    val corpus = Tables.documents(spark, sf0001)
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingDedup.classifierScoreProbe(ms.toDF())
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    ms.addData(corpus.select("doc_id", "text").as[StreamDoc].collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+        r.getBoolean(3)))
+    val streamed = spark.table("clf_out").collect().map(key).toMap
+    val batch = graft.operators.llm.TextAnalysis.classifierScore(corpus)
+      .collect().map(key).toMap
+    // integer weight sums are order-free and exact, so unlike the DSIR
+    // probe's rounding-step bound this parity is EXACT equality
+    assert(streamed == batch,
+      s"stream/batch diverge: ${streamed.toSet.diff(batch.toSet).take(3)}")
+  }
+
   test("incremental batch dedup: probe vs old index == full detector on new x old") {
     // the 100 TB operational pattern: an increment probes the EXISTING
     // corpus index instead of re-deduping everything. The probe is
