@@ -110,6 +110,7 @@ object StreamBench {
         StreamingDedup.dsirIndex(graft.core.Tables.documents(spark, sfDir)))),
       "ppl_probe" -> (() => StreamingDedup.lmPerplexityProbe(docStream,
         StreamingDedup.lmIndex(graft.core.Tables.documents(spark, sfDir)))),
+      "classifier_probe" -> (() => StreamingDedup.classifierScoreProbe(docStream)),
       "ann_probe" -> (() => StreamingAnn.probe(embStream, centArr, cellIdx)))
 
     val results = kernels.map { case (name, k) =>
