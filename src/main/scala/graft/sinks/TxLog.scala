@@ -449,6 +449,112 @@ object TxLog {
     published
   }
 
+  /** Copy-on-write DELETE as an OCC commit (the Delta paper's DELETE;
+    * the GDPR / right-to-be-forgotten operation a training-data store
+    * must support): rows where `predicate` is TRUE are removed — rows
+    * where it is NULL are kept, standard SQL DELETE semantics. Files
+    * the caller's `candidate` filter rules out are carried forward BY
+    * REFERENCE — zero I/O — so composing with manifest metadata makes
+    * partition- or range-scoped deletes rewrite only the files that
+    * can hold matching rows (e.g.
+    * `candidate = _.part.forall(_._2 == "2024-01-01")` for a partition
+    * delete, or a stats-range check for an id-scoped one); the default
+    * rewrites every file. Correctness never depends on `candidate`
+    * precision beyond its contract: a file it keeps is kept whole, so
+    * it must only exclude files that hold NO matching row.
+    *
+    * Concurrency: same OCC loop as every writer — losing the version
+    * race re-reads the new snapshot and re-applies the delete, so a
+    * racing upsert's rows survive (and are themselves deleted if they
+    * match, exactly the serial-replay semantics). Returns the
+    * committed version, unchanged `snap.version` when no file was a
+    * candidate, or None for an empty/absent table. */
+  def commitDelete(spark: SparkSession, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   candidate: FileEntry => Boolean = _ => true,
+                   maxRetries: Int = 20): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val fs = fsOf(spark, table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = latest(spark, table) match {
+        case None => return None
+        case Some(s) => s
+      }
+      val (cands, untouched) = snap.files.partition(candidate)
+      if (cands.isEmpty) return Some(snap.version)
+      val commitId = UUID.randomUUID().toString.take(8)
+      val dataDir = new Path(s"$table/$DataDir")
+      fs.mkdirs(dataDir)
+      // rewrite candidates per manifest partition group: the partition
+      // column is virtual (manifest-only), so it is restored as a
+      // literal for the predicate and dropped again before the write
+      val staged = cands.groupBy(_.part).toSeq.zipWithIndex.flatMap {
+        case ((part, es), gidx) =>
+          val raw = spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+          val restored = part match {
+            case None => raw
+            case Some((c, v)) => raw.withColumn(c,
+              if (v == HiveNullPart) lit(null).cast("string") else lit(v))
+          }
+          val kept = restored
+            .filter(not(coalesce(predicate, lit(false))))
+          val toWrite = part match {
+            case None => kept
+            case Some((c, _)) => kept.drop(c)
+          }
+          val statsCols = es.flatMap(_.stats.map(_.col)).distinct
+          val tmp = new Path(s"$table/.staged-$commitId-g$gidx")
+          toWrite.write.mode("overwrite").parquet(tmp.toString)
+          val parts = fs.listStatus(tmp)
+            .filter(_.getPath.getName.startsWith("part-")).toSeq
+            .map(st => (st, footerStatsMulti(fs, st.getPath, statsCols)))
+          // empty range partitions vanish; a group whose every row was
+          // deleted legitimately stages nothing
+          val withRows = parts.filter { case (_, (rows, _)) => rows > 0L }
+          parts.diff(withRows).foreach { case (st, _) =>
+            fs.delete(st.getPath, false) }
+          val entries = withRows.map { case (st, (_, stats)) =>
+            val name = s"c$commitId-g$gidx-${st.getPath.getName}"
+            if (!fs.rename(st.getPath, new Path(dataDir, name)))
+              sys.error(s"TxLog: failed to stage ${st.getPath}")
+            FileEntry(s"$DataDir/$name", part, stats)
+          }
+          fs.delete(tmp, true)
+          entries
+      }
+      // deleting every row of a previously non-empty table: anchor the
+      // schema with one empty file, same policy as the empty upsert
+      val files =
+        if (untouched.nonEmpty || staged.nonEmpty) untouched ++ staged
+        else {
+          val src = spark.read.parquet(s"$table/${cands.head.path}")
+          val tmp = new Path(s"$table/.staged-$commitId-anchor")
+          src.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val st = fs.listStatus(tmp)
+            .filter(_.getPath.getName.startsWith("part-")).head
+          val name = s"c$commitId-anchor-${st.getPath.getName}"
+          if (!fs.rename(st.getPath, new Path(dataDir, name)))
+            sys.error(s"TxLog: failed to stage ${st.getPath}")
+          fs.delete(tmp, true)
+          Seq(FileEntry(s"$DataDir/$name", None))
+        }
+      val target = snap.version + 1L
+      if (tryCommit(fs, table, target, files)) {
+        if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+        return Some(target)
+      }
+      // lost the race: drop every file this attempt created (staged
+      // rewrites and the schema anchor alike) and retry
+      files.diff(untouched).foreach(f =>
+        fs.delete(new Path(s"$table/${f.path}"), false))
+      if (attempt > maxRetries)
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+    }
+    None // unreachable
+  }
+
   /** Morton (Z-order) key over `cols`: each column is quantile-bucketed
     * into `2^bits` ranks — boundaries from one driver-bounded
     * `approxQuantile` pass, so skewed columns still spread evenly, the
@@ -542,6 +648,33 @@ object TxLog {
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
     }
     None // unreachable
+  }
+
+  /** Retire history: delete every manifest older than the newest
+    * `keep` versions — the Delta paper's log-retention window. Time
+    * travel's floor rises to the oldest kept version (reading an
+    * expired version throws: its manifest is gone); data files
+    * referenced ONLY by expired versions become vacuum-eligible, so
+    * `expireVersions` + `vacuumOrphans` is how a `commitDelete`
+    * becomes a HARD delete — until both run, superseded files still
+    * hold the deleted rows' bytes (the same retention caveat Delta
+    * documents for GDPR workflows). Concurrency-safe: only versions
+    * strictly below the current head are touched, and a stale
+    * checkpoint hint that pointed into the expired range falls back
+    * to the listing path by its existence check. Returns the number
+    * of manifests removed. */
+  def expireVersions(spark: SparkSession, table: String,
+                     keep: Int = 10): Int = {
+    require(keep >= 1, s"must keep at least the latest version, got $keep")
+    val fs = fsOf(spark, table)
+    val logDir = new Path(s"$table/$LogDir")
+    if (!fs.exists(logDir)) return 0
+    val versions = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted
+    versions.dropRight(keep)
+      .count(v => fs.delete(manifestPath(table, v), false))
   }
 
   /** Delete data files no manifest references (the residue of crashed

@@ -329,6 +329,97 @@ class TxLogSpec extends SparkTestBase {
     assert(onB.filter(col("b") <= 1L).count() == 64 * 2)
   }
 
+  test("copy-on-write delete: rows gone, untouched partitions carried by reference") {
+    val t = freshTable()
+    val rows = (0L until 300L).map(i =>
+      (i, 1L, s"d${i % 3}", s"r$i")) // 3 partitions, 100 rows each
+    TxLog.commitUpsertPartitioned(rows.toDF("id", "ver", "day", "payload"),
+      t, "id", "ver", "day")
+    val filesBefore = TxLog.readPruned(spark, t, _ == "d1").get.inputFiles.toSet
+    // partition-scoped delete: only d0 files are candidates
+    val v = TxLog.commitDelete(spark, t, col("day") === "d0",
+      candidate = _.part.forall(_._2 == "d0")).get
+    assert(v == 2L)
+    val after = TxLog.read(spark, t).get
+    assert(after.count() == 200)
+    assert(after.filter(col("day") === "d0").count() == 0)
+    // untouched partitions kept their exact files (no rewrite)
+    assert(TxLog.readPruned(spark, t, _ == "d1").get.inputFiles.toSet
+      == filesBefore, "untouched partition was rewritten")
+    // pre-delete history still time-travels with the rows present
+    assert(TxLog.readVersion(spark, t, 1L).get
+      .filter(col("day") === "d0").count() == 100)
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics) and all-row delete anchors schema") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq(
+      (1L, 1L, "keep"), (2L, 1L, null), (3L, 1L, "drop")
+    ).toDF("id", "ver", "payload"), t, "id", "ver")
+    // payload = 'drop' is NULL for the null row: that row must survive
+    TxLog.commitDelete(spark, t, col("payload") === "drop").get
+    val left = TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 2L), s"expected null-predicate row kept, got $left")
+    // deleting everything leaves a readable empty table with its schema
+    TxLog.commitDelete(spark, t, lit(true)).get
+    val empty = TxLog.read(spark, t)
+    assert(empty.isDefined && empty.get.count() == 0)
+    assert(empty.get.columns.toSeq == Seq("id", "ver", "payload"))
+  }
+
+  test("delete races a concurrent upsert: serial-replay semantics, nothing lost") {
+    val t = freshTable()
+    (0 until 6).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, if (i % 2 == 0) "even" else "odd"))
+          .toDF("id", "ver", "kind"), t, "id", "ver")
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fDel = Future {
+        TxLog.commitDelete(spark, t, col("kind") === "even").get }
+      val fUp = Future {
+        TxLog.commitUpsert(Seq((100L, 2L, "late"))
+          .toDF("id", "ver", "kind"), t, "id", "ver") }
+      Await.result(Future.sequence(Seq(fDel, fUp)), 5.minutes)
+    } finally pool.shutdown()
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!rows.values.exists(_ == "even"), s"evens survived: $rows")
+    assert(rows(100L) == "late", s"concurrent upsert lost: $rows")
+    assert(rows.keySet == Set(1L, 3L, 5L, 100L), rows.toString)
+  }
+
+  test("hard delete chain: commitDelete -> expireVersions -> vacuum removes the bytes") {
+    val t = freshTable()
+    (0 until 8).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, s"secret-$i")).toDF("id", "ver", "payload"),
+        t, "id", "ver")
+    }
+    TxLog.commitDelete(spark, t, col("id") === 3L).get // v9
+    // logically deleted, physically still present in old versions
+    assert(TxLog.read(spark, t).get.filter(col("id") === 3L).count() == 0)
+    assert(TxLog.readVersion(spark, t, 8L).get
+      .filter(col("id") === 3L).count() == 1)
+    val dataFiles = () => {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/data")).length
+    }
+    val before = dataFiles()
+    // retire history to just the post-delete head, then vacuum
+    val expired = TxLog.expireVersions(spark, t, keep = 1)
+    assert(expired == 8, s"expected 8 retired manifests, got $expired")
+    assert(TxLog.vacuumOrphans(spark, t, graceMs = 0) > 0)
+    assert(dataFiles() < before, "superseded files not physically removed")
+    // the head still reads correctly; expired history is gone
+    val left = TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 8L).toSet - 3L)
+    intercept[Exception] { TxLog.readVersion(spark, t, 8L).get.count() }
+  }
+
   test("optimize races with a concurrent upsert: neither write is lost") {
     val t = freshTable()
     (0 until 6).foreach { i =>
