@@ -574,6 +574,13 @@ object TxLog {
     val n = 1 << bits
     val qs = (1 until n).map(_.toDouble / n).toArray
     val rankExprs = cols.map { c =>
+      // a non-numeric column would cast to all-NULL and silently
+      // cluster nothing — fail loudly instead (timestamp casts to
+      // epoch seconds, so it ranks correctly)
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        dt == org.apache.spark.sql.types.TimestampType,
+        s"z-order column '$c' must be numeric or timestamp, got $dt")
       val bnds = df.select(col(c).cast("double").as(c))
         .stat.approxQuantile(c, qs, 0.001).distinct.sorted
       // rank = number of boundaries <= value (0..n-1); NULL compares
@@ -595,6 +602,14 @@ object TxLog {
     * footer min/max on every z-order column, so `readRange` skips on
     * any of them). Small-file debt from many incremental upserts is
     * the target: N tiny commits → one compacted snapshot.
+    *
+    * Partitioned tables: the rewrite FLATTENS manifest partitioning —
+    * the partition column is restored into the data files (no rows
+    * change) but the new entries carry no manifest partition value, so
+    * `readPruned` stops skipping until the next
+    * `commitUpsertPartitioned` re-partitions the layout. Compact a
+    * partition-pruned table by following the optimize with one such
+    * re-partitioning commit (an empty batch suffices).
     *
     * Concurrency: compaction races with upserts like any writer — if
     * an upsert wins the version, the compactor re-reads the NEW
