@@ -224,6 +224,10 @@ object SparkEntry {
       llm.TextAnalysis.contentSignals(Tables.documents(s, d))),
     "llm_embedding_stats" -> ((s, d) =>
       llm.Similarity.embeddingStats(Tables.embeddings(s, d))),
+    "llm_embed_normalize" -> ((s, d) =>
+      llm.Similarity.l2Normalized(Tables.embeddings(s, d))),
+    "llm_embed_projection" -> ((s, d) =>
+      llm.Similarity.randomProjected(Tables.embeddings(s, d))),
     "llm_sequence_packing" -> ((s, d) =>
       llm.Sampling.sequencePacking(Tables.documents(s, d))),
     "llm_redact" -> ((s, d) =>
@@ -1169,6 +1173,30 @@ object SparkEntry {
         |       round(quantile_cont(n_tokens, 0.99), 4) AS p99,
         |       CAST(max(n_tokens) AS BIGINT) AS max_tokens
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // element-exact unit vectors as (vec_id, pos, val) scalar rows;
+    // zero-norm vectors normalize to zeros
+    "llm_embed_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |               x -> x::DOUBLE * x::DOUBLE))) AS l2
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(p.pos - 1 AS BIGINT) AS pos,
+        |       round(CASE WHEN l2 = 0.0 THEN 0.0
+        |             ELSE embedding[p.pos]::DOUBLE / l2 END, 6) AS val
+        |FROM n, unnest(generate_series(1, len(embedding))) AS p(pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+    // deterministic JL projection: w(i,j) from md5("p:i:j"), integers
+    // in [-1000,1000] scaled 1e-3 — replayed exactly by both engines
+    "llm_embed_projection" ->
+      """SELECT vec_id, CAST(j.j AS BIGINT) AS out_dim,
+        |       round(list_sum(list_transform(
+        |         generate_series(1, len(embedding)),
+        |         i -> embedding[i]::DOUBLE *
+        |           ((CAST(('0x' || substring(md5('p:' || (i - 1) || ':' || j.j),
+        |                   1, 4)) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS val
+        |FROM embeddings, unnest(generate_series(0, 7)) AS j(j)
+        |ORDER BY vec_id, out_dim""".stripMargin,
     "llm_embedding_stats" ->
       """WITH n AS (
         |  SELECT label,

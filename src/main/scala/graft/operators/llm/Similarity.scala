@@ -337,6 +337,54 @@ object Similarity {
       cosineNearDupPairs(embeddings, every, threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
 
+  /** L2-normalization, exploded to (vec_id, pos, val) scalar rows so
+    * the DuckDB oracle hash-compares element-exactly (array columns
+    * don't hash portably across engines). Zero-norm vectors pass
+    * through as zeros — the guard `embeddingStats` exists to surface.
+    * Elements round to 6 dp after the divide; the norm itself is the
+    * same in-order float→double sum-of-squares the stats op proved
+    * cross-engine-exact. One narrow pass; at 100 TB this is the
+    * cheap preprocessing step before any cosine index (IVF/LSH both
+    * assume unit vectors to turn cosine into dot). */
+  def l2Normalized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("l2", norm(col("embedding")))
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x =>
+          round(when(col("l2") === 0.0, 0.0)
+            .otherwise(x.cast("double") / col("l2")), 6)))
+          .as(Seq("pos", "val")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+      .orderBy("vec_id", "pos")
+
+  /** Deterministic random projection to `outDim` dimensions (the
+    * Johnson–Lindenstrauss move): out[j] = Σ_i emb[i]·w(i,j) with
+    * weights derived from md5("p:i:j") — integers in [-1000, 1000]
+    * scaled 1e-3, the same engine-portable stand-in family the
+    * classifier uses, so the DuckDB oracle replays the projection
+    * exactly (a production pipeline broadcasts a trained/Gaussian
+    * matrix instead; same shape). Exploded to (vec_id, out_dim, val)
+    * scalar rows for the oracle. This is the 100 TB ANN scale path:
+    * project 64 → 8 dims once, then index/search in the small space —
+    * candidate scoring cost drops by the ratio; verify survivors in
+    * the original space. */
+  def randomProjected(embeddings: DataFrame, outDim: Int = 8): DataFrame = {
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      round(aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") *
+            ((conv(substring(md5(concat(lit("p:"), i.cast("string"),
+              lit(":"), j.cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 2001L - 1000L).cast("double") / 1000.0)),
+        lit(0.0), (acc, v) => acc + v), 6))
+    embeddings
+      .select(col("vec_id"), posexplode(proj).as(Seq("out_dim", "val")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        col("val"))
+      .orderBy("vec_id", "out_dim")
+  }
+
   /** Per-label embedding norm profile — the index-health report run
     * before building an ANN index (zero-norm vectors break cosine;
     * wildly varying norms argue for normalization first). One scan,

@@ -1008,6 +1008,32 @@ class LlmOpsSpec extends SparkTestBase {
     est.foreach(r => assert(r.getDouble(2) > 0.3, r.toString))
   }
 
+  test("embedding normalize + projection: unit norms, zero-vector guard, JL cardinality") {
+    val fixture = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1), // zero-norm guard path
+      (3L, Array(-1.0f, 2.0f, -3.0f, 4.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val unit = Similarity.l2Normalized(fixture).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    // 3-4-5 triangle: exact unit components
+    assert(unit(1L).toSeq == Seq(0.6, 0.8, 0.0, 0.0))
+    // zero vector normalizes to zeros, not NaN
+    assert(unit(2L).forall(_ == 0.0))
+    // every nonzero vector lands within rounding of unit length
+    assert(math.abs(unit(3L).map(v => v * v).sum - 1.0) < 1e-4)
+    val proj = Similarity.randomProjected(fixture, outDim = 8).collect()
+    assert(proj.length == 3 * 8)
+    // deterministic: a rerun reproduces bit-for-bit
+    val again = Similarity.randomProjected(fixture, outDim = 8).collect()
+    assert(proj.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the zero vector projects to zeros; others to nonzero somewhere
+    val byId = proj.groupBy(_.getLong(0))
+    assert(byId(2L).forall(_.getDouble(2) == 0.0))
+    assert(byId(1L).exists(_.getDouble(2) != 0.0))
+  }
+
   test("classifier score: bounded mean weight, verdict tracks threshold, empty doc kept out") {
     val fixture = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
