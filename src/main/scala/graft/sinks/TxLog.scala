@@ -525,11 +525,18 @@ object TxLog {
           entries
       }
       // deleting every row of a previously non-empty table: anchor the
-      // schema with one empty file, same policy as the empty upsert
+      // schema with one empty file, same policy as the empty upsert.
+      // A partitioned entry's STORED schema excludes the manifest-only
+      // partition column — restore it (string, matching the read path)
+      // so the surviving empty table keeps the full logical schema.
       val files =
         if (untouched.nonEmpty || staged.nonEmpty) untouched ++ staged
         else {
-          val src = spark.read.parquet(s"$table/${cands.head.path}")
+          val src0 = spark.read.parquet(s"$table/${cands.head.path}")
+          val src = cands.head.part match {
+            case None => src0
+            case Some((c, _)) => src0.withColumn(c, lit(null).cast("string"))
+          }
           val tmp = new Path(s"$table/.staged-$commitId-anchor")
           src.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
           val st = fs.listStatus(tmp)
@@ -566,14 +573,14 @@ object TxLog {
     * `bits` (default 6 → 64 ranks/column) is enough at any scale; the
     * 2^bits-element boundary array is a broadcast literal and the
     * per-row bucket probe stays inside codegen. NULL ranks as 0. */
-  private def zorderKey(df: DataFrame, cols: Seq[String],
-                        bits: Int): org.apache.spark.sql.Column = {
+  private[graft] def zorderKey(df: DataFrame, cols: Seq[String],
+                               bits: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && bits >= 1 && bits * cols.length <= 62,
       s"z-order needs 1..${62 / math.max(1, cols.length)} bits for ${cols.length} cols")
     val n = 1 << bits
     val qs = (1 until n).map(_.toDouble / n).toArray
-    val rankExprs = cols.map { c =>
+    cols.foreach { c =>
       // a non-numeric column would cast to all-NULL and silently
       // cluster nothing — fail loudly instead (timestamp casts to
       // epoch seconds, so it ranks correctly)
@@ -581,16 +588,24 @@ object TxLog {
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
         dt == org.apache.spark.sql.types.TimestampType,
         s"z-order column '$c' must be numeric or timestamp, got $dt")
-      val bnds = df.select(col(c).cast("double").as(c))
-        .stat.approxQuantile(c, qs, 0.001).distinct.sorted
+    }
+    // ONE driver quantile job for every z-order column (approxQuantile
+    // takes the column list), not one job per column
+    val allBnds = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+      .stat.approxQuantile(cols.toArray, qs, 0.001)
+    val rankExprs = cols.zip(allBnds).map { case (c, raw) =>
+      val bnds = raw.distinct.sorted
       // rank = number of boundaries <= value (0..n-1); NULL compares
       // to null inside the lambda, filter drops it → rank 0
       size(filter(lit(bnds), b => b <= col(c).cast("double")))
     }
     rankExprs.zipWithIndex.map { case (rank, i) =>
       (0 until bits).map { j =>
-        shiftleft(shiftright(rank, j).bitwiseAND(1), j * cols.length + i)
-          .cast("long")
+        // cast to long BEFORE the shift: size() is IntegerType, and a
+        // Java int shift masks the amount to 5 bits, so bit positions
+        // >= 32 would silently wrap to (position mod 32)
+        shiftleft(shiftright(rank, j).bitwiseAND(1).cast("long"),
+          j * cols.length + i)
       }.reduce(_ + _)
     }.reduce(_ + _)
   }
@@ -661,6 +676,10 @@ object TxLog {
       staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
       if (attempt > maxRetries)
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+      // each lost race costs a FULL snapshot rewrite (quantiles + write)
+      // — back off so the compactor stops thrashing against a hot
+      // upsert stream instead of burning maxRetries rewrites flat-out
+      Thread.sleep(math.min(100L * attempt, 2000L))
     }
     None // unreachable
   }

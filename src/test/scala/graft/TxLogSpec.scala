@@ -329,6 +329,43 @@ class TxLogSpec extends SparkTestBase {
     assert(onB.filter(col("b") <= 1L).count() == 64 * 2)
   }
 
+  test("zorderKey: bit positions >= 32 survive (long shift, no int wrap)") {
+    // 4 cols x 9 bits puts the top interleave positions at 32..35; an
+    // IntegerType shiftleft masks the amount to 5 bits and would wrap
+    // them onto positions 0..3, colliding e.g. rank 256 with rank 1.
+    // With every column equal to the row value, rank(v) = v, so the key
+    // is v's 9 bits each repeated 4x in the interleave — strictly
+    // monotone in v and collision-free when the shifts are 64-bit.
+    val df = (0 until 512).map(v => (v, v, v, v)).toDF("a", "b", "c", "d")
+    val keys = df.withColumn("z",
+        TxLog.zorderKey(df, Seq("a", "b", "c", "d"), bits = 9))
+      .orderBy("a").select("z").collect().map(_.getLong(0))
+    assert(keys.forall(_ >= 0L), "a >=32 position landed in the sign bit")
+    // with the int-shift wrap, NO key can exceed 2^32 (positions 32..35
+    // fold onto 0..3) and high ranks collide en masse with low ones;
+    // approxQuantile may merge a couple of ADJACENT ranks, which is fine
+    assert(keys.max > (1L << 32),
+      s"top interleave bits unused — max key ${keys.max} fits in 32 bits")
+    assert(keys.distinct.length >= 500,
+      s"mass collisions (${keys.distinct.length}/512) — interleave bits wrapped")
+    assert(keys.sameElements(keys.sorted),
+      "key not monotone in the (equal-rank) row value")
+  }
+
+  test("all-row delete of a partitioned table keeps the partition column") {
+    val t = freshTable()
+    TxLog.commitUpsertPartitioned(
+      Seq((1L, 1L, "d0", "x"), (2L, 1L, "d1", "y"))
+        .toDF("id", "ver", "day", "payload"), t, "id", "ver", "day")
+    TxLog.commitDelete(spark, t, lit(true)).get
+    val empty = TxLog.read(spark, t).get
+    assert(empty.count() == 0)
+    // the stored files never held `day` (manifest-only) — the anchor
+    // must restore it or the surviving schema silently shrinks
+    assert(empty.columns.toSeq.sorted == Seq("day", "id", "payload", "ver"),
+      s"schema lost the partition column: ${empty.columns.toSeq}")
+  }
+
   test("copy-on-write delete: rows gone, untouched partitions carried by reference") {
     val t = freshTable()
     val rows = (0L until 300L).map(i =>
