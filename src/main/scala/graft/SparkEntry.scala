@@ -296,6 +296,10 @@ object SparkEntry {
     // each twin's single nearest neighbor is its source by construction
     "llm_ann_lsh_twin_top1" -> ((s, d) =>
       llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
+    // multi-probe LSH on the same twin corpus — recall can only rise
+    // vs single-probe, so the exact twin answer oracles this path too
+    "llm_ann_lsh_multiprobe" -> ((s, d) =>
+      llm.Similarity.lshMultiProbeTwinTop1(Tables.embeddings(s, d))),
     "llm_ann_neardup_cosine" -> ((s, d) =>
       llm.Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     // SemDeDup: kmeans cells → same-cell cosine pairs → components →
@@ -1712,6 +1716,15 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1000000 AND a.p = b.p
         |GROUP BY 1, 2 ORDER BY doc_a""".stripMargin,
     "llm_ann_lsh_twin_top1" ->
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+        |       round(list_cosine_similarity(
+        |         list_concat([embedding[1]::DOUBLE + 0.05],
+        |           list_transform(embedding[2:], x -> x::DOUBLE)),
+        |         list_transform(embedding, x -> x::DOUBLE)), 4) AS cos_sim
+        |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin,
+    // multi-probe twin-top1: identical exact expected answer (each
+    // twin's nearest neighbor is its source regardless of probing)
+    "llm_ann_lsh_multiprobe" ->
       """SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
         |       round(list_cosine_similarity(
         |         list_concat([embedding[1]::DOUBLE + 0.05],

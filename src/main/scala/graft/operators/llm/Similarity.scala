@@ -128,17 +128,119 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-hyperplane projections of an embedding: `array<double>` of
+    * length `nBits`, where signature bit j = projs[j] > 0 — the same
+    * arithmetic `lshSignature` folds into a bitmask, kept as raw values
+    * so multi-probe can rank bits by margin. */
+  private def lshProjections(emb: Column, nBits: Int): Column =
+    transform(sequence(lit(0), lit(nBits - 1)), j =>
+      aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (x, i) => x.cast("double") * planeComponent(j, i)),
+        lit(0.0), (acc, v) => acc + v))
+
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB 2007 —
+    * public literature): besides its own buckets, each query also
+    * probes the buckets reached by flipping its `probeBits`
+    * LOWEST-MARGIN signature bits — the hyperplanes the query sits
+    * closest to, i.e. exactly the bits most likely to differ on a true
+    * near neighbor. This is the standard fix for the recall cliff of
+    * banded LSH at fixed banding: recall rises by adding QUERY-side
+    * probes (probeBits × nBands extra broadcast rows per query, each a
+    * single-bit perturbation) instead of widening corpus-side buckets
+    * or rescanning the corpus — the corpus is still hashed and banded
+    * exactly once, so the 100 TB cost profile is unchanged.
+    *
+    * `probeBits = 0` reduces to [[lshTopKWhere]] bit-for-bit (same
+    * signature arithmetic, same candidate join; spec-pinned). Output
+    * shape matches bruteForceTopK. */
+  def lshTopKMultiProbe(embeddings: DataFrame, queryPred: Column,
+                        k: Int = 10, nBits: Int = 32, bandBits: Int = 8,
+                        maxBucketSize: Int = 10000,
+                        probeBits: Int = 4): DataFrame = {
+    require(nBits > 0 && nBits <= 63 && bandBits > 0 && nBits % bandBits == 0,
+      s"signature must split evenly into bands, got nBits=$nBits bandBits=$bandBits")
+    require(probeBits >= 0 && probeBits <= nBits,
+      s"probeBits must be in [0, $nBits], got $probeBits")
+    val nBands = nBits / bandBits
+    val keyMask = (1L << bandBits) - 1
+    val signed = embeddings.withColumn("sig", lshSignature(col("embedding"), nBits))
+    val banded = signed.select(col("vec_id"), col("embedding"), col("sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_key",
+        call_function("shiftright", col("sig"), col("band") * bandBits)
+          .bitwiseAND(lit(keyMask)))
+    // probe signatures: the query's own, plus one single-bit flip per
+    // lowest-|projection| bit (struct sort ranks by margin, then bit
+    // index for determinism)
+    val flips = transform(
+      slice(array_sort(zip_with(
+        lshProjections(col("embedding"), nBits),
+        sequence(lit(0), lit(nBits - 1)),
+        (p, j) => struct(abs(p).as("m"), j.as("j")))), 1, probeBits),
+      s => s.getField("j"))
+    val probeSigs =
+      if (probeBits == 0) array(col("sig"))
+      else concat(array(col("sig")),
+        transform(flips, b =>
+          col("sig").bitwiseXOR(call_function("shiftleft", lit(1L), b))))
+    val queries = broadcast(signed
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(probeSigs).as("p_sig"))
+      .select(col("query_id"), col("q_emb"), col("p_sig"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("q_band"))
+      .withColumn("q_key",
+        call_function("shiftright", col("p_sig"), col("q_band") * bandBits)
+          .bitwiseAND(lit(keyMask)))
+      // perturbed signatures share most bands with the original —
+      // dedup the probe set so each (band, key) is joined once
+      .dropDuplicates("query_id", "q_band", "q_key"))
+    val corpusSide = DedupOps.capBuckets(banded, Seq("band", "band_key"),
+      maxBucketSize)
+    val candidates = corpusSide
+      .join(queries, col("band") === col("q_band") &&
+        col("band_key") === col("q_key") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    candidates
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Multi-probe LSH over the twin corpus, top-1 per twin query — the
+    * oracle hook for the multi-probe path (same exact expected answer
+    * as [[lshTwinTop1]]: each twin's nearest neighbor is its source). */
+  def lshMultiProbeTwinTop1(embeddings: DataFrame, every: Int = 10,
+                            probeBits: Int = 4): DataFrame =
+    lshTopKMultiProbe(withVectorTwins(embeddings, every),
+      col("vec_id") >= 1000000L, k = 1, probeBits = probeBits)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id")
+
   /** Deterministic k-means centroids over DataFrame ops (Lloyd's):
-    * init = the first `k` vectors by vec_id, then `iters` rounds of
-    * assign-by-cosine → element-wise mean. Each round is one broadcast
-    * cross-score plus two hash aggregates (posexplode → per-(cell,dim)
-    * mean → re-assembled array), all expression-level. Means are
-    * rounded to 6 dp so reassignment is stable under distributed
-    * float-summation order. Cells that lose all members drop out. */
+    * init = the `k` vectors with the smallest `xxhash64(vec_id)` — a
+    * deterministic UNBIASED sample (first-k-by-vec_id, the previous
+    * init, degenerates on sorted/clustered corpora where low ids share
+    * a region of the space; the hash order is independent of both id
+    * assignment and storage order, so the seeds are a uniform draw at
+    * any scale). Then `iters` rounds of assign-by-cosine →
+    * element-wise mean. Each round is one broadcast cross-score plus
+    * two hash aggregates (posexplode → per-(cell,dim) mean →
+    * re-assembled array), all expression-level. Means are rounded to
+    * 6 dp so reassignment is stable under distributed float-summation
+    * order. Cells that lose all members drop out. The seed selection
+    * is a top-k (TakeOrderedAndProject), never a full sort. */
   def kmeansCentroids(embeddings: DataFrame, k: Int = 16,
                       iters: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    var cent = embeddings.orderBy("vec_id").limit(k)
+    var cent = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
     for (_ <- 1 to iters) {

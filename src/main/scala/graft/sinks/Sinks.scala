@@ -82,6 +82,18 @@ object Sinks {
     ()
   }
 
+  /** Read a CDC-maintained dim store (written by
+    * `CdcRouter.fanOutEnvelope`): the last-wins winners minus delete
+    * tombstones. Tombstones stay IN the store — a stale pre-delete
+    * update replayed in a later batch must still lose the version
+    * race to the delete (`CdcRouterSpec` proves the out-of-order
+    * case) — so the filter lives here on the read path, mirroring
+    * the reference's cache-invalidation-on-delete
+    * (`DimSinkFunction.java:17-51`). */
+  def readDim(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(!col("__deleted")).drop("__deleted")
+
   /** K1/K2 — Kafka producer shells (`MyKafkaUtil.java:55-73`): Spark's
     * kafka sink is at-least-once; exactly-once ≈ checkpoint + idempotent
     * (upsert) downstream, which is exactly what `upsertParquet` gives.

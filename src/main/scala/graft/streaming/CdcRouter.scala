@@ -56,6 +56,75 @@ object CdcRouter {
     } finally { cached.unpersist(); () }
   }
 
+  /** Flatten one config row's slice of a CDC-envelope batch
+    * (`Sources.cdcEnvelopeSchema`: database/table/type/ts/data/old)
+    * into sink-shaped rows: `sink_columns` pulled from the `data` map
+    * (Maxwell puts the FINAL row image in `data` for every op type,
+    * deletes included, so the PK is always present), a `__ver` version
+    * from the envelope ts, and a `__deleted` tombstone from the op
+    * type — the reference's delete path (`DimApp.java:75-87` routes
+    * all op types; `DimSinkFunction.java:17-51` upserts data and
+    * invalidates on delete). Unknown op types are DROPPED (the same
+    * unknown-row discard as `TableProcessFunction.java:146-149`) —
+    * passing them through as upserts would resurrect rows a
+    * bootstrap/ddl marker never carried. */
+  def flattenEnvelope(env: DataFrame, source: String,
+                      sinkColumns: String): DataFrame = {
+    val fields = sinkColumns.split(",").map(_.trim)
+      .map(c => col("data")(c).as(c))
+    env.filter(col("table") === source &&
+        col("type").isin("insert", "update", "delete", "bootstrap-insert"))
+      .select(fields
+        :+ col("ts").cast("long").as("__ver")
+        :+ (col("type") === "delete").as("__deleted"): _*)
+  }
+
+  /** Envelope-batch fan-out with delete semantics: per configured sink,
+    * flatten + last-wins MERGE by the sink PK ordered by the envelope
+    * ts. Tombstones are MERGED AND KEPT (not dropped post-merge): a
+    * delete must keep outranking any stale pre-delete image that
+    * arrives in a LATER batch, which only works if the tombstone's
+    * version survives in the store. `Sinks.readDim` filters them on
+    * read. Version ties (same ts, e.g. a delete+reinsert in one
+    * binlog second) break on the row content hash — the same total
+    * order every upsert in this repo uses. */
+  def fanOutEnvelope(batch: DataFrame,
+                     config: Seq[(String, String, String, String)],
+                     outDir: String): Unit = {
+    val cached = batch.persist()
+    try config.foreach { case (source, sink, cols, pk) =>
+      val rows = flattenEnvelope(cached, source, cols)
+      if (!rows.isEmpty)
+        graft.sinks.Sinks.upsertParquet(rows, s"$outDir/$sink", pk, "__ver")
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Streaming shell for the envelope path: CDC-envelope stream →
+    * foreachBatch fan-out with delete semantics. Replay-idempotent:
+    * re-processing a batch re-merges the same rows into the same
+    * winners (keyed merge + total order), so a checkpoint-less
+    * restart that re-reads files converges to the same store. */
+  def runEnvelope(spark: SparkSession, envStream: DataFrame,
+                  config: DataFrame, outDir: String): Unit = {
+    val maxCfg = spark.conf
+      .get("spark.graft.cdc.maxConfigRows", "10000").toLong
+    val probe = math.min(maxCfg + 1, Int.MaxValue.toLong).toInt
+    val cfgRows = config.limit(probe).collect()
+    require(cfgRows.length <= maxCfg,
+      s"CdcRouter: config exceeds $maxCfg rows — not a config table")
+    val cfg = cfgRows.map(r => (
+      r.getAs[String]("source_table"), r.getAs[String]("sink_table"),
+      r.getAs[String]("sink_columns"), r.getAs[String]("sink_pk"))).toSeq
+    val q = envStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        fanOutEnvelope(batch, cfg, outDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming shell: CDC stream + static config → foreachBatch fan-out
     * (the reference's broadcast-state wiring, `DimApp.java:89-97`).
     * The stream goes to `foreachBatch` UN-joined: `fanOut` already

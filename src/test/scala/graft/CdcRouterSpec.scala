@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import graft.streaming.CdcRouter
 
 /** Config-driven DIM routing (J5/K5/K6): broadcast-join routing,
@@ -58,6 +59,89 @@ class CdcRouterSpec extends SparkTestBase {
       .map(r => (r.getAs[String]("id"), r.getAs[String]("name"))).toMap
     assert(a == Map("1" -> "alice2", "2" -> "bob")) // merged, last-wins by ver
     assert(spark.read.parquet(s"$out/sink_b").count() == 1) // not wiped
+  }
+
+  // ---- Debezium/Maxwell-envelope replay: delete + out-of-order ops ----
+
+  private def envLine(table: String, op: String, ts: Long,
+                      data: Map[String, String],
+                      old: Map[String, String] = Map.empty): String = {
+    def m(kv: Map[String, String]) =
+      kv.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"database":"gmall","table":"$table","type":"$op","ts":"$ts",""" +
+      s""""data":${m(data)},"old":${m(old)}}"""
+  }
+
+  private val envConfig = Seq(("dim_a", "sink_a", "id,name", "id"))
+    .toDF("source_table", "sink_table", "sink_columns", "sink_pk")
+
+  test("envelope replay via file stream: deletes land as tombstones, " +
+    "stale pre-delete updates in later batches still lose") {
+    val in = Files.createTempDirectory("cdc_env_in").toString
+    val out = Files.createTempDirectory("cdc_env_out").toString
+    def runBatch(name: String, lines: Seq[String]): Unit = {
+      Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val raw = graft.sources.Sources.fileStream(spark,
+        org.apache.spark.sql.types.StructType.fromDDL("value STRING"),
+        in, "text")
+      CdcRouter.runEnvelope(spark,
+        graft.sources.Sources.cdcEnvelope(raw), envConfig, out)
+    }
+    // batch 1: inserts, an update (with old image), a delete, and a
+    // delete that a later batch re-inserts
+    runBatch("b1.json", Seq(
+      envLine("dim_a", "insert", 1, Map("id" -> "1", "name" -> "alice")),
+      envLine("dim_a", "insert", 1, Map("id" -> "2", "name" -> "bob")),
+      envLine("dim_a", "update", 3, Map("id" -> "1", "name" -> "alice2"),
+        Map("name" -> "alice")),
+      envLine("dim_a", "delete", 5, Map("id" -> "2", "name" -> "bob")),
+      envLine("dim_a", "insert", 1, Map("id" -> "4", "name" -> "dave")),
+      envLine("dim_a", "delete", 2, Map("id" -> "4", "name" -> "dave")),
+      envLine("dim_a", "bootstrap-start", 1, Map("id" -> "99")), // unknown op → dropped
+      envLine("other_table", "insert", 1, Map("id" -> "z"))))    // unrouted
+    val after1 = graft.sinks.Sinks.readDim(spark, s"$out/sink_a").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("name"))).toMap
+    assert(after1 == Map("1" -> "alice2"), s"got $after1")
+
+    // batch 2 (checkpoint-less re-run replays b1 too — the merge is
+    // idempotent): a STALE pre-delete update for id=2 (ts 4 < delete's
+    // 5, out-of-order arrival) must lose to the persisted tombstone;
+    // id=4's REINSERT (ts 7 > delete's 2) must win; id=3 is new
+    runBatch("b2.json", Seq(
+      envLine("dim_a", "update", 4, Map("id" -> "2", "name" -> "bob_stale"),
+        Map("name" -> "bob")),
+      envLine("dim_a", "insert", 7, Map("id" -> "4", "name" -> "dave_again")),
+      envLine("dim_a", "insert", 6, Map("id" -> "3", "name" -> "carol"))))
+    val after2 = graft.sinks.Sinks.readDim(spark, s"$out/sink_a").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("name"))).toMap
+    assert(after2 == Map("1" -> "alice2", "3" -> "carol", "4" -> "dave_again"),
+      s"got $after2")
+
+    // the replayed-changelog state must equal a from-scratch batch
+    // snapshot: per pk, the max-ts op wins; delete winners vanish
+    val allLines = Seq("b1.json", "b2.json").flatMap(f =>
+      scala.io.Source.fromFile(s"$in/$f").getLines().toSeq)
+    val snap = graft.sources.Sources.cdcEnvelope(allLines.toDF("value"))
+      .filter(col("table") === "dim_a" &&
+        col("type").isin("insert", "update", "delete"))
+      .select(col("data")("id").as("id"), col("data")("name").as("name"),
+        col("ts").cast("long").as("ts"), col("type").as("op"))
+      .withColumn("rn", expr(
+        "row_number() over (partition by id order by ts desc, op desc)"))
+      .filter(col("rn") === 1 && col("op") =!= "delete")
+      .select("id", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(after2 == snap, s"replayed $after2 != snapshot $snap")
+  }
+
+  test("envelope update rows carry the old image through the parse") {
+    val raw = Seq(envLine("dim_a", "update", 3,
+      Map("id" -> "1", "name" -> "alice2"), Map("name" -> "alice")))
+      .toDF("value")
+    val env = graft.sources.Sources.cdcEnvelope(raw)
+    val r = env.select("old").collect().head
+    assert(r.getMap[String, String](0)("name") == "alice")
   }
 
   test("sink_columns already containing the version column stays unambiguous") {

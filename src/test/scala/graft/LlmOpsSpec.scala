@@ -340,6 +340,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(capped == uncapped)
   }
 
+  test("multi-probe LSH with probeBits=0 is bit-identical to single-probe") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val single = Similarity.lshTopKWhere(emb, col("vec_id") < 10, k = 5)
+    val multi0 = Similarity.lshTopKMultiProbe(emb, col("vec_id") < 10, k = 5,
+      probeBits = 0)
+    assertSameRows(single, multi0)
+  }
+
+  test("multi-probe LSH recall@10 >= single-probe; retrieved sims exact") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qPred = col("vec_id") < 30
+    val truth = Similarity.bruteForceTopK(emb, (0L until 30L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(Similarity.lshTopKMultiProbe(emb, qPred, k = 10,
+      probeBits = 0))
+    val multi = recall(Similarity.lshTopKMultiProbe(emb, qPred, k = 10,
+      probeBits = 4))
+    assert(multi >= single,
+      s"multi-probe recall $multi fell below single-probe $single")
+    // every retrieved similarity is the true cosine (probing changes
+    // WHICH candidates are scored, never the score)
+    val bf = Similarity.bruteForceTopK(emb, (0L until 30L), k = 499)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    Similarity.lshTopKMultiProbe(emb, qPred, k = 10, probeBits = 4)
+      .collect().foreach { r =>
+        assert(math.abs(bf((r.getLong(0), r.getLong(1))) - r.getDouble(3)) < 1e-9)
+      }
+  }
+
+  test("multi-probe twin-top1 finds every planted twin's source") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val out = Similarity.lshMultiProbeTwinTop1(emb).collect()
+    val planted = emb.filter(col("vec_id") % 10 === 0).count()
+    assert(out.length == planted)
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) - 1000000L))
+  }
+
   test("IVF ANN: probes cells, scores agree with brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 499).collect()
@@ -352,18 +393,45 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("kmeans centroids converge to the two planted clusters") {
-    // ids alternate clusters so the deterministic init (first k by
-    // vec_id) seeds one centroid in each
-    val vecs = (0L until 20L).map { i =>
+    // the init is the 2 ids with the smallest xxhash64 — plant the
+    // clusters around that order so one seed lands in each (the test
+    // fixes Lloyd's convergence, not the seed draw, which the
+    // init-bias test below covers)
+    val ids = (0L until 20L)
+    val hashOrder = ids.toDF("vec_id")
+      .select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .collect().map(_.getLong(0))
+    val xCluster = hashOrder.zipWithIndex
+      .filter(_._2 % 2 == 0).map(_._1).toSet // seeds 0,2,4,… incl. seed #1
+    val vecs = ids.map { i =>
       val j = (i % 7).toFloat / 100
-      if (i % 2 == 0) (i, Seq(1.0f, j)) else (i, Seq(j, 1.0f))
+      if (xCluster(i)) (i, Seq(1.0f, j)) else (i, Seq(j, 1.0f))
     }.toDF("vec_id", "embedding")
     val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 3)
-      .orderBy("centroid_id").collect()
-      .map(_.getSeq[Double](1))
+      .collect().map(_.getSeq[Double](1))
     assert(cents.length == 2)
-    assert(cents(0)(0) > 0.9 && cents(0)(1) < 0.1) // x-cluster mean
-    assert(cents(1)(1) > 0.9 && cents(1)(0) < 0.1) // y-cluster mean
+    assert(cents.exists(c => c(0) > 0.9 && c(1) < 0.1)) // x-cluster mean
+    assert(cents.exists(c => c(1) > 0.9 && c(0) < 0.1)) // y-cluster mean
+  }
+
+  test("hash-sampled init seeds both clusters on an id-sorted corpus") {
+    // the degenerate case first-k-by-vec_id init failed on: all low
+    // ids belong to ONE cluster (sorted/clustered corpora). The hash
+    // init's seed draw is independent of id order, so it still lands
+    // one seed in each planted cluster and Lloyd's recovers both means.
+    val vecs = (0L until 40L).map { i =>
+      val j = (i % 7).toFloat / 100
+      if (i < 20) (i, Seq(1.0f, j)) else (i, Seq(j, 1.0f)) // low ids all x
+    }.toDF("vec_id", "embedding")
+    val seeds = vecs
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2)
+      .collect().map(_.getLong(0))
+    assert(seeds.exists(_ < 20) && seeds.exists(_ >= 20),
+      s"hash draw put both seeds in one cluster: ${seeds.mkString(",")}")
+    val cents = Similarity.kmeansCentroids(vecs, k = 2, iters = 3)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.exists(c => c(0) > 0.9 && c(1) < 0.1))
+    assert(cents.exists(c => c(1) > 0.9 && c(0) < 0.1))
   }
 
   test("cosine near-dup pairs: planted twins all found with sim >= 0.9") {
