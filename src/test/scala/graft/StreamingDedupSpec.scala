@@ -64,6 +64,35 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("incremental index MERGE: K commits equal a from-scratch rebuild, " +
+    "re-ingest is idempotent, probes agree") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_index")
+      .toString + "/idx"
+    val corpus = DedupOps.withNearDuplicates(Tables.documents(spark, sf0001))
+    val batches = Seq(
+      corpus.filter(col("doc_id") % 3 === 0),
+      corpus.filter(col("doc_id") % 3 === 1),
+      corpus.filter(col("doc_id") % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.DedupIndex.appendBatch(b, dir, i + 1L)
+    }
+    val incr = graft.streaming.DedupIndex.loadIndex(spark, dir).get
+    val rebuilt = StreamingDedup.bandIndex(corpus)
+    assertSameRows(incr, rebuilt)
+    // re-ingesting batch 2 at a later version replaces its rows
+    // in place: the index must not change (at-least-once safety)
+    graft.streaming.DedupIndex.appendBatch(batches(1), dir, 10L)
+    assertSameRows(graft.streaming.DedupIndex.loadIndex(spark, dir).get,
+      rebuilt)
+    // and a probe against the incrementally-built index is
+    // bit-identical to one against the rebuild
+    val probeDocs = corpus.filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("text"))
+    assertSameRows(
+      StreamingDedup.nearDupProbe(probeDocs, incr, threshold = 0.5),
+      StreamingDedup.nearDupProbe(probeDocs, rebuilt, threshold = 0.5))
+  }
+
   test("probe agrees with the batch pair detector on the same corpus") {
     val base = Tables.documents(spark, sf0001)
     val withDups = DedupOps.withNearDuplicates(base)

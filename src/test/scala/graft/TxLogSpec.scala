@@ -457,6 +457,86 @@ class TxLogSpec extends SparkTestBase {
     intercept[Exception] { TxLog.readVersion(spark, t, 8L).get.count() }
   }
 
+  test("optimize races a concurrent delete: rows end deleted AND compacted") {
+    val t = freshTable()
+    (0 until 8).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, if (i % 2 == 0) "even" else "odd"))
+          .toDF("id", "ver", "kind"), t, "id", "ver")
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (vOpt, vDel) = try {
+      val fOpt = Future { TxLog.optimize(spark, t, targetFiles = 2).get }
+      val fDel = Future {
+        TxLog.commitDelete(spark, t, col("kind") === "even").get }
+      Await.result(fOpt.zip(fDel), 5.minutes)
+    } finally pool.shutdown()
+    // both OCC loops land on distinct versions; whichever lost the
+    // race re-read the winner's snapshot and re-applied (serial
+    // replay), so the final state is delete ∘ optimize in SOME order —
+    // which for these two operations is the same state either way
+    assert(vOpt != vDel && Set(vOpt, vDel).max == 10L,
+      s"expected two committed versions, got optimize=$vOpt delete=$vDel")
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(1L -> "odd", 3L -> "odd", 5L -> "odd", 7L -> "odd"),
+      s"delete lost to the compaction race: $rows")
+  }
+
+  test("dual compactors and dual deleters: OCC serializes both pairs") {
+    val t = freshTable()
+    (0 until 8).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, s"r$i")).toDF("id", "ver", "payload"),
+        t, "id", "ver")
+    }
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // two compactors race: both commit (the loser recompacts the
+      // winner's snapshot — wasted work, never lost data)
+      val (o1, o2) = Await.result(
+        Future { TxLog.optimize(spark, t, targetFiles = 2).get }
+          .zip(Future { TxLog.optimize(spark, t, targetFiles = 2).get }),
+        5.minutes)
+      assert(o1 != o2)
+      assert(TxLog.read(spark, t).get.count() == 8) // rows untouched
+      // two deleters race on overlapping predicates: both commit; the
+      // second's re-read sees the first's removals already gone
+      val (d1, d2) = Await.result(
+        Future { TxLog.commitDelete(spark, t, col("id") < 4).get }
+          .zip(Future { TxLog.commitDelete(spark, t, col("id") < 6).get }),
+        5.minutes)
+      assert(d1 != d2)
+      val left = TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet
+      assert(left == Set(6L, 7L), s"overlapping deletes diverged: $left")
+    } finally pool.shutdown()
+  }
+
+  test("vacuum vs pinned reader: head survives, expired-version reads fail") {
+    val t = freshTable()
+    (0 until 5).foreach { i =>
+      TxLog.commitUpsert(
+        Seq((i.toLong, 1L, s"r$i")).toDF("id", "ver", "payload"),
+        t, "id", "ver")
+    }
+    TxLog.optimize(spark, t, targetFiles = 1).get // v6: old files now head-unreferenced
+    val pinnedOld = TxLog.readVersion(spark, t, 5L).get  // pre-compaction snapshot
+    val pinnedHead = TxLog.read(spark, t).get
+    assert(pinnedOld.count() == 5)
+    // retention expiry + vacuum — the Delta-paper caveat: a reader
+    // pinned PAST the retention window loses its files; the window,
+    // not the protocol, is what must exceed the longest reader
+    TxLog.expireVersions(spark, t, keep = 1)
+    assert(TxLog.vacuumOrphans(spark, t, graceMs = 0) > 0)
+    // plans are lazy — re-executing the expired-version read now fails
+    intercept[Exception] { pinnedOld.count() }
+    // the head reader is untouched: its files are still referenced
+    assert(pinnedHead.count() == 5)
+    assert(TxLog.read(spark, t).get.count() == 5)
+  }
+
   test("optimize races with a concurrent upsert: neither write is lost") {
     val t = freshTable()
     (0 until 6).foreach { i =>
