@@ -27,7 +27,16 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++
+      // property-based differential fuzz: seeded random filter/agg/join
+      // fragments over `events`, each rendered from ONE AST as both the
+      // DataFrame plan here and the DuckDB SQL in oracleSql — the
+      // 120-case sweep runs locally in FuzzDiffSpec; these 8 replay
+      // against the real DuckDB oracle every round
+      graft.operators.FuzzGen.suite(8).map(f => f.name -> f.build).toMap
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 projections / filters
     "p1_json_quarantine" -> ((s, d) => EventFilters.jsonQuarantine(Tables.events(s, d))),
     "p2_optype_filter" -> ((s, d) => EventFilters.opTypeFilter(Tables.events(s, d))),
@@ -2174,5 +2183,8 @@ object SparkEntry {
         |    ELSE [t] END) AS word FROM tok)
         |SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
         |FROM words GROUP BY 1 ORDER BY word_ct DESC, word""".stripMargin
-  )
+  ) ++
+    // the differential-fuzz cases' SQL comes from the same seeded AST
+    // as their DataFrame plans (FuzzGen)
+    graft.operators.FuzzGen.suite(8).map(f => f.name -> f.sql).toMap
 }

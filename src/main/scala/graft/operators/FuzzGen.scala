@@ -1,0 +1,148 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property-based DIFFERENTIAL fuzz of the relational surface: a
+  * seeded generator of random filter / aggregate / join fragments over
+  * the `events` table, where every case is built twice from one AST —
+  * once as a DataFrame plan, once as ANSI SQL that both Spark and
+  * DuckDB parse identically. The fixed queries in `SparkEntry` pin the
+  * operators the reference actually ships; this sweeps the space
+  * BETWEEN them, catching dialect/semantics drift (null ordering,
+  * rounding family, modulo sign, join null-matching) that hand-picked
+  * cases can miss.
+  *
+  * Determinism: each case is a pure function of its index (one
+  * `java.util.Random` LCG per case — stable across JVMs by spec), so
+  * the local ScalaTest sweep (`FuzzDiffSpec`: DataFrame ≡ spark.sql,
+  * 120 cases) and the driver's DuckDB oracle replay (fuzz_* entries in
+  * SparkEntry) see the SAME queries.
+  *
+  * Dialect guard-rails baked into the grammar — each is a REAL drift
+  * trap the generator must not step on, the same rules the fixed
+  * oracles follow: aggregates of doubles go through `round(sum, 2)`
+  * over 2-dp inputs (exactly representable; avoids HALF_UP-vs-
+  * HALF_EVEN divergence), no `avg` (division ulps), every ORDER BY is
+  * a total order, `%` only on non-negative operands (C-style sign
+  * differs from floored), and string literals stay ASCII. */
+object FuzzGen {
+
+  final case class Fuzz(name: String,
+                        build: (SparkSession, String) => DataFrame,
+                        sql: String)
+
+  private val types = Seq("click", "error", "purchase", "signup", "view")
+
+  /** One predicate atom: (DataFrame Column, SQL text) from one draw. */
+  private def atom(rng: Random): (Column, String) =
+    rng.nextInt(6) match {
+      case 0 =>
+        val t = types(rng.nextInt(types.length))
+        if (rng.nextBoolean()) (col("event_type") === t, s"event_type = '$t'")
+        else (col("event_type") =!= t, s"event_type <> '$t'")
+      case 1 =>
+        val ts = rng.shuffle(types).take(2 + rng.nextInt(2))
+        (col("event_type").isin(ts: _*),
+          s"event_type IN (${ts.map(t => s"'$t'").mkString(", ")})")
+      case 2 =>
+        val m = 2 + rng.nextInt(9); val r = rng.nextInt(m)
+        (col("user_id") % m === r, s"user_id % $m = $r")
+      case 3 =>
+        val a = rng.nextInt(120); val b = a + 5 + rng.nextInt(30)
+        (col("user_id").between(a, b), s"user_id BETWEEN $a AND $b")
+      case 4 =>
+        val x = math.floor(rng.nextDouble() * 40000) / 100.0
+        if (rng.nextBoolean()) (col("value") > x, s"value > $x")
+        else (col("value") <= x, s"value <= $x")
+      case _ =>
+        val m = 3 + rng.nextInt(7); val r = rng.nextInt(m)
+        (col("event_id") % m === r, s"event_id % $m = $r")
+    }
+
+  /** 1–3 atoms joined with AND/OR, fully parenthesized (identical
+    * precedence reading in both engines). */
+  private def predicate(rng: Random): (Column, String) = {
+    val n = 1 + rng.nextInt(3)
+    val parts = Seq.fill(n)(atom(rng))
+    parts.reduceLeft { (acc, p) =>
+      if (rng.nextBoolean()) (acc._1 && p._1, s"(${acc._2} AND ${p._2})")
+      else (acc._1 || p._1, s"(${acc._2} OR ${p._2})")
+    }
+  }
+
+  /** Group keys: event_type and/or a user bucket. */
+  private def groupKeys(rng: Random): Seq[(Column, String, String)] = {
+    val m = 2 + rng.nextInt(19)
+    val all = Seq(
+      (col("event_type"), "event_type", "event_type"),
+      ((col("user_id") % m).as("ug"), s"user_id % $m AS ug", "ug"))
+    rng.nextInt(3) match {
+      case 0 => all.take(1)
+      case 1 => all.drop(1)
+      case _ => all
+    }
+  }
+
+  /** Case `i`, deterministically. */
+  def gen(i: Int): Fuzz = {
+    val rng = new Random(0xF0220000L + i)
+    val (pc, ps) = predicate(rng)
+    val name = f"fuzz_$i%03d"
+    rng.nextInt(3) match {
+      case 0 => // filter + projection
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value"), 2).as("value_r"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, user_id, event_type,
+             |       round(value, 2) AS value_r
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 1 => // filter + group + aggregate
+        val keys = groupKeys(rng)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(keys.map(_._1): _*)
+            .agg(count(lit(1)).as("ct"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"),
+              round(sum(round(col("value"), 2)), 2).as("vsum"))
+            .orderBy(keys.map(k => col(k._3)): _*),
+          s"""SELECT ${keys.map(_._2).mkString(", ")},
+             |       count(*) AS ct, min(event_id) AS min_id,
+             |       max(event_id) AS max_id,
+             |       round(sum(round(value, 2)), 2) AS vsum
+             |FROM events WHERE $ps
+             |GROUP BY ${keys.map(_._3).mkString(", ")}
+             |ORDER BY ${keys.map(_._3).mkString(", ")}""".stripMargin)
+      case _ => // filtered slice joined to a per-user aggregate
+        val lo = 10 + rng.nextInt(40)
+        Fuzz(name,
+          (s, d) => {
+            val ev = graft.core.Tables.events(s, d)
+            val perUser = ev.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("user_ct"))
+              .filter(col("user_ct") >= lo)
+            ev.filter(pc)
+              .join(perUser, Seq("user_id"))
+              .select(col("event_id"), col("user_id"), col("user_ct"),
+                col("event_type"))
+              .orderBy("event_id")
+          },
+          s"""SELECT e.event_id, e.user_id, u.user_ct, e.event_type
+             |FROM (SELECT * FROM events WHERE $ps) e
+             |JOIN (SELECT user_id, count(*) AS user_ct
+             |      FROM events GROUP BY user_id
+             |      HAVING count(*) >= $lo) u
+             |  ON e.user_id = u.user_id
+             |ORDER BY e.event_id""".stripMargin)
+    }
+  }
+
+  def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
+}

@@ -81,11 +81,41 @@ object CurationSoak {
         .agg(countDistinct(col("lang"), col("source"), col("pack_id")))
         .collect()(0).getLong(0))
 
+    // capstone A: the corpusBuild COMPOSED chain (gate → exact-dedup
+    // canonical → pack) as ONE uncut pipeline — the thing the staged
+    // run above deliberately isn't: no parquet lineage cuts, every
+    // exchange planned together, proving the composition (not just
+    // its stages) holds at this scale
+    val nBuilt = time("corpusBuild composed chain") {
+      TextAnalysis.corpusBuild(corpus).count()
+    }
+
+    // capstone B: semanticDedup at 64 cells over a 16×-amplified
+    // embedding corpus (32k vectors) — kmeans + cell-bounded pair scan
+    // + connected components + canonical selection as one pipeline
+    val twins = graft.operators.llm.Similarity.withVectorTwins(
+      AnnSoak.amplified(Tables.embeddings(spark, sfDir), 16))
+    val nVecs = twins.count()
+    val nCanonical = time(s"semanticDedup (64 cells, $nVecs vecs)") {
+      graft.operators.llm.Similarity
+        .semanticDedup(twins, nCentroids = 64)
+        .filter(col("is_canonical") === 1).count()
+    }
+
+    def peakHeapMb: Long =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asInstanceOf[java.util.List[java.lang.management.MemoryPoolMXBean]]
+        .toArray(Array.empty[java.lang.management.MemoryPoolMXBean])
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / 1048576
     val totalSec = (System.nanoTime() - t0) / 1e9
     println(s"[soak] docs=$nDocs survivors=$nSurvivors " +
-      s"rebalanced=$nRebalanced packs=$nPacks")
+      s"rebalanced=$nRebalanced packs=$nPacks built=$nBuilt " +
+      s"vecs=$nVecs canonical=$nCanonical")
     println(f"[soak] TOTAL ${totalSec}%.1f s = ${nDocs / totalSec}%.0f docs/s " +
-      s"(shuffle total=${mb(shuffleTotal.get)} peak stage=${mb(shufflePeak.get)})")
+      s"(shuffle total=${mb(shuffleTotal.get)} peak stage=${mb(shufflePeak.get)} " +
+      s"peak driver heap=${peakHeapMb} MB)")
     spark.stop()
   }
 }
