@@ -32,9 +32,9 @@ object SparkEntry {
       // property-based differential fuzz: seeded random filter/agg/join
       // fragments over `events`, each rendered from ONE AST as both the
       // DataFrame plan here and the DuckDB SQL in oracleSql — the
-      // 120-case sweep runs locally in FuzzDiffSpec; these 8 replay
-      // against the real DuckDB oracle every round
-      graft.operators.FuzzGen.suite(8).map(f => f.name -> f.build).toMap
+      // 120-case sweep runs locally in FuzzDiffSpec; these 8 vetted
+      // cases replay against the real DuckDB oracle every round
+      graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.build).toMap
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 projections / filters
@@ -2186,5 +2186,5 @@ object SparkEntry {
   ) ++
     // the differential-fuzz cases' SQL comes from the same seeded AST
     // as their DataFrame plans (FuzzGen)
-    graft.operators.FuzzGen.suite(8).map(f => f.name -> f.sql).toMap
+    graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.sql).toMap
 }

@@ -51,12 +51,20 @@ object FuzzGen {
         val m = 2 + rng.nextInt(9); val r = rng.nextInt(m)
         (col("user_id") % m === r, s"user_id % $m = $r")
       case 3 =>
-        val a = rng.nextInt(120); val b = a + 5 + rng.nextInt(30)
+        // sf0.001 has only 15 distinct users (0..14): keep the lower
+        // bound inside that range so the atom is satisfiable at every SF
+        val a = rng.nextInt(10); val b = a + 3 + rng.nextInt(30)
         (col("user_id").between(a, b), s"user_id BETWEEN $a AND $b")
       case 4 =>
-        val x = math.floor(rng.nextDouble() * 40000) / 100.0
-        if (rng.nextBoolean()) (col("value") > x, s"value > $x")
-        else (col("value") <= x, s"value <= $x")
+        // value spans ~0.03..327 at sf0.001 (wider at larger SF): draw
+        // thresholds from the fat middle so neither direction is vacuous
+        if (rng.nextBoolean()) {
+          val x = math.floor(rng.nextDouble() * 20000) / 100.0 // 0..200
+          (col("value") > x, s"value > $x")
+        } else {
+          val x = 100.0 + math.floor(rng.nextDouble() * 20000) / 100.0
+          (col("value") <= x, s"value <= $x")
+        }
       case _ =>
         val m = 3 + rng.nextInt(7); val r = rng.nextInt(m)
         (col("event_id") % m === r, s"event_id % $m = $r")
@@ -145,4 +153,14 @@ object FuzzGen {
   }
 
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
+
+  /** The 8 cases replayed against the DuckDB oracle every round,
+    * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
+    * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
+    * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
+    * user_id modulo atoms whose CRT solution exceeds 14). Re-run
+    * FuzzVet and re-pin if the driver regenerates testdata. */
+  val vettedIdx: Seq[Int] = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+
+  def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Vets the FuzzGen case pool for the driver-replayed oracle suite:
+  * runs every generated case at each testdata SF and prints the row
+  * count, so `FuzzGen.vettedIdx` can be pinned to cases that are
+  * non-empty everywhere (a 0-row differential case still hash-matches
+  * the oracle, but proves nothing — and trips the rows>0 smoke spec).
+  *
+  *   sbt "runMain graft.tools.FuzzVet"
+  */
+object FuzzVet {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-fuzzvet").master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .config("spark.sql.parquet.int64AsTimestampNanos", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s -> s"/root/testdata/$s")
+    val pool = graft.operators.FuzzGen.suite(40)
+    val ok = pool.zipWithIndex.filter { case (f, i) =>
+      val counts = sfs.map { case (_, d) => f.build(spark, d).count() }
+      println(s"${f.name}: ${sfs.map(_._1).zip(counts)
+        .map { case (s, c) => s"$s=$c" }.mkString(" ")}")
+      counts.forall(_ > 0)
+    }.map(_._2)
+    println(s"non-empty at every SF: ${ok.mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -27,7 +27,7 @@ class FuzzDiffSpec extends SparkTestBase {
   }
 
   test("generator is deterministic: same index, same SQL") {
-    assert(FuzzGen.suite(8).map(_.sql) == FuzzGen.suite(8).map(_.sql))
+    assert(FuzzGen.driverSuite.map(_.sql) == FuzzGen.driverSuite.map(_.sql))
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
       if (f.sql.contains("JOIN")) "join"
