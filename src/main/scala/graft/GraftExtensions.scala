@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSim, GramHashSet, MinHashSig, Mix64, SimHashFp, WinnowMinima}
+import graft.functions.{CosineSim, GramHashSet, MinHashSig, Mix64, NfcNormalize, SimHashFp, WinnowMinima}
 
 /** SparkSessionExtensions entry point — registers graft's native
   * expressions as SQL functions so `spark.sql("... cosine_sim(a, b)")`
@@ -88,6 +88,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("simhash_fp", args, 1)
         SimHashFp(args(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        arity("nfc_normalize", args, 1)
+        NfcNormalize(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_minima"),

@@ -281,6 +281,19 @@ object SparkEntry {
         llm.DedupOps.contaminationFixture(Tables.documents(s, d))
       llm.DedupOps.contaminationReport(corpus, bench)
     }),
+    // the 100 TB decontamination path: Bloom pre-screen + exact verify
+    // join — bit-identical to llm_decontaminate (same oracle SQL)
+    "llm_decontaminate_bloom" -> ((s, d) => {
+      val (corpus, bench) =
+        llm.DedupOps.contaminationFixture(Tables.documents(s, d))
+      llm.DedupOps.contaminationReportBloom(corpus, bench)
+    }),
+    // scrub / normalize / web-provenance surface
+    "llm_redact_pii" -> ((s, d) => llm.Scrub.redactPii(Tables.documents(s, d))),
+    "llm_text_normalize" -> ((s, d) => llm.Scrub.normalizeText(Tables.documents(s, d))),
+    "llm_gopher_rules" -> ((s, d) => llm.Scrub.gopherRules(Tables.documents(s, d))),
+    "llm_domain_stats" -> ((s, d) => llm.WebOps.domainStats(Tables.documents(s, d))),
+    "llm_domain_cap" -> ((s, d) => llm.WebOps.domainCapSample(Tables.documents(s, d))),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -354,6 +367,44 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by `llm_decontaminate` and its Bloom-prescreened twin —
+    * the two plans produce bit-identical results by construction. */
+  private val decontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '\s+'),
+      |                     w -> w <> '') AS t
+      |  FROM documents),
+      |bench AS (
+      |  SELECT doc_id / 97 AS b_idx,
+      |         array_to_string(t[1:12], ' ') AS snippet, t AS bt
+      |  FROM tok WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT d.doc_id,
+      |         list_filter(string_split_regex(lower(
+      |           CASE WHEN d.doc_id % 31 = 5 AND b.snippet IS NOT NULL
+      |                THEN d.text || ' ' || b.snippet
+      |                ELSE d.text END), '\s+'), w -> w <> '') AS t
+      |  FROM tok d LEFT JOIN bench b ON d.doc_id % 5 = b.b_idx
+      |  WHERE d.doc_id % 97 <> 0),
+      |cg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+      |    list_transform(generate_series(1, len(t) - 7),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+      |           || ' ' || t[i+7]) ELSE [] END) AS gram
+      |  FROM corpus),
+      |bg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(bt) >= 8 THEN
+      |    list_transform(generate_series(1, len(bt) - 7),
+      |      i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2] || ' ' || bt[i+3]
+      |           || ' ' || bt[i+4] || ' ' || bt[i+5] || ' ' || bt[i+6]
+      |           || ' ' || bt[i+7]) ELSE [] END) AS gram
+      |  FROM bench)
+      |SELECT doc_id, count(DISTINCT gram) AS leaked_gram_ct
+      |FROM cg JOIN bg USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "j1_order_wide_table" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, o_custkey, o_orderstatus,
@@ -1257,6 +1308,147 @@ object SparkEntry {
         |            + len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+'))
         |            AS INT) AS redaction_ct
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "llm_redact_pii" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ' call ' || (doc_id % 900 + 100) || '-' ||
+        |                   (doc_id % 700 + 200) || '-' || (doc_id % 9000 + 1000)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN ' host 10.' || (doc_id % 256) || '.' ||
+        |                   (doc_id % 251) || '.' || (doc_id % 250)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 9 = 0
+        |              THEN ' card 4111 2222 3333 ' || (doc_id % 5000 + 4000)
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CARD>', 'g'),
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted,
+        |         CAST(len(regexp_extract_all(t,
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS phone_ct,
+        |         CAST(len(regexp_extract_all(t,
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS ip_ct,
+        |         CAST(len(regexp_extract_all(t,
+        |           '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}')) AS INT) AS card_ct
+        |  FROM aug)
+        |SELECT doc_id, text_redacted, phone_ct, ip_ct, card_ct,
+        |       phone_ct + ip_ct + card_ct AS pii_total
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "llm_text_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END ||
+        |         CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(8491) ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN chr(7) || ' ' || chr(8486) ELSE '' END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, t,
+        |         nfc_normalize(regexp_replace(t,
+        |           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')) AS text_norm
+        |  FROM aug)
+        |SELECT doc_id, text_norm,
+        |       text_norm <> t AS norm_changed,
+        |       CAST(len(t) - len(text_norm) AS INT) AS char_delta
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "llm_gopher_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         lower(text || CASE WHEN doc_id % 2 = 0
+        |                            THEN ' of and that' ELSE '' END) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(regexp_replace(t,
+        |           ' slow ', chr(10) || '- slow ', 'g'),
+        |           ' fast ', chr(8230) || chr(10) || 'fast ', 'g'),
+        |           chr(10)) AS lines,
+        |         list_filter(string_split_regex(t, '\s+'),
+        |                     w -> w <> '') AS words
+        |  FROM aug),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(words) AS BIGINT) AS n_words,
+        |         round(CAST(coalesce(list_sum(
+        |             list_transform(words, w -> len(w))), 0) AS DOUBLE)
+        |           / greatest(len(words), 1), 4) AS mean_word_len,
+        |         round(CAST(len(list_filter(lines,
+        |             x -> starts_with(x, '- '))) AS DOUBLE)
+        |           / len(lines), 4) AS bullet_frac,
+        |         round(CAST(len(list_filter(lines,
+        |             x -> ends_with(x, chr(8230)))) AS DOUBLE)
+        |           / len(lines), 4) AS ellipsis_frac,
+        |         round(CAST(len(list_filter(words,
+        |             w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE)
+        |           / greatest(len(words), 1), 4) AS alpha_word_frac,
+        |         (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+        |           AS stop_hits
+        |  FROM l)
+        |SELECT doc_id, n_words, mean_word_len, bullet_frac, ellipsis_frac,
+        |       alpha_word_frac, stop_hits,
+        |       CASE WHEN n_words < 40 THEN 'too_short'
+        |            WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+        |              THEN 'word_len'
+        |            WHEN bullet_frac > 0.25 THEN 'bullet'
+        |            WHEN ellipsis_frac > 0.3 THEN 'ellipsis'
+        |            WHEN alpha_word_frac < 0.8 THEN 'non_alpha'
+        |            WHEN stop_hits < 2 THEN 'stopword'
+        |            ELSE 'pass' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "llm_domain_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |         text || ' https://d' || (doc_id % 13) || '.example.com/p/'
+        |              || doc_id ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' via http://cdn' || (doc_id % 3) || '.example.net/x'
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |         unnest(regexp_extract_all(t, 'https?://[a-z0-9./-]+')) AS url
+        |  FROM aug)
+        |SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)/', 1) AS domain,
+        |       count(*) AS url_ct,
+        |       count(DISTINCT doc_id) AS doc_ct,
+        |       count(DISTINCT lang) AS lang_ct
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+    "llm_domain_cap" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' https://d' || (doc_id % 13) || '.example.com/p/'
+        |              || doc_id ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' via http://cdn' || (doc_id % 3) || '.example.net/x'
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |         regexp_extract(regexp_extract_all(t,
+        |           'https?://[a-z0-9./-]+')[1],
+        |           'https?://([a-z0-9.-]+)/', 1) AS domain
+        |  FROM aug),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |         CAST(row_number() OVER (PARTITION BY domain
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM p)
+        |SELECT doc_id, domain, rk FROM r WHERE rk <= 8
+        |ORDER BY domain, rk""".stripMargin,
     "llm_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |lines AS (
@@ -1594,41 +1786,10 @@ object SparkEntry {
         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
         |            / 2048.0) AS BIGINT) AS pack_id
         |FROM surv ORDER BY lang, source, doc_id""".stripMargin,
-    "llm_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(text), '\s+'),
-        |                     w -> w <> '') AS t
-        |  FROM documents),
-        |bench AS (
-        |  SELECT doc_id / 97 AS b_idx,
-        |         array_to_string(t[1:12], ' ') AS snippet, t AS bt
-        |  FROM tok WHERE doc_id % 97 = 0),
-        |corpus AS (
-        |  SELECT d.doc_id,
-        |         list_filter(string_split_regex(lower(
-        |           CASE WHEN d.doc_id % 31 = 5 AND b.snippet IS NOT NULL
-        |                THEN d.text || ' ' || b.snippet
-        |                ELSE d.text END), '\s+'), w -> w <> '') AS t
-        |  FROM tok d LEFT JOIN bench b ON d.doc_id % 5 = b.b_idx
-        |  WHERE d.doc_id % 97 <> 0),
-        |cg AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
-        |    list_transform(generate_series(1, len(t) - 7),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |           || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
-        |           || ' ' || t[i+7]) ELSE [] END) AS gram
-        |  FROM corpus),
-        |bg AS (
-        |  SELECT DISTINCT unnest(CASE WHEN len(bt) >= 8 THEN
-        |    list_transform(generate_series(1, len(bt) - 7),
-        |      i -> bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2] || ' ' || bt[i+3]
-        |           || ' ' || bt[i+4] || ' ' || bt[i+5] || ' ' || bt[i+6]
-        |           || ' ' || bt[i+7]) ELSE [] END) AS gram
-        |  FROM bench)
-        |SELECT doc_id, count(DISTINCT gram) AS leaked_gram_ct
-        |FROM cg JOIN bg USING (gram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_decontaminate" -> decontaminateSql,
+    // the Bloom pre-screen has no false negatives and the exact verify
+    // join kills its false positives, so the result is bit-identical
+    "llm_decontaminate_bloom" -> decontaminateSql,
     "llm_content_signals" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -430,6 +430,41 @@ object DedupOps {
       contaminationReport(corpus, benchmark, n).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** `contaminationReport` with a Bloom pre-screen — the 100 TB path.
+    *
+    * At scale the exact benchmark gram SET stops broadcasting long
+    * before the benchmark stops mattering (a 10M-gram eval suite is
+    * ~1 GB of strings but ~12 MB of Bloom bits at 1% fpp). Two-phase
+    * plan: (1) build a driver-side Bloom filter over the distinct
+    * benchmark grams (one pass over the tiny side; `expectedItems`
+    * from an exact count of the same frame, so the fpp target is
+    * honest); (2) scan the corpus grams ONCE, dropping every gram the
+    * Bloom rejects — no false negatives, so survivors are a superset
+    * of the true matches — then (3) exact-join only the survivors
+    * against the gram set. False positives die in phase 3, making the
+    * result BIT-IDENTICAL to `contaminationReport` (same oracle SQL);
+    * the Bloom only prunes the join's probe side from |corpus grams|
+    * to ~|true matches| + fpp·|corpus grams|.
+    *
+    * The screen is a broadcast-variable UDF (one hash probe per gram);
+    * it sits between two codegen spans rather than inside one, the
+    * standard trade for sketch probes — the row volume it removes
+    * dwarfs the codegen break. */
+  def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
+                               n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val benchGrams = gramRows(benchmark, n).select(col("gram")).distinct()
+    val expectedItems = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expectedItems, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bcast.value.mightContainString(g))
+    gramRows(corpus, n)
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("leaked_gram_ct"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic contamination fixture for the driver oracle: the
     * benchmark is every 97th doc; corpus docs with `doc_id % 31 == 5`
     * whose `doc_id % 5` matches a benchmark index get that benchmark's

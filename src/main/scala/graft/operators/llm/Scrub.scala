@@ -1,0 +1,158 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextExprs, Tokenize}
+
+/** Text-scrubbing operators for training-data hygiene, beyond the
+  * URL/email pass in `TextAnalysis.redact`: structured-PII redaction,
+  * Unicode normalization, and the Gopher heuristics (Rae et al. 2021,
+  * "Scaling Language Models", §A1.1) that the simpler quality gate
+  * does not cover.
+  *
+  * All three follow the repo's fixture discipline: a deterministic
+  * doc_id-keyed injection makes each signal present and countable, and
+  * every expression is chosen from the Java-regex ∩ RE2 ∩ DuckDB
+  * intersection so the oracle replays the rewrite bit-identically
+  * (explicit `[0-9]` classes, no lookaround, no `\d`/`\b`).
+  *
+  * Scale posture: each operator is a single narrow projection over
+  * `documents` — no shuffle at all except gopherRules' final orderBy
+  * (presentation only). Per-row cost is a handful of regex passes;
+  * everything stays inside whole-stage codegen.
+  */
+object Scrub {
+
+  // ---------------------------------------------------------------- PII
+
+  private val CardPat = "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
+  private val IpPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Structured-PII redaction: phone numbers, IPv4 addresses and
+    * 16-digit card-shaped sequences replaced with typed placeholders,
+    * with per-kind counts so the pipeline can report scrub volume by
+    * category. Replacement order is card → IP → phone; the three
+    * pattern families are delimiter-disjoint (spaces / dots / dashes)
+    * so the order never changes the result — it is fixed only so the
+    * oracle replays one canonical rewrite. */
+  def redactPii(documents: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call "), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), (col("doc_id") % 700 + 200).cast("string"),
+          lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 251).cast("string"),
+          lit("."), (col("doc_id") % 250).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 9 === 0,
+        concat(lit(" card 4111 2222 3333 "),
+          (col("doc_id") % 5000 + 4000).cast("string")))
+        .otherwise(lit("")))
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          CardPat, "<CARD>"), IpPat, "<IP>"), PhonePat, "<PHONE>")
+          .as("text_redacted"),
+        regexp_count(col("t"), lit(PhonePat)).as("phone_ct"),
+        regexp_count(col("t"), lit(IpPat)).as("ip_ct"),
+        regexp_count(col("t"), lit(CardPat)).as("card_ct"))
+      .withColumn("pii_total",
+        col("phone_ct") + col("ip_ct") + col("card_ct"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- Unicode normalize
+
+  /** C0/DEL control characters minus \t \n \r (which are formatting). */
+  private val CtrlPat = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Unicode hygiene: strip control characters, then NFC-normalize via
+    * the native `NfcNormalize` expression (decomposed accents composed,
+    * compatibility singletons like U+212B ANGSTROM / U+2126 OHM mapped
+    * to their canonical letters). Without this pass, byte-distinct
+    * renderings of identical text defeat exact dedup and skew token
+    * statistics. The fixture plants a combining acute (doc_id%3), an
+    * ANGSTROM SIGN (doc_id%4) and a BEL control + OHM SIGN (doc_id%5);
+    * DuckDB replays with `nfc_normalize` (utf8proc — same UAX#15
+    * result). `char_delta` counts code points removed or composed
+    * away. */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      // "cafe" + U+0301 COMBINING ACUTE: NFC composes to U+00E9
+      when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+      // U+212B ANGSTROM SIGN: NFC singleton -> U+00C5
+      when(col("doc_id") % 4 === 0, lit(" \u212B")).otherwise(lit("")),
+      // U+0007 BEL (stripped by CtrlPat) + U+2126 OHM SIGN -> U+03A9
+      when(col("doc_id") % 5 === 0, lit("\u0007 \u2126")).otherwise(lit("")))
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), injected.as("t"))
+      .select(col("doc_id"),
+        TextExprs.nfc_normalize(regexp_replace(col("t"), CtrlPat, ""))
+          .as("text_norm"),
+        col("t"))
+      .select(col("doc_id"), col("text_norm"),
+        (col("text_norm") =!= col("t")).as("norm_changed"),
+        (length(col("t")) - length(col("text_norm"))).as("char_delta"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------------- Gopher rules
+
+  /** The §A1.1 stop list: a document passing the "stop word" rule must
+    * contain at least two of these. */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher repetition-free document heuristics (Rae et al. 2021
+    * §A1.1), the rules not already covered by `quality`/`repetition`:
+    * word-count floor, mean-word-length band, bullet-line and
+    * ellipsis-line fractions, and the stop-word test. The fixture
+    * synthesizes line structure deterministically (every ` slow ` run
+    * opens a bullet line, every ` fast ` run closes the previous line
+    * with an ellipsis) and plants stop words on even doc_ids so both
+    * verdicts occur at every SF. Emits the measured signals plus the
+    * FIRST failing rule (`pass` when none), mirroring the
+    * `qualityGate` verdict contract. */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val injected = lower(concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" of and that")).otherwise(lit(""))))
+    val lined = regexp_replace(regexp_replace(injected,
+      " slow ", "\n- slow "), " fast ", "…\nfast ")
+    val lines = split(lined, "\n")
+    val words = Tokenize.wsTokens(injected)
+    val base = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), lines.as("lines"), words.as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        round(aggregate(col("words"), lit(0L), (acc, w) =>
+          acc + length(w)).cast("double") /
+          greatest(size(col("words")), lit(1)), 4).as("mean_word_len"),
+        round(size(filter(col("lines"), l => l.startsWith("- ")))
+          .cast("double") / size(col("lines")), 4).as("bullet_frac"),
+        round(size(filter(col("lines"), l => l.endsWith("…")))
+          .cast("double") / size(col("lines")), 4).as("ellipsis_frac"),
+        round(size(filter(col("words"), w => w.rlike("^[a-z]+$")))
+          .cast("double") / greatest(size(col("words")), lit(1)), 4)
+          .as("alpha_word_frac"),
+        GopherStops.map(s =>
+          when(array_contains(col("words"), s), 1).otherwise(0))
+          .reduce(_ + _).as("stop_hits"))
+    base.select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("bullet_frac"), col("ellipsis_frac"), col("alpha_word_frac"),
+        col("stop_hits"),
+        when(col("n_words") < 40, "too_short")
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+            "word_len")
+          .when(col("bullet_frac") > 0.25, "bullet")
+          .when(col("ellipsis_frac") > 0.3, "ellipsis")
+          .when(col("alpha_word_frac") < 0.8, "non_alpha")
+          .when(col("stop_hits") < 2, "stopword")
+          .otherwise("pass").as("verdict"))
+      .orderBy("doc_id")
+  }
+}

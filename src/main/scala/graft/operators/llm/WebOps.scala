@@ -1,0 +1,72 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-provenance operators — the CommonCrawl-shaped half of corpus
+  * curation: per-host statistics and per-host document caps. A crawl
+  * corpus is violently skewed by host (a handful of boilerplate-heavy
+  * domains contribute a huge share of raw documents), so production
+  * pipelines (C4, RefinedWeb §3.1, Dolma) both REPORT per-domain mass
+  * and CAP it before training.
+  *
+  * The documents fixture has no URL column, so both operators plant
+  * deterministic doc_id-keyed URLs (13 primary hosts + 3 CDN hosts on
+  * every 5th doc) — the same injection discipline as the redaction
+  * fixtures, replayable verbatim by the DuckDB oracle.
+  *
+  * Scale posture: `domainStats` is explode → one hash-aggregate keyed
+  * by domain (domains are the NATURAL pre-aggregation key — cardinality
+  * millions, not billions, so the exchange carries partial aggregates
+  * only). `domainCapSample` is one window over the domain exchange;
+  * the rank order is a hash of doc_id, not crawl order, so the kept
+  * sample is unbiased w.r.t. position and deterministic under retries.
+  * A pathological mega-host makes that window's partition huge — the
+  * standard fix is pre-capping per (domain, doc_id-hash-bucket) first;
+  * at the fixture's fan-out the single window is the right plan.
+  */
+object WebOps {
+
+  private val UrlPat = "https?://[a-z0-9./-]+"
+  private val HostPat = "https?://([a-z0-9.-]+)/"
+
+  /** The deterministic URL injection shared by both operators. */
+  private def withUrls(documents: DataFrame) =
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          lit(" https://d"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" via http://cdn"), (col("doc_id") % 3).cast("string"),
+              lit(".example.net/x"))).otherwise(lit(""))).as("t"))
+
+  /** Per-host corpus mass: URL mentions, distinct documents and
+    * distinct languages per extracted host. */
+  def domainStats(documents: DataFrame): DataFrame =
+    withUrls(documents)
+      .select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(col("t"), lit(UrlPat), lit(0))).as("url"))
+      .select(col("doc_id"), col("lang"),
+        regexp_extract(col("url"), HostPat, 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("url_ct"),
+        countDistinct(col("doc_id")).as("doc_ct"),
+        countDistinct(col("lang")).as("lang_ct"))
+      .orderBy("domain")
+
+  /** Per-host document cap: keep at most `cap` documents per primary
+    * host (the host of the document's first URL), chosen by md5-hash
+    * rank — position-unbiased, deterministic, oracle-replayable. */
+  def domainCapSample(documents: DataFrame, cap: Int = 8): DataFrame =
+    withUrls(documents)
+      .select(col("doc_id"),
+        regexp_extract(element_at(regexp_extract_all(col("t"), lit(UrlPat), lit(0)), 1),
+          HostPat, 1).as("domain"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("domain"), col("rk"))
+      .orderBy("domain", "rk")
+}

@@ -61,6 +61,24 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("nfc_normalize is SQL-callable, codegen'd, and composes NFC") {
+    org.apache.spark.sql.graftbridge.Bridge.installFunctions(
+      new GraftExtensions(), spark)
+    // decomposed e+COMBINING ACUTE, ANGSTROM SIGN, OHM SIGN, plain
+    // ASCII — NOTE Spark SQL's char(n) is ASCII-mod-256, not a code
+    // point (unlike DuckDB's chr), so the literals use \u escapes
+    val rows = spark.sql(
+      "SELECT nfc_normalize('caf" + "e\u0301" + "') AS a, " +
+        "nfc_normalize('" + "\u212B" + "') AS b, nfc_normalize('" + "\u2126" + "') AS c, " +
+        "nfc_normalize('plain ascii stays') AS d, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").collect().head
+    assert(rows.getString(0) == "caf\u00E9")
+    assert(rows.getString(1) == "\u00C5")
+    assert(rows.getString(2) == "\u03A9")
+    assert(rows.getString(3) == "plain ascii stays")
+    assert(rows.isNullAt(4))
+  }
+
   test("FuseCosine rewrites the HOF cosine tree to CosineSim when enabled") {
     import graft.operators.llm.Similarity
     // parquet-backed (a local Seq relation constant-folds at optimize

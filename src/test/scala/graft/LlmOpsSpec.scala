@@ -1123,4 +1123,81 @@ class LlmOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.get(2))).toMap
     scored.foreach { case (id, (_, s, _)) => assert(rerun(id) == s) }
   }
+
+  test("bloom-prescreened decontamination is bit-identical to exact") {
+    val (corpus, bench) = DedupOps.contaminationFixture(docs)
+    val exact = DedupOps.contaminationReport(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at the default fpp AND at a sloppy one: false positives must die
+    // in the verify join, leaving the report unchanged
+    Seq(0.01, 0.3).foreach { fpp =>
+      val bloom = DedupOps
+        .contaminationReportBloom(corpus, bench, fpp = fpp).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("normalizeText composes planted marks and strips controls") {
+    val out = Scrub.normalizeText(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getInt(3))).toList
+    out.foreach { case (id, norm, changed, delta) =>
+      // NFC output never retains the planted decomposed/compat forms
+      assert(!norm.contains("\u0301") && !norm.contains("\u212B") &&
+        !norm.contains("\u2126") && !norm.contains("\u0007"), s"doc $id")
+      val planted = id % 3 == 0 || id % 4 == 0 || id % 5 == 0
+      assert(changed == planted, s"doc $id changed=$changed")
+      // combining mark composed (%3) and BEL stripped (%5) each drop
+      // one code point; ANGSTROM->Å (%4) is length-neutral
+      val expectDelta = (if (id % 3 == 0) 1 else 0) +
+        (if (id % 5 == 0) 1 else 0)
+      assert(delta == expectDelta, s"doc $id delta=$delta")
+      if (id % 3 == 0) assert(norm.contains("caf\u00E9"))
+      if (id % 4 == 0) assert(norm.contains("\u00C5"))
+      if (id % 5 == 0) assert(norm.contains("\u03A9"))
+    }
+  }
+
+  test("gopher rules: verdicts split and stop rule tracks the injection") {
+    val rows = Scrub.gopherRules(docs).collect()
+    val verdicts = rows.map(_.getString(7)).toSet
+    assert(verdicts.contains("pass"), "no passing doc in fixture")
+    assert(verdicts.size >= 2, "gopher gate never fails on the fixture")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0)
+        assert(r.getInt(6) >= 3, s"doc $id stop_hits after injection")
+    }
+  }
+
+  test("redactPii scrubs every planted pattern and counts by kind") {
+    val rows = Scrub.redactPii(docs).collect()
+    rows.foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      assert(!t.matches("(?s).*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"), s"doc $id phone")
+      assert(!t.matches("(?s).*[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}.*"), s"doc $id ip")
+      assert((r.getInt(2) >= 1) == (id % 4 == 0), s"doc $id phone_ct")
+      assert((r.getInt(3) >= 1) == (id % 6 == 0), s"doc $id ip_ct")
+      assert((r.getInt(4) >= 1) == (id % 9 == 0), s"doc $id card_ct")
+      if (id % 9 == 0) assert(t.contains("<CARD>"))
+    }
+  }
+
+  test("domain cap: at most `cap` docs kept per host, deterministically") {
+    val cap = 3
+    val kept = WebOps.domainCapSample(docs, cap)
+    val perDomain = kept.groupBy(col("domain"))
+      .agg(count(lit(1)).as("ct"), max(col("rk")).as("mx")).collect()
+    assert(perDomain.nonEmpty)
+    perDomain.foreach { r =>
+      assert(r.getLong(1) <= cap && r.getInt(2) <= cap, r.getString(0))
+    }
+    // hash-rank selection is deterministic under re-execution
+    assert(kept.collect().toSeq == WebOps.domainCapSample(docs, cap)
+      .collect().toSeq)
+    // the fixture's 13 primary hosts all appear
+    assert(perDomain.length == 13)
+  }
 }
