@@ -294,6 +294,10 @@ object SparkEntry {
     "llm_gopher_rules" -> ((s, d) => llm.Scrub.gopherRules(Tables.documents(s, d))),
     "llm_domain_stats" -> ((s, d) => llm.WebOps.domainStats(Tables.documents(s, d))),
     "llm_domain_cap" -> ((s, d) => llm.WebOps.domainCapSample(Tables.documents(s, d))),
+    // real learned-BPE tokenizer; oracle = committed fixture computed by
+    // the INDEPENDENT pure-Python twin (tools/gen_bpe_fixture.py) at
+    // sf0.01 — full-sequence md5 equality per document
+    "llm_bpe_tokenize" -> ((s, d) => llm.Bpe.tokenize(Tables.documents(s, d))),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -1427,6 +1431,16 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS doc_ct,
         |       count(DISTINCT lang) AS lang_ct
         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+    // the fixture was generated by tools/gen_bpe_fixture.py — a
+    // shared-nothing Python BPE implementation — so this compares two
+    // independent implementations document-by-document (count + full
+    // token-sequence md5); the documents join anchors row coverage
+    "llm_bpe_tokenize" ->
+      """SELECT d.doc_id, f.bpe_token_ct, f.tokens_md5
+        |FROM documents d
+        |JOIN read_parquet('/root/repo/tools/fixtures/bpe_sf001.parquet') f
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "llm_domain_cap" ->
       """WITH aug AS (
         |  SELECT doc_id,

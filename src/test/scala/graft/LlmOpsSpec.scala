@@ -1185,6 +1185,35 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("BPE: merges learn frequency, encode is lossless and memo-stable") {
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest wider wider wider low low"),
+      (3L, "lowest lowest newest low wider")).toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, numMerges = 50, vocabWords = 100)
+    assert(merges.nonEmpty)
+    // deterministic: training twice yields the identical merge list
+    assert(merges == Bpe.train(corpus, numMerges = 50, vocabWords = 100))
+    val ranks = merges.map(m => (m.a, m.b) -> m.rank).toMap
+    // lossless: tokens concatenate back to word + end marker, per word
+    Seq("low", "lower", "newest", "wider", "unseen", "zzz").foreach { w =>
+      val toks = Bpe.encodeWord(w, ranks)
+      assert(toks.mkString("") == w + Bpe.EndOfWord, s"word $w -> ${toks.toSeq}")
+    }
+    // the most frequent word compresses to a single learned token
+    assert(Bpe.encodeWord("low", ranks).length == 1)
+    // full-corpus encode: counts bounded by char count, never below 1/word
+    val out = Bpe.encode(corpus, merges).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val nWords = corpus.filter(col("doc_id") === r.getLong(0))
+        .select(size(split(col("text"), " "))).collect().head.getInt(0)
+      assert(r.getInt(1) >= nWords, "at least one token per word")
+    }
+    // an out-of-vocab word stays multi-token (no spurious over-merging)
+    assert(Bpe.encodeWord("zzz", ranks).length > 1)
+  }
+
   test("domain cap: at most `cap` docs kept per host, deterministically") {
     val cap = 3
     val kept = WebOps.domainCapSample(docs, cap)
