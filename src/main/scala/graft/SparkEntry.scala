@@ -319,6 +319,16 @@ object SparkEntry {
     "llm_ann_ivf_fullprobe" -> ((s, d) =>
       llm.Similarity.ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         nProbe = 16)),
+    // product quantization: ADC over m-code compressed vectors,
+    // exact rerank of the shortlist (rows-only; recall pinned in spec)
+    "llm_ann_ivfpq" -> ((s, d) =>
+      llm.PqAnn.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // shortlist >= |corpus| makes the exact rerank see every vector,
+    // so PQ degenerates to brute force bit-for-bit — a real oracle for
+    // the codebook/encode/LUT/rerank machinery
+    "llm_ann_ivfpq_rerank_all" -> ((s, d) =>
+      llm.PqAnn.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        shortlist = 1000000)),
     // each twin's single nearest neighbor is its source by construction
     "llm_ann_lsh_twin_top1" -> ((s, d) =>
       llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
@@ -1916,6 +1926,23 @@ object SparkEntry {
         |         list_transform(embedding, x -> x::DOUBLE)), 4) AS cos_sim
         |FROM embeddings WHERE vec_id % 10 = 0 ORDER BY query_id""".stripMargin,
     "llm_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS q_emb
+        |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(e.embedding, x -> x::DOUBLE), q_emb), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // PQ with an everything-shortlist: the exact rerank sees every
+    // vector, so the answer IS the brute-force top-k — same oracle
+    "llm_ann_ivfpq_rerank_all" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |                  list_transform(embedding, x -> x::DOUBLE) AS q_emb
         |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

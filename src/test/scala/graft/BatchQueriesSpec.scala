@@ -20,6 +20,9 @@ class BatchQueriesSpec extends SparkTestBase {
     // rows-only entries must be a deliberate, documented set
     val allowed = Set("llm_dedup_minhash", "llm_dedup_simhash",
       "llm_dedup_ngram_jaccard", "llm_ann_lsh", "llm_ann_ivf",
+      // PQ shortlist is approximate by design; the rerank-all twin
+      // llm_ann_ivfpq_rerank_all is the oracle; recall pinned in spec
+      "llm_ann_ivfpq",
       // cell-blocked SemDeDup: exact twin llm_semdedup_twin is the
       // oracle; LlmOpsSpec pins general == twin on planted duplicates
       "llm_semdedup",

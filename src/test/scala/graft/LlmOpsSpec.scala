@@ -1185,6 +1185,36 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("PQ ANN: codes well-formed, rerank-all == brute force, recall holds") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    // code column shape: m entries, each in [0, codes)
+    val books = PqAnn.pqCodebooks(emb, m = 8, codes = 16)
+    val coded = PqAnn.pqEncode(emb, books, m = 8)
+      .select(col("vec_id"), col("codes")).collect()
+    assert(coded.length == emb.count())
+    coded.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), cs)
+    }
+    // shortlist >= corpus: bit-identical to the brute-force baseline
+    val all = PqAnn.pqTopK(emb, qids, shortlist = 1000000).collect().toSeq
+    val bf = Similarity.bruteForceTopK(emb, qids).collect().toSeq
+    assert(all == bf)
+    // bounded shortlist: recall@10 vs brute force stays high — ADC on
+    // 8 codes must rank the true neighborhood into a 50-candidate list
+    val pq = PqAnn.pqTopK(emb, qids, shortlist = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = bf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq & truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"recall@10 $recall")
+    // determinism: a rerun reproduces the shortlisted result exactly
+    assert(PqAnn.pqTopK(emb, qids, shortlist = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      PqAnn.pqTopK(emb, qids, shortlist = 50).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+  }
+
   test("BPE: merges learn frequency, encode is lossless and memo-stable") {
     val corpus = Seq(
       (1L, "low low low low low lower lower newest newest newest"),
