@@ -42,17 +42,27 @@ object WebOps {
               lit(".example.net/x"))).otherwise(lit(""))).as("t"))
 
   /** Per-host corpus mass: URL mentions, distinct documents and
-    * distinct languages per extracted host. */
+    * distinct languages per extracted host.
+    *
+    * Two-level aggregate instead of `count(distinct doc_id),
+    * count(distinct lang)` in one pass: multiple DISTINCTs make Spark
+    * plan an Expand (3× the exploded URL rows through the first
+    * exchange). Pre-aggregating per (domain, doc_id) makes doc_ct a
+    * plain count (the pair is the grouping key, so it IS distinct),
+    * leaves ONE distinct for lang (no Expand), and carries one row
+    * per (domain, doc) — not per URL — into the domain exchange. */
   def domainStats(documents: DataFrame): DataFrame =
     withUrls(documents)
       .select(col("doc_id"), col("lang"),
         explode(regexp_extract_all(col("t"), lit(UrlPat), lit(0))).as("url"))
       .select(col("doc_id"), col("lang"),
         regexp_extract(col("url"), HostPat, 1).as("domain"))
+      .groupBy(col("domain"), col("doc_id"))
+      .agg(count(lit(1)).as("url_ct_p"), min(col("lang")).as("doc_lang"))
       .groupBy(col("domain"))
-      .agg(count(lit(1)).as("url_ct"),
-        countDistinct(col("doc_id")).as("doc_ct"),
-        countDistinct(col("lang")).as("lang_ct"))
+      .agg(sum(col("url_ct_p")).as("url_ct"),
+        count(lit(1)).as("doc_ct"),
+        countDistinct(col("doc_lang")).as("lang_ct"))
       .orderBy("domain")
 
   /** Per-host document cap: keep at most `cap` documents per primary

@@ -223,4 +223,41 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("RoundRobinPartitioning"), s"spread gate inert:\n$p")
     } finally spark.conf.unset("spark.graft.spread.enabled")
   }
+
+  test("scrub family: pure narrow projections — no hash exchange, no join") {
+    // PII redaction and NFC normalization are scan -> project (+ the
+    // presentation sort); a hash exchange or join appearing here means
+    // someone de-narrowed the scrub path
+    Seq("llm_redact_pii", "llm_text_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning("), s"$q grew an exchange:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
+  test("llm_domain_stats: two-level aggregate, no Expand, no join") {
+    val p = plan("llm_domain_stats")
+    // the two-level shape: (domain, doc) pre-agg then domain agg —
+    // multi-DISTINCT in one pass would plan an Expand (3× the URL
+    // rows through the first exchange)
+    assert(!p.contains("Expand"), s"multi-distinct Expand reappeared:\n$p")
+    // three domain-prefixed exchanges, each carrying pre-aggregated
+    // rows: (domain,doc) pre-agg, the single-distinct's (domain,lang)
+    // partial, and the final domain merge — every one map-side combined
+    val domainExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(domain")).size
+    assert(domainExchanges <= 3, s"expected <=3 domain exchanges, plan:\n$p")
+    assert(!p.contains("Join"), s"domain stats must be join-free:\n$p")
+    // partial aggregation runs before the exchange (map-side combine)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("llm_decontaminate_bloom: bloom filter sits before the verify join") {
+    val df = SparkEntry.queries("llm_decontaminate_bloom")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF pre-screen must appear, and the exact join must still be
+    // a broadcast (the gram set side) — the bloom replaces neither
+    assert(p.contains("UDF"), s"bloom pre-screen missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
+  }
 }
