@@ -36,7 +36,14 @@ object Scrub {
     * pattern families are delimiter-disjoint (spaces / dots / dashes)
     * so the order never changes the result — it is fixed only so the
     * oracle replays one canonical rewrite. */
-  def redactPii(documents: DataFrame): DataFrame = {
+  def redactPii(documents: DataFrame): DataFrame =
+    redactPiiProject(documents).orderBy("doc_id")
+
+  /** The sort-free projection — shared verbatim by the batch query and
+    * the streaming probe (stateless, so the stream needs no watermark,
+    * no state, and is bit-identical to batch by construction;
+    * `StreamingParitySpec` pins it). */
+  private[graft] def redactPiiProject(documents: DataFrame): DataFrame = {
     val injected = concat(col("text"),
       when(col("doc_id") % 4 === 0,
         concat(lit(" call "), (col("doc_id") % 900 + 100).cast("string"),
@@ -63,7 +70,6 @@ object Scrub {
         regexp_count(col("t"), lit(CardPat)).as("card_ct"))
       .withColumn("pii_total",
         col("phone_ct") + col("ip_ct") + col("card_ct"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------- Unicode normalize
@@ -81,7 +87,11 @@ object Scrub {
     * DuckDB replays with `nfc_normalize` (utf8proc — same UAX#15
     * result). `char_delta` counts code points removed or composed
     * away. */
-  def normalizeText(documents: DataFrame): DataFrame = {
+  def normalizeText(documents: DataFrame): DataFrame =
+    normalizeTextProject(documents).orderBy("doc_id")
+
+  /** Sort-free projection, shared with the streaming probe. */
+  private[graft] def normalizeTextProject(documents: DataFrame): DataFrame = {
     val injected = concat(col("text"),
       // "cafe" + U+0301 COMBINING ACUTE: NFC composes to U+00E9
       when(col("doc_id") % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
@@ -98,7 +108,6 @@ object Scrub {
       .select(col("doc_id"), col("text_norm"),
         (col("text_norm") =!= col("t")).as("norm_changed"),
         (length(col("t")) - length(col("text_norm"))).as("char_delta"))
-      .orderBy("doc_id")
   }
 
   // ----------------------------------------------------- Gopher rules

@@ -377,4 +377,25 @@ class StreamingParitySpec extends SparkTestBase {
       (uvRows ++ ujRows ++ pageRows).toDF())
     assertSameRows(streamRows, batchRows)
   }
+
+  test("scrub family streams stateless: PII + normalize probes == batch") {
+    // the scrub projections are stateless, so the SAME expression tree
+    // runs under a streaming plan unchanged — no watermark, no state
+    import graft.operators.llm.Scrub
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(60)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val typed = docs.as[(Long, String, String, String, Long)].collect().toSeq
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val streamDocs = ms.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q1 = Scrub.redactPiiProject(streamDocs).writeStream
+      .format("memory").queryName("scrub_pii").outputMode("append").start()
+    val q2 = Scrub.normalizeTextProject(streamDocs).writeStream
+      .format("memory").queryName("scrub_norm").outputMode("append").start()
+    ms.addData(typed: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    assertSameRows(spark.table("scrub_pii"), Scrub.redactPii(docs))
+    assertSameRows(spark.table("scrub_norm"), Scrub.normalizeText(docs))
+  }
 }
