@@ -73,14 +73,15 @@ object PqAnn {
       .select(col("sub"), (col("h_rank") - 1).as("code_id"),
         col("sub_emb").as("c_emb"))
     for (_ <- 1 to iters) {
+      // argmin-by-aggregate (see assignCells): map-side combine, no
+      // sorted window over |vecs|×m×codes rows
       val assigned = subs.join(broadcast(books), Seq("sub"))
         .withColumn("d", l2dist(col("sub_emb"), col("c_emb")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("sub"))
-            .orderBy(col("d"), col("code_id"))))
-        .filter(col("rk") === 1)
-        .select(col("sub"), col("code_id"),
-          posexplode(col("sub_emb")).as(Seq("pos", "x")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d"), col("code_id").as("cid"),
+          col("sub_emb").as("se"))).as("m"))
+        .select(col("sub"), col("m.cid").as("code_id"),
+          posexplode(col("m.se")).as(Seq("pos", "x")))
       val next = assigned.groupBy(col("sub"), col("code_id"), col("pos"))
         .agg(round(avg(col("x")), 6).as("mv"))
         .groupBy(col("sub"), col("code_id"))
@@ -103,12 +104,12 @@ object PqAnn {
     val coded = subVectors(normed, m, subDim)
       .join(broadcast(books), Seq("sub"))
       .withColumn("d", l2dist(col("sub_emb"), col("c_emb")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub"))
-          .orderBy(col("d"), col("code_id"))))
-      .filter(col("rk") === 1)
+      // argmin-by-aggregate, then the per-vector code array — two hash
+      // aggregates on (vec_id[, sub]), both map-side combined
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d"), col("code_id").as("cid"))).as("m"))
       .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code_id")))),
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("m.cid").as("code_id")))),
         s => s.getField("code_id").cast("int")).as("codes"))
     normed.join(coded, "vec_id")
   }

@@ -244,12 +244,17 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("c_emb"))
     for (_ <- 1 to iters) {
+      // argmax-by-aggregate, not row_number: min(struct(-sim, id, …))
+      // picks (max sim, tie → min id) identically, but partial-combines
+      // map-side instead of shuffling and SORTING every (vec × centroid)
+      // row through a window
       val assigned = embeddings.crossJoin(broadcast(cent))
         .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
-        .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_sim").desc, col("centroid_id"))))
-        .filter(col("c_rank") === 1)
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct((-col("c_sim")).as("ns"),
+          col("centroid_id").as("cid"), col("embedding").as("e"))).as("m"))
+        .select(col("m.cid").as("centroid_id"),
+          posexplode(col("m.e")).as(Seq("pos", "x")))
       val next = assigned.groupBy("centroid_id", "pos")
         .agg(round(avg(col("x")), 6).as("m"))
         .groupBy("centroid_id")
@@ -273,10 +278,13 @@ object Similarity {
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosine(col("embedding"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("centroid_id"))))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+      // same (max sim, tie → min id) choice as a map-side-combining
+      // aggregate instead of a sorted window over |vecs|×k rows
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c_sim")).as("ns"),
+        col("centroid_id").as("cid"), col("embedding").as("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("embedding"),
+        col("m.cid").as("cell"))
 
   /** IVF (inverted-file) ANN — the other classic scale path: partition
     * the corpus into cells around k-means centroids, probe only the
