@@ -276,6 +276,10 @@ object SparkEntry {
     // the capstone composition: gate -> exact-dedup canonical -> pack
     "llm_corpus_build" -> ((s, d) =>
       llm.TextAnalysis.corpusBuild(Tables.documents(s, d))),
+    // the r4 composition capstone: gopher gate -> PII scrub -> per-host
+    // cap -> exact dedup on scrubbed text -> per-host packing
+    "llm_corpus_build_v2" -> ((s, d) =>
+      llm.Scrub.curationV2(Tables.documents(s, d))),
     "llm_decontaminate" -> ((s, d) => {
       val (corpus, bench) =
         llm.DedupOps.contaminationFixture(Tables.documents(s, d))
@@ -1423,6 +1427,117 @@ object SparkEntry {
         |            WHEN stop_hits < 2 THEN 'stopword'
         |            ELSE 'pass' END AS verdict
         |FROM m ORDER BY doc_id""".stripMargin,
+    // the v2 capstone replays each stage's CTE from its single-op
+    // oracle (gopher metrics, PII rewrite, domain cap), then the same
+    // dedup + packing idioms as llm_corpus_build — `pass` spelled as
+    // the conjunction of the gate conditions over the SAME rounded
+    // metric columns the verdict CASE reads
+    "llm_corpus_build_v2" ->
+      """WITH gaug AS (
+        |  SELECT doc_id,
+        |         lower(text || CASE WHEN doc_id % 2 = 0
+        |                            THEN ' of and that' ELSE '' END) AS t
+        |  FROM documents),
+        |gl AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(regexp_replace(t,
+        |           ' slow ', chr(10) || '- slow ', 'g'),
+        |           ' fast ', chr(8230) || chr(10) || 'fast ', 'g'),
+        |           chr(10)) AS lines,
+        |         list_filter(string_split_regex(t, '\s+'),
+        |                     w -> w <> '') AS words
+        |  FROM gaug),
+        |gm AS (
+        |  SELECT doc_id,
+        |         CAST(len(words) AS BIGINT) AS n_words,
+        |         round(CAST(coalesce(list_sum(
+        |             list_transform(words, w -> len(w))), 0) AS DOUBLE)
+        |           / greatest(len(words), 1), 4) AS mean_word_len,
+        |         round(CAST(len(list_filter(lines,
+        |             x -> starts_with(x, '- '))) AS DOUBLE)
+        |           / len(lines), 4) AS bullet_frac,
+        |         round(CAST(len(list_filter(lines,
+        |             x -> ends_with(x, chr(8230)))) AS DOUBLE)
+        |           / len(lines), 4) AS ellipsis_frac,
+        |         round(CAST(len(list_filter(words,
+        |             w -> regexp_matches(w, '^[a-z]+$'))) AS DOUBLE)
+        |           / greatest(len(words), 1), 4) AS alpha_word_frac,
+        |         (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+        |           AS stop_hits
+        |  FROM gl),
+        |gpass AS (
+        |  SELECT doc_id FROM gm
+        |  WHERE n_words >= 40
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND bullet_frac <= 0.6 AND ellipsis_frac <= 0.6
+        |    AND alpha_word_frac >= 0.8 AND stop_hits >= 2),
+        |paug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN ' call ' || (doc_id % 900 + 100) || '-' ||
+        |                   (doc_id % 700 + 200) || '-' || (doc_id % 9000 + 1000)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN ' host 10.' || (doc_id % 256) || '.' ||
+        |                   (doc_id % 251) || '.' || (doc_id % 250)
+        |              ELSE '' END ||
+        |         CASE WHEN doc_id % 9 = 0
+        |              THEN ' card 4111 2222 3333 ' || (doc_id % 5000 + 4000)
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |pii AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(t,
+        |           '[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}', '<CARD>', 'g'),
+        |           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
+        |  FROM paug),
+        |daug AS (
+        |  SELECT doc_id,
+        |         text || ' https://d' || (doc_id % 13) || '.example.com/p/'
+        |              || doc_id ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' via http://cdn' || (doc_id % 3) || '.example.net/x'
+        |              ELSE '' END AS t
+        |  FROM documents),
+        |dp AS (
+        |  SELECT doc_id,
+        |         regexp_extract(regexp_extract_all(t,
+        |           'https?://[a-z0-9./-]+')[1],
+        |           'https?://([a-z0-9.-]+)/', 1) AS domain
+        |  FROM daug),
+        |dcap AS (
+        |  SELECT doc_id, domain FROM (
+        |    SELECT doc_id, domain,
+        |           row_number() OVER (PARTITION BY domain
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |    FROM dp) WHERE rk <= 8),
+        |kept AS (
+        |  SELECT p.doc_id, p.text_redacted, c.domain
+        |  FROM pii p JOIN gpass g ON p.doc_id = g.doc_id
+        |             JOIN dcap c ON p.doc_id = c.doc_id),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text_redacted)),
+        |surv AS (
+        |  SELECT k.doc_id, k.domain,
+        |         CAST(len(list_filter(string_split_regex(
+        |             lower(k.text_redacted), '\s+'), w -> w <> ''))
+        |           AS BIGINT) AS n_tokens
+        |  FROM kept k JOIN canon USING (doc_id))
+        |SELECT doc_id, domain, n_tokens,
+        |       CAST(floor((CAST(sum(n_tokens) OVER (
+        |              PARTITION BY domain ORDER BY doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+        |            / 512.0) AS BIGINT) AS pack_id
+        |FROM surv ORDER BY domain, doc_id""".stripMargin,
     "llm_domain_stats" ->
       """WITH aug AS (
         |  SELECT doc_id, lang,

@@ -164,4 +164,55 @@ object Scrub {
           .otherwise("pass").as("verdict"))
       .orderBy("doc_id")
   }
+
+  /** The round-4 curation capstone — the new-op composition a crawl
+    * pipeline actually runs, as ONE plan: Gopher gate (keep `pass`
+    * docs) → structured-PII scrub (train on the redacted text) →
+    * per-host cap (primary-domain hash-rank ≤ `cap`) → exact dedup on
+    * the SCRUBBED text (canonical = min doc_id per content hash —
+    * dedup must run post-scrub or two docs differing only in PII
+    * survive as distinct) → per-host sequence packing (`budget`-token
+    * greedy cumsum in doc_id order, the `sequencePacking` contract
+    * keyed by domain instead of (lang, source)).
+    *
+    * Every join is doc_id-keyed (one partitioning class); the
+    * content-hash aggregate and the domain window are the only other
+    * exchanges — the same shape `corpusBuild` proved, extended by the
+    * r4 operators. */
+  def curationV2(documents: DataFrame, cap: Int = 8,
+                 budget: Int = 512): DataFrame = {
+    // the capstone reads the measured gopher signals with a permissive
+    // line-structure band (0.6 instead of the strict 0.25/0.3 verdict
+    // cut) — production tunes these to the corpus; the synthetic
+    // fixture's vocabulary is bullet-heavy, and the strict band keeps
+    // ~0.2% of docs, which proves nothing about the composition
+    val pass = gopherRules(documents)
+      .filter(col("n_words") >= 40 &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("bullet_frac") <= 0.6 && col("ellipsis_frac") <= 0.6 &&
+        col("alpha_word_frac") >= 0.8 && col("stop_hits") >= 2)
+      .select("doc_id")
+    val scrubbed = redactPiiProject(documents)
+      .select(col("doc_id"), col("text_redacted"))
+    val capped = WebOps.domainCapSample(documents, cap)
+      .select(col("doc_id"), col("domain"))
+    val kept = scrubbed.join(pass, "doc_id").join(capped, "doc_id")
+    val canonical = kept
+      .groupBy(md5(col("text_redacted")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val surviving = kept.join(canonical, "doc_id")
+      .select(col("doc_id"), col("domain"),
+        size(graft.functions.Tokenize.wsTokens(col("text_redacted")))
+          .cast("long").as("n_tokens"))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    surviving
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(byDomain) - col("n_tokens")) /
+          budget.toDouble).cast("long"))
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("pack_id"))
+      .orderBy("domain", "doc_id")
+  }
 }

@@ -1244,6 +1244,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Bpe.encodeWord("zzz", ranks).length > 1)
   }
 
+  test("curation v2 capstone: every stage's invariant survives composition") {
+    val out = Scrub.curationV2(docs).collect()
+    assert(out.nonEmpty, "capstone emptied the corpus")
+    // per-host cap holds through the gate/dedup stages
+    val perDomain = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    perDomain.foreach { case (d, n) => assert(n <= 8, s"domain $d: $n docs") }
+    // greedy packing: a pack overshoots the budget by at most one doc
+    out.groupBy(r => (r.getString(1), r.getLong(3))).foreach {
+      case ((d, pid), rows) =>
+        val tot = rows.map(_.getLong(2)).sum
+        val maxDoc = rows.map(_.getLong(2)).max
+        assert(tot - maxDoc < 512, s"pack $d/$pid over budget: $tot")
+    }
+    // kept docs all passed the gate: no doc with a failing word floor
+    val gate = Scrub.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(gate(r.getLong(0)) >= 40, s"doc ${r.getLong(0)}"))
+  }
+
   test("domain cap: at most `cap` docs kept per host, deterministically") {
     val cap = 3
     val kept = WebOps.domainCapSample(docs, cap)
