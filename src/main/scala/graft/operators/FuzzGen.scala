@@ -99,7 +99,7 @@ object FuzzGen {
     val rng = new Random(0xF0220000L + i)
     val (pc, ps) = predicate(rng)
     val name = f"fuzz_$i%03d"
-    rng.nextInt(3) match {
+    rng.nextInt(5) match {
       case 0 => // filter + projection
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
@@ -128,6 +128,47 @@ object FuzzGen {
              |FROM events WHERE $ps
              |GROUP BY ${keys.map(_._3).mkString(", ")}
              |ORDER BY ${keys.map(_._3).mkString(", ")}""".stripMargin)
+      case 3 => // window rank: first N events per key by event_id
+        val byType = rng.nextBoolean()
+        val (keyCol, keySql) =
+          if (byType) (col("event_type"), "event_type")
+          else {
+            val m = 2 + rng.nextInt(9)
+            ((col("user_id") % m).as("ug"), s"user_id % $m")
+          }
+        val keyName = if (byType) "event_type" else "ug"
+        val n = 1 + rng.nextInt(5)
+        Fuzz(name,
+          (s, d) => {
+            import org.apache.spark.sql.expressions.Window
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol)
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col(keyName)).orderBy(col("event_id"))))
+              .filter(col("rn") <= n)
+              .orderBy("event_id")
+          },
+          // nested subquery, not QUALIFY: the text must parse in Spark
+          // SQL (FuzzDiffSpec) AND DuckDB (driver oracle)
+          s"""SELECT event_id, user_id, $keyName, rn FROM (
+             |  SELECT event_id, user_id, $keySql AS $keyName,
+             |         CAST(row_number() OVER (PARTITION BY $keySql
+             |              ORDER BY event_id) AS INT) AS rn
+             |  FROM events WHERE $ps) ranked
+             |WHERE rn <= $n ORDER BY event_id""".stripMargin)
+      case 4 => // global sort-limit (top-N by rounded value)
+        val lim = 20 + rng.nextInt(80)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), col("user_id"),
+              round(col("value"), 2).as("value_r"))
+            .orderBy(col("value_r").desc, col("event_id"))
+            .limit(lim),
+          s"""SELECT event_id, user_id, round(value, 2) AS value_r
+             |FROM events WHERE $ps
+             |ORDER BY value_r DESC, event_id LIMIT $lim""".stripMargin)
       case _ => // filtered slice joined to a per-user aggregate
         val lo = 10 + rng.nextInt(40)
         Fuzz(name,

@@ -31,8 +31,10 @@ class FuzzDiffSpec extends SparkTestBase {
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
       if (f.sql.contains("JOIN")) "join"
-      else if (f.sql.contains("GROUP BY")) "agg" else "filter").toSet
-    assert(shapes == Set("join", "agg", "filter"))
+      else if (f.sql.contains("GROUP BY")) "agg"
+      else if (f.sql.contains("row_number")) "window"
+      else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
+    assert(shapes == Set("join", "agg", "filter", "window", "limit"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
