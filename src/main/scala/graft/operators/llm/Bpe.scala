@@ -131,7 +131,15 @@ object Bpe {
     * BPE token count plus the md5 of the space-joined token sequence —
     * a full-sequence equality witness the fixture oracle compares
     * bit-for-bit. */
-  def encode(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def encode(documents: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeProject(documents, merges).orderBy("doc_id")
+
+  /** Sort-free encode — stateless, so the SAME mapPartitions runs
+    * under a streaming plan against a batch-trained merges table (the
+    * production split: train offline, encode the ingest stream;
+    * parity pinned in `StreamingParitySpec`). */
+  private[graft] def encodeProject(documents: DataFrame,
+                                   merges: Seq[Merge]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val ranks = merges.map(m => (m.a, m.b) -> m.rank).toMap
@@ -154,7 +162,6 @@ object Bpe {
         }
       }
       .toDF("doc_id", "bpe_token_ct", "tokens_md5")
-      .orderBy("doc_id")
   }
 
   /** The driver-contract composition: train on the directory's corpus,

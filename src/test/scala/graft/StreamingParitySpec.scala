@@ -398,4 +398,22 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(spark.table("scrub_pii"), Scrub.redactPii(docs))
     assertSameRows(spark.table("scrub_norm"), Scrub.normalizeText(docs))
   }
+
+  test("BPE encode streams against a batch-trained merges table == batch") {
+    import graft.operators.llm.Bpe
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(80)
+      .select("doc_id", "text")
+    // train offline on the batch corpus, encode the stream with the
+    // broadcast ranks — the production tokenizer split
+    val merges = Bpe.train(graft.core.Tables.documents(spark, sf0001))
+    val typed = docs.as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = Bpe.encodeProject(ms.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    ms.addData(typed: _*)
+    q.processAllAvailable()
+    q.stop()
+    assertSameRows(spark.table("bpe_stream"), Bpe.encode(docs, merges))
+  }
 }
