@@ -76,12 +76,14 @@ object Multimodal {
       frame_checksum = fnv(r.media))
   }
 
-  /** Decoder: REAL image decode for PNG/JPEG via `javax.imageio`
-    * (true pixel dimensions); audio/video — and image-tagged bytes no
-    * image reader accepts — take the stub path. Total: never throws,
-    * mirroring the U1 error-passthrough posture. */
+  /** Decoder: REAL image decode for PNG/JPEG/BMP/TIFF via
+    * `javax.imageio` (the JDK has shipped a TIFF reader since Java 9
+    * and a BMP reader since 1.5 — true pixel dimensions, no external
+    * codec); audio/video — and image-tagged bytes no image reader
+    * accepts — take the stub path. Total: never throws, mirroring the
+    * U1 error-passthrough posture. */
   private[llm] def decode(r: MediaRow): MediaFeatures = r.format match {
-    case "png" | "jpeg" =>
+    case "png" | "jpeg" | "bmp" | "tiff" =>
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.media))
@@ -352,7 +354,7 @@ object Multimodal {
     * (format-prefixed so stub hashes never collide with image
     * hashes across formats by construction of fnv input). */
   private[llm] def aHash(r: MediaRow): Long = r.format match {
-    case "png" | "jpeg" =>
+    case "png" | "jpeg" | "bmp" | "tiff" =>
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.media))

@@ -90,6 +90,13 @@ object CurationSoak {
       TextAnalysis.corpusBuild(corpus).count()
     }
 
+    // capstone A2 (r4): the curationV2 COMPOSED chain (gopher gate →
+    // PII scrub → per-host cap → exact dedup on scrubbed text →
+    // per-host packing) as ONE uncut plan
+    val nBuiltV2 = time("curationV2 composed chain") {
+      graft.operators.llm.Scrub.curationV2(corpus).count()
+    }
+
     // capstone B: semanticDedup at 64 cells over a 16×-amplified
     // embedding corpus (32k vectors) — kmeans + cell-bounded pair scan
     // + connected components + canonical selection as one pipeline
@@ -112,7 +119,7 @@ object CurationSoak {
     val totalSec = (System.nanoTime() - t0) / 1e9
     println(s"[soak] docs=$nDocs survivors=$nSurvivors " +
       s"rebalanced=$nRebalanced packs=$nPacks built=$nBuilt " +
-      s"vecs=$nVecs canonical=$nCanonical")
+      s"builtV2=$nBuiltV2 vecs=$nVecs canonical=$nCanonical")
     println(f"[soak] TOTAL ${totalSec}%.1f s = ${nDocs / totalSec}%.0f docs/s " +
       s"(shuffle total=${mb(shuffleTotal.get)} peak stage=${mb(shufflePeak.get)} " +
       s"peak driver heap=${peakHeapMb} MB)")

@@ -571,11 +571,22 @@ class LlmOpsSpec extends SparkTestBase {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    def imgBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
     val media = Seq(
       MediaRow(0L, pngBytes(320, 200), "png"),
       MediaRow(1L, pngBytes(64, 48), "jpeg"), // png bytes; imageio sniffs content
       MediaRow(2L, "not an image".getBytes, "png"), // falls back to stub
-      MediaRow(3L, pngBytes(10, 10), "wav") // non-image format: stub
+      MediaRow(3L, pngBytes(10, 10), "wav"), // non-image format: stub
+      MediaRow(4L, imgBytes(123, 45, "bmp"), "bmp"), // real JDK bmp reader
+      MediaRow(5L, imgBytes(77, 66, "tiff"), "tiff") // real JDK tiff reader
     ).toDF()
     val feats = Multimodal.extractFeatures(spark, media)
       .collect().sortBy(_.doc_id)
@@ -583,6 +594,8 @@ class LlmOpsSpec extends SparkTestBase {
     assert(feats(1).width == 64 && feats(1).height == 48)
     assert(feats(2).width == ("not an image".length % 640) + 1) // stub path
     assert(feats(3).width == (feats(3).byte_len % 640).toInt + 1) // stub path
+    assert(feats(4).width == 123 && feats(4).height == 45) // real bmp decode
+    assert(feats(5).width == 77 && feats(5).height == 66) // real tiff decode
     // resize computes from TRUE dimensions for real images
     val resized = Multimodal.resize(spark, media, 160, 160)
       .collect().sortBy(_.doc_id)
