@@ -302,6 +302,16 @@ object SparkEntry {
     // the INDEPENDENT pure-Python twin (tools/gen_bpe_fixture.py) at
     // sf0.01 — full-sequence md5 equality per document
     "llm_bpe_tokenize" -> ((s, d) => llm.Bpe.tokenize(Tables.documents(s, d))),
+    // crawl-frontier URL canonicalization + dedup
+    "llm_url_dedup" -> ((s, d) => llm.WebOps.urlDedup(Tables.documents(s, d))),
+    // CCNet head/middle/tail perplexity tiers per language
+    "llm_ppl_buckets" -> ((s, d) => llm.TextAnalysis.pplBuckets(Tables.documents(s, d))),
+    // surgical decontamination: strip leaked spans, keep the document
+    "llm_decontaminate_strip" -> ((s, d) => {
+      val (corpus, bench) =
+        llm.DedupOps.contaminationFixture(Tables.documents(s, d))
+      llm.TextAnalysis.decontaminateStrip(corpus, bench)
+    }),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
     "llm_twin_ngram_jaccard" -> ((s, d) =>
@@ -1556,6 +1566,119 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS doc_ct,
         |       count(DISTINCT lang) AS lang_ct
         |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
+    "llm_url_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' https://' ||
+        |         CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |         'd' || (doc_id % 13) || '.example.com/p/' || (doc_id % 17) ||
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN '?utm_source=t' || (doc_id % 3) ELSE '' END ||
+        |         CASE WHEN doc_id % 6 = 0
+        |              THEN '#sec' || (doc_id % 5) ELSE '' END AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+        |  FROM aug),
+        |nrm AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(url, '[?#][^ ]*', ''),
+        |           '://www\.', '://') AS url_norm
+        |  FROM u)
+        |SELECT url_norm, count(*) AS dup_ct,
+        |       count(DISTINCT url) AS variant_ct,
+        |       min(doc_id) AS first_doc
+        |FROM nrm GROUP BY 1 ORDER BY url_norm""".stripMargin,
+    "llm_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         list_transform(list_filter(
+        |             string_split_regex(lower(text), '\s+'), x -> x <> ''),
+        |           w -> CAST(('0x' || substring(md5(w), 1, 4)) AS BIGINT)
+        |                % 4096) AS bs
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, is_target, p[1] AS b1, p[2] AS b2
+        |  FROM (SELECT doc_id, is_target,
+        |          unnest(CASE WHEN len(bs) >= 2 THEN
+        |            list_transform(generate_series(1, len(bs) - 1),
+        |                           i -> [bs[i], bs[i+1]])
+        |          ELSE [] END) AS p
+        |        FROM toks)),
+        |uni AS (SELECT b1, count(*) AS c1 FROM bi WHERE is_target GROUP BY b1),
+        |model AS (
+        |  SELECT m.b1, m.b2, round(ln((c12 + 1.0) / (c1 + 4096)), 6) AS logp
+        |  FROM (SELECT b1, b2, count(*) AS c12 FROM bi
+        |        WHERE is_target GROUP BY 1, 2) m
+        |  JOIN uni USING (b1)),
+        |sc AS (
+        |  SELECT bi.doc_id, count(*) AS n_bigrams,
+        |         sum(coalesce(model.logp,
+        |             round(ln(1.0 / (coalesce(uni.c1, 0) + 4096)), 6))) AS s
+        |  FROM bi
+        |  LEFT JOIN model ON bi.b1 = model.b1 AND bi.b2 = model.b2
+        |  LEFT JOIN uni ON bi.b1 = uni.b1
+        |  GROUP BY 1),
+        |pplq AS (
+        |  SELECT d.doc_id, d.lang,
+        |         CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |              ELSE round(exp(-s / n_bigrams), 4) END AS ppl
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |cuts AS (
+        |  SELECT lang, quantile_cont(ppl, 0.33) AS p33,
+        |         quantile_cont(ppl, 0.66) AS p66
+        |  FROM pplq GROUP BY lang)
+        |SELECT p.doc_id, p.lang, p.ppl,
+        |       CASE WHEN p.ppl <= c.p33 THEN 'head'
+        |            WHEN p.ppl <= c.p66 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM pplq p JOIN cuts c USING (lang) ORDER BY p.doc_id""".stripMargin,
+    "llm_decontaminate_strip" ->
+      """WITH bsn AS (
+        |  SELECT doc_id / 97 AS b_idx,
+        |         array_to_string(list_filter(string_split_regex(lower(text),
+        |           '\s+'), w -> w <> '')[1:12], ' ') AS snippet
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |corp AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.doc_id % 31 = 5 AND b.snippet IS NOT NULL
+        |              THEN d.text || ' ' || b.snippet
+        |              ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN bsn b ON d.doc_id % 5 = b.b_idx
+        |  WHERE d.doc_id % 97 <> 0),
+        |ct AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corp),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |       FROM documents WHERE doc_id % 97 = 0),
+        |toks AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+        |  FROM ct, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |cgr AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         array_to_string(tk[i : i+7], ' ') AS gram
+        |  FROM ct, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+        |bgr AS (
+        |  SELECT DISTINCT array_to_string(tk[i : i+7], ' ') AS gram
+        |  FROM bt, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+        |starts AS (
+        |  SELECT g.doc_id, g.pos FROM cgr g SEMI JOIN bgr f USING (gram)),
+        |marked AS (
+        |  SELECT k.doc_id, k.pos, k.tok,
+        |         CASE WHEN s.pos IS NULL THEN 0 ELSE 1 END AS bstart
+        |  FROM toks k LEFT JOIN starts s USING (doc_id, pos)),
+        |covd AS (
+        |  SELECT doc_id, pos, tok, bstart,
+        |         max(bstart) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |           AS cov
+        |  FROM marked)
+        |SELECT doc_id,
+        |       coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+        |                           ORDER BY pos), '') AS clean_text,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(cov) AS BIGINT) AS n_tokens_removed,
+        |       CAST(sum(bstart) AS BIGINT) AS n_leak_spans
+        |FROM covd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the fixture was generated by tools/gen_bpe_fixture.py — a
     // shared-nothing Python BPE implementation — so this compares two
     // independent implementations document-by-document (count + full

@@ -608,6 +608,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    * language, split the corpus into head/middle/tail at the 33rd and
+    * 66th perplexity percentiles — the standard quality-tiered
+    * sampling input (train mostly on head, sample middle, drop or
+    * down-weight tail). Thresholds are exact interpolated
+    * `percentile` (the same cross-engine family `tokenPercentiles`
+    * pins against `quantile_cont`); per-lang cut rows broadcast back,
+    * so the corpus side never re-shuffles. At 100 TB the documented
+    * swap is `approx_percentile`, same call shape. */
+  def pplBuckets(documents: DataFrame): DataFrame = {
+    val ppl = lmPerplexity(documents).select(col("doc_id"), col("ppl"))
+    val scored = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), col("lang"))
+      .join(ppl, "doc_id")
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(ppl, 0.33)").as("p33"),
+        expr("percentile(ppl, 0.66)").as("p66"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("p33"), "head")
+          .when(col("ppl") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Surgical decontamination — strip the LEAKED SPANS instead of
+    * dropping whole documents (`DedupOps.decontaminate`'s blunt
+    * complement): every corpus n-gram that appears verbatim in the
+    * benchmark marks its n token positions; overlapping marks merge;
+    * the document is rebuilt from unmarked tokens. Same cover-window
+    * machinery as `spanDedup` with the dup set replaced by the
+    * benchmark gram set (broadcast — eval suites are tiny; the Bloom
+    * pre-screen composes here the same way it does in
+    * `contaminationReportBloom` when the suite outgrows broadcast). */
+  def decontaminateStrip(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchGrams = broadcast(spanGrams(benchmark, n)
+      .filter(col("valid")).select(col("gram")).distinct()
+      .withColumn("bflag", lit(1)))
+    val marked = spanGrams(corpus, n).join(benchGrams, Seq("gram"), "left")
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(col("valid") && col("bflag").isNotNull, 1).otherwise(0)
+          .as("bstart"))
+    val cover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    marked.withColumn("cov", max(col("bstart")).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("cov") === 0, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("cov")).cast("long").as("n_tokens_removed"),
+        sum(col("bstart")).cast("long").as("n_leak_spans"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF top terms: the per-document keyword extraction every text
     * stack ships — term frequency × corpus inverse document frequency,
     * top `k` terms per doc with stable (score desc, term) ranking.

@@ -65,6 +65,48 @@ object WebOps {
         countDistinct(col("doc_lang")).as("lang_ct"))
       .orderBy("domain")
 
+  /** Tracked-URL fixture for `urlDedup`: full URLs (params/fragments
+    * included), with `www.` prefixes, utm tracking params and
+    * fragments planted so normalization has variants to collapse;
+    * the path key (doc_id % 17) deliberately collides across docs so
+    * distinct raw URLs normalize into shared groups. */
+  private def withTrackedUrls(documents: DataFrame) =
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" https://"),
+          when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+          lit("d"), (col("doc_id") % 13).cast("string"),
+          lit(".example.com/p/"), (col("doc_id") % 17).cast("string"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("?utm_source=t"), (col("doc_id") % 3).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("#sec"), (col("doc_id") % 5).cast("string")))
+            .otherwise(lit(""))).as("t"))
+
+  private val FullUrlPat = "https?://[^ ]+"
+
+  /** URL-normalization dedup — the crawl-frontier hygiene pass: strip
+    * tracking query strings and fragments, drop the `www.` host
+    * prefix, then group by the canonical URL. Emits one row per
+    * canonical URL with the duplicate count, the number of DISTINCT
+    * raw variants collapsed into it, and the first doc that carried
+    * it. One gram... one URL exchange keyed by the normalized string;
+    * everything before it is a narrow projection. */
+  def urlDedup(documents: DataFrame): DataFrame =
+    withTrackedUrls(documents)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t"), lit(FullUrlPat), lit(0))).as("url"))
+      .withColumn("url_norm",
+        regexp_replace(regexp_replace(col("url"), "[?#][^ ]*", ""),
+          "://www\\.", "://"))
+      .groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("dup_ct"),
+        countDistinct(col("url")).as("variant_ct"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("url_norm")
+
   /** Per-host document cap: keep at most `cap` documents per primary
     * host (the host of the document's first URL), chosen by md5-hash
     * rank — position-unbiased, deterministic, oracle-replayable. */

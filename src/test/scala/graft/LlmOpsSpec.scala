@@ -1257,6 +1257,55 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Bpe.encodeWord("zzz", ranks).length > 1)
   }
 
+  test("url dedup: variants collapse into canonical URLs") {
+    val out = WebOps.urlDedup(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val u = r.getString(0)
+      assert(!u.contains("?") && !u.contains("#") && !u.contains("www."), u)
+    }
+    // the planted utm/fragment/www variants collapse: some canonical
+    // URL must absorb >1 distinct raw spelling
+    assert(out.exists(_.getLong(2) > 1), "no variant ever collapsed")
+    // dup_ct >= variant_ct always (same raw URL can recur)
+    out.foreach(r => assert(r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("ppl buckets: per-lang tiers partition the corpus in thirds") {
+    val out = TextAnalysis.pplBuckets(docs).collect()
+    assert(out.length == docs.count())
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length.toDouble
+      val heads = rows.count(_.getString(3) == "head") / n
+      val tails = rows.count(_.getString(3) == "tail") / n
+      // interpolated 33/66 cuts put roughly a third in each tier
+      assert(heads > 0.2 && heads < 0.5, s"$lang head frac $heads")
+      assert(tails > 0.2 && tails < 0.5, s"$lang tail frac $tails")
+      // tiers are ordered: every head ppl <= every tail ppl
+      val maxHead = rows.filter(_.getString(3) == "head").map(_.getDouble(2)).max
+      val minTail = rows.filter(_.getString(3) == "tail").map(_.getDouble(2)).min
+      assert(maxHead <= minTail, s"$lang tiers overlap")
+    }
+  }
+
+  test("decontaminate strip: leaked spans excised, clean docs untouched") {
+    val (corpus, bench) = DedupOps.contaminationFixture(docs)
+    val planted = DedupOps.contaminationReport(corpus, bench).collect()
+      .map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    val original = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    TextAnalysis.decontaminateStrip(corpus, bench).collect().foreach { r =>
+      val (id, clean) = (r.getLong(0), r.getString(1))
+      if (planted(id)) {
+        assert(r.getLong(3) > 0, s"doc $id: leak not stripped")
+        assert(clean.length < original(id).length, s"doc $id unchanged")
+      } else {
+        assert(r.getLong(3) == 0 && clean == original(id), s"doc $id mangled")
+      }
+    }
+  }
+
   test("curation v2 capstone: every stage's invariant survives composition") {
     val out = Scrub.curationV2(docs).collect()
     assert(out.nonEmpty, "capstone emptied the corpus")
