@@ -374,6 +374,9 @@ object SparkEntry {
       llm.Sampling.budgetSelect(Tables.documents(s, d))),
     "llm_mixture_rebalance" -> ((s, d) =>
       llm.Sampling.mixtureRebalance(Tables.documents(s, d))),
+    // τ-reweighted mixture: targets derived from corpus counts
+    "llm_temperature_mix" -> ((s, d) =>
+      llm.Sampling.temperatureMix(Tables.documents(s, d))),
     // dedup-aware split over the oracled multi-hop CC fixture: a whole
     // near-dup component always lands in one split
     "llm_split_assign" -> ((s, d) =>
@@ -2459,6 +2462,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // binding stratum (min count/weight) keeps all docs; others
     // hash-sample down — pure integer cross-multiplication boundary
+    "llm_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS ct,
+        |         round(pow(CAST(count(*) AS DOUBLE), 0.7), 6) AS w
+        |  FROM documents GROUP BY lang),
+        |b AS (SELECT ct AS bind_ct, w AS bind_w FROM c
+        |      ORDER BY CAST(ct AS DOUBLE) / w, lang LIMIT 1)
+        |SELECT doc_id, d.lang, source
+        |FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN b
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           AS BIGINT) % 10000 AS DOUBLE) * bind_w * ct
+        |      < w * bind_ct * 10000.0
+        |ORDER BY doc_id""".stripMargin,
     "llm_mixture_rebalance" ->
       """WITH w(lang, w_bp) AS (VALUES ('de', 2000), ('en', 4000),
         |    ('es', 1000), ('fr', 1000), ('zh', 2000)),

@@ -148,6 +148,34 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based mixture sampling (the multilingual τ-reweight
+    * of XLM/mT5: stratum share ∝ count^τ, τ<1 flattens the head so
+    * low-resource languages survive). Targets are DERIVED from the
+    * corpus (`w_l = round(ct_l^τ, 6)` — the 6-dp round after the
+    * transcendental is the repo's cross-engine pow/ln discipline),
+    * then the same binding-stratum + md5-selector machinery as
+    * `mixtureRebalance`: the stratum with the least headroom binds,
+    * every other stratum keeps `w_l·bind_ct / (bind_w·ct_l)` of its
+    * docs by deterministic hash selector. Same 100 TB shape: tiny
+    * count aggregate broadcast back, corpus pass is a narrow filter. */
+  def temperatureMix(documents: DataFrame, tau: Double = 0.7): DataFrame = {
+    require(tau > 0 && tau <= 1, s"temperature must be in (0,1], got $tau")
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("ct"))
+      .withColumn("w", round(pow(col("ct").cast("double"), lit(tau)), 6))
+    val binding = counts
+      .orderBy((col("ct").cast("double") / col("w")).asc, col("lang"))
+      .limit(1)
+      .select(col("ct").as("bind_ct"), col("w").as("bind_w"))
+    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+    documents.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(binding))
+      .filter(sel.cast("double") * col("bind_w") * col("ct") <
+        col("w") * col("bind_ct") * 10000.0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Dedup-aware train/val/test split: every document maps to its
     * near-dup COMPONENT (from a verified pair set; singletons are
     * their own), and the split is assigned by hashing the COMPONENT

@@ -618,20 +618,30 @@ object TextAnalysis {
     * so the corpus side never re-shuffles. At 100 TB the documented
     * swap is `approx_percentile`, same call shape. */
   def pplBuckets(documents: DataFrame): DataFrame = {
-    val ppl = lmPerplexity(documents).select(col("doc_id"), col("ppl"))
-    val scored = graft.core.Tables.spread(documents)
-      .select(col("doc_id"), col("lang"))
-      .join(ppl, "doc_id")
-    val cuts = scored.groupBy(col("lang"))
-      .agg(expr("percentile(ppl, 0.33)").as("p33"),
-        expr("percentile(ppl, 0.66)").as("p66"))
-    scored.join(broadcast(cuts), "lang")
+    val scored = pplScored(documents)
+    scored.join(broadcast(pplCuts(scored)), "lang")
       .select(col("doc_id"), col("lang"), col("ppl"),
         when(col("ppl") <= col("p33"), "head")
           .when(col("ppl") <= col("p66"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
   }
+
+  private def pplScored(documents: DataFrame): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), col("lang"))
+      .join(lmPerplexity(documents).select(col("doc_id"), col("ppl")),
+        "doc_id")
+
+  /** The per-language 33/66 cut table — exposed so the streaming tier
+    * router (`StreamingDedup.pplRouteProbe`) can ship the batch cuts. */
+  def pplCuts(scored: DataFrame): DataFrame =
+    scored.groupBy(col("lang"))
+      .agg(expr("percentile(ppl, 0.33)").as("p33"),
+        expr("percentile(ppl, 0.66)").as("p66"))
+
+  /** `pplCuts` over raw documents (scores them first). */
+  def pplCutsOf(documents: DataFrame): DataFrame = pplCuts(pplScored(documents))
 
   /** Surgical decontamination — strip the LEAKED SPANS instead of
     * dropping whole documents (`DedupOps.decontaminate`'s blunt

@@ -325,27 +325,73 @@ object StreamingDedup {
         val (model, backoff) = bc.value
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
-          val bs = graft.functions.Tokenize.tokensScala(text)
-            .map(md5Bucket(md, _, nBuckets))
-          var s = 0.0
-          var n = 0L
-          bs.sliding(2).foreach {
-            case Seq(b1, b2) =>
-              s += model.getOrElse((b1, b2),
-                backoff.getOrElse(b1, defaultLp))
-              n += 1
-            case _ => ()
-          }
-          if (n == 0) (id, 0L, 0.0, 0.0)
-          else {
-            val avg = s / n
-            def r4(x: Double) = BigDecimal(x)
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            (id, n, r4(avg), r4(math.exp(-avg)))
-          }
+          val (n, avg, ppl) =
+            StreamingDedup.pplOf(md, model, backoff, defaultLp, nBuckets, text)
+          (id, n, avg, ppl)
         }
       }
       .toDF("doc_id", "n_bigrams", "avg_logp", "ppl")
+  }
+
+  /** One document's (n_bigrams, avg_logp, ppl) against the broadcast
+    * model — shared by the scoring probe and the tier router. */
+  private def pplOf(md: java.security.MessageDigest,
+                    model: Map[(Long, Long), Double],
+                    backoff: Map[Long, Double], defaultLp: Double,
+                    nBuckets: Int, text: String): (Long, Double, Double) = {
+    val bs = graft.functions.Tokenize.tokensScala(text)
+      .map(md5Bucket(md, _, nBuckets))
+    var s = 0.0
+    var n = 0L
+    bs.sliding(2).foreach {
+      case Seq(b1, b2) =>
+        s += model.getOrElse((b1, b2), backoff.getOrElse(b1, defaultLp))
+        n += 1
+      case _ => ()
+    }
+    if (n == 0) (0L, 0.0, 0.0)
+    else {
+      val avg = s / n
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, r4(avg), r4(math.exp(-avg)))
+    }
+  }
+
+  /** CCNet tier ROUTER at ingest: score the stream with the
+    * batch-trained bigram model (`lmPerplexityProbe`), then bucket
+    * against the batch-computed per-language percentile cuts
+    * (`TextAnalysis.pplBuckets`' `cuts` table, collected once and
+    * shipped as a literal) — stream docs land in head/middle/tail
+    * exactly as the batch pass would place them. Stateless: model
+    * broadcast + tiny cuts map, no streaming state. */
+  def pplRouteProbe(stream: DataFrame,
+                    index: (Map[(Long, Long), Double], Map[Long, Double]),
+                    cuts: Map[String, (Double, Double)],
+                    nBuckets: Int = 4096): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((index, cuts))
+    val defaultLp = BigDecimal(math.log(1.0 / nBuckets))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    stream.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val ((model, backoff), cutMap) = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, lang, text) =>
+          val (_, _, ppl) =
+            pplOf(md, model, backoff, defaultLp, nBuckets, text)
+          val bucket = cutMap.get(lang) match {
+            case Some((p33, _)) if ppl <= p33 => "head"
+            case Some((_, p66)) if ppl <= p66 => "middle"
+            case Some(_) => "tail"
+            case None => null
+          }
+          (id, lang, ppl, bucket)
+        }
+      }
+      .toDF("doc_id", "lang", "ppl", "bucket")
   }
 
   /** Exact dedup at ingest: content-hash + watermark-bounded state

@@ -9,6 +9,7 @@ import graft.operators.llm.DedupOps
 import graft.streaming.StreamingDedup
 
 case class StreamDoc(doc_id: Long, text: String)
+case class LangDoc(doc_id: Long, lang: String, text: String)
 case class TsDoc(doc_id: Long, text: String, ts: Timestamp)
 
 /** Ingest-time dedup: streaming probe vs batch index, and streaming
@@ -268,6 +269,40 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(math.abs(sAvg - avg) <= 1e-4 + 1e-9, s"doc $id avg_logp: $sAvg vs $avg")
       assert(math.abs(sPpl - ppl) <= 1e-4 + 1e-9, s"doc $id ppl: $sPpl vs $ppl")
     }
+  }
+
+  test("ppl tier router: stream buckets match batch pplBuckets") {
+    import graft.operators.llm.TextAnalysis
+    val corpus = Tables.documents(spark, sf0001)
+    val index = StreamingDedup.lmIndex(corpus)
+    val cuts = TextAnalysis.pplCutsOf(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val ms = MemoryStream[LangDoc]
+    val q = StreamingDedup.pplRouteProbe(ms.toDF(), index, cuts)
+      .writeStream.format("memory").queryName("route_out")
+      .outputMode("append").start()
+    ms.addData(corpus.select("doc_id", "lang", "text").as[LangDoc]
+      .collect().toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("route_out").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    val batch = TextAnalysis.pplBuckets(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getString(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    var borderline = 0
+    batch.foreach { case (id, (lang, ppl, bucket)) =>
+      val (sPpl, sBucket) = streamed(id)
+      assert(math.abs(sPpl - ppl) <= 1e-4 + 1e-9, s"doc $id ppl drift")
+      val (p33, p66) = cuts(lang)
+      // the probe's ppl can sit one 4-dp rounding step off the batch
+      // value; only a doc EXACTLY at a cut can legitimately flip tier
+      if (math.abs(ppl - p33) > 2e-4 && math.abs(ppl - p66) > 2e-4)
+        assert(sBucket == bucket, s"doc $id: $sBucket vs $bucket")
+      else borderline += 1
+    }
+    assert(borderline < batch.size / 10, s"$borderline borderline docs")
   }
 
   test("exact ingest dedup re-admits content after the watermark drops its state") {
