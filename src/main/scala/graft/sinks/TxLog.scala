@@ -53,7 +53,15 @@ object TxLog {
   final case class FileEntry(path: String, part: Option[(String, String)],
                              stats: Seq[ColStats] = Nil)
 
-  final case class Snapshot(version: Long, files: Seq[FileEntry])
+  /** `dvs`: deletion-vector sidecar files (merge-on-read DELETE, the
+    * Delta DV evolution): each holds (file_name, row_index) rows
+    * masking deleted positions of still-referenced data files. A DV
+    * row whose file_name no longer appears in `files` is stale and
+    * harmless (the anti-join finds no match); rewriting commits
+    * (upsert / optimize / COW delete of everything) materialize
+    * deletions and drop the dv list. */
+  final case class Snapshot(version: Long, files: Seq[FileEntry],
+                            dvs: Seq[String] = Nil)
 
   private val LogDir = "_txlog"
   private val DataDir = "data"
@@ -151,7 +159,10 @@ object TxLog {
         FileEntry(fields(2), Some((fields(0), fields(1))),
           statsOf(fields.drop(3)))
     }.toSeq
-    Snapshot(version, files)
+    val dvs = text.linesIterator.collect {
+      case l if l.startsWith("dv=") => l.stripPrefix("dv=")
+    }.toSeq
+    Snapshot(version, files, dvs)
   }
 
   /** Read the table at its latest version (None = never committed). */
@@ -241,23 +252,46 @@ object TxLog {
     val kept = snap.files.filter(keep)
     if (kept.isEmpty) None
     else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val hasDvs = snap.dvs.nonEmpty
       // group by partition value: the partition column lives in the
       // manifest, not the files, and is restored as a literal per group
       val frames = kept.groupBy(_.part).map {
-        case (None, es) =>
-          spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
-        case (Some((c, v)), es) =>
-          // Hive writes NULL partition values as a sentinel dir name;
-          // restore it as a real NULL (as Hive/Delta do), not the
-          // literal sentinel string
-          val restored =
-            if (v == HiveNullPart)
-              org.apache.spark.sql.functions.lit(null).cast("string")
-            else org.apache.spark.sql.functions.lit(v)
-          spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
-            .withColumn(c, restored)
+        case (part, es) =>
+          val raw = spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+          // deletion vectors mask (file, row position): surface the
+          // scan's hidden file identity + row index BEFORE any union
+          // (the `_metadata` struct is per-scan and doesn't survive it)
+          val masked =
+            if (!hasDvs) raw
+            else raw.withColumn("__dv_fn", col("_metadata.file_name"))
+              .withColumn("__dv_ri", col("_metadata.row_index"))
+          part match {
+            case None => masked
+            case Some((c, v)) =>
+              // Hive writes NULL partition values as a sentinel dir
+              // name; restore a real NULL (as Hive/Delta do), not the
+              // literal sentinel string
+              val restored =
+                if (v == HiveNullPart) lit(null).cast("string") else lit(v)
+              masked.withColumn(c, restored)
+          }
       }
-      Some(frames.reduce(_.unionByName(_)))
+      val unioned = frames.reduce(_.unionByName(_))
+      if (!hasDvs) Some(unioned)
+      else {
+        // one anti-join against the union of the snapshot's DV files:
+        // live rows survive, masked positions drop. DV rows naming
+        // files outside this snapshot (stale after a rewrite) simply
+        // never match. The DV side is deleted-row COUNT sized —
+        // Catalyst broadcasts it while small, exchanges past that.
+        val dv = spark.read
+          .parquet(snap.dvs.map(d => s"$table/$d"): _*)
+          .select(col("file_name").as("__dv_fn"),
+            col("row_index").as("__dv_ri"))
+        Some(unioned.join(dv, Seq("__dv_fn", "__dv_ri"), "left_anti")
+          .drop("__dv_fn", "__dv_ri"))
+      }
     }
   }
 
@@ -419,7 +453,8 @@ object TxLog {
     *    refuses an existing destination). S3-class stores need a CAS
     *    service, as Delta documents. */
   private def tryCommit(fs: FileSystem, table: String, version: Long,
-                        files: Seq[FileEntry]): Boolean = {
+                        files: Seq[FileEntry],
+                        dvs: Seq[String] = Nil): Boolean = {
     val target = manifestPath(table, version)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent,
@@ -428,12 +463,12 @@ object TxLog {
     try {
       def statsSuffix(st: Seq[ColStats]): Seq[String] =
         st.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
-      val body = (s"version=$version" +: files.map {
+      val body = (s"version=$version" +: (files.map {
         case FileEntry(p, None, st) =>
           ((("file=" + p) +: statsSuffix(st))).mkString("\u0001")
         case FileEntry(p, Some((c, v)), st) =>
           (Seq("pfile=" + c, v, p) ++ statsSuffix(st)).mkString("\u0001")
-      }).mkString("", "\n", "\n")
+      } ++ dvs.map("dv=" + _))).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     val published =
@@ -490,9 +525,26 @@ object TxLog {
       // rewrite candidates per manifest partition group: the partition
       // column is virtual (manifest-only), so it is restored as a
       // literal for the predicate and dropped again before the write
+      // merge-on-read DVs mask rows of these very files: apply them
+      // BEFORE the rewrite, or positions a DV deleted would resurrect
+      // in the copy-on-write output
+      val dvMask =
+        if (snap.dvs.isEmpty) None
+        else Some(spark.read
+          .parquet(snap.dvs.map(d => s"$table/$d"): _*)
+          .select(col("file_name").as("__dv_fn"),
+            col("row_index").as("__dv_ri")))
       val staged = cands.groupBy(_.part).toSeq.zipWithIndex.flatMap {
         case ((part, es), gidx) =>
-          val raw = spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+          val raw0 = spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+          val raw = dvMask match {
+            case None => raw0
+            case Some(dv) => raw0
+              .withColumn("__dv_fn", col("_metadata.file_name"))
+              .withColumn("__dv_ri", col("_metadata.row_index"))
+              .join(dv, Seq("__dv_fn", "__dv_ri"), "left_anti")
+              .drop("__dv_fn", "__dv_ri")
+          }
           val restored = part match {
             case None => raw
             case Some((c, v)) => raw.withColumn(c,
@@ -548,7 +600,11 @@ object TxLog {
           Seq(FileEntry(s"$DataDir/$name", None))
         }
       val target = snap.version + 1L
-      if (tryCommit(fs, table, target, files)) {
+      // DVs are carried forward for the untouched files they still
+      // mask (entries naming rewritten files go stale-harmless); with
+      // nothing untouched every DV row is stale — drop the list
+      val carriedDvs = if (untouched.nonEmpty) snap.dvs else Nil
+      if (tryCommit(fs, table, target, files, carriedDvs)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return Some(target)
       }
@@ -556,6 +612,94 @@ object TxLog {
       // rewrites and the schema anchor alike) and retry
       files.diff(untouched).foreach(f =>
         fs.delete(new Path(s"$table/${f.path}"), false))
+      if (attempt > maxRetries)
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+    }
+    None // unreachable
+  }
+
+  /** Merge-on-read DELETE via DELETION VECTORS — the Delta DV
+    * evolution of `commitDelete`: instead of rewriting candidate
+    * files, ONE sidecar parquet of (file_name, row_index) masks the
+    * matching positions, and every data file is carried forward BY
+    * REFERENCE. A delete touching 0.1% of a 100 TB table writes
+    * kilobytes instead of re-copying terabytes; the read-side cost is
+    * one anti-join against the (deleted-row-count-sized) DV union.
+    * Rewriting commits materialize: `optimize` / `commitUpsert*` fold
+    * the masks into fresh files and drop the DV list, which is also
+    * the hard-delete path (DV-deleted bytes persist in the original
+    * files until a rewrite + `expireVersions` + `vacuumOrphans`, the
+    * same retention caveat as copy-on-write).
+    *
+    * Row identity: parquet row order in an immutable file is stable,
+    * so (file_name, `_metadata.row_index`) names a physical row for
+    * the file's whole life — the same contract Delta DVs rely on.
+    * `candidate` scopes which files are even scanned for matches
+    * (same contract as `commitDelete`); existing DVs are applied
+    * before matching so already-deleted rows don't re-enter a vector.
+    * Same OCC loop as every writer. Returns the committed version,
+    * `snap.version` unchanged when nothing matched, None for an
+    * empty/absent table. */
+  def commitDeleteMor(spark: SparkSession, table: String,
+                      predicate: org.apache.spark.sql.Column,
+                      candidate: FileEntry => Boolean = _ => true,
+                      maxRetries: Int = 20): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val fs = fsOf(spark, table)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val snap = latest(spark, table) match {
+        case None => return None
+        case Some(s) => s
+      }
+      val cands = snap.files.filter(candidate)
+      if (cands.isEmpty) return Some(snap.version)
+      val oldDv =
+        if (snap.dvs.isEmpty) None
+        else Some(spark.read
+          .parquet(snap.dvs.map(d => s"$table/$d"): _*)
+          .select(col("file_name").as("__dv_fn"),
+            col("row_index").as("__dv_ri")))
+      // matching LIVE positions per candidate group (partition column
+      // restored as a literal for the predicate, like commitDelete)
+      val newDvRows = cands.groupBy(_.part).map { case (part, es) =>
+        val raw0 = spark.read.parquet(es.map(e => s"$table/${e.path}"): _*)
+          .withColumn("__dv_fn", col("_metadata.file_name"))
+          .withColumn("__dv_ri", col("_metadata.row_index"))
+        val raw = oldDv match {
+          case None => raw0
+          case Some(dv) => raw0.join(dv, Seq("__dv_fn", "__dv_ri"), "left_anti")
+        }
+        val restored = part match {
+          case None => raw
+          case Some((c, v)) => raw.withColumn(c,
+            if (v == HiveNullPart) lit(null).cast("string") else lit(v))
+        }
+        restored.filter(coalesce(predicate, lit(false)))
+          .select(col("__dv_fn").as("file_name"),
+            col("__dv_ri").as("row_index"))
+      }.reduce(_.unionByName(_))
+      val commitId = UUID.randomUUID().toString.take(8)
+      val tmp = new Path(s"$table/.staged-$commitId-dv")
+      newDvRows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .filter(_.getPath.getName.startsWith("part-")).head
+      val (rows, _) = footerStatsMulti(fs, part.getPath, Nil)
+      if (rows == 0L) { fs.delete(tmp, true); return Some(snap.version) }
+      val dataDir = new Path(s"$table/$DataDir")
+      fs.mkdirs(dataDir)
+      val name = s"c$commitId-dv-${part.getPath.getName}"
+      if (!fs.rename(part.getPath, new Path(dataDir, name)))
+        sys.error(s"TxLog: failed to stage ${part.getPath}")
+      fs.delete(tmp, true)
+      val dvPath = s"$DataDir/$name"
+      val target = snap.version + 1L
+      if (tryCommit(fs, table, target, snap.files, snap.dvs :+ dvPath)) {
+        if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+        return Some(target)
+      }
+      fs.delete(new Path(s"$table/$dvPath"), false)
       if (attempt > maxRetries)
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
     }
@@ -730,7 +874,12 @@ object TxLog {
       else fs.listStatus(logDir).map(_.getPath.getName)
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
-        .flatMap(v => readManifest(fs, table, v).files.map(_.path)).toSet
+        .flatMap { v =>
+          val m = readManifest(fs, table, v)
+          // deletion-vector sidecars are referenced files too — a
+          // vacuum that missed them would unmask deleted rows
+          m.files.map(_.path) ++ m.dvs
+        }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(dataDir)
       .filter(_.getModificationTime <= cutoff)

@@ -560,4 +560,100 @@ class TxLogSpec extends SparkTestBase {
     assert(rows.size == 7 && rows(99L) == "late",
       s"concurrent upsert lost: $rows")
   }
+
+  test("MOR delete: zero data-file rewrite, rows masked, time travel intact") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 100L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val before = TxLog.latest(spark, t).get
+    val v = TxLog.commitDeleteMor(spark, t, col("k") % 10 === 0).get
+    val after = TxLog.latest(spark, t).get
+    // data files are carried BY REFERENCE — only a DV sidecar is new
+    assert(after.files.map(_.path) == before.files.map(_.path))
+    assert(after.dvs.size == 1 && before.dvs.isEmpty)
+    val now = TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet
+    assert(now == (1L to 100L).filterNot(_ % 10 == 0).toSet)
+    // pre-delete version still shows every row
+    assert(TxLog.readVersion(spark, t, v - 1).get.count() == 100L)
+    // no-match delete commits nothing
+    assert(TxLog.commitDeleteMor(spark, t, col("k") === -1L).get == v)
+  }
+
+  test("MOR deletes stack; a second vector holds only newly-live matches") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 50L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    TxLog.commitDeleteMor(spark, t, col("k") <= 20)
+    // overlaps the first delete: only 21..30 are still live matches
+    TxLog.commitDeleteMor(spark, t, col("k") <= 30)
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.dvs.size == 2)
+    val dvRows = spark.read
+      .parquet(snap.dvs.map(d => s"$t/$d"): _*).count()
+    assert(dvRows == 30L, s"dv rows $dvRows: already-deleted rows re-entered")
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet ==
+      (31L to 50L).toSet)
+  }
+
+  test("rewrites materialize DVs: optimize folds masks and drops the list") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 60L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    TxLog.commitDeleteMor(spark, t, col("k") > 50)
+    val expect = (1L to 50L).toSet
+    TxLog.optimize(spark, t, targetFiles = 2)
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.dvs.isEmpty, "optimize must materialize deletion vectors")
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet == expect)
+    // and an upsert over a DV'd table materializes the same way
+    TxLog.commitDeleteMor(spark, t, col("k") > 40)
+    TxLog.commitUpsert(Seq((200L, 1L, "new")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val snap2 = TxLog.latest(spark, t).get
+    assert(snap2.dvs.isEmpty)
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet ==
+      (1L to 40L).toSet + 200L)
+  }
+
+  test("COW delete after MOR delete: masks applied, no resurrection") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 40L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    TxLog.commitDeleteMor(spark, t, col("k") <= 10)
+    // copy-on-write rewrite of every file: the DV'd rows must not
+    // reappear in the rewritten output, and the dv list empties
+    TxLog.commitDelete(spark, t, col("k") > 35)
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.dvs.isEmpty)
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet ==
+      (11L to 35L).toSet)
+  }
+
+  test("vacuum never removes an active DV sidecar") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 30L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    TxLog.commitDeleteMor(spark, t, col("k") === 7L)
+    val removed = TxLog.vacuumOrphans(spark, t, graceMs = 0L)
+    assert(removed == 0, s"vacuum removed $removed referenced files")
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet ==
+      ((1L to 30L).toSet - 7L))
+  }
+
+  test("MOR delete on a partitioned table: predicate sees the virtual column") {
+    val t = freshTable()
+    TxLog.commitUpsertPartitioned(
+      Seq((1L, 1L, "a", "d1"), (2L, 1L, "b", "d1"), (3L, 1L, "c", "d2"))
+        .toDF("k", "ver", "payload", "day"),
+      t, "k", "ver", "day")
+    TxLog.commitDeleteMor(spark, t, col("day") === "d1" && col("k") === 1L)
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => (r.getLong(0), r.getAs[String]("day"))).toSet
+    assert(rows == Set((2L, "d1"), (3L, "d2")))
+  }
 }
