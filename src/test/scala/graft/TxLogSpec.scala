@@ -645,6 +645,45 @@ class TxLogSpec extends SparkTestBase {
       ((1L to 30L).toSet - 7L))
   }
 
+  test("dual MOR deleters race: OCC serializes, both masks land") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 80L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val f1 = Future(TxLog.commitDeleteMor(spark, t, col("k") <= 10))
+      val f2 = Future(TxLog.commitDeleteMor(spark, t, col("k") > 70))
+      Await.result(Future.sequence(Seq(f1, f2)), 5.minutes)
+    } finally pool.shutdown()
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.version == 3L && snap.dvs.size == 2, snap)
+    assert(TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet ==
+      (11L to 70L).toSet)
+  }
+
+  test("MOR delete races a concurrent upsert: serial-replay semantics") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 40L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fDel = Future(TxLog.commitDeleteMor(spark, t, col("k") <= 5))
+      val fUp = Future(TxLog.commitUpsert(
+        Seq((100L, 1L, "new")).toDF("k", "ver", "payload"), t, "k", "ver"))
+      Await.result(Future.sequence(Seq(fDel, fUp)), 5.minutes)
+    } finally pool.shutdown()
+    // whatever the serialization order, the end state is: keys 6..40
+    // survive, key 100 present (the upsert rewrite materializes a DV
+    // that committed before it; a DV after the upsert masks the same
+    // still-present rows)
+    val rows = TxLog.read(spark, t).get.collect().map(_.getLong(0)).toSet
+    assert(rows == (6L to 40L).toSet + 100L, rows)
+  }
+
   test("MOR delete on a partitioned table: predicate sees the virtual column") {
     val t = freshTable()
     TxLog.commitUpsertPartitioned(
