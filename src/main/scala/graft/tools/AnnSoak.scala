@@ -102,6 +102,17 @@ object AnnSoak {
       println(f"[ann-soak] recall@10 lsh probeBits=$pb: $r%.3f")
     }
 
+    // 3b. IVF-PQ recall@10 at several shortlist budgets (r4): the
+    // memory-compressed path — ADC over 8 codes, exact rerank of the
+    // shortlist; recall climbs with the rerank budget
+    Seq(50, 100, 200).foreach { sl =>
+      val r = time(s"ivfpq shortlist=$sl") {
+        recall(graft.operators.llm.PqAnn.pqTopK(corpus, qids, k = 10,
+          shortlist = sl))
+      }
+      println(f"[ann-soak] recall@10 ivfpq shortlist=$sl: $r%.3f")
+    }
+
     // 4. SemDeDup planted-twin recall at 64 cells on the twin corpus
     val twins = Similarity.withVectorTwins(corpus)
     val planted = corpus.filter(col("vec_id") % 10 === 0).count()
