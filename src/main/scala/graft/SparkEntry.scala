@@ -296,6 +296,7 @@ object SparkEntry {
     "llm_redact_pii" -> ((s, d) => llm.Scrub.redactPii(Tables.documents(s, d))),
     "llm_text_normalize" -> ((s, d) => llm.Scrub.normalizeText(Tables.documents(s, d))),
     "llm_gopher_rules" -> ((s, d) => llm.Scrub.gopherRules(Tables.documents(s, d))),
+    "llm_blocklist_filter" -> ((s, d) => llm.Scrub.blocklistFilter(Tables.documents(s, d))),
     "llm_domain_stats" -> ((s, d) => llm.WebOps.domainStats(Tables.documents(s, d))),
     "llm_domain_cap" -> ((s, d) => llm.WebOps.domainCapSample(Tables.documents(s, d))),
     // real learned-BPE tokenizer; oracle = committed fixture computed by
@@ -1551,6 +1552,31 @@ object SparkEntry {
         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
         |            / 512.0) AS BIGINT) AS pack_id
         |FROM surv ORDER BY domain, doc_id""".stripMargin,
+    "llm_blocklist_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         lower(text ||
+        |           CASE WHEN doc_id % 11 = 0 THEN ' blockedalpha' ELSE '' END ||
+        |           CASE WHEN doc_id % 13 = 0
+        |                THEN ' blockedbeta blockedbeta' ELSE '' END) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(t, '\s+'),
+        |                     x -> x <> '') AS ws
+        |  FROM aug),
+        |m AS (
+        |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(len(list_filter(ws, x -> x = 'blockedalpha'))
+        |            + len(list_filter(ws, x -> x = 'blockedbeta'))
+        |            + len(list_filter(ws, x -> x = 'blockedgamma'))
+        |           AS BIGINT) AS block_ct
+        |  FROM w)
+        |SELECT doc_id, n_words, block_ct,
+        |       round(CAST(block_ct AS DOUBLE) / greatest(n_words, 1), 4)
+        |         AS block_ratio,
+        |       block_ct = 0 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "llm_domain_stats" ->
       """WITH aug AS (
         |  SELECT doc_id, lang,

@@ -165,6 +165,42 @@ object Scrub {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- blocklist filter
+
+  /** Stand-in lexicon: a production deployment swaps in its moderation
+    * wordlist (C4 used the public "dirty, naughty…" list); the
+    * machinery — broadcast set, per-word membership, ratio + verdict —
+    * is what this op pins. Deliberately neutral placeholder terms. */
+  private[graft] val Blockwords =
+    Seq("blockedalpha", "blockedbeta", "blockedgamma")
+
+  /** C4-style wordlist gate (Raffel et al. 2020 §2.2 "bad words"
+    * filter): count blocklist hits per document, emit the hit ratio
+    * and the drop verdict (any hit drops, C4's policy; the ratio is
+    * there for softer policies). The fixture plants hits on a doc_id
+    * grid so both verdicts occur at every SF. Narrow projection over
+    * an array-membership check — the lexicon ships as a literal array
+    * (a 10⁴-word production list still broadcasts fine). */
+  def blocklistFilter(documents: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 11 === 0, lit(" blockedalpha")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" blockedbeta blockedbeta")).otherwise(lit("")))
+    val words = Tokenize.wsTokens(injected)
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        Blockwords.map(b =>
+          size(filter(col("ws"), w => w === b)))
+          .reduce(_ + _).cast("long").as("block_ct"))
+      .select(col("doc_id"), col("n_words"), col("block_ct"),
+        round(col("block_ct").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4).as("block_ratio"),
+        (col("block_ct") === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The round-4 curation capstone — the new-op composition a crawl
     * pipeline actually runs, as ONE plan: Gopher gate (keep `pass`
     * docs) → structured-PII scrub (train on the redacted text) →

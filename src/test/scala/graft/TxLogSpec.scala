@@ -645,6 +645,20 @@ class TxLogSpec extends SparkTestBase {
       ((1L to 30L).toSet - 7L))
   }
 
+  test("deletion vectors compose with stats skipping: readRange masks too") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      (1L to 100L).map(i => (i, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver", statsCol = Some("k"), clusterFiles = 4)
+    TxLog.commitDeleteMor(spark, t, col("k") % 7 === 0)
+    // the range read must still prune files by footer stats AND apply
+    // the mask to the files it does open
+    val got = TxLog.readRange(spark, t, "k", 1L, 50L).get
+      .filter(col("k").between(1L, 50L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 50L).filterNot(_ % 7 == 0).toSet, got)
+  }
+
   test("dual MOR deleters race: OCC serializes, both masks land") {
     val t = freshTable()
     TxLog.commitUpsert(
