@@ -618,6 +618,49 @@ object TxLog {
     None // unreachable
   }
 
+  /** Change feed between two committed versions — the Delta CDF
+    * analog for a pk-keyed table, computed by SNAPSHOT DIFF (no
+    * per-commit row journal: both versions are already first-class
+    * reads, so the delta is one full-outer join on the key — O(the
+    * two snapshots), the right trade for a store whose commits are
+    * full-manifest anyway; per-commit change journals are the
+    * documented alternative when consumers poll every version).
+    * Emits one row per changed key with `_change_type` ∈ insert /
+    * delete / update_preimage / update_postimage (Delta's vocabulary)
+    * — update rows compare the FULL row payload, so an upsert that
+    * rewrote a key with identical values is correctly absent. */
+  def readChanges(spark: SparkSession, table: String, pk: String,
+                  fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, md5, concat_ws, struct}
+    val a = readVersion(spark, table, fromVersion).getOrElse(return None)
+    val b = readVersion(spark, table, toVersion).getOrElse(return None)
+    val cols = a.columns.toSeq
+    require(cols.contains(pk), s"pk $pk missing")
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(pk).as(s"__k_$side"),
+        // NULL-sentinel each column before hashing: concat_ws SKIPS
+        // nulls, so a NULL<->value change could otherwise collide
+        // with a shifted concatenation and go undetected
+        md5(concat_ws("",
+          cols.map(c => coalesce(col(c).cast("string"),
+            lit("\u0002NULL\u0002"))): _*)).as(s"__h_$side"),
+        struct(cols.map(col): _*).as(s"__r_$side"))
+    val joined = keyed(a, "a").join(keyed(b, "b"),
+      col("__k_a") === col("__k_b"), "full_outer")
+    val inserts = joined.filter(col("__k_a").isNull)
+      .select(col("__r_b.*")).withColumn("_change_type", lit("insert"))
+    val deletes = joined.filter(col("__k_b").isNull)
+      .select(col("__r_a.*")).withColumn("_change_type", lit("delete"))
+    val updated = joined
+      .filter(col("__k_a").isNotNull && col("__k_b").isNotNull &&
+        col("__h_a") =!= col("__h_b"))
+    val pre = updated.select(col("__r_a.*"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = updated.select(col("__r_b.*"))
+      .withColumn("_change_type", lit("update_postimage"))
+    Some(inserts.unionByName(deletes).unionByName(pre).unionByName(post))
+  }
+
   /** Merge-on-read DELETE via DELETION VECTORS — the Delta DV
     * evolution of `commitDelete`: instead of rewriting candidate
     * files, ONE sidecar parquet of (file_name, row_index) masks the

@@ -698,6 +698,32 @@ class TxLogSpec extends SparkTestBase {
     assert(rows == (6L to 40L).toSet + 100L, rows)
   }
 
+  test("readChanges: snapshot diff yields Delta-CDF change rows") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, null))
+        .toDF("k", "ver", "payload"), t, "k", "ver")
+    // v2: update key 2, re-write key 3 with IDENTICAL values, insert 5,
+    // flip key 4 NULL -> empty string (the concat_ws trap)
+    TxLog.commitUpsert(
+      Seq((2L, 2L, "b2"), (3L, 2L, "c"), (5L, 1L, "e"), (4L, 2L, ""))
+        .toDF("k", "ver", "payload"), t, "k", "ver")
+    TxLog.commitDeleteMor(spark, t, col("k") === 1L) // v3: delete key 1
+    val c12 = TxLog.readChanges(spark, t, "k", 1L, 2L).get.collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    // key 3's ver changed 1->2, so it IS an update even though payload
+    // matched; key 4's NULL->"" flip must register
+    assert(c12 == Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "update_preimage"), (3L, "update_postimage"),
+      (4L, "update_preimage"), (4L, "update_postimage"),
+      (5L, "insert")), c12)
+    val c23 = TxLog.readChanges(spark, t, "k", 2L, 3L).get.collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(c23 == Set((1L, "delete")), c23)
+    // an unchanged span yields an empty feed
+    assert(TxLog.readChanges(spark, t, "k", 3L, 3L).get.count() == 0L)
+  }
+
   test("MOR delete on a partitioned table: predicate sees the virtual column") {
     val t = freshTable()
     TxLog.commitUpsertPartitioned(
