@@ -722,6 +722,18 @@ class TxLogSpec extends SparkTestBase {
     assert(c23 == Set((1L, "delete")), c23)
     // an unchanged span yields an empty feed
     assert(TxLog.readChanges(spark, t, "k", 3L, 3L).get.count() == 0L)
+    // completeness: applying the feed to v1 reproduces v2 exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ver", "payload").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val changes = TxLog.readChanges(spark, t, "k", 1L, 2L).get
+    val v1 = rows(TxLog.readVersion(spark, t, 1L).get)
+    val removed = rows(changes.filter(
+      col("_change_type").isin("delete", "update_preimage")))
+    val added = rows(changes.filter(
+      col("_change_type").isin("insert", "update_postimage")))
+    assert((v1 -- removed) ++ added ==
+      rows(TxLog.readVersion(spark, t, 2L).get))
   }
 
   test("MOR delete on a partitioned table: predicate sees the virtual column") {
