@@ -120,6 +120,73 @@ object PqAnn {
     * shortlist with full-precision cosine. `shortlist >= |corpus|`
     * degenerates to exact brute force (the identity the oracle pins).
     * Output shape matches `bruteForceTopK`. */
+  /** IVF × PQ — the composed billion-vector plan: probe the query's
+    * `nProbe` nearest k-means cells (IVF bounds WHICH vectors are
+    * scored), ADC-score only those cells' code rows (PQ bounds the
+    * BYTES each score touches), exact-rerank the shortlist. With
+    * `nProbe = nCentroids` and `shortlist >= |corpus|` this
+    * degenerates to brute force exactly — the identity the spec pins;
+    * recall at bounded budgets is measured in `tools/AnnSoak`. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8,
+                codes: Int = 16, shortlist: Int = 50,
+                kmeansIters: Int = 2): DataFrame = {
+    val subDim = 64 / m
+    val centroids = broadcast(
+      Similarity.kmeansCentroids(embeddings, nCentroids, kmeansIters))
+    val cells = Similarity.assignCells(embeddings, centroids)
+      .select(col("vec_id"), col("cell"))
+    val books = pqCodebooks(embeddings, m, codes)
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+      .join(pqEncode(embeddings, books, m).select(col("vec_id"), col("codes")),
+        "vec_id")
+      .join(cells, "vec_id")
+    val queries = embeddings
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.crossJoin(centroids)
+      .withColumn("c_sim", Similarity.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val luts = subVectors(
+        normalized(embeddings).filter(col("vec_id").isin(queryIds: _*)),
+        m, subDim)
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("lv", aggregate(zip_with(col("sub_emb"), col("c_emb"),
+        (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("code_id"), col("lv")))),
+        s => s.getField("lv")).as("lut"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("lut")))),
+        s => s.getField("lut")).as("luts"))
+      .select(col("vec_id").as("query_id"), col("luts"))
+    val scored = corpus
+      .join(broadcast(probes.join(queries, "query_id").join(luts, "query_id")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_sim", aggregate(
+        zip_with(col("codes"), col("luts"),
+          (c, lut) => element_at(lut, c + 1)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_sim").desc, col("vec_id"))))
+      .filter(col("adc_rank") <= shortlist)
+    scored
+      .withColumn("cos_sim",
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("int").as("rank"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
              m: Int = 8, codes: Int = 16, shortlist: Int = 50,
              iters: Int = 2): DataFrame = {

@@ -1228,6 +1228,42 @@ class LlmOpsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
   }
 
+  test("IVF x PQ composition: full budgets == brute force, bounded holds recall") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val bf = Similarity.bruteForceTopK(emb, qids).collect().toSeq
+    // every cell probed + everything reranked == brute force exactly
+    val full = PqAnn.ivfPqTopK(emb, qids, nProbe = 16, shortlist = 1000000)
+      .collect().toSeq
+    assert(full == bf)
+    // recall vs BRUTE FORCE on the structureless synthetic vectors is
+    // probe-fraction-bounded for ANY IVF method (why llm_ann_ivf is
+    // rows-only; AnnSoak measures real geometry at 32k) — the sharp
+    // invariants here isolate each composed stage instead:
+    // (a) full shortlist == plain IVF exactly: the kmeans index and
+    //     probe ranking are shared and deterministic, so the candidate
+    //     sets coincide and exact rerank == exact scoring
+    val ivfSame = Similarity.ivfTopK(emb, qids).collect().toSeq
+    val pqFullRerank = PqAnn.ivfPqTopK(emb, qids, shortlist = 1000000)
+      .collect().toSeq
+    assert(pqFullRerank == ivfSame)
+    // (b) the ADC shortlist CONVERGES to plain IVF as the rerank
+    //     budget grows — the PQ contract. (On these near-uniform
+    //     random vectors the cosine spread is comparable to 8-code
+    //     quantization error, so small-budget agreement is inherently
+    //     soft; the structured-corpus quality numbers live in AnnSoak.)
+    val ivfSet = ivfSame.map(r => (r.getLong(0), r.getLong(1))).toSet
+    def agree(shortlist: Int): Double = {
+      val s = PqAnn.ivfPqTopK(emb, qids, shortlist = shortlist).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s & ivfSet).size.toDouble / ivfSet.size
+    }
+    val (a15, a45) = (agree(15), agree(45))
+    assert(a45 >= a15 - 1e-9, s"budget growth lost agreement: $a15 -> $a45")
+    assert(a15 >= 0.4, s"small-budget agreement collapsed: $a15")
+    assert(a45 >= 0.8, s"near-full budget should closely match IVF: $a45")
+  }
+
   test("BPE: merges learn frequency, encode is lossless and memo-stable") {
     val corpus = Seq(
       (1L, "low low low low low lower lower newest newest newest"),
