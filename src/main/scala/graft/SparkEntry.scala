@@ -297,6 +297,8 @@ object SparkEntry {
     "llm_text_normalize" -> ((s, d) => llm.Scrub.normalizeText(Tables.documents(s, d))),
     "llm_gopher_rules" -> ((s, d) => llm.Scrub.gopherRules(Tables.documents(s, d))),
     "llm_blocklist_filter" -> ((s, d) => llm.Scrub.blocklistFilter(Tables.documents(s, d))),
+    "llm_html_extract" -> ((s, d) => llm.Scrub.htmlExtract(Tables.documents(s, d))),
+    "llm_sentence_stats" -> ((s, d) => llm.Scrub.sentenceStats(Tables.documents(s, d))),
     "llm_domain_stats" -> ((s, d) => llm.WebOps.domainStats(Tables.documents(s, d))),
     "llm_domain_cap" -> ((s, d) => llm.WebOps.domainCapSample(Tables.documents(s, d))),
     // real learned-BPE tokenizer; oracle = committed fixture computed by
@@ -1552,6 +1554,58 @@ object SparkEntry {
         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
         |            / 512.0) AS BIGINT) AS pack_id
         |FROM surv ORDER BY domain, doc_id""".stripMargin,
+    "llm_html_extract" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>t' || (doc_id % 7) ||
+        |         '</title><script>var x = ' || doc_id ||
+        |         ';</script></head><body><nav>home &amp; more</nav><p>' ||
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN ' <b>bold&nbsp;claim</b> &lt;tag&gt;'
+        |              ELSE '' END ||
+        |         '</p></body></html>' AS h
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, h,
+        |         regexp_replace(regexp_replace(h,
+        |           '<script>[^<]*</script>|<style>[^<]*</style>', '', 'g'),
+        |           '<[^>]*>', ' ', 'g') AS notags
+        |  FROM page),
+        |dec AS (
+        |  SELECT doc_id, h,
+        |         regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(notags,
+        |             '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
+        |             '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |             '&amp;', '&', 'g') AS decoded
+        |  FROM ext)
+        |SELECT doc_id,
+        |       trim(regexp_replace(decoded, '[ \t]+', ' ', 'g')) AS text_plain,
+        |       CAST(len(regexp_extract_all(h, '<[^>]*>')) AS INT) AS tag_ct
+        |FROM dec ORDER BY doc_id""".stripMargin,
+    "llm_sentence_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN '. Second part here!' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN ' Trailing question?' ELSE '' END AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |         list_filter(string_split_regex(t, '[.!?]+'),
+        |                     x -> trim(x) <> '') AS ss
+        |  FROM aug)
+        |SELECT doc_id,
+        |       CAST(len(ss) AS BIGINT) AS sentence_ct,
+        |       round(CAST(coalesce(list_sum(list_transform(ss,
+        |           x -> len(list_filter(string_split_regex(lower(x), '\s+'),
+        |                    w -> w <> '')))), 0) AS DOUBLE)
+        |         / greatest(len(ss), 1), 4) AS mean_sentence_words,
+        |       regexp_matches(t, '[.!?]\s*$') AS ends_terminal
+        |FROM s ORDER BY doc_id""".stripMargin,
     "llm_blocklist_filter" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -165,6 +165,68 @@ object Scrub {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- HTML extract
+
+  /** HTML-to-text extraction — the first stage of every crawl
+    * pipeline: strip tags, decode the common entities, collapse the
+    * whitespace the markup leaves behind. The fixture wraps each
+    * text in a deterministic page skeleton (doc_id-keyed nav/script
+    * noise) so extraction has real work; `tag_ct` reports markup
+    * density (a quality signal by itself — boilerplate pages are
+    * tag-heavy). Script/style CONTENT is dropped with its element,
+    * not just the tags (the classic extraction bug). Regex-only by
+    * design: a full HTML5 parser changes fidelity, not the pipeline
+    * shape, and the Java/RE2/DuckDB-common patterns keep the oracle
+    * replay exact. */
+  def htmlExtract(documents: DataFrame): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>t"), (col("doc_id") % 7).cast("string"),
+      lit("</title><script>var x = "), col("doc_id").cast("string"),
+      lit(";</script></head><body><nav>home &amp; more</nav><p>"),
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" <b>bold&nbsp;claim</b> &lt;tag&gt;")).otherwise(lit("")),
+      lit("</p></body></html>"))
+    val noScript = regexp_replace(page,
+      "<script>[^<]*</script>|<style>[^<]*</style>", "")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+      "&quot;", "\""), "&amp;", "&")
+    val squeezed = trim(regexp_replace(decoded, "[ \\t]+", " "))
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"),
+        squeezed.as("text_plain"),
+        regexp_count(page, lit("<[^>]*>")).as("tag_ct"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- sentence stats
+
+  /** Sentence segmentation statistics — inputs to the length-profile
+    * quality rules (RefinedWeb/Gopher both gate on sentence shape):
+    * terminal-punctuation split, sentence count, mean words per
+    * sentence, and the fraction ending in terminal punctuation (a
+    * fragment/boilerplate tell). The fixture plants punctuation on a
+    * doc_id grid (the synthetic corpus has none). */
+  def sentenceStats(documents: DataFrame): DataFrame = {
+    val injected = concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(". Second part here!")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" Trailing question?")).otherwise(lit("")))
+    val sentences = filter(split(injected, "[.!?]+"),
+      s => trim(s) =!= lit(""))
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), injected.as("t"), sentences.as("ss"))
+      .select(col("doc_id"),
+        size(col("ss")).cast("long").as("sentence_ct"),
+        round(aggregate(col("ss"), lit(0L), (acc, s) =>
+          acc + size(graft.functions.Tokenize.wsTokens(s))).cast("double") /
+          greatest(size(col("ss")), lit(1)), 4).as("mean_sentence_words"),
+        col("t").rlike("[.!?]\\s*$").as("ends_terminal"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- blocklist filter
 
   /** Stand-in lexicon: a production deployment swaps in its moderation

@@ -1342,6 +1342,39 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("html extract: tags and script content gone, entities decoded") {
+    Scrub.htmlExtract(docs).collect().foreach { r =>
+      val (id, plain, tagCt) = (r.getLong(0), r.getString(1), r.getInt(2))
+      assert(!plain.contains("<script") && !plain.contains("var x ="),
+        s"doc $id script content leaked")
+      assert(!plain.contains("<p>") && !plain.contains("</body>"), s"doc $id")
+      assert(plain.contains("home & more"), s"doc $id entity not decoded")
+      if (id % 3 == 0) {
+        assert(plain.contains("bold claim"), s"doc $id nbsp not decoded")
+        assert(plain.contains("<tag>"), s"doc $id lt/gt not decoded")
+      }
+      assert(tagCt >= 10, s"doc $id tag_ct $tagCt")
+      assert(!plain.contains("  "), s"doc $id whitespace not collapsed")
+    }
+  }
+
+  test("sentence stats: planted punctuation segments, fragments flagged") {
+    Scrub.sentenceStats(docs).collect().foreach { r =>
+      val (id, ct, terminal) = (r.getLong(0), r.getLong(1), r.getBoolean(3))
+      // no punctuation in the raw corpus: odd non-%5 docs are ONE
+      // unterminated fragment; odd %5 docs gain one terminated tail
+      // question (still one sentence); even docs split into >= 2
+      if (id % 2 != 0 && id % 5 != 0) {
+        assert(ct == 1 && !terminal, s"doc $id: $ct, $terminal")
+      } else if (id % 2 != 0) {
+        assert(ct == 1 && terminal, s"doc $id: $ct, $terminal")
+      } else {
+        assert(ct >= 2 && terminal, s"doc $id: $ct, $terminal")
+      }
+      assert(r.getDouble(2) > 0, s"doc $id mean words")
+    }
+  }
+
   test("curation v2 capstone: every stage's invariant survives composition") {
     val out = Scrub.curationV2(docs).collect()
     assert(out.nonEmpty, "capstone emptied the corpus")
