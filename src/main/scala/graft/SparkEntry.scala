@@ -71,6 +71,10 @@ object SparkEntry {
       SetOps.semiJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "j_anti_join" -> ((s, d) =>
       SetOps.antiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    // AS-OF join: union-tag + running carry-forward (one shuffle, no
+    // range explosion) — last-touch purchase→click attribution
+    "j_asof_join" -> ((s, d) =>
+      AsofJoin.purchaseAttribution(Tables.events(s, d))),
     "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
     "w_status_priority_cube" -> ((s, d) =>
@@ -346,6 +350,17 @@ object SparkEntry {
     "llm_ann_ivfpq_rerank_all" -> ((s, d) =>
       llm.PqAnn.pqTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
         shortlist = 1000000)),
+    // scalar int8 quantization: calibrate→quantize→dequantize→score is
+    // pure deterministic arithmetic, so the FULL pipeline is SQL-oracled
+    "llm_ann_sq8" -> ((s, d) =>
+      llm.SqAnn.sq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // BM25 ranked retrieval (Lucene idf variant), query terms broadcast
+    "llm_bm25_topk" -> ((s, d) =>
+      llm.Retrieval.bm25TopK(Tables.documents(s, d))),
+    // fuzzy vocabulary self-join: lossless bigram blocking + exact
+    // levenshtein verify over distinct part names
+    "llm_fuzzy_join" -> ((s, d) =>
+      llm.FuzzyJoin.partNameNearMatch(Tables.part(s, d))),
     // each twin's single nearest neighbor is its source by construction
     "llm_ann_lsh_twin_top1" -> ((s, d) =>
       llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
@@ -530,6 +545,23 @@ object SparkEntry {
         |                  WHERE o_custkey = c.c_custkey
         |                    AND month(o_orderdate) = 1)
         |ORDER BY c_custkey""".stripMargin,
+    // AS-OF semantics replayed as a deterministic LATERAL top-1 probe:
+    // latest click at-or-before each purchase per user, ties to the
+    // highest click event_id — exactly the carry-forward tie rules
+    "j_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       c2.event_id AS asof_click_id,
+        |       round(c2.value, 4) AS click_value,
+        |       epoch_us(p.ts) - epoch_us(c2.ts) AS gap_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT event_id, ts, value FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1) c2 ON true
+        |ORDER BY p.event_id""".stripMargin,
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
         |INTERSECT
@@ -2278,6 +2310,83 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // SQ8: the oracle REPLAYS the whole quantization pipeline —
+    // per-dim min/max calibration, floor(r+0.5) uint8 quantize, linear
+    // dequantize, exact cosine over the dequantized doubles
+    "llm_ann_sq8" ->
+      """WITH e AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> x::DOUBLE) AS emb
+        |           FROM embeddings),
+        |dims AS (
+        |  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY i),
+        |calib AS (SELECT list(mn ORDER BY i) AS mn,
+        |                 list(mx ORDER BY i) AS mx FROM dims),
+        |deq AS (
+        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+        |    CASE WHEN calib.mx[i] = calib.mn[i] THEN calib.mn[i]
+        |         ELSE least(255.0, greatest(0.0,
+        |                floor((emb[i] - calib.mn[i]) /
+        |                      ((calib.mx[i] - calib.mn[i]) / 255.0) + 0.5)))
+        |              * ((calib.mx[i] - calib.mn[i]) / 255.0) + calib.mn[i]
+        |    END) AS demb
+        |  FROM e CROSS JOIN calib),
+        |q AS (SELECT vec_id AS query_id, demb AS q_emb FROM deq
+        |      WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT query_id, d.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(d.demb, q_emb), 4) AS cos_sim
+        |  FROM deq d CROSS JOIN q WHERE d.vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // BM25 (Lucene 1+ idf variant), k1=1.2 b=0.75 pre-folded to the
+    // same literal shapes; idf 6 dp, per-term 6 dp, score 4 dp
+    "llm_bm25_topk" ->
+      """WITH q(query_id, qw) AS (
+        |  VALUES (0,'spark'),(0,'fast'),(0,'hash'),
+        |         (1,'window'),(1,'sort'),(1,'table'),
+        |         (2,'slow'),(2,'batch'),(2,'merge')),
+        |toks AS (SELECT doc_id, unnest(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           w -> w <> '')) AS w
+        |         FROM documents),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |       WHERE w IN (SELECT qw FROM q) GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE w IN (SELECT qw FROM q) GROUP BY 1),
+        |contrib AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) *
+        |               (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 *
+        |                 (CAST(len AS DOUBLE) /
+        |                  (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+        |               6) AS c
+        |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+        |       CROSS JOIN stats JOIN q ON q.qw = tf.w),
+        |agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+        |        FROM contrib GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score DESC, doc_id) AS rank FROM agg)
+        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // fuzzy join oracle is the O(n²) literal semantics over the small
+    // distinct-name vocabulary; the engine's blocking must be lossless
+    "llm_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     // full-probe IVF visits every cell, so its exact answer IS the
     // brute-force top-k — same oracle
     "llm_ann_ivf_fullprobe" ->

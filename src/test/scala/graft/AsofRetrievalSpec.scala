@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.dwd.AsofJoin
+import graft.operators.llm.{FuzzyJoin, Retrieval, SqAnn, Similarity}
+
+/** Semantics + plan-shape checks for the r4 additions: as-of join,
+  * BM25 retrieval, fuzzy (edit-distance) join, SQ8 quantized ANN. */
+class AsofRetrievalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- as-of join -------------------------------------------------
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asof join: inclusive match, tie-break, carry-forward, no-match null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:05")), // after r2/r3 tie → r3 wins
+      (2L, 10L, ts("2024-01-01 00:00:02")), // exactly at r2/r3 ts → inclusive
+      (3L, 10L, ts("2024-01-01 00:00:01")), // before any right → null
+      (4L, 20L, ts("2024-01-01 00:00:09")), // other key, carry over gap
+      (5L, 30L, ts("2024-01-01 00:00:09"))  // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:02"), 1.0),
+      (101L, 10L, ts("2024-01-01 00:00:02"), 2.0), // same ts, higher id wins
+      (102L, 20L, ts("2024-01-01 00:00:03"), 3.0)
+    ).toDF("rid", "k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", "k", "t",
+      Seq("rid", "v"), "rid")
+      .select("id", "asof_rid", "asof_v").as[(Long, Option[Long], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(101L), Some(2.0)),
+      (2L, Some(101L), Some(2.0)),
+      (3L, None, None),
+      (4L, Some(102L), Some(3.0)),
+      (5L, None, None)))
+  }
+
+  test("asof scalable path equals the range-join reformulation on events") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts"),
+        col("value"))
+    val fast = AsofJoin.asofJoin(p, c, "user_id", "ts", "user_id", "ts",
+      Seq("cid", "value"), "cid")
+    val slow = AsofJoin.asofViaRangeJoin(p, c, "user_id", "ts", "user_id",
+      "ts", Seq("cid", "value"), "cid")
+    assertSameRows(fast, slow)
+    assert(fast.count() == p.count(), "left-outer must preserve every left row")
+  }
+
+  test("asof join plan: one key exchange, no range-join blow-up") {
+    val plan = SparkEntry.queries("j_asof_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the union-tag idiom must not produce a join operator at all —
+    // the as-of match rides the window's carry-forward
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan)
+    val keyExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(__k")).size
+    assert(keyExchanges == 1, s"expected exactly 1 key exchange:\n$plan")
+  }
+
+  // ---- BM25 -------------------------------------------------------
+
+  test("bm25: a doc made of query terms outranks partial/no overlap") {
+    val docs = Seq(
+      (0L, "spark fast hash spark fast hash"), // all three terms, repeated
+      (1L, "spark row row row row row"),       // one term, long doc
+      (2L, "key value scan merge sort"),       // no query-0 terms
+      (3L, "spark fast hash")                  // all terms, shorter doc
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq(0 -> "spark fast hash"), k = 4)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out(0L) <= 2 && out(3L) <= 2, s"full-overlap docs must lead: $out")
+    assert(out(1L) == 3, s"single-term doc ranks third: $out")
+    assert(!out.contains(2L), s"zero-overlap doc must not appear: $out")
+  }
+
+  test("bm25 on the real corpus: positive scores, dense ranks per query") {
+    val df = Retrieval.bm25TopK(Tables.documents(spark, sf0001))
+    // correct + non-empty on real data; every score positive (Lucene idf)
+    val rows = df.as[(Int, Long, Int, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4 > 0))
+    val ranks = rows.groupBy(_._1).values
+    assert(ranks.forall(g => g.map(_._3).sorted.toSeq == (1 to g.size)))
+  }
+
+  // ---- fuzzy join -------------------------------------------------
+
+  test("fuzzy join: blocking is lossless vs brute force on part names") {
+    val part = Tables.part(spark, sf0001)
+    val blocked = FuzzyJoin.partNameNearMatch(part)
+    val names = part.select(col("p_name").as("name")).distinct()
+    val brute = names.as("a").join(names.as("b"),
+        col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"))
+    assertSameRows(blocked, brute)
+    assert(blocked.count() > 0, "fixture vocabulary must contain near pairs")
+  }
+
+  test("fuzzy join: short strings survive via the length-band fallback") {
+    val vals = Seq("ab", "ac", "abcd", "zz zz zz", "zz zz zx").toDF("v")
+    val out = FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2)
+      .as[(String, String, Int)].collect().toSet
+    assert(out.contains(("ab", "ac", 1)), s"short pair lost: $out")
+    assert(out.contains(("zz zz zx", "zz zz zz", 1)), out)
+  }
+
+  // ---- SQ8 ANN ----------------------------------------------------
+
+  test("sq8: quantized ranking tracks exact ranking within SQ error") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val sq = SqAnn.sq8TopK(emb, Seq(0L, 1L, 2L), k = 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    // 8-bit per-dim quantization error leaves similarities within a few
+    // thousandths; top-10 recall vs exact must stay high
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recall = sq.groupBy(_._1).map { case (q, rows) =>
+      rows.map(_._2).count(exactSets(q)) / 10.0
+    }
+    assert(recall.forall(_ >= 0.8), s"sq8 top-10 recall degraded: $recall")
+    val simByKey = exact.map(r => (r._1, r._2) -> r._3).toMap
+    val drift = sq.flatMap(r => simByKey.get((r._1, r._2))
+      .map(e => math.abs(e - r._3)))
+    assert(drift.nonEmpty && drift.max <= 0.02,
+      s"sq8 similarity drift too large: ${drift.max}")
+  }
+
+  test("sq8: constant dimensions round-trip exactly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 5.0f, 0.25f)),
+      (1L, Array(2.0f, 5.0f, 0.75f)),
+      (2L, Array(3.0f, 5.0f, 0.50f))
+    ).toDF("vec_id", "embedding")
+    // dim 2 is constant (max=min): must dequantize to exactly 5.0 and
+    // produce no NaN/null similarities
+    val out = SqAnn.sq8TopK(emb, Seq(0L), k = 2, dim = 3)
+      .select("cos_sim").as[Double].collect()
+    assert(out.length == 2 && out.forall(v => !v.isNaN))
+  }
+}
