@@ -75,11 +75,21 @@ object SparkEntry {
     // range explosion) — last-touch purchase→click attribution
     "j_asof_join" -> ((s, d) =>
       AsofJoin.purchaseAttribution(Tables.events(s, d))),
+    // trailing event-time RANGE frame (rolling 7-day spend per customer)
+    "w_trailing_range_window" -> ((s, d) =>
+      AdvancedWindows.trailingOrderWindow(Tables.orders(s, d))),
+    // hourly resample + forward fill = grid explode ∘ as-of join
+    "w_resample_ffill" -> ((s, d) =>
+      AdvancedWindows.resampleFfill(Tables.events(s, d))),
     "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
     "w_status_priority_cube" -> ((s, d) =>
       SetOps.statusPriorityCube(Tables.orders(s, d))),
     "q_topk_orders" -> ((s, d) => SetOps.topKOrders(Tables.orders(s, d))),
+    // per-key top-k via bounded typed Aggregator: the exchange carries
+    // ≤k rows per key (map-side combine), no per-key full sort
+    "q_topk_per_group" -> ((s, d) =>
+      SetOps.topKPerGroup(Tables.orders(s, d))),
     // deliberately skewed join (half the fact lands on one hot key),
     // executed through the salting kernel — the benched artifact for
     // the skew-mitigation claims; oracle = the plain join in SQL
@@ -357,6 +367,9 @@ object SparkEntry {
     // BM25 ranked retrieval (Lucene idf variant), query terms broadcast
     "llm_bm25_topk" -> ((s, d) =>
       llm.Retrieval.bm25TopK(Tables.documents(s, d))),
+    // PMI collocations: integer-count pmi over doc-level co-occurrence
+    "llm_pmi_cooccurrence" -> ((s, d) =>
+      llm.Retrieval.pmiCooccurrence(Tables.documents(s, d))),
     // fuzzy vocabulary self-join: lossless bigram blocking + exact
     // levenshtein verify over distinct part names
     "llm_fuzzy_join" -> ((s, d) =>
@@ -562,6 +575,35 @@ object SparkEntry {
         |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
         |  ORDER BY ts DESC, event_id DESC LIMIT 1) c2 ON true
         |ORDER BY p.event_id""".stripMargin,
+    // RANGE frame bounds are inclusive at both ends in both engines;
+    // Spark anchors on epoch seconds, DuckDB on the timestamp — same
+    // 7-day arithmetic under the pinned UTC session
+    "w_trailing_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       count(*) OVER w AS trailing_ct,
+        |       round(sum(o_totalprice) OVER w, 2) AS trailing_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+        |                       AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // the grid is inclusive of both truncated endpoints in both
+    // engines; the fill replays the as-of LATERAL probe per boundary
+    "w_resample_ffill" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS mn,
+        |                  date_trunc('hour', max(ts)) AS mx
+        |           FROM events GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |                unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |         FROM b)
+        |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        |       e2.event_id AS src_event_id, round(e2.value, 4) AS ffill_value
+        |FROM grid g LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events e
+        |  WHERE e.user_id = g.user_id AND e.ts <= g.h
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1) e2 ON true
+        |ORDER BY g.user_id, hour_ts""".stripMargin,
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
         |INTERSECT
@@ -585,6 +627,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin,
+    // the aggregator's bounded buffer must equal the window form
+    // exactly: rank on RAW price (value desc, id asc), round at output
+    "q_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank,
+        |       round(o_totalprice, 2) AS total
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q_skew_salted_join" ->
       """WITH li AS (
         |  SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0 ELSE l_orderkey END AS k,
@@ -2377,6 +2428,31 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id) AS rank FROM agg)
         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // PMI is pure integer-count arithmetic inside one ln(), so the
+    // replay is exact; ranking is fully tie-broken (pmi, w_a, w_b)
+    "llm_pmi_cooccurrence" ->
+      """WITH raw AS (SELECT doc_id, unnest(list_filter(
+        |               string_split_regex(lower(text), '\s+'),
+        |               w -> w <> '')) AS w
+        |             FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, w FROM raw),
+        |eligible AS (SELECT doc_id FROM toks GROUP BY doc_id
+        |             HAVING count(*) <= 512),
+        |t AS (SELECT toks.* FROM toks JOIN eligible USING (doc_id)),
+        |df AS (SELECT w, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM eligible),
+        |pairs AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS cooc
+        |          FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.w < b.w
+        |          GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (SELECT w_a, w_b, cooc,
+        |    round(ln(CAST(cooc * n_docs AS DOUBLE) /
+        |             CAST(df_a.df * df_b.df AS DOUBLE)), 6) AS pmi
+        |  FROM pairs JOIN df df_a ON df_a.w = pairs.w_a
+        |             JOIN df df_b ON df_b.w = pairs.w_b CROSS JOIN n)
+        |SELECT w_a, w_b, cooc, pmi, CAST(rank AS INT) AS rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w_a, w_b) AS rank
+        |  FROM scored)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // fuzzy join oracle is the O(n²) literal semantics over the small
     // distinct-name vocabulary; the engine's blocking must be lossless
     "llm_fuzzy_join" ->

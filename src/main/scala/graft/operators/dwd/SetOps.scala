@@ -80,4 +80,54 @@ object SetOps {
         round(col("o_totalprice"), 2).as("total"))
       .orderBy(col("total").desc, col("o_orderkey").asc)
       .limit(k)
+
+  /** Per-GROUP top-k via a bounded typed Aggregator — the scale path
+    * for "top N per key" over high-cardinality keys. The standard
+    * window formulation (`row_number() OVER (PARTITION BY …)`)
+    * SORTS every key's full row set before discarding all but k; this
+    * aggregator instead folds rows into a k-bounded ordered buffer, so
+    * the exchange carries at most k rows per key out of the PARTIAL
+    * aggregation (map-side combine), and nothing is ever fully sorted.
+    * Ordering is (value desc, id asc) — fully tie-broken, so the
+    * result is deterministic and identical to the window form (spec +
+    * oracle both pin it).
+    *
+    * Buffer is a sorted Vector capped at k (insertion cost O(k) — the
+    * right trade while k stays small; a binary heap only wins for
+    * large k, at the price of non-deterministic encoder layouts). */
+  def topKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val agg = new org.apache.spark.sql.expressions
+      .Aggregator[(Long, Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+      // sort key: (-value, id) ascending == (value desc, id asc)
+      private def lt(a: (Double, Long), b: (Double, Long)) =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      private def insert(buf: Seq[(Double, Long)], v: (Double, Long)) = {
+        val (pre, post) = buf.span(lt(_, v))
+        (pre ++ (v +: post)).take(k)
+      }
+      def zero: Seq[(Double, Long)] = Vector.empty
+      def reduce(b: Seq[(Double, Long)], r: (Long, Long, Double)) =
+        insert(b, (r._3, r._2))
+      def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]) =
+        b.foldLeft(a)(insert)
+      def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Seq[(Double, Long)]]]
+    }
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (cust, top) =>
+        top.iterator.zipWithIndex.map { case ((price, key), i) =>
+          (cust, key, i + 1, price)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "rank", "total")
+      .select(col("o_custkey"), col("o_orderkey"), col("rank").cast("int").as("rank"),
+        round(col("total"), 2).as("total"))
+  }
 }

@@ -55,4 +55,58 @@ object AdvancedWindows {
           .otherwise(coalesce(col("p_brand"), lit("NULL"))).as("p_brand"),
         col("line_ct"), col("amount_sum"))
       .orderBy("r_name", "p_brand")
+
+  /** Trailing event-time RANGE window: per-customer rolling 7-day order
+    * count and spend attached to every order row — the "rolling
+    * retention/LTV" shape that tumbling windows can't express (each
+    * row's frame is anchored at its OWN timestamp, not a grid).
+    *
+    * Spark evaluates this as one hash exchange on the key + per-key
+    * sort; the frame is `rangeBetween` on epoch seconds so the
+    * 7-day bound is exact arithmetic (UTC, no DST ambiguity). Frames
+    * are re-accumulated left-to-right as bounds advance — no
+    * retract-subtraction drift. At 100 TB this is the same shape as
+    * any keyed window: scales with key cardinality, hot keys bounded
+    * by their 7-day row count. */
+  def trailingOrderWindow(orders: DataFrame, days: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.select(col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      count(lit(1)).over(w).as("trailing_ct"),
+      round(sum(col("o_totalprice")).over(w), 2).as("trailing_sum"))
+  }
+
+  /** Time-series resampling with forward fill: per user, an hourly
+    * boundary grid spanning [floor_hour(min ts), floor_hour(max ts)],
+    * each boundary carrying the last event value at-or-before it
+    * (null only at a leading boundary with no prior event).
+    *
+    * Built by COMPOSITION: grid generation (sequence + explode — a
+    * narrow, per-key expression) feeding the as-of join's union-tag
+    * carry-forward, so filling pays exactly one key exchange and
+    * inherits the as-of tie rules. This is the standard gap-filling /
+    * downsampling primitive for feature pipelines ("value of every
+    * signal at every hour"). */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val grid = events.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("mn"),
+        date_trunc("hour", max(col("ts"))).as("mx"))
+      .select(col("user_id"), explode(
+        sequence(col("mn"), col("mx"),
+          org.apache.spark.sql.functions.expr("interval 1 hour"))).as("h"))
+    val obs = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("value"))
+    graft.operators.dwd.AsofJoin.asofJoin(grid, obs,
+        leftKey = "user_id", leftTs = "h",
+        rightKey = "user_id", rightTs = "ts",
+        rightPayload = Seq("event_id", "value"),
+        rightTieBreak = "event_id")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("asof_event_id").as("src_event_id"),
+        round(col("asof_value"), 4).as("ffill_value"))
+  }
 }

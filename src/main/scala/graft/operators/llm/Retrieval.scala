@@ -80,4 +80,49 @@ object Retrieval {
         col("rank").cast("int").as("rank"), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** PMI (pointwise mutual information) token co-occurrence: the
+    * top-k most-associated token pairs across the corpus —
+    * collocation mining for tokenizer vocab construction and corpus
+    * drift analysis. pmi(a,b) = ln(P(a,b)/(P(a)P(b))) over
+    * document-level occurrence, computed on exact integer counts:
+    * ln((cooc·n_docs)/(df_a·df_b)).
+    *
+    * Shape at 100 TB: the pair generation is a self-join on doc_id
+    * whose fan-out is Σ|doc vocab|² — bounded by excluding docs with
+    * more than `maxDocVocab` DISTINCT tokens (cap applied identically
+    * in the oracle; real corpora cap at a few thousand). The pair
+    * aggregate is map-side combined; df is vocab-sized; final top-k
+    * is TakeOrdered over the vocab-pair table (orderBy+limit — no
+    * global sort materializes), then ranked inside the k rows. */
+  def pmiCooccurrence(documents: DataFrame, minCount: Int = 5,
+                      k: Int = 100, maxDocVocab: Int = 512): DataFrame = {
+    val toks = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+      .distinct()
+    val eligible = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("nv")).filter(col("nv") <= maxDocVocab)
+      .select("doc_id")
+    val t = toks.join(eligible, "doc_id")
+    val docFreq = t.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(eligible.agg(count(lit(1)).as("n_docs")))
+    val pairs = t.as("a").join(t.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= minCount)
+    pairs
+      .join(docFreq.select(col("w").as("w_a"), col("df").as("df_a")), "w_a")
+      .join(docFreq.select(col("w").as("w_b"), col("df").as("df_b")), "w_b")
+      .crossJoin(nDocs)
+      .withColumn("pmi", round(log(
+        (col("cooc") * col("n_docs")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("w_a"), col("w_b")).limit(k)
+      .withColumn("rank", row_number().over(Window
+        .orderBy(col("pmi").desc, col("w_a"), col("w_b"))))
+      .select(col("w_a"), col("w_b"), col("cooc"), col("pmi"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("rank")
+  }
 }

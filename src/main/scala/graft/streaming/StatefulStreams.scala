@@ -26,6 +26,12 @@ case class UvDetail(user_id: Long, date_id: String, event_id: Long,
 case class TaggedEv(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double, is_late: Boolean)
 
+/** Attribution edge emitted by the streaming as-of kernel. */
+case class Attribution(event_id: Long, user_id: Long,
+                       asof_click_id: Option[Long],
+                       click_value: Option[Double],
+                       gap_us: Option[Long])
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -222,6 +228,51 @@ object StatefulStreams {
               math.max(state.getCurrentWatermarkMs() + 1, best.ts.getTime + 1))
             Iterator.empty
           }
+      }
+  }
+
+  /** AS-OF join streaming twin — last-touch attribution as keyed
+    * ValueState: the state is the user's latest click (id, µs, value);
+    * each purchase emits an edge against the state AT ITS EVENT TIME.
+    * Within a batch rows are sorted (ts, click-before-purchase,
+    * event_id) so a click at a purchase's exact timestamp matches —
+    * the batch operator's inclusive-as-of tie rules. Like the other
+    * single-ValueState kernels this assumes per-user event-time order
+    * ACROSS micro-batches (a click arriving after a later purchase was
+    * already emitted cannot retro-attribute it — Append mode emits
+    * once); exact parity with `AsofJoin.purchaseAttribution` holds for
+    * in-order replay, which is what the parity suite feeds. */
+  def asofAttributionStream(events: Dataset[Ev]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double), Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(Long, Long, Double)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          // 4-dp HALF_UP via Double.toString — the same BigDecimal path
+          // Spark's `round` takes, so batch and stream agree at ties
+          def r4(v: Double): Double =
+            new java.math.BigDecimal(java.lang.Double.toString(v))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          var latest = state.getOption // (click_id, ts_us, value)
+          val out = scala.collection.mutable.ArrayBuffer[Attribution]()
+          it.toSeq.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "click") {
+                val newer = latest.forall(s =>
+                  s._2 < micros(e.ts) ||
+                    (s._2 == micros(e.ts) && s._1 <= e.event_id))
+                if (newer) latest = Some((e.event_id, micros(e.ts), e.value))
+              } else out += Attribution(e.event_id, user,
+                latest.map(_._1), latest.map(s => r4(s._3)),
+                latest.map(s => micros(e.ts) - s._2))
+            }
+          latest.foreach(state.update)
+          out.iterator
       }
   }
 

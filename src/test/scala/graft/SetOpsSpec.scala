@@ -31,6 +31,24 @@ class SetOpsSpec extends SparkTestBase {
     assert(anti > 0 && anti + withOrders == cust.count())
   }
 
+  test("grouped top-k aggregator equals the window-rank formulation") {
+    val orders = Tables.orders(spark, sf0001)
+    val viaAgg = SetOps.topKPerGroup(orders, k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("rank").cast("int").as("rank"),
+        round(col("o_totalprice"), 2).as("total"))
+    assertSameRows(viaAgg, viaWindow)
+    // plan shape: a hash aggregate pair (partial + final), no Window
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("intersect/except partition the month-1 customer set") {
     val orders = Tables.orders(spark, sf0001)
     val m1 = orders.filter(month(col("o_orderdate")) === 1)

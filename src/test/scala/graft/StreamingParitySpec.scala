@@ -416,4 +416,32 @@ class StreamingParitySpec extends SparkTestBase {
     q.stop()
     assertSameRows(spark.table("bpe_stream"), Bpe.encode(docs, merges))
   }
+
+  test("as-of attribution: ValueState across batches == batch as-of join") {
+    val data = Seq(
+      Ev(1, tsOf("2024-01-01T00:00:01Z"), 1, "click", 1.0),
+      Ev(2, tsOf("2024-01-01T00:00:02Z"), 1, "purchase", 9.0), // → click 1
+      Ev(3, tsOf("2024-01-01T00:00:03Z"), 1, "click", 2.0),
+      Ev(4, tsOf("2024-01-01T00:00:03Z"), 1, "click", 3.0), // ts tie: 4 wins
+      Ev(5, tsOf("2024-01-01T00:00:04Z"), 1, "view", 0.0), // filtered out
+      // batch 2: state must carry click 4 across the batch boundary
+      Ev(6, tsOf("2024-01-01T00:00:05Z"), 1, "purchase", 9.0), // → click 4
+      Ev(7, tsOf("2024-01-01T00:00:06Z"), 2, "click", 5.0),
+      Ev(8, tsOf("2024-01-01T00:00:06Z"), 2, "purchase", 9.0), // same-ts → 7
+      Ev(9, tsOf("2024-01-01T00:00:07Z"), 3, "purchase", 9.0)) // no click
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.asofAttributionStream(ms.toDS()).writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    ms.addData(data.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(data.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.dwd.AsofJoin.purchaseAttribution(data.toDF())
+    assertSameRows(spark.table("asof_stream"), batch)
+    // the no-click purchase must appear with a null edge, not vanish
+    assert(spark.table("asof_stream")
+      .filter(col("event_id") === 9 && col("asof_click_id").isNull)
+      .count() == 1)
+  }
 }
