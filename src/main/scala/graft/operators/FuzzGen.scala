@@ -99,6 +99,10 @@ object FuzzGen {
     val rng = new Random(0xF0220000L + i)
     val (pc, ps) = predicate(rng)
     val name = f"fuzz_$i%03d"
+    // index space ≥1000 holds shapes added AFTER the first vetting
+    // round — new shapes must never re-deal the existing indices'
+    // shape draws, or every pinned vetted case silently changes
+    if (i >= 1000) return genTime(i, rng, pc, ps, name)
     rng.nextInt(5) match {
       case 0 => // filter + projection
         Fuzz(name,
@@ -193,17 +197,66 @@ object FuzzGen {
     }
   }
 
+  /** Event-time shapes (index space ≥1000): calendar-field buckets and
+    * hour-band filters. Only `day`/`hour`/`minute` appear — they parse
+    * and agree in BOTH dialects; `dayofweek` is deliberately excluded
+    * (Sunday=1 in Spark, Sunday=0 in DuckDB — a real drift trap the
+    * grammar must not step on). */
+  private def genTime(i: Int, rng: Random, pc: Column, ps: String,
+                      name: String): Fuzz =
+    rng.nextInt(2) match {
+      case 0 => // calendar-bucket aggregate: (day, hour[, type]) rollups
+        val withType = rng.nextBoolean()
+        val tailSql = if (withType) ", event_type" else ""
+        Fuzz(name,
+          (s, d) => {
+            val keys = Seq(dayofmonth(col("ts")).as("d"),
+              hour(col("ts")).as("h")) ++
+              (if (withType) Seq(col("event_type")) else Nil)
+            val names = Seq("d", "h") ++
+              (if (withType) Seq("event_type") else Nil)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .groupBy(keys: _*)
+              .agg(count(lit(1)).as("ct"),
+                min(col("event_id")).as("min_id"),
+                round(sum(round(col("value"), 2)), 2).as("vsum"))
+              .orderBy(names.map(col): _*)
+          },
+          s"""SELECT day(ts) AS d, hour(ts) AS h$tailSql,
+             |       count(*) AS ct, min(event_id) AS min_id,
+             |       round(sum(round(value, 2)), 2) AS vsum
+             |FROM events WHERE $ps
+             |GROUP BY day(ts), hour(ts)$tailSql
+             |ORDER BY d, h$tailSql""".stripMargin)
+      case _ => // hour-of-day band filter + calendar projection
+        val h1 = rng.nextInt(12); val h2 = h1 + 6 + rng.nextInt(6)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc && hour(col("ts")).between(h1, h2))
+            .select(col("event_id"), col("user_id"),
+              hour(col("ts")).as("h"), minute(col("ts")).as("m"),
+              round(col("value"), 2).as("value_r"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, user_id, hour(ts) AS h, minute(ts) AS m,
+             |       round(value, 2) AS value_r
+             |FROM events WHERE ($ps) AND hour(ts) BETWEEN $h1 AND $h2
+             |ORDER BY event_id""".stripMargin)
+    }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 16 cases replayed against the DuckDB oracle every round,
+  /** The 24 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
     * user_id modulo atoms whose CRT solution exceeds 14; index 10 is
-    * exactly such a case and is skipped). Re-run FuzzVet and re-pin
-    * if the driver regenerates testdata. */
+    * exactly such a case and is skipped, as is 1005 from the
+    * event-time space). Re-run FuzzVet and re-pin if the driver
+    * regenerates testdata. */
   val vettedIdx: Seq[Int] =
-    Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16)
+    Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
+      1000, 1001, 1002, 1003, 1004, 1006, 1007, 1008)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

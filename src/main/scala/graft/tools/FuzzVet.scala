@@ -21,13 +21,14 @@ object FuzzVet {
     spark.sparkContext.setLogLevel("WARN")
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
       .map(s => s -> s"/root/testdata/$s")
-    val pool = graft.operators.FuzzGen.suite(40)
-    val ok = pool.zipWithIndex.filter { case (f, i) =>
+    val idxs = (0 until 40) ++ (1000 until 1016)
+    val pool = idxs.map(i => i -> graft.operators.FuzzGen.gen(i))
+    val ok = pool.filter { case (i, f) =>
       val counts = sfs.map { case (_, d) => f.build(spark, d).count() }
       println(s"${f.name}: ${sfs.map(_._1).zip(counts)
         .map { case (s, c) => s"$s=$c" }.mkString(" ")}")
       counts.forall(_ > 0)
-    }.map(_._2)
+    }.map(_._1)
     println(s"non-empty at every SF: ${ok.mkString(", ")}")
     spark.stop()
   }

@@ -12,9 +12,10 @@ import graft.operators.FuzzGen
   * differential at 15× the width the per-round oracle replays. */
 class FuzzDiffSpec extends SparkTestBase {
 
-  private val cases = FuzzGen.suite(120)
+  private val cases = FuzzGen.suite(120) ++
+    (1000 until 1040).map(FuzzGen.gen) // the event-time shape space
 
-  test("120 generated filter/agg/join cases: DataFrame plan == SQL text") {
+  test("160 generated filter/agg/join/time cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     val failures = cases.flatMap { f =>
       val df = f.build(spark, sf0001)
@@ -31,10 +32,11 @@ class FuzzDiffSpec extends SparkTestBase {
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
       if (f.sql.contains("JOIN")) "join"
+      else if (f.sql.contains("hour(ts)")) "time"
       else if (f.sql.contains("GROUP BY")) "agg"
       else if (f.sql.contains("row_number")) "window"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
-    assert(shapes == Set("join", "agg", "filter", "window", "limit"))
+    assert(shapes == Set("join", "agg", "filter", "window", "limit", "time"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
