@@ -81,6 +81,15 @@ object SparkEntry {
     // hourly resample + forward fill = grid explode ∘ as-of join
     "w_resample_ffill" -> ((s, d) =>
       AdvancedWindows.resampleFfill(Tables.events(s, d))),
+    // ordered funnel: earliest-qualifying-event semantics, strict >
+    "b_funnel_conversion" -> ((s, d) =>
+      Behavior.funnel(Tables.events(s, d))),
+    // retention matrix keyed by first-active day
+    "b_retention_cohorts" -> ((s, d) =>
+      Behavior.retentionCohorts(Tables.events(s, d))),
+    // SCD2 validity intervals from versioned change rows
+    "dim_scd2_build" -> ((s, d) =>
+      graft.operators.dim.Scd2.scd2Build(Tables.orders(s, d))),
     "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
     "w_status_priority_cube" -> ((s, d) =>
@@ -401,6 +410,10 @@ object SparkEntry {
       llm.TextAnalysis.winnowFingerprints(Tables.documents(s, d))),
     "llm_stratified_sample" -> ((s, d) =>
       llm.Sampling.stratifiedSample(Tables.documents(s, d))),
+    // weighted sampling w/o replacement: top-k of w/u priorities — no
+    // transcendental, so the ranking replays bit-identically
+    "llm_priority_sample" -> ((s, d) =>
+      llm.Sampling.prioritySample(Tables.documents(s, d))),
     "llm_budget_select" -> ((s, d) =>
       llm.Sampling.budgetSelect(Tables.documents(s, d))),
     "llm_mixture_rebalance" -> ((s, d) =>
@@ -604,6 +617,48 @@ object SparkEntry {
         |  WHERE e.user_id = g.user_id AND e.ts <= g.h
         |  ORDER BY ts DESC, event_id DESC LIMIT 1) e2 ON true
         |ORDER BY g.user_id, hour_ts""".stripMargin,
+    // funnel steps chain strictly-after minima; counts integer-exact
+    "b_funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT 1 AS step, 'view' AS step_type, u1 AS users,
+        |       CAST(1.0 AS DOUBLE) AS conv_rate FROM c
+        |UNION ALL
+        |SELECT 2, 'click', u2,
+        |       round(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE), 4) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', u3,
+        |       round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 4) FROM c
+        |ORDER BY step""".stripMargin,
+    "b_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |             FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_date,
+        |       CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+        |       count(DISTINCT a.user_id) AS active_users
+        |FROM act a JOIN coh USING (user_id)
+        |GROUP BY cohort_day, datediff('day', cohort_day, day)
+        |ORDER BY 1, 2""".stripMargin,
+    "dim_scd2_build" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+        |       CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END
+        |         AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
         |INTERSECT
@@ -2631,6 +2686,16 @@ object SparkEntry {
         |       CAST(min(wmin) AS BIGINT) AS fp_min,
         |       CAST(max(wmin) AS BIGINT) AS fp_max
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // priority sampling: w/u on exact integer-derived operands — the
+    // one multiply + one divide replay bit-identically, no ln/pow
+    "llm_priority_sample" ->
+      """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |       round(CAST(n_chars AS DOUBLE) * 4294967296.0 /
+        |             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |                                      1, 8)) AS BIGINT) + 1),
+        |             4) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "llm_stratified_sample" ->
       """SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents

@@ -1,0 +1,80 @@
+package graft.operators.dws
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the events stream — funnel conversion
+  * and retention cohorts, the two summary shapes an e-commerce
+  * warehouse (the reference's domain) reports from its DWS layer.
+  * Both are pure aggregates with integer-exact outputs, so they are
+  * fully SQL-oracle-able.
+  */
+object Behavior {
+
+  /** Ordered funnel: how many users performed step1, then step2
+    * STRICTLY after it, then step3 strictly after that. Per-user step
+    * times resolve as
+    *   t1 = min ts of step1,
+    *   t2 = min ts of step2 with ts > t1,
+    *   t3 = min ts of step3 with ts > t2
+    * — the standard "earliest qualifying event" funnel semantics
+    * (simultaneous events do NOT advance the funnel; the strict
+    * inequality is pinned by spec and oracle).
+    *
+    * Shape at 100 TB: one filtered aggregate per step (map-side
+    * combined, keyed on user_id), each joined back user-keyed — the
+    * step tables shrink monotonically, so every join after the first
+    * is small-side. No windows, no per-user sorting, no event
+    * buffering. Output is |steps| rows. */
+  def funnel(events: DataFrame,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnel() is specified for 3 steps")
+    val s1 = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = events.filter(col("event_type") === steps(1))
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = events.filter(col("event_type") === steps(2))
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("u1"))
+      .crossJoin(s2.agg(count(lit(1)).as("u2")))
+      .crossJoin(s3.agg(count(lit(1)).as("u3")))
+    counts.select(explode(array(
+        struct(lit(1).as("step"), lit(steps.head).as("step_type"),
+          col("u1").as("users"),
+          lit(1.0).as("conv_rate")),
+        struct(lit(2).as("step"), lit(steps(1)).as("step_type"),
+          col("u2").as("users"),
+          round(col("u2").cast("double") / col("u1").cast("double"), 4)
+            .as("conv_rate")),
+        struct(lit(3).as("step"), lit(steps(2)).as("step_type"),
+          col("u3").as("users"),
+          round(col("u3").cast("double") / col("u2").cast("double"), 4)
+            .as("conv_rate")))).as("r"))
+      .select(col("r.step"), col("r.step_type"), col("r.users"),
+        col("r.conv_rate"))
+  }
+
+  /** Retention cohorts: users grouped by first-active day; for each
+    * cohort and day offset, how many of its users were active again.
+    * Offset 0 is the cohort itself (active_users = cohort size).
+    *
+    * Two aggregates — distinct (user, day) activity and per-user min
+    * day — joined user-keyed, then one (cohort, offset) aggregate.
+    * All counts are integer-exact; day arithmetic is calendar-exact
+    * under the pinned UTC session. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset").cast("int").as("day_offset"),
+        col("active_users"))
+  }
+}

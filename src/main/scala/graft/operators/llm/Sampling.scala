@@ -244,4 +244,33 @@ object Sampling {
         round(avg(col("n_chars")), 2).as("avg_chars"),
         max(col("n_chars")).cast("long").as("max_chars"))
       .orderBy("lang", "source")
+
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM'07): each doc draws a
+    * deterministic uniform u from the md5 hash family and gets
+    * priority w/u (w = n_chars); the sample is the top-k priorities.
+    * Inclusion probability ∝ weight with the without-replacement
+    * guarantee, and — unlike the exponential/A-Res key u^(1/w) — the
+    * priority needs NO transcendental, so both engines compute the
+    * ranking bit-identically (one multiply, one divide on exact
+    * integer-derived operands; the repo's cross-engine float
+    * discipline).
+    *
+    * Top-k is orderBy+limit → TakeOrderedAndProject: per-partition
+    * k-row heaps, k·p driver merge, no global sort — the priority
+    * column is the only thing computed corpus-wide and it's a narrow
+    * per-row expression. */
+  def prioritySample(documents: DataFrame, k: Int = 100): DataFrame = {
+    // u = (h+1)/2^32 ∈ (0,1]; +1 keeps u nonzero so w/u is finite
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val priority = col("n_chars").cast("double") * 4294967296.0 /
+      (h + lit(1L)).cast("double")
+    documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        round(priority, 4).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.dws.Behavior
+import graft.operators.dim.Scd2
+import graft.operators.llm.Sampling
+
+/** Semantics checks for funnel, retention cohorts, SCD2 intervals and
+  * priority sampling. */
+class BehaviorSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: ordered strictly-after semantics") {
+    val ev = Seq(
+      // A: full funnel in order
+      (1L, ts("2024-01-01 00:00:01"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "purchase", 0.0, "{}"),
+      // B: purchase WITHOUT a qualifying click — stops at step 1
+      (4L, ts("2024-01-01 00:00:01"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 00:00:02"), 2L, "purchase", 0.0, "{}"),
+      // C: click only — never enters the funnel
+      (6L, ts("2024-01-01 00:00:01"), 3L, "click", 0.0, "{}"),
+      // D: click at the SAME ts as view — strict > rejects it
+      (7L, ts("2024-01-01 00:00:05"), 4L, "view", 0.0, "{}"),
+      (8L, ts("2024-01-01 00:00:05"), 4L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.funnel(ev)
+      .select("step", "users", "conv_rate")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1, 3L, 1.0)), s"A, B, D enter: ${out.toSeq}")
+    assert(out(1) == ((2, 1L, 0.3333)), "only A advances past step 1")
+    assert(out(2) == ((3, 1L, 1.0)), "A completes")
+  }
+
+  test("retention cohorts: offsets count returning users per cohort") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 1L, "view", 0.0, "{}"), // +2 days
+      (3L, ts("2024-01-01 23:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-02 00:30:00"), 3L, "view", 0.0, "{}")  // later cohort
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.retentionCohorts(ev)
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), // users 1 and 2
+      ("2024-01-01", 2, 1L), // user 1 returns
+      ("2024-01-02", 0, 1L)))
+  }
+
+  test("scd2: intervals chain gaplessly, exactly one current per key") {
+    val scd = Scd2.scd2Build(Tables.orders(spark, sf0001)).cache()
+    val keys = scd.select("o_custkey").distinct().count()
+    val current = scd.filter(col("is_current") === 1).count()
+    assert(current == keys, "one open interval per business key")
+    // every non-current interval's valid_to equals the successor's
+    // valid_from (the lead construction makes this structural; assert
+    // it anyway against future rewrites)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from"), col("o_orderkey"))
+    val broken = scd
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("is_current") === 0 &&
+        (col("valid_to").isNull || col("valid_to") =!= col("next_from")))
+      .count()
+    assert(broken == 0)
+    scd.unpersist()
+  }
+
+  test("priority sample: deterministic, sorted, and weight-biased") {
+    val docs = Tables.documents(spark, sf0001)
+    val s1 = Sampling.prioritySample(docs, k = 50)
+      .as[(Long, String, String, Long, Double)].collect()
+    val s2 = Sampling.prioritySample(docs, k = 50)
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(s1.toSeq == s2.toSeq, "hash-derived u must be replayable")
+    assert(s1.length == 50)
+    assert(s1.map(_._5).sliding(2).forall(p => p.head >= p.last))
+    // weighted-without-replacement must over-represent heavy docs
+    val sampleMean = s1.map(_._4).sum.toDouble / s1.length
+    val corpusMean = docs.agg(avg(col("n_chars"))).as[Double].head()
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+}
