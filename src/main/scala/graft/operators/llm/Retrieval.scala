@@ -47,9 +47,14 @@ object Retrieval {
 
     val toks = graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
-    // doc length over ALL tokens; n_docs/avgdl are defined over docs
-    // with at least one token (empty docs can't score anyway)
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // doc length over ALL tokens — computed as size(tokens) per row:
+    // NARROW (no explode, no exchange), so the corpus is tokenized
+    // once for lengths and once for the term-filtered tf stream
+    // instead of twice at full width. n_docs/avgdl are defined over
+    // docs with at least one token (empty docs can't score anyway).
+    val lens = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), size(Tokenize.tokens(col("text"))).as("len"))
+      .filter(col("len") > 0)
     val stats = broadcast(
       lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len")))
 
