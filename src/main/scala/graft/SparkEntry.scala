@@ -90,6 +90,11 @@ object SparkEntry {
     // SCD2 validity intervals from versioned change rows
     "dim_scd2_build" -> ((s, d) =>
       graft.operators.dim.Scd2.scd2Build(Tables.orders(s, d))),
+    // fixed-point PageRank: BIGINT ranks, integer DIV — iteration is
+    // order-independent, so the oracle replays it bit-identically
+    "g_pagerank_copurchase" -> ((s, d) =>
+      graft.operators.graph.PageRank.copurchasePageRank(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
     "w_status_priority_cube" -> ((s, d) =>
@@ -2970,7 +2975,38 @@ object SparkEntry {
         |SELECT word, count(*) AS word_ct, count(DISTINCT doc_id) AS doc_ct
         |FROM words GROUP BY 1 ORDER BY word_ct DESC, word""".stripMargin
   ) ++
+    // fixed-point PageRank: the oracle UNROLLS the same ten integer
+    // iterations as chained CTEs — BIGINT arithmetic end to end, so
+    // the hashes must match bit-for-bit with no rounding discipline
+    Map("g_pagerank_copurchase" -> pageRankOracleSql(10)) ++
     // the differential-fuzz cases' SQL comes from the same seeded AST
     // as their DataFrame plans (FuzzGen)
     graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.sql).toMap
+
+  private def pageRankOracleSql(iters: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_partkey*2+1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |es AS (SELECT src, dst FROM e
+        |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM es GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM es),
+        |n AS (SELECT count(*) AS cnt FROM nodes),
+        |pr0 AS (SELECT node, 1000000000000 // cnt AS r
+        |        FROM nodes CROSS JOIN n)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |it$i AS (SELECT es.dst AS node, sum(pr${i - 1}.r // deg.deg) AS s
+         |        FROM es JOIN pr${i - 1} ON es.src = pr${i - 1}.node
+         |        JOIN deg ON es.src = deg.src GROUP BY 1),
+         |pr$i AS (SELECT nodes.node,
+         |             (15 * (1000000000000 // cnt) + 85 * coalesce(it$i.s, 0))
+         |               // 100 AS r
+         |        FROM nodes CROSS JOIN n
+         |        LEFT JOIN it$i ON nodes.node = it$i.node)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT node, r AS rank_fp FROM pr$iters ORDER BY node"
+  }
 }

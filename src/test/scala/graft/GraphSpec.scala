@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.graph.PageRank
+
+/** Fixed-point PageRank invariants. */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("symmetric pair is stationary: both nodes keep the initial rank") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.pageRank(edges, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val init = PageRank.Scale / 2
+    // contrib = init DIV 1; new = (15·init + 85·init) DIV 100 = init
+    assert(out == Map(1L -> init, 2L -> init))
+  }
+
+  test("star hub outranks leaves; mass is conserved up to truncation") {
+    // hub 0 connected to leaves 1..9, symmetric
+    val e = (1L to 9L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val out = PageRank.pageRank(e, iters = 10).as[(Long, Long)].collect().toMap
+    assert((1L to 9L).forall(l => out(0L) > out(l)), out)
+    // each DIV truncates < 1 unit per term per iteration: the total
+    // can drift below Scale only by a few units per node
+    val total = out.values.sum
+    assert(total <= PageRank.Scale && total >= PageRank.Scale - 100L * out.size,
+      s"mass drifted: $total vs ${PageRank.Scale}")
+  }
+
+  test("co-purchase graph: popular parts rank above rare ones") {
+    val li = Tables.lineitem(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+    val ranks = PageRank.copurchasePageRank(li, orders)
+    // part nodes are odd; compare the most- vs least-purchased part
+    val degs = PageRank.customerPartGraph(li, orders)
+      .filter(col("src") % 2 === 1).groupBy("src").count()
+    val hot = degs.orderBy(col("count").desc).first().getLong(0)
+    val cold = degs.orderBy(col("count").asc).first().getLong(0)
+    val r = ranks.filter(col("node").isin(hot, cold))
+      .as[(Long, Long)].collect().toMap
+    assert(r(hot) > r(cold), s"hot part must outrank cold: $r")
+  }
+}
