@@ -378,6 +378,14 @@ object SparkEntry {
     // pure deterministic arithmetic, so the FULL pipeline is SQL-oracled
     "llm_ann_sq8" -> ((s, d) =>
       llm.SqAnn.sq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // IVF × SQ8 composition (probe 4/16 cells; recall spec-pinned)
+    "llm_ann_ivfsq8" -> ((s, d) =>
+      llm.SqAnn.ivfSq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    // probing every cell makes IVF×SQ8 degenerate to the full SQ8 scan
+    // bit-for-bit — a real oracle for the cell/probe/candidate wiring
+    "llm_ann_ivfsq8_fullprobe" -> ((s, d) =>
+      llm.SqAnn.ivfSq8TopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L),
+        nProbe = 16)),
     // BM25 ranked retrieval (Lucene idf variant), query terms broadcast
     "llm_bm25_topk" -> ((s, d) =>
       llm.Retrieval.bm25TopK(Tables.documents(s, d))),
@@ -2424,37 +2432,7 @@ object SparkEntry {
     // SQ8: the oracle REPLAYS the whole quantization pipeline —
     // per-dim min/max calibration, floor(r+0.5) uint8 quantize, linear
     // dequantize, exact cosine over the dequantized doubles
-    "llm_ann_sq8" ->
-      """WITH e AS (SELECT vec_id,
-        |                  list_transform(embedding, x -> x::DOUBLE) AS emb
-        |           FROM embeddings),
-        |dims AS (
-        |  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
-        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
-        |  GROUP BY i),
-        |calib AS (SELECT list(mn ORDER BY i) AS mn,
-        |                 list(mx ORDER BY i) AS mx FROM dims),
-        |deq AS (
-        |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
-        |    CASE WHEN calib.mx[i] = calib.mn[i] THEN calib.mn[i]
-        |         ELSE least(255.0, greatest(0.0,
-        |                floor((emb[i] - calib.mn[i]) /
-        |                      ((calib.mx[i] - calib.mn[i]) / 255.0) + 0.5)))
-        |              * ((calib.mx[i] - calib.mn[i]) / 255.0) + calib.mn[i]
-        |    END) AS demb
-        |  FROM e CROSS JOIN calib),
-        |q AS (SELECT vec_id AS query_id, demb AS q_emb FROM deq
-        |      WHERE vec_id IN (0,1,2,3,4)),
-        |scored AS (
-        |  SELECT query_id, d.vec_id AS neighbor_id,
-        |         round(list_cosine_similarity(d.demb, q_emb), 4) AS cos_sim
-        |  FROM deq d CROSS JOIN q WHERE d.vec_id <> query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |            ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "llm_ann_sq8" -> sq8OracleSql,
     // BM25 (Lucene 1+ idf variant), k1=1.2 b=0.75 pre-folded to the
     // same literal shapes; idf 6 dp, per-term 6 dp, score 4 dp
     "llm_bm25_topk" ->
@@ -2981,7 +2959,44 @@ object SparkEntry {
     Map("g_pagerank_copurchase" -> pageRankOracleSql(10)) ++
     // the differential-fuzz cases' SQL comes from the same seeded AST
     // as their DataFrame plans (FuzzGen)
-    graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.sql).toMap
+    graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.sql).toMap ++
+    // full-probe IVF×SQ8 degenerates to the full SQ8 scan, so it
+    // shares the sq8 oracle verbatim (the ivf_fullprobe pattern)
+    Map("llm_ann_ivfsq8_fullprobe" -> sq8OracleSql)
+
+  /** Shared by `llm_ann_sq8` and `llm_ann_ivfsq8_fullprobe` (probing
+    * every cell degenerates the composition to the full SQ8 scan). */
+  private val sq8OracleSql: String =
+    """WITH e AS (SELECT vec_id,
+      |                  list_transform(embedding, x -> x::DOUBLE) AS emb
+      |           FROM embeddings),
+      |dims AS (
+      |  SELECT i, min(emb[i]) AS mn, max(emb[i]) AS mx
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      |  GROUP BY i),
+      |calib AS (SELECT list(mn ORDER BY i) AS mn,
+      |                 list(mx ORDER BY i) AS mx FROM dims),
+      |deq AS (
+      |  SELECT vec_id, list_transform(generate_series(1, 64), i ->
+      |    CASE WHEN calib.mx[i] = calib.mn[i] THEN calib.mn[i]
+      |         ELSE least(255.0, greatest(0.0,
+      |                floor((emb[i] - calib.mn[i]) /
+      |                      ((calib.mx[i] - calib.mn[i]) / 255.0) + 0.5)))
+      |              * ((calib.mx[i] - calib.mn[i]) / 255.0) + calib.mn[i]
+      |    END) AS demb
+      |  FROM e CROSS JOIN calib),
+      |q AS (SELECT vec_id AS query_id, demb AS q_emb FROM deq
+      |      WHERE vec_id IN (0,1,2,3,4)),
+      |scored AS (
+      |  SELECT query_id, d.vec_id AS neighbor_id,
+      |         round(list_cosine_similarity(d.demb, q_emb), 4) AS cos_sim
+      |  FROM deq d CROSS JOIN q WHERE d.vec_id <> query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def pageRankOracleSql(iters: Int): String = {
     val base =

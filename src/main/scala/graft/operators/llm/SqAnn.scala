@@ -67,7 +67,46 @@ object SqAnn {
     val deq = dequantized(embeddings, dim)
     val queries = broadcast(deq.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("demb").as("q_emb")))
-    deq.crossJoin(queries)
+    rankCandidates(deq.crossJoin(queries), k)
+  }
+
+  /** IVF × SQ8 — the compression-under-probe composition the PQ
+    * operator demonstrates, with SQ8 as the cheap rung: k-means cells
+    * bound the candidate set (probe `nProbe` cells per query), and
+    * only candidates are scored over the dequantized representation.
+    * With `nProbe >= nCentroids` every cell is probed, so the result
+    * IS `sq8TopK` bit-for-bit — which gives the composition a real
+    * SQL oracle (same replay as `llm_ann_sq8`); the probed form's
+    * recall is spec-pinned against the full scan. */
+  def ivfSq8TopK(embeddings: DataFrame, queryIds: Seq[Long],
+                 k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+                 dim: Int = 64): DataFrame = {
+    val deq = dequantized(embeddings, dim)
+    val centroids = broadcast(
+      Similarity.kmeansCentroids(embeddings, nCentroids))
+    val cells = Similarity.assignCells(embeddings, centroids)
+      .select(col("vec_id"), col("cell"))
+    val corpus = deq.join(cells, "vec_id")
+    // probe ranking is over the ORIGINAL float vectors (index-build
+    // side), like IVF-PQ; ties break by centroid_id
+    val probes = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q0"))
+      .crossJoin(centroids)
+      .withColumn("c_sim", Similarity.cosine(col("q0"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c_sim").desc, col("centroid_id"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val queries = broadcast(deq.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("demb").as("q_emb")))
+    val cands = corpus.join(broadcast(probes), "cell")
+      .join(queries, "query_id")
+    rankCandidates(cands, k)
+  }
+
+  private def rankCandidates(cands: DataFrame, k: Int): DataFrame =
+    cands
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_sim",
         round(Similarity.cosine(col("q_emb"), col("demb")), 4))
@@ -77,5 +116,4 @@ object SqAnn {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("int").as("rank"), col("cos_sim"))
       .orderBy("query_id", "rank")
-  }
 }

@@ -140,6 +140,27 @@ class AsofRetrievalSpec extends SparkTestBase {
       s"sq8 similarity drift too large: ${drift.max}")
   }
 
+  test("ivf×sq8: full probe ≡ full sq8 scan; probed recall holds") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val full = SqAnn.ivfSq8TopK(emb, Seq(0L, 1L, 2L), nProbe = 16)
+    assertSameRows(full, SqAnn.sq8TopK(emb, Seq(0L, 1L, 2L)))
+    val probedSets = SqAnn.ivfSq8TopK(emb, Seq(0L, 1L, 2L), nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fullSets = full.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = fullSets.map { case (q, s) =>
+      probedSets.getOrElse(q, Set.empty[Long]).count(s) / s.size.toDouble
+    }
+    // sf0.001 has ~100 vectors in 16 cells: probing 4 cells scans ~25%
+    // of the corpus, which bounds top-10 recall hard — the floor here
+    // pins the candidate wiring, not production recall (that's the
+    // fullprobe identity + the AnnSoak artifacts at 10×)
+    assert(recall.forall(_ >= 0.3) && recall.sum / recall.size >= 0.5,
+      s"4/16-probe recall@10 too low: $recall")
+  }
+
   test("sq8: constant dimensions round-trip exactly") {
     val emb = Seq(
       (0L, Array(1.0f, 5.0f, 0.25f)),
