@@ -99,9 +99,10 @@ object FuzzGen {
     val rng = new Random(0xF0220000L + i)
     val (pc, ps) = predicate(rng)
     val name = f"fuzz_$i%03d"
-    // index space ≥1000 holds shapes added AFTER the first vetting
+    // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 2000) return genCross(i, rng, pc, ps, name)
     if (i >= 1000) return genTime(i, rng, pc, ps, name)
     rng.nextInt(5) match {
       case 0 => // filter + projection
@@ -244,9 +245,59 @@ object FuzzGen {
              |ORDER BY event_id""".stripMargin)
     }
 
+  /** Cross-table shapes (index space ≥2000): events ⋈ orders on
+    * user_id = o_custkey — the multi-table differential surface (all
+    * other shapes stay on one table). Order-side predicates use only
+    * status equality and month() — both dialect-identical. */
+  private def genCross(i: Int, rng: Random, pc: Column, ps: String,
+                       name: String): Fuzz = {
+    val (oc, os) = rng.nextInt(2) match {
+      case 0 =>
+        val st = Seq("O", "F", "P")(rng.nextInt(3))
+        (col("o_orderstatus") === st, s"o_orderstatus = '$st'")
+      case _ =>
+        val m = 1 + rng.nextInt(12)
+        (month(col("o_orderdate")) === m, s"month(o_orderdate) = $m")
+    }
+    rng.nextInt(2) match {
+      case 0 => // inner join + per-customer aggregate over the fan-out
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d).filter(pc).as("e")
+            .join(graft.core.Tables.orders(s, d).filter(oc).as("o"),
+              col("e.user_id") === col("o.o_custkey"))
+            .groupBy(col("o.o_custkey").as("o_custkey"))
+            .agg(count(lit(1)).as("ct"),
+              min(col("e.event_id")).as("min_ev"),
+              round(sum(round(col("o.o_totalprice"), 2)), 2).as("osum"))
+            .orderBy("o_custkey"),
+          s"""SELECT o.o_custkey, count(*) AS ct, min(e.event_id) AS min_ev,
+             |       round(sum(round(o.o_totalprice, 2)), 2) AS osum
+             |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+             |WHERE ($ps) AND $os
+             |GROUP BY o.o_custkey ORDER BY o.o_custkey""".stripMargin)
+      case _ => // left join to a filtered per-customer aggregate:
+        // NULL-vs-zero on unmatched users is the drift trap
+        Fuzz(name,
+          (s, d) => {
+            val oagg = graft.core.Tables.orders(s, d).filter(oc)
+              .groupBy(col("o_custkey")).agg(count(lit(1)).as("o_ct"))
+            graft.core.Tables.events(s, d).filter(pc)
+              .join(oagg, col("user_id") === col("o_custkey"), "left")
+              .select(col("event_id"), col("user_id"), col("o_ct"))
+              .orderBy("event_id")
+          },
+          s"""SELECT e.event_id, e.user_id, o.o_ct
+             |FROM (SELECT * FROM events WHERE $ps) e
+             |LEFT JOIN (SELECT o_custkey, count(*) AS o_ct FROM orders
+             |           WHERE $os GROUP BY 1) o
+             |  ON e.user_id = o.o_custkey
+             |ORDER BY e.event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 24 cases replayed against the DuckDB oracle every round,
+  /** The 32 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
@@ -256,7 +307,8 @@ object FuzzGen {
     * regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
-      1000, 1001, 1002, 1003, 1004, 1006, 1007, 1008)
+      1000, 1001, 1002, 1003, 1004, 1006, 1007, 1008,
+      2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -45,24 +45,75 @@ object PageRank {
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  def pageRank(edges: DataFrame, iters: Int = 10): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+  private lazy val tempRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-pr-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d.toFile)
+    }
+    d.toString
+  }
+
+  def pageRank(edges0: DataFrame, iters: Int = 10): DataFrame = {
+    val spark = edges0.sparkSession
+    // Every round MUST materialize (the Components contract): round i
+    // references round i-1, so an unmaterialized chain recomputes all
+    // prior rounds per iteration — Σi edge-joins instead of `iters`
+    // (measured 14.9 s → 2.4 s at sf0.1 for 10 rounds). Edges/degrees
+    // are materialized once for the same reason. Parquet round files:
+    // lineage cut + spillable + zero persisted-block leakage; the
+    // final round backs the returned frame for its whole lifetime
+    // (JVM-shutdown cleanup, the CC kernel's pattern).
+    val scratch = spark.conf.getOption("spark.graft.pagerank.scratch")
+      .getOrElse(tempRoot) +
+      s"/pr-${java.util.UUID.randomUUID().toString.take(8)}"
+    // The edge expression executes ONCE: deg derives from edges, so
+    // joining edges0 ⋈ deg(edges0) unmaterialized would run the
+    // (potentially expensive) upstream edge build twice. Then edges ⋈
+    // out-degree is materialized too: each round needs no join on the
+    // edge side at all — scan edgesDeg, broadcast the node-sized rank
+    // table (Catalyst broadcasts it from parquet stats; a node table
+    // past broadcast size falls back to a shuffle join on src — plan
+    // change only), aggregate on dst.
+    edges0.write.mode("overwrite").parquet(s"$scratch/edges")
+    val edges = spark.read.parquet(s"$scratch/edges")
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg0, "src")
+      .write.mode("overwrite").parquet(s"$scratch/edgesdeg")
+    val edgesDeg = spark.read.parquet(s"$scratch/edgesdeg")
+    edgesDeg.select(col("src").as("node")).distinct()
+      .write.mode("overwrite").parquet(s"$scratch/nodes")
+    val nodes = spark.read.parquet(s"$scratch/nodes")
     val n = nodes.count() // one scalar job, same contract as kmeans k
     val init = Scale / n
-    var ranks = nodes.withColumn("r", lit(init))
-    for (_ <- 1 to iters) {
-      val contrib = edges
+    def round(ranks: DataFrame): DataFrame = {
+      val contrib = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r DIV deg")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           // init fits int32 for graphs over ~500 nodes, so the literal
           // MUST be anchored to BIGINT or ANSI mode overflows on 15·init
           expr(s"(15 * CAST($init AS BIGINT) + " +
             "85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    // materialize every SECOND round: the intermediate round's plan is
+    // referenced exactly once by its successor, so chaining two rounds
+    // between barriers does no recomputation — it just halves the
+    // job-scheduling barriers (the dominant local cost; at cluster
+    // scale the same trade holds against per-job overhead)
+    var ranks = nodes.select(col("node"), lit(init).as("r"))
+    var done = 0
+    while (done < iters) {
+      val step = math.min(2, iters - done)
+      val next = (1 to step).foldLeft(ranks)((r, _) => round(r))
+      done += step
+      next.write.mode("overwrite").parquet(s"$scratch/round-$done")
+      ranks = spark.read.parquet(s"$scratch/round-$done")
     }
     ranks.select(col("node"), col("r").as("rank_fp"))
   }

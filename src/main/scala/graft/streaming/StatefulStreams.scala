@@ -32,6 +32,13 @@ case class Attribution(event_id: Long, user_id: Long,
                        click_value: Option[Double],
                        gap_us: Option[Long])
 
+/** A funnel step advance emitted by the streaming funnel kernel. */
+case class FunnelAdvance(user_id: Long, step: Int)
+
+/** A closed SCD2 interval emitted by the streaming dim-history kernel. */
+case class Scd2Closed(key: Long, version_id: Long, attr: String,
+                      valid_from: Timestamp, valid_to: Timestamp)
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -272,6 +279,69 @@ object StatefulStreams {
                 latest.map(s => micros(e.ts) - s._2))
             }
           latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Funnel streaming twin — per-user progress as an Int ValueState
+    * (highest step reached). A user emits `FunnelAdvance(user, n)`
+    * exactly once per step, the first time step n's event arrives
+    * STRICTLY after step n-1 was reached (same strict-after rule as
+    * `Behavior.funnel`; the state stores the reach timestamp in µs).
+    * Counting advances per step downstream reproduces the batch
+    * funnel's `users` column for in-order replay. */
+  def funnelStream(events: Dataset[Ev],
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stepOf = steps.zipWithIndex.toMap
+    events
+      .filter(e => stepOf.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Long), FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(Int, Long)]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          var (reached, reachedAt) = state.getOption.getOrElse((0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val s = stepOf(e.event_type) + 1
+            if (s == reached + 1 &&
+              (s == 1 || micros(e.ts) > reachedAt)) {
+              reached = s; reachedAt = micros(e.ts)
+              out += FunnelAdvance(user, s)
+            }
+          }
+          state.update((reached, reachedAt))
+          out.iterator
+      }
+  }
+
+  /** SCD2 streaming twin — dim history from a version stream: the open
+    * version rides ValueState; each strictly-newer version CLOSES its
+    * predecessor, emitting the finished [valid_from, valid_to)
+    * interval (Append mode emits each closed interval exactly once;
+    * the still-open versions are the state itself, flushed by the
+    * batch `Scd2.scd2Build` semantics at any cutover). Version order
+    * is (ts, version_id), the batch builder's tie rule. */
+  def scd2Stream(versions: Dataset[(Long, Long, String, Timestamp)])
+      : Dataset[Scd2Closed] = {
+    import versions.sparkSession.implicits._
+    versions
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Timestamp), Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[(Long, String, Timestamp)]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Scd2Closed]()
+          it.toSeq.sortBy(v => (v._4.getTime, v._2)).foreach { v =>
+            open.foreach { case (vid, attr, from) =>
+              out += Scd2Closed(key, vid, attr, from, v._4)
+            }
+            open = Some((v._2, v._3, v._4))
+          }
+          open.foreach(state.update)
           out.iterator
       }
   }

@@ -31,7 +31,11 @@ class BatchQueriesSpec extends SparkTestBase {
       "llm_compression_ratio",
       // approx swaps: estimators have no exact oracle; drift vs the
       // exact twins is bounded in DwsJobSpec / LlmOpsSpec
-      "a3_province_order_window_approx", "llm_token_percentiles_approx")
+      "a3_province_order_window_approx", "llm_token_percentiles_approx",
+      // probed IVF×SQ8 is approximate by construction; the fullprobe
+      // twin llm_ann_ivfsq8_fullprobe carries the sq8 oracle, recall
+      // floor pinned in AsofRetrievalSpec
+      "llm_ann_ivfsq8")
     assert(noOracle.subsetOf(allowed), s"queries missing oracle: $noOracle")
   }
 

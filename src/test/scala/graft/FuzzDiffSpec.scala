@@ -13,10 +13,12 @@ import graft.operators.FuzzGen
 class FuzzDiffSpec extends SparkTestBase {
 
   private val cases = FuzzGen.suite(120) ++
-    (1000 until 1040).map(FuzzGen.gen) // the event-time shape space
+    (1000 until 1040).map(FuzzGen.gen) ++ // the event-time shape space
+    (2000 until 2040).map(FuzzGen.gen)    // the cross-table shape space
 
-  test("160 generated filter/agg/join/time cases: DataFrame plan == SQL text") {
+  test("200 generated filter/agg/join/time/cross cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
+    Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     val failures = cases.flatMap { f =>
       val df = f.build(spark, sf0001)
       val viaSql = spark.sql(f.sql)
@@ -31,12 +33,14 @@ class FuzzDiffSpec extends SparkTestBase {
     assert(FuzzGen.driverSuite.map(_.sql) == FuzzGen.driverSuite.map(_.sql))
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
-      if (f.sql.contains("JOIN")) "join"
+      if (f.sql.contains("o_custkey")) "cross"
+      else if (f.sql.contains("JOIN")) "join"
       else if (f.sql.contains("hour(ts)")) "time"
       else if (f.sql.contains("GROUP BY")) "agg"
       else if (f.sql.contains("row_number")) "window"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
-    assert(shapes == Set("join", "agg", "filter", "window", "limit", "time"))
+    assert(shapes ==
+      Set("join", "agg", "filter", "window", "limit", "time", "cross"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {

@@ -444,4 +444,51 @@ class StreamingParitySpec extends SparkTestBase {
       .filter(col("event_id") === 9 && col("asof_click_id").isNull)
       .count() == 1)
   }
+
+  test("funnel: streamed step advances == batch funnel counts") {
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2) // ts-ordered split
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.funnelStream(ms.toDS()).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("append").start()
+    ms.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_stream")
+      .groupBy("step").agg(count(lit(1)).as("users"))
+    val batch = graft.operators.dws.Behavior.funnel(evs.toSeq.toDF())
+      .select("step", "users")
+    assertSameRows(streamed, batch)
+  }
+
+  test("scd2: streamed closed intervals == batch non-current rows") {
+    val versions = graft.core.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+      .collect().sortBy(_._4.getTime)
+    val (b1, b2) = versions.splitAt(versions.length / 2)
+    val ms = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = StatefulStreams.scd2Stream(ms.toDS()).writeStream
+      .format("memory").queryName("scd2_stream").outputMode("append").start()
+    ms.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("scd2_stream").select(
+      col("key"), col("version_id"), col("attr"),
+      date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+      date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+    val batch = graft.operators.dim.Scd2
+      .scd2Build(graft.core.Tables.orders(spark, sf0001))
+      .filter(col("is_current") === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"))
+    assertSameRows(streamed, batch)
+  }
 }
