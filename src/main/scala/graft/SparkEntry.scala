@@ -75,6 +75,10 @@ object SparkEntry {
     // range explosion) — last-touch purchase→click attribution
     "j_asof_join" -> ((s, d) =>
       AsofJoin.purchaseAttribution(Tables.events(s, d))),
+    // runtime bloom pruning before the fact shuffle; exact join drops
+    // the fpp survivors, so the plain join oracles it bit-for-bit
+    "j_bloom_pruned_join" -> ((s, d) =>
+      Joins.bloomPrunedJoin(Tables.lineitem(s, d), Tables.orders(s, d))),
     // trailing event-time RANGE frame (rolling 7-day spend per customer)
     "w_trailing_range_window" -> ((s, d) =>
       AdvancedWindows.trailingOrderWindow(Tables.orders(s, d))),
@@ -630,6 +634,13 @@ object SparkEntry {
         |  WHERE e.user_id = g.user_id AND e.ts <= g.h
         |  ORDER BY ts DESC, event_id DESC LIMIT 1) e2 ON true
         |ORDER BY g.user_id, hour_ts""".stripMargin,
+    // bloom pruning is a pre-shuffle superset filter; the exact join
+    // makes the result identical to the unpruned join
+    "j_bloom_pruned_join" ->
+      """SELECT l_orderkey, l_partkey, o_custkey,
+        |       round(l_quantity, 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE month(o_orderdate) = 1""".stripMargin,
     // funnel steps chain strictly-after minima; counts integer-exact
     "b_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -16,6 +16,38 @@ import graft.functions.TimeFns
   */
 object Joins {
 
+  /** Bloom-pruned join — runtime row-level filtering for the
+    * selective-dim ⋈ huge-fact case where the dim outgrows broadcast:
+    * a Bloom filter over the FILTERED dim keys prunes the fact BEFORE
+    * its shuffle, so the exchange carries only rows that can match
+    * (plus the fpp false positives, which the exact join then drops —
+    * the result is bit-identical to the plain join, which is exactly
+    * why the plain SQL join oracles it). This is the manual form of
+    * Spark's runtime bloom injection, kept explicit so the pruning is
+    * guaranteed (the optimizer's version fires only under its own
+    * selectivity heuristics) and composable with any downstream plan.
+    *
+    * On this fixture Catalyst broadcasts the month-filtered dim anyway
+    * — the operator's value is the 100 TB shape where the dim is
+    * broadcast-INeligible but still selective; the spec proves the
+    * pruned row count and result identity, the join strategy is
+    * whatever Catalyst picks. */
+  def bloomPrunedJoin(lineitem: DataFrame, orders: DataFrame,
+                      fpp: Double = 0.01): DataFrame = {
+    val dim = orders.filter(month(col("o_orderdate")) === 1)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey",
+      math.max(dim.count(), 1L), fpp)
+    val bcast = lineitem.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bcast.value.mightContainLong(k))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .filter(mightContain(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("o_custkey"),
+        round(col("l_quantity"), 2).as("qty"))
+  }
+
   /** J1 — order wide table: order_detail ⋈ order_info
     * (`DwdTradeOrderPreProcess.java:141-194`). Shuffles once on the
     * order key; both inputs are pre-projected so only needed columns

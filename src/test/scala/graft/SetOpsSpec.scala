@@ -31,6 +31,27 @@ class SetOpsSpec extends SparkTestBase {
     assert(anti > 0 && anti + withOrders == cust.count())
   }
 
+  test("bloom-pruned join: identical to plain join, fact rows pruned") {
+    val li = Tables.lineitem(spark, sf0001)
+    val orders = Tables.orders(spark, sf0001)
+    val pruned = graft.operators.dwd.Joins.bloomPrunedJoin(li, orders)
+    val plain = li.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(orders.filter(month(col("o_orderdate")) === 1)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"), col("o_custkey"),
+        round(col("l_quantity"), 2).as("qty"))
+    assertSameRows(pruned, plain)
+    // the bloom must actually prune: survivors ≪ the full fact table
+    val dim = orders.filter(month(col("o_orderdate")) === 1)
+    val bloom = dim.stat.bloomFilter("o_orderkey",
+      math.max(dim.count(), 1L), 0.01)
+    val survivors = li.collect()
+      .count(r => bloom.mightContainLong(r.getAs[Long]("l_orderkey")))
+    assert(survivors < li.count() / 2,
+      s"bloom pruned nothing: $survivors of ${li.count()}")
+  }
+
   test("grouped top-k aggregator equals the window-rank formulation") {
     val orders = Tables.orders(spark, sf0001)
     val viaAgg = SetOps.topKPerGroup(orders, k = 3)
