@@ -82,6 +82,16 @@ object SparkEntry {
     // trailing event-time RANGE frame (rolling 7-day spend per customer)
     "w_trailing_range_window" -> ((s, d) =>
       AdvancedWindows.trailingOrderWindow(Tables.orders(s, d))),
+    // PIVOT with a pinned value list (one pass, stable schema)
+    "w_status_pivot" -> ((s, d) =>
+      AdvancedWindows.statusPivot(Tables.orders(s, d))),
+    // the analytic-function surface: rank family, offsets, ntile,
+    // distribution functions
+    "w_analytic_functions" -> ((s, d) =>
+      AdvancedWindows.analyticFunctions(Tables.orders(s, d))),
+    // explicit GROUPING SETS (one Expand pass, grouping() labels)
+    "w_grouping_sets" -> ((s, d) =>
+      AdvancedWindows.orderGroupingSets(Tables.orders(s, d))),
     // hourly resample + forward fill = grid explode ∘ as-of join
     "w_resample_ffill" -> ((s, d) =>
       AdvancedWindows.resampleFfill(Tables.events(s, d))),
@@ -618,6 +628,48 @@ object SparkEntry {
         |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
         |                       AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    // pivot cells are FILTER aggregates; empty sum → NULL, empty
+    // count → 0 in both engines
+    "w_status_pivot" ->
+      """SELECT month(o_orderdate) AS month,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O_ct,
+        |  round(sum(round(o_totalprice, 2))
+        |        FILTER (WHERE o_orderstatus = 'O'), 2) AS O_sum,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F_ct,
+        |  round(sum(round(o_totalprice, 2))
+        |        FILTER (WHERE o_orderstatus = 'F'), 2) AS F_sum,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P_ct,
+        |  round(sum(round(o_totalprice, 2))
+        |        FILTER (WHERE o_orderstatus = 'P'), 2) AS P_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w_analytic_functions" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w1 AS INT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderpriority, o_orderkey) AS INT) AS prio_rank,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_orderpriority) AS INT) AS prio_dense,
+        |  lag(o_orderkey, 1) OVER w1 AS prev_key,
+        |  lead(o_orderkey, 1) OVER w1 AS next_key,
+        |  CAST(ntile(4) OVER w1 AS INT) AS quartile,
+        |  round(percent_rank() OVER w1, 6) AS pct_rank,
+        |  round(cume_dist() OVER w1, 6) AS cume
+        |FROM orders
+        |WINDOW w1 AS (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       month(o_orderdate) AS month,
+        |       count(*) AS ct,
+        |       round(sum(round(o_totalprice, 2)), 2) AS total,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       CAST(grouping(month(o_orderdate)) AS INT) AS g_month
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (month(o_orderdate)))
+        |ORDER BY 1, 2, 3""".stripMargin,
     // the grid is inclusive of both truncated endpoints in both
     // engines; the fill replays the as-of LATERAL probe per boundary
     "w_resample_ffill" ->

@@ -79,6 +79,64 @@ object AdvancedWindows {
       round(sum(col("o_totalprice")).over(w), 2).as("trailing_sum"))
   }
 
+  /** PIVOT: order counts and spend by month × status, one output row
+    * per month with a column pair per status. `Dataset.pivot` with an
+    * EXPLICIT value list — the implicit form runs a distinct-values
+    * job first and makes the schema data-dependent; pinning the list
+    * keeps the plan one pass and the schema stable (and is the only
+    * scalable form: a pivot over unbounded distinct values is a
+    * schema explosion, not a plan). */
+  def statusPivot(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(month(col("o_orderdate")).as("month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("ct"),
+        round(sum(round(col("o_totalprice"), 2)), 2).as("sum"))
+      .orderBy("month")
+
+  /** The analytic-window-function surface in one query: rank family,
+    * offsets, distribution functions and ntile over a per-customer
+    * order timeline — the coverage query proving each function's
+    * tie/frame/precision semantics match the oracle engine's.
+    * percent_rank/cume_dist are rounded to 6 dp (exact rationals —
+    * the division is the only float op). */
+  def analyticFunctions(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      rank().over(w.orderBy(col("o_orderpriority"), col("o_orderkey")))
+        .as("prio_rank"),
+      dense_rank().over(w.orderBy(col("o_orderpriority"))).as("prio_dense"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  /** Explicit GROUPING SETS — the general form under CUBE/ROLLUP:
+    * {(status, priority), (status), (month)} in ONE aggregate pass
+    * (Expand, not three scans), subtotal rows labeled via grouping()
+    * so genuine NULLs can't collide with set markers. */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    // month must be a NAMED column before grouping: an expression in
+    // the sets list doesn't unify with an aliased grouping column, so
+    // the set silently groups without projecting the value
+    orders.withColumn("month", month(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq(col("month"))),
+        col("o_orderstatus"), col("o_orderpriority"), col("month"))
+      .agg(count(lit(1)).as("ct"),
+        round(sum(round(col("o_totalprice"), 2)), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("month")).cast("int").as("g_month"))
+
   /** Time-series resampling with forward fill: per user, an hourly
     * boundary grid spanning [floor_hour(min ts), floor_hour(max ts)],
     * each boundary carrying the last event value at-or-before it
