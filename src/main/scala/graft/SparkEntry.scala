@@ -92,6 +92,9 @@ object SparkEntry {
     // explicit GROUPING SETS (one Expand pass, grouping() labels)
     "w_grouping_sets" -> ((s, d) =>
       AdvancedWindows.orderGroupingSets(Tables.orders(s, d))),
+    // UNPIVOT/melt: wide measures → narrow rows, one Expand pass
+    "w_lineitem_unpivot" -> ((s, d) =>
+      AdvancedWindows.lineitemUnpivot(Tables.lineitem(s, d))),
     // hourly resample + forward fill = grid explode ∘ as-of join
     "w_resample_ffill" -> ((s, d) =>
       AdvancedWindows.resampleFfill(Tables.events(s, d))),
@@ -104,6 +107,12 @@ object SparkEntry {
     // SCD2 validity intervals from versioned change rows
     "dim_scd2_build" -> ((s, d) =>
       graft.operators.dim.Scd2.scd2Build(Tables.orders(s, d))),
+    // point-in-time lookup against the SCD2 history (temporal join as
+    // the as-of kernel over interval starts — gapless chaining makes
+    // the interval end redundant)
+    "dim_scd2_lookup" -> ((s, d) =>
+      graft.operators.dim.Scd2.pointInTimeLookup(Tables.events(s, d),
+        graft.operators.dim.Scd2.scd2Build(Tables.orders(s, d)))),
     // fixed-point PageRank: BIGINT ranks, integer DIV — iteration is
     // order-independent, so the oracle replays it bit-identically
     "g_pagerank_copurchase" -> ((s, d) =>
@@ -670,6 +679,20 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (month(o_orderdate)))
         |ORDER BY 1, 2, 3""".stripMargin,
+    // melt replayed as UNION ALL — unambiguous in both dialects
+    "w_lineitem_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       round(l_quantity, 2) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       round(l_extendedprice, 2) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       round(l_discount, 2) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |       round(l_tax, 2) FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     // the grid is inclusive of both truncated endpoints in both
     // engines; the fill replays the as-of LATERAL probe per boundary
     "w_resample_ffill" ->
@@ -735,6 +758,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // temporal semantics collapse to "latest version at-or-before ts"
+    // under gapless chaining — the LATERAL probe replays that directly
+    "dim_scd2_lookup" ->
+      """SELECT e.event_id, e.user_id, v.o_orderkey AS version_key,
+        |       v.o_orderstatus AS status_at_ts
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_orderstatus FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) v ON true
+        |ORDER BY e.event_id""".stripMargin,
     "set_intersect" ->
       """SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
         |INTERSECT

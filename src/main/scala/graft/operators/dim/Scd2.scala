@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   * and priority. */
 object Scd2 {
 
+  /** Point-in-time (temporal) lookup against the SCD2 history: each
+    * event joins the dim version VALID AT its timestamp — semantically
+    * `valid_from <= ts < valid_to` with the open interval unbounded.
+    * Implemented as the as-of kernel over the interval STARTS (the
+    * interval end is redundant under gapless chaining — the r4 SCD2
+    * builder's invariant, spec-pinned in BehaviorSpec), so the lookup
+    * pays ONE key exchange and no range join, and inherits the as-of
+    * tie rules for same-instant versions. Events before a key's first
+    * version get NULLs (left outer). */
+  def pointInTimeLookup(events: DataFrame, scd2: DataFrame): DataFrame = {
+    val dim = scd2.select(col("o_custkey").as("k"),
+      to_timestamp(col("valid_from"), "yyyy-MM-dd").as("vt"),
+      col("o_orderkey"), col("o_orderstatus"))
+    val left = events.select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.dwd.AsofJoin.asofJoin(left, dim,
+        leftKey = "user_id", leftTs = "ts",
+        rightKey = "k", rightTs = "vt",
+        rightPayload = Seq("o_orderkey", "o_orderstatus"),
+        rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("version_key"),
+        col("asof_o_orderstatus").as("status_at_ts"))
+  }
+
   def scd2Build(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))

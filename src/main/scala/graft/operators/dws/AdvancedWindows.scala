@@ -137,6 +137,25 @@ object AdvancedWindows {
         grouping(col("o_orderpriority")).cast("int").as("g_prio"),
         grouping(col("month")).cast("int").as("g_month"))
 
+  /** UNPIVOT (melt): wide measure columns → (measure, value) rows —
+    * the inverse of pivot, and the narrow-format feed for
+    * measure-generic downstream aggregates. `Dataset.unpivot` is a
+    * single Expand pass (rows × |measures|, no shuffle); values are
+    * rounded to 2 dp AFTER the melt so the oracle's UNION ALL replay
+    * is bit-identical. */
+  def lineitemUnpivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        round(col("v"), 2).as("value"))
+
   /** Time-series resampling with forward fill: per user, an hourly
     * boundary grid spanning [floor_hour(min ts), floor_hour(max ts)],
     * each boundary carrying the last event value at-or-before it

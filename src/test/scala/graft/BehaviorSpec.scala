@@ -72,6 +72,28 @@ class BehaviorSpec extends SparkTestBase {
     scd.unpersist()
   }
 
+  test("scd2 point-in-time lookup equals the range-join reformulation") {
+    val orders = Tables.orders(spark, sf0001)
+    val events = Tables.events(spark, sf0001)
+    val viaAsof = Scd2.pointInTimeLookup(events, Scd2.scd2Build(orders))
+    // literal semantics: the single latest version at-or-before ts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last,
+        col("o_orderkey").desc_nulls_last)
+    val viaRange = events.select(col("event_id"), col("user_id"), col("ts"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate")),
+        col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderstatus").as("status_at_ts"))
+    assertSameRows(viaAsof, viaRange)
+  }
+
   test("priority sample: deterministic, sorted, and weight-biased") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = Sampling.prioritySample(docs, k = 50)
