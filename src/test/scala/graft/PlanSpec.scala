@@ -260,4 +260,31 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("UDF"), s"bloom pre-screen missing:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"verify join not broadcast:\n$p")
   }
+
+  test("trailing range window: one key exchange, bounded frame") {
+    val p = plan("w_trailing_range_window")
+    val keyEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(o_custkey")).size
+    assert(keyEx == 1, s"expected 1 o_custkey exchange:\n$p")
+    assert(p.contains("RangeFrame"), p)
+  }
+
+  test("unpivot is a pure Expand: zero exchanges") {
+    val p = plan("w_lineitem_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange"), s"melt must not shuffle:\n$p")
+  }
+
+  test("grouping sets: one Expand feeding one aggregate exchange") {
+    val p = plan("w_grouping_sets")
+    assert(p.contains("Expand"), p)
+    val ex = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).size
+    assert(ex == 1, s"expected 1 aggregate exchange:\n$p")
+  }
+
+  test("bloom-pruned join: the UDF prune sits under the join") {
+    val p = plan("j_bloom_pruned_join")
+    assert(p.contains("UDF"), s"bloom prune missing from plan:\n$p")
+  }
 }
