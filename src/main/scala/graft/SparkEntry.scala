@@ -415,6 +415,10 @@ object SparkEntry {
     // PMI collocations: integer-count pmi over doc-level co-occurrence
     "llm_pmi_cooccurrence" -> ((s, d) =>
       llm.Retrieval.pmiCooccurrence(Tables.documents(s, d))),
+    // Misra–Gries sketch discovers, exact pass verifies — the output
+    // IS "HAVING count > n/k", so the plain aggregate oracles it
+    "llm_heavy_hitters" -> ((s, d) =>
+      llm.HeavyHitters.frequentTokens(Tables.documents(s, d))),
     // fuzzy vocabulary self-join: lossless bigram blocking + exact
     // levenshtein verify over distinct part names
     "llm_fuzzy_join" -> ((s, d) =>
@@ -2562,6 +2566,19 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id) AS rank FROM agg)
         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the MG sketch is a superset discoverer; after the exact verify
+    // pass the result is literally this aggregate
+    "llm_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |                string_split_regex(lower(text), '\s+'),
+        |                w -> w <> '')) AS w
+        |              FROM documents),
+        |n AS (SELECT count(*) AS n FROM toks)
+        |SELECT w AS token, count(*) AS ct
+        |FROM toks CROSS JOIN n
+        |GROUP BY w, n.n
+        |HAVING count(*) > CAST(n.n AS DOUBLE) / 50
+        |ORDER BY ct DESC, token""".stripMargin,
     // PMI is pure integer-count arithmetic inside one ln(), so the
     // replay is exact; ranking is fully tie-broken (pmi, w_a, w_b)
     "llm_pmi_cooccurrence" ->

@@ -94,6 +94,21 @@ class BehaviorSpec extends SparkTestBase {
     assertSameRows(viaAsof, viaRange)
   }
 
+  test("misra-gries heavy hitters: guarantee holds under eviction pressure") {
+    // 900 singleton tokens + one token with freq 100: n = 1000,
+    // k = 10 → threshold 100 < ... wait: need freq strictly > n/k=100
+    // → use 101 occurrences. Vocabulary 901 ≫ k, so counters evict
+    // constantly and the merge path runs across partitions.
+    val docs = (
+      (0 until 900).map(i => (i.toLong, s"rare$i")) ++
+        (900 until 1001).map(i => (i.toLong, "heavy"))
+      ).toDF("doc_id", "text").repartition(8)
+    val out = graft.operators.llm.HeavyHitters.frequentTokens(docs, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("heavy" -> 101L),
+      s"MG must surface exactly the true heavy hitter: $out")
+  }
+
   test("priority sample: deterministic, sorted, and weight-biased") {
     val docs = Tables.documents(spark, sf0001)
     val s1 = Sampling.prioritySample(docs, k = 50)
