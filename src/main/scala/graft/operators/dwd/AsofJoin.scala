@@ -32,6 +32,13 @@ import org.apache.spark.sql.types.StructType
   *    wins (they sort ascending; the running `last` keeps the latest).
   *
   * Right payload columns are returned as `asof_<name>`.
+  *
+  * Nulls contract: keys and timestamps are assumed NON-NULL (the
+  * events/orders tables guarantee it). A null key would group with
+  * other null keys inside the window — equi-JOIN semantics would drop
+  * it instead — and a null right timestamp sorts first (acting as
+  * -infinity). Callers with nullable keys/timestamps must filter them
+  * ahead of the join, same as they would for any keyed-state kernel.
   */
 object AsofJoin {
 
@@ -102,9 +109,14 @@ object AsofJoin {
       col(rightKey).as("__rk"), col(rightTs).as("__rt"),
       col(rightTieBreak).as("__tie"),
       struct(rightPayload.map(col): _*).as("__pay"))
-    val w = Window.partitionBy(lCols.map(col): _*)
+    // partition by a per-ROW id, not the left columns: two identical
+    // left rows must each keep their own match (the production path
+    // preserves row multiplicity; partitioning by value would collapse
+    // duplicates and fail parity against a correct result)
+    val withId = left.withColumn("__rowid", monotonically_increasing_id())
+    val w = Window.partitionBy(col("__rowid"))
       .orderBy(col("__rt").desc_nulls_last, col("__tie").desc_nulls_last)
-    left.join(r, col(leftKey) === col("__rk") &&
+    withId.join(r, col(leftKey) === col("__rk") &&
         col("__rt") <= col(leftTs), "left")
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

@@ -92,6 +92,14 @@ object AdvancedWindows {
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)).as("ct"),
         round(sum(round(col("o_totalprice"), 2)), 2).as("sum"))
+      // Dataset.pivot leaves an EMPTY cell's count NULL (the cell's
+      // aggregate never ran), unlike a FILTER aggregate's 0 — pin the
+      // count-of-nothing-is-zero semantics explicitly so a fixture
+      // with a vacant month×status cell can't diverge from the oracle
+      .select(col("month"),
+        coalesce(col("O_ct"), lit(0L)).as("O_ct"), col("O_sum"),
+        coalesce(col("F_ct"), lit(0L)).as("F_ct"), col("F_sum"),
+        coalesce(col("P_ct"), lit(0L)).as("P_ct"), col("P_sum"))
       .orderBy("month")
 
   /** The analytic-window-function surface in one query: rank family,

@@ -88,6 +88,7 @@ object PageRank {
       .write.mode("overwrite").parquet(s"$scratch/nodes")
     val nodes = spark.read.parquet(s"$scratch/nodes")
     val n = nodes.count() // one scalar job, same contract as kmeans k
+    require(n > 0, "pageRank: empty edge set (no nodes to rank)")
     val init = Scale / n
     def round(ranks: DataFrame): DataFrame = {
       val contrib = edgesDeg

@@ -30,11 +30,28 @@ import org.apache.spark.sql.functions._
   * does: `maxGramBucket` drops grams whose bucket exceeds the cap —
   * pairs sharing ONLY ultra-common grams are overwhelmingly far apart,
   * and every surviving pair is still exact-verified, so caps cost
-  * recall only for pairs all of whose shared grams are stop-grams
-  * (capped buckets are counted and exposed for monitoring, not
-  * silently dropped: set the cap ≤ 0 to disable).
+  * recall only for pairs all of whose shared grams are stop-grams.
+  * Set the cap ≤ 0 to disable; [[cappedGrams]] reports which grams a
+  * given cap would drop (the monitoring hook — the join itself stays
+  * a pure pair producer).
   */
 object FuzzyJoin {
+
+  /** The grams `nearMatchPairs` would drop at `maxGramBucket`, with
+    * their bucket sizes — run alongside the join to monitor what the
+    * cap is costing (a non-trivial row here means recall loss is
+    * POSSIBLE for pairs whose every shared gram is listed). */
+  def cappedGrams(values: DataFrame, column: String,
+                  maxGramBucket: Int = 10000): DataFrame = {
+    val names = values.select(col(column).cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    names.select(col("name"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("name")) - 1, lit(1))),
+          i => col("name").substr(i, lit(2))))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxGramBucket)
+      .orderBy(col("bucket_n").desc, col("g"))
+  }
 
   /** (pair candidates via blocking) → exact levenshtein verify. */
   def nearMatchPairs(values: DataFrame, column: String, maxDist: Int = 2,

@@ -1,6 +1,7 @@
 package graft.operators.llm
 
 import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Tokenize
 
@@ -65,11 +66,17 @@ object HeavyHitters {
     val toks = graft.core.Tables.spread(documents)
       .select(explode(Tokenize.tokens(col("text"))).as("w"))
     val candidates = toks.as[String].select(mgAggregator(k).toColumn).head()
-    val total = toks.agg(count(lit(1)).as("n"))
-    toks.filter(col("w").isin(candidates: _*))
-      .groupBy(col("w").as("token")).agg(count(lit(1)).as("ct"))
-      .crossJoin(broadcast(total))
-      .filter(col("ct") > col("n").cast("double") / k)
+    // ONE verify scan: non-candidates collapse into a single null
+    // group, so the same aggregate yields the ≤k candidate counts AND
+    // (via the global sum over the ≤k+1 aggregated rows — a window on
+    // a tiny post-shuffle frame, not the corpus) the total n
+    toks
+      .groupBy(when(col("w").isin(candidates: _*), col("w")).as("token"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("n", sum(col("ct")).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("token").isNotNull &&
+        col("ct") > col("n").cast("double") / k)
       .select(col("token"), col("ct"))
       .orderBy(col("ct").desc, col("token"))
   }

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** 32-bit uniform from the md5 hash family: first 8 hex chars of
+    * md5(keyExpr) as a long in [0, 2^32). ONE definition so the
+    * 8-hex-width discipline (the 4-hex form skews residues — see
+    * budgetSelect) and any future salting fix stay consistent across
+    * every sampling op that correlates on this value. */
+  private[llm] def hash32(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+
   /** Uniform [0, 100) selector from the doc key: first 4 hex chars of
     * md5 of the DECIMAL doc_id string. */
   private def pctSelector = {
@@ -138,8 +146,7 @@ object Sampling {
     // 8 hex chars (32 bits): 2^32 mod 10000 leaves ~1e-5 relative
     // non-uniformity, where the 4-hex form's 65536 mod 10000 skewed
     // residues 0–5535 by +1/6 (~7% relative keep-rate error)
-    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val sel = hash32(col("doc_id").cast("string")) % 10000
     documents.join(broadcast(counts), "lang")
       .crossJoin(broadcast(binding))
       .filter(sel * col("ct") * col("bind_w") <
@@ -166,8 +173,7 @@ object Sampling {
       .orderBy((col("ct").cast("double") / col("w")).asc, col("lang"))
       .limit(1)
       .select(col("ct").as("bind_ct"), col("w").as("bind_w"))
-    val sel = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 10000
+    val sel = hash32(col("doc_id").cast("string")) % 10000
     documents.join(broadcast(counts), "lang")
       .crossJoin(broadcast(binding))
       .filter(sel.cast("double") * col("bind_w") * col("ct") <
@@ -195,9 +201,8 @@ object Sampling {
     // same md5 value the sampling ops filter on, and 100 | 10000 makes
     // the decisions fully correlated — a stratum mixtureRebalance keeps
     // at rate sel%10000 < 80 would land EVERY survivor in 'train'
-    val sel = conv(substring(md5(concat(lit("split:"),
-      col("component_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 100
+    val sel = hash32(concat(lit("split:"),
+      col("component_id").cast("string"))) % 100
     documents
       .join(comp, Seq("doc_id"), "left_outer")
       .withColumn("component_id",
@@ -221,8 +226,7 @@ object Sampling {
     * hash-ordered shards directly. */
   def trainingOrder(documents: DataFrame, nShards: Int = 32,
                     seed: Long = 42L): DataFrame = {
-    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
-      lit(":"), lit(seed))), 1, 8), 16, 10).cast("long")
+    val h = hash32(concat(col("doc_id").cast("string"), lit(":"), lit(seed)))
     val byShard = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     documents
@@ -262,8 +266,7 @@ object Sampling {
     * per-row expression. */
   def prioritySample(documents: DataFrame, k: Int = 100): DataFrame = {
     // u = (h+1)/2^32 ∈ (0,1]; +1 keeps u nonzero so w/u is finite
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h = hash32(col("doc_id").cast("string"))
     val priority = col("n_chars").cast("double") * 4294967296.0 /
       (h + lit(1L)).cast("double")
     documents
