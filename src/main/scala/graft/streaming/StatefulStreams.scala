@@ -39,6 +39,11 @@ case class FunnelAdvance(user_id: Long, step: Int)
 case class Scd2Closed(key: Long, version_id: Long, attr: String,
                       valid_from: Timestamp, valid_to: Timestamp)
 
+/** A first-activity-of-day hit emitted by the streaming retention
+  * kernel: one row per (user, active day). */
+case class RetentionHit(user_id: Long, cohort_date: String,
+                        day_offset: Int)
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -314,6 +319,46 @@ object StatefulStreams {
             }
           }
           state.update((reached, reachedAt))
+          out.iterator
+      }
+  }
+
+  /** Retention streaming twin — per-user cohort day + seen-day set as
+    * keyed state, emitting one `RetentionHit` the FIRST time a user is
+    * active on each day (Append mode, once ever per (user, day)).
+    * Counting hits per (cohort_date, day_offset) downstream equals
+    * `Behavior.retentionCohorts` for in-order replay. State is bounded
+    * by `horizonDays` distinct day strings per user (offsets past the
+    * horizon are not tracked — the standard retention-report horizon;
+    * set it to the report's widest offset). */
+  def retentionStream(events: Dataset[Ev],
+                      horizonDays: Int = 90): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Set[String]), RetentionHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, it, state: GroupState[(String, Set[String])]) =>
+          val df = new java.text.SimpleDateFormat("yyyy-MM-dd")
+          df.setTimeZone(java.util.TimeZone.getTimeZone(zone))
+          var (cohort, seen) =
+            state.getOption.getOrElse((null: String, Set.empty[String]))
+          val out = scala.collection.mutable.ArrayBuffer[RetentionHit]()
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val d = df.format(e.ts)
+            if (cohort == null) cohort = d
+            if (!seen.contains(d)) {
+              val off = java.time.temporal.ChronoUnit.DAYS.between(
+                java.time.LocalDate.parse(cohort),
+                java.time.LocalDate.parse(d))
+              if (off >= 0 && off <= horizonDays) {
+                seen += d
+                out += RetentionHit(user, cohort, off.toInt)
+              }
+            }
+          }
+          state.update((cohort, seen))
           out.iterator
       }
   }

@@ -465,6 +465,27 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamed, batch)
   }
 
+  test("retention: streamed first-of-day hits == batch cohort matrix") {
+    val evs = graft.core.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[Ev]
+    val q = StatefulStreams.retentionStream(ms.toDS()).writeStream
+      .format("memory").queryName("ret_stream").outputMode("append").start()
+    ms.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ret_stream")
+      .groupBy("cohort_date", "day_offset")
+      .agg(count(lit(1)).as("active_users"))
+    val batch = graft.operators.dws.Behavior
+      .retentionCohorts(evs.toSeq.toDF())
+    assertSameRows(streamed, batch)
+  }
+
   test("scd2: streamed closed intervals == batch non-current rows") {
     val versions = graft.core.Tables.orders(spark, sf0001)
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
