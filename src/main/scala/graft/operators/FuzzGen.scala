@@ -297,7 +297,7 @@ object FuzzGen {
 
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 32 cases replayed against the DuckDB oracle every round,
+  /** The 44 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
@@ -307,8 +307,11 @@ object FuzzGen {
     * regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
+      17, 18, 19, 20,
       1000, 1001, 1002, 1003, 1004, 1006, 1007, 1008,
-      2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007)
+      1009, 1010, 1011, 1012,
+      2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007,
+      2008, 2009, 2010, 2011)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }
