@@ -108,6 +108,17 @@ class AsofRetrievalSpec extends SparkTestBase {
     assert(blocked.count() > 0, "fixture vocabulary must contain near pairs")
   }
 
+  test("fuzzy join: cappedGrams reports exactly what a cap would drop") {
+    // 'xx' appears in every name (stop gram); 'ab' in two
+    val vals = (0 until 20).map(i => s"xxname$i").toDF("v")
+    val out = graft.operators.llm.FuzzyJoin
+      .cappedGrams(vals, "v", maxGramBucket = 10)
+      .as[(String, Long)].collect().toMap
+    assert(out.contains("xx") && out("xx") == 20L,
+      s"the stop gram must be reported with its bucket size: $out")
+    assert(out.values.forall(_ > 10), s"only over-cap buckets belong: $out")
+  }
+
   test("fuzzy join: short strings survive via the length-band fallback") {
     val vals = Seq("ab", "ac", "abcd", "zz zz zz", "zz zz zx").toDF("v")
     val out = FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2)
