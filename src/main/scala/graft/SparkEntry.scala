@@ -82,6 +82,13 @@ object SparkEntry {
     // trailing event-time RANGE frame (rolling 7-day spend per customer)
     "w_trailing_range_window" -> ((s, d) =>
       AdvancedWindows.trailingOrderWindow(Tables.orders(s, d))),
+    // DISTINCT over a RANGE frame (collect→dedup twin of the native
+    // DISTINCT window aggregate) + deterministic frame min
+    "w_trailing_distinct" -> ((s, d) =>
+      AdvancedWindows.trailingDistinctWindow(Tables.orders(s, d))),
+    // exact median / stddev / Pearson corr per group
+    "w_stats_aggregates" -> ((s, d) =>
+      AdvancedWindows.statsAggregates(Tables.orders(s, d))),
     // PIVOT with a pinned value list (one pass, stable schema)
     "w_status_pivot" -> ((s, d) =>
       AdvancedWindows.statusPivot(Tables.orders(s, d))),
@@ -641,6 +648,27 @@ object SparkEntry {
         |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
         |                       AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    // the native DISTINCT window aggregate replays the collect→dedup
+    // twin; min over the frame is order-independent
+    "w_trailing_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(count(DISTINCT o_orderpriority) OVER w AS INT)
+        |         AS distinct_prio,
+        |       min(o_orderkey) OVER w AS min_key_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+        |                       AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    // quantile_cont == Spark's exact interpolated percentile; stddev
+    // and corr rounded where accumulation order can differ
+    "w_stats_aggregates" ->
+      """SELECT o_orderstatus, count(*) AS ct,
+        |       round(quantile_cont(round(o_totalprice, 2), 0.5), 2)
+        |         AS median_price,
+        |       round(stddev_samp(o_totalprice), 2) AS stddev_price,
+        |       round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // pivot cells are FILTER aggregates; empty sum → NULL, empty
     // count → 0 in both engines
     "w_status_pivot" ->

@@ -79,6 +79,44 @@ object AdvancedWindows {
       round(sum(col("o_totalprice")).over(w), 2).as("trailing_sum"))
   }
 
+  /** Trailing DISTINCT count over an event-time RANGE frame — Spark
+    * has no COUNT(DISTINCT) window function, so the frame's values are
+    * collected and deduplicated per row (`collect_list` →
+    * `array_distinct` → `size`): identical semantics to the native
+    * DISTINCT window aggregate the oracle engine runs. Frame size
+    * bounds the per-row array (7 days of one customer's orders), so
+    * the buffered frame stays small; a wide-frame variant would switch
+    * to an HLL sketch column (the documented approx swap family). The
+    * frame also carries min(o_orderkey) — NOT first_value, whose
+    * result depends on intra-tie row order inside a RANGE frame and
+    * would be nondeterministic across engines. */
+  def trailingDistinctWindow(orders: DataFrame, days: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders.select(col("o_orderkey"), col("o_custkey"),
+      size(array_distinct(collect_list(col("o_orderpriority")).over(w)))
+        .as("distinct_prio"),
+      min(col("o_orderkey")).over(w).as("min_key_in_window"))
+  }
+
+  /** The statistical-aggregate surface per group: exact interpolated
+    * median, sample stddev, and Pearson correlation — rounded where
+    * float accumulation order can differ between engines (stddev to
+    * 2 dp at ~1e5 magnitude, corr to 6 dp on [-1,1]; median of an
+    * explicitly rounded input is exact). */
+  def statsAggregates(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("ct"),
+        round(expr("percentile(round(o_totalprice, 2), 0.5)"), 2)
+          .as("median_price"),
+        round(stddev_samp(col("o_totalprice")), 2).as("stddev_price"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 6)
+          .as("corr_price_cust"))
+      .orderBy("o_orderstatus")
+
   /** PIVOT: order counts and spend by month × status, one output row
     * per month with a column pair per status. `Dataset.pivot` with an
     * EXPLICIT value list — the implicit form runs a distinct-values
