@@ -50,6 +50,9 @@ object SparkEntry {
     "p11_pay_success_filter" -> ((s, d) => EventFilters.paySuccessFilter(Tables.events(s, d))),
     "p12_favor_add_filter" -> ((s, d) => EventFilters.favorAddFilter(Tables.events(s, d))),
     "f_scalar_functions" -> ((s, d) => EventFilters.scalarFns(Tables.events(s, d))),
+    // higher-order array surface: transform/filter/fold/zip/exists/
+    // sort/slice in pure integer arithmetic
+    "f_array_functions" -> ((s, d) => EventFilters.arrayFns(Tables.events(s, d))),
     // §2.4 joins + §2.6 union
     "j1_order_wide_table" -> ((s, d) =>
       Joins.orderWideTable(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -947,6 +950,26 @@ object SparkEntry {
         |       CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band,
         |       coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_prop
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    // zip_with has no DuckDB twin: the reversed dot product is
+    // replayed by index (a[i]·a[n-i+1]) — same integer arithmetic
+    "f_array_functions" ->
+      """WITH e AS (SELECT event_id,
+        |                  generate_series(1, event_id % 7 + 2) AS a
+        |           FROM events WHERE event_id < 200)
+        |SELECT event_id,
+        |       CAST(len(a) AS INT) AS n,
+        |       CAST(list_aggregate(list_transform(a, x -> x * x), 'sum')
+        |            AS BIGINT) AS sum_sq,
+        |       CAST(len(list_filter(a, x -> x % 2 = 0)) AS INT) AS even_ct,
+        |       CAST(list_aggregate(list_transform(
+        |              generate_series(1, len(a)),
+        |              i -> a[i] * a[len(a) - i + 1]), 'sum') AS BIGINT)
+        |         AS dot_rev,
+        |       list_contains(a, 5) AS has_five,
+        |       (list_sort(a, 'DESC'))[1:3] AS top3,
+        |       list_aggregate(list_transform(a, x -> 'e' || x),
+        |                      'string_agg', ',') AS tagged
+        |FROM e ORDER BY event_id""".stripMargin,
     "a1_keyed_tumbling_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(to_timestamp(floor(epoch(ts)/10)*10) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,

@@ -183,4 +183,29 @@ object EventFilters {
         coalesce(JsonFns.jsonField(col("props"), "missing"),
           lit("none")).as("missing_prop"))
       .orderBy("event_id")
+
+  /** The array / higher-order-function surface in one query: per row,
+    * a deterministic integer array (sequence keyed off event_id) run
+    * through transform, filter, fold (aggregate), zip_with, exists,
+    * sort and slice — every lambda kernel a pipeline leans on, in
+    * pure integer arithmetic so the oracle's list functions replay
+    * them exactly. */
+  def arrayFns(events: DataFrame): DataFrame = {
+    val arr = sequence(lit(1), col("event_id") % 7 + 2) // 2..8 elements
+    events
+      .filter(col("event_id") < 200)
+      .select(
+        col("event_id"),
+        size(arr).cast("int").as("n"),
+        aggregate(transform(arr, x => x * x), lit(0L),
+          (acc, v) => acc + v).as("sum_sq"),
+        size(filter(arr, x => x % 2 === 0)).cast("int").as("even_ct"),
+        aggregate(zip_with(arr, reverse(arr), (a, b) => a * b), lit(0L),
+          (acc, v) => acc + v).as("dot_rev"),
+        exists(arr, x => x === 5).as("has_five"),
+        slice(sort_array(arr, asc = false), 1, 3).as("top3"),
+        array_join(transform(arr, x => concat(lit("e"), x)), ",")
+          .as("tagged"))
+      .orderBy("event_id")
+  }
 }
