@@ -53,6 +53,9 @@ object SparkEntry {
     // higher-order array surface: transform/filter/fold/zip/exists/
     // sort/slice in pure integer arithmetic
     "f_array_functions" -> ((s, d) => EventFilters.arrayFns(Tables.events(s, d))),
+    // three-valued-logic corners: nullif / IS DISTINCT FROM / coalesce
+    "f_null_semantics" -> ((s, d) =>
+      EventFilters.nullSemantics(Tables.orders(s, d))),
     // §2.4 joins + §2.6 union
     "j1_order_wide_table" -> ((s, d) =>
       Joins.orderWideTable(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -970,6 +973,16 @@ object SparkEntry {
         |       list_aggregate(list_transform(a, x -> 'e' || x),
         |                      'string_agg', ',') AS tagged
         |FROM e ORDER BY event_id""".stripMargin,
+    "f_null_semantics" ->
+      """SELECT o_orderkey,
+        |       nullif(o_orderstatus, 'O') AS nulled,
+        |       o_orderstatus IS DISTINCT FROM 'O' AS distinct_from,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'fallback') AS coal,
+        |       CAST(nullif(o_orderkey % 2, 0) AS BIGINT) + 10 AS null_arith,
+        |       CASE WHEN nullif(o_orderstatus, 'O') = 'F' THEN 1 ELSE 0 END
+        |         AS null_cmp_case
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
     "a1_keyed_tumbling_window" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts)/10)*10), '%Y-%m-%d %H:%M:%S') AS stt,
         |       strftime(to_timestamp(floor(epoch(ts)/10)*10) + INTERVAL 10 SECOND, '%Y-%m-%d %H:%M:%S') AS edt,
