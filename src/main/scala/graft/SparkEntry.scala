@@ -55,7 +55,7 @@ object SparkEntry {
     "f_array_functions" -> ((s, d) => EventFilters.arrayFns(Tables.events(s, d))),
     // three-valued-logic corners: nullif / IS DISTINCT FROM / coalesce
     "f_null_semantics" -> ((s, d) =>
-      EventFilters.nullSemantics(Tables.orders(s, d))),
+      SetOps.nullSemantics(Tables.orders(s, d))),
     // §2.4 joins + §2.6 union
     "j1_order_wide_table" -> ((s, d) =>
       Joins.orderWideTable(Tables.lineitem(s, d), Tables.orders(s, d))),

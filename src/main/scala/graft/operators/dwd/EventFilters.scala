@@ -208,25 +208,4 @@ object EventFilters {
           .as("tagged"))
       .orderBy("event_id")
   }
-
-  /** Null-semantics surface: nullif-generated NULLs pushed through
-    * IS DISTINCT FROM, coalesce, null-safe equality and nullable
-    * arithmetic — the three-valued-logic corners where dialects
-    * classically drift (each is pinned identical here). */
-  def nullSemantics(orders: DataFrame): DataFrame =
-    orders
-      .filter(col("o_orderkey") < 500)
-      .select(
-        col("o_orderkey"),
-        expr("nullif(o_orderstatus, 'O')").as("nulled"),
-        expr("o_orderstatus IS DISTINCT FROM 'O'").as("distinct_from"),
-        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("fallback"))
-          .as("coal"),
-        // NULL-propagating arithmetic: NULL + x stays NULL
-        (expr("CAST(nullif(o_orderkey % 2, 0) AS BIGINT)") + lit(10L))
-          .as("null_arith"),
-        // NULL comparison yields NULL, which CASE treats as false
-        when(expr("nullif(o_orderstatus, 'O')") === "F", lit(1))
-          .otherwise(lit(0)).as("null_cmp_case"))
-      .orderBy("o_orderkey")
 }

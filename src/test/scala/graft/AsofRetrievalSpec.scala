@@ -109,7 +109,8 @@ class AsofRetrievalSpec extends SparkTestBase {
   }
 
   test("fuzzy join: cappedGrams reports exactly what a cap would drop") {
-    // 'xx' appears in every name (stop gram); 'ab' in two
+    // 'xx' appears in all 20 names (stop gram, over the cap of 10);
+    // the digit-suffix bigrams appear once or twice each (under it)
     val vals = (0 until 20).map(i => s"xxname$i").toDF("v")
     val out = graft.operators.llm.FuzzyJoin
       .cappedGrams(vals, "v", maxGramBucket = 10)

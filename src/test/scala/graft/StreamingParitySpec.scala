@@ -470,8 +470,15 @@ class StreamingParitySpec extends SparkTestBase {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev].collect().sortBy(_.ts.getTime)
     val (b1, b2) = evs.splitAt(evs.length / 2)
+    // batch retentionCohorts is horizon-UNBOUNDED; pass the stream a
+    // horizon wider than the fixture's actual span so the parity claim
+    // survives testdata regeneration (a default-90-day call would
+    // silently drop offsets past the horizon and fail on wider data)
+    val spanDays = (evs.last.ts.getTime - evs.head.ts.getTime) / 86400000L
     val ms = MemoryStream[Ev]
-    val q = StatefulStreams.retentionStream(ms.toDS()).writeStream
+    val q = StatefulStreams
+      .retentionStream(ms.toDS(), horizonDays = spanDays.toInt + 2)
+      .writeStream
       .format("memory").queryName("ret_stream").outputMode("append").start()
     ms.addData(b1.toSeq: _*)
     q.processAllAvailable()
