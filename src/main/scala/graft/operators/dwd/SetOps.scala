@@ -81,16 +81,21 @@ object SetOps {
       .orderBy(col("total").desc, col("o_orderkey").asc)
       .limit(k)
 
-  /** Per-GROUP top-k via a bounded typed Aggregator — the scale path
-    * for "top N per key" over high-cardinality keys. The standard
-    * window formulation (`row_number() OVER (PARTITION BY …)`)
-    * SORTS every key's full row set before discarding all but k; this
-    * aggregator instead folds rows into a k-bounded ordered buffer, so
-    * the exchange carries at most k rows per key out of the PARTIAL
-    * aggregation (map-side combine), and nothing is ever fully sorted.
-    * Ordering is (value desc, id asc) — fully tie-broken, so the
-    * result is deterministic and identical to the window form (spec +
-    * oracle both pin it).
+  /** Per-GROUP top-k via a bounded typed Aggregator: rows fold into a
+    * k-bounded ordered buffer, so the exchange carries at most k rows
+    * per key out of the PARTIAL aggregation and nothing is fully
+    * sorted. Ordering is (value desc, id asc) — fully tie-broken, so
+    * the result is deterministic and identical to the window form
+    * (spec + oracle both pin it).
+    *
+    * MEASURED caveat (`tools/TopKSoak`, 1.5M rows / 15k keys): Spark
+    * 3.5+'s `WindowGroupLimit` rewrite already pushes a per-partition
+    * top-k below the exchange for `row_number() <= k` filters, so the
+    * window form's shuffle is equally bounded (within 2%) and its
+    * sort-based limit ran FASTER locally. Prefer the window form on
+    * modern Spark; this operator remains the explicit bounded-buffer
+    * formulation for engines/versions without the rewrite and for
+    * orderings a window spec can't express.
     *
     * Buffer is a sorted Vector capped at k (insertion cost O(k) — the
     * right trade while k stays small; a binary heap only wins for
