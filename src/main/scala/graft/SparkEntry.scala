@@ -969,7 +969,7 @@ object SparkEntry {
         |              i -> a[i] * a[len(a) - i + 1]), 'sum') AS BIGINT)
         |         AS dot_rev,
         |       list_contains(a, 5) AS has_five,
-        |       (list_sort(a, 'DESC'))[1:3] AS top3,
+        |       array_to_string((list_sort(a, 'DESC'))[1:3], ',') AS top3,
         |       list_aggregate(list_transform(a, x -> 'e' || x),
         |                      'string_agg', ',') AS tagged
         |FROM e ORDER BY event_id""".stripMargin,
@@ -3199,6 +3199,6 @@ object SparkEntry {
          |        LEFT JOIN it$i ON nodes.node = it$i.node)""".stripMargin
     }.mkString
     base + rounds +
-      s"\nSELECT node, r AS rank_fp FROM pr$iters ORDER BY node"
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr$iters ORDER BY node"
   }
 }

@@ -203,7 +203,8 @@ object EventFilters {
         aggregate(zip_with(arr, reverse(arr), (a, b) => a * b), lit(0L),
           (acc, v) => acc + v).as("dot_rev"),
         exists(arr, x => x === 5).as("has_five"),
-        slice(sort_array(arr, asc = false), 1, 3).as("top3"),
+        array_join(slice(sort_array(arr, asc = false), 1, 3), ",")
+          .as("top3"),
         array_join(transform(arr, x => concat(lit("e"), x)), ",")
           .as("tagged"))
       .orderBy("event_id")
