@@ -30,6 +30,35 @@ class GraphSpec extends SparkTestBase {
       s"mass drifted: $total vs ${PageRank.Scale}")
   }
 
+  test("dangling (dst-only) nodes are rejected at the generic entry") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.pageRank(edges, iters = 1)
+    }
+    assert(e.getMessage.contains("dangling"), e.getMessage)
+  }
+
+  test("symmetric fast path is bit-identical to the padded general path") {
+    val e = (1L to 9L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val general = PageRank.pageRank(e, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    val fast = PageRank.pageRank(e, iters = 6, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(general == fast)
+  }
+
+  test("early exit stops a stationary graph after the first block") {
+    // symmetric pair is stationary from round 1, so Δ = 0 at the
+    // first materialization block and the loop must exit with the
+    // same values the full run produces
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val full = PageRank.pageRank(edges, iters = 20)
+      .as[(Long, Long)].collect().toMap
+    val early = PageRank.pageRank(edges, iters = 20,
+      earlyExitEps = Some(0L)).as[(Long, Long)].collect().toMap
+    assert(full == early)
+  }
+
   test("co-purchase graph: popular parts rank above rare ones") {
     val li = Tables.lineitem(spark, sf0001)
     val orders = Tables.orders(spark, sf0001)
