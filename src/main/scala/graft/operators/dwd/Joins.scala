@@ -34,8 +34,26 @@ object Joins {
     * whatever Catalyst picks. */
   def bloomPrunedJoin(lineitem: DataFrame, orders: DataFrame,
                       fpp: Double = 0.01): DataFrame = {
-    val dim = orders.filter(month(col("o_orderdate")) === 1)
+    val dim0 = orders.filter(month(col("o_orderdate")) === 1)
       .select(col("o_orderkey"), col("o_custkey"))
+    // The filtered dim feeds three consumers (count for bloom sizing,
+    // the bloom build scan, the exact join) — materialize it ONCE so
+    // the upstream filter over the full orders table doesn't run three
+    // times in the exact regime this operator targets (a dim too big
+    // to broadcast). Scratch parquet, not persist(): deterministic,
+    // spillable, no cached-block leakage into later queries; the file
+    // backs the returned frame and is reaped at JVM shutdown (the
+    // PageRank/Components scratch pattern).
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-bloomjoin-")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dimDir.toFile)
+    }
+    dim0.write.mode("overwrite").parquet(dimDir.toString)
+    val dim = lineitem.sparkSession.read.parquet(dimDir.toString)
     val bloom = dim.stat.bloomFilter("o_orderkey",
       math.max(dim.count(), 1L), fpp)
     val bcast = lineitem.sparkSession.sparkContext.broadcast(bloom)

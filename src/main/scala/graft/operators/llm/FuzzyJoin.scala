@@ -89,7 +89,20 @@ object FuzzyJoin {
   }
 
   /** Flagship query: near-matching part names (the product-catalog
-    * entity-resolution case). */
-  def partNameNearMatch(part: DataFrame, maxDist: Int = 2): DataFrame =
+    * entity-resolution case). This path is oracled against the exact
+    * O(n²) levenshtein semantics, so the gram-bucket cap is only
+    * admissible while it drops NOTHING — assert that, eagerly, so a
+    * vocabulary growing a bigram bucket past the cap fails loudly
+    * instead of silently diverging from the oracle. */
+  def partNameNearMatch(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val overCap = cappedGrams(part, "p_name")
+      .select(col("g"), col("bucket_n")).limit(3)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+    require(overCap.isEmpty,
+      "partNameNearMatch: bigram bucket(s) exceed maxGramBucket " +
+        s"(${overCap.mkString(", ")}) — the capped blocking would no " +
+        "longer be lossless vs the exact oracle; raise the cap or " +
+        "switch this call to nearMatchPairs(maxGramBucket = 0)")
     nearMatchPairs(part, "p_name", maxDist).orderBy("name_a", "name_b")
+  }
 }

@@ -448,8 +448,10 @@ class StreamingParitySpec extends SparkTestBase {
   test("funnel: streamed step advances == batch funnel counts") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(_.ts.getTime)
-    val (b1, b2) = evs.splitAt(evs.length / 2) // ts-ordered split
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // (ts, event_id) sort: a same-ts tie group must never straddle the
+    // batch boundary, or the stream's per-batch tie rule diverges
+    val (b1, b2) = evs.splitAt(evs.length / 2)
     val ms = MemoryStream[Ev]
     val q = StatefulStreams.funnelStream(ms.toDS()).writeStream
       .format("memory").queryName("funnel_stream").outputMode("append").start()
@@ -468,7 +470,7 @@ class StreamingParitySpec extends SparkTestBase {
   test("retention: streamed first-of-day hits == batch cohort matrix") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .as[Ev].collect().sortBy(_.ts.getTime)
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
     val (b1, b2) = evs.splitAt(evs.length / 2)
     // batch retentionCohorts is horizon-UNBOUNDED; pass the stream a
     // horizon wider than the fixture's actual span so the parity claim
@@ -498,7 +500,7 @@ class StreamingParitySpec extends SparkTestBase {
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
         col("o_orderdate"))
       .as[(Long, Long, String, java.sql.Timestamp)]
-      .collect().sortBy(_._4.getTime)
+      .collect().sortBy(v => (v._4.getTime, v._2)) // (ts, version_id)
     val (b1, b2) = versions.splitAt(versions.length / 2)
     val ms = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
     val q = StatefulStreams.scd2Stream(ms.toDS()).writeStream
