@@ -126,6 +126,22 @@ object SparkEntry {
     "dim_scd2_lookup" -> ((s, d) =>
       graft.operators.dim.Scd2.pointInTimeLookup(Tables.events(s, d),
         graft.operators.dim.Scd2.scd2Build(Tables.orders(s, d)))),
+    // same lookup, but the SCD2 table is built INCREMENTALLY: three
+    // hash-split change batches (keys straddle batches, so every merge
+    // reopens closed intervals) TxLog-merged in sequence — the SQL
+    // oracle is the BATCH path's, so rebuild-equivalence of the
+    // incremental maintenance is itself driver-checked
+    "dim_scd2_lookup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-scd2-inc-").toString + "/scd2"
+      val orders = Tables.orders(s, d)
+      (0 until 3).foreach(i => graft.operators.dim.Scd2.mergeVersions(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i),
+        table, mergeVersion = i + 1L))
+      graft.operators.dim.Scd2.pointInTimeLookup(Tables.events(s, d),
+        graft.operators.dim.Scd2.loadScd2(s, table).get)
+    }),
     // fixed-point PageRank: BIGINT ranks, integer DIV — iteration is
     // order-independent, so the oracle replays it bit-identically
     "g_pagerank_copurchase" -> ((s, d) =>
@@ -799,6 +815,16 @@ object SparkEntry {
     // temporal semantics collapse to "latest version at-or-before ts"
     // under gapless chaining — the LATERAL probe replays that directly
     "dim_scd2_lookup" ->
+      """SELECT e.event_id, e.user_id, v.o_orderkey AS version_key,
+        |       v.o_orderstatus AS status_at_ts
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_orderstatus FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) v ON true
+        |ORDER BY e.event_id""".stripMargin,
+    // identical oracle to dim_scd2_lookup ON PURPOSE: the incremental
+    // TxLog merge must land on exactly the batch-built history
+    "dim_scd2_lookup_incremental" ->
       """SELECT e.event_id, e.user_id, v.o_orderkey AS version_key,
         |       v.o_orderstatus AS status_at_ts
         |FROM events e LEFT JOIN LATERAL (

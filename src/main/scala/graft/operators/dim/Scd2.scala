@@ -46,6 +46,82 @@ object Scd2 {
         col("asof_o_orderstatus").as("status_at_ts"))
   }
 
+  /** Columns a version row carries into the merge — the change-stream
+    * contract (what a CDC feed of order state provides). */
+  private val VersionCols = Seq("o_custkey", "o_orderkey",
+    "o_orderstatus", "o_orderpriority", "o_orderdate")
+
+  /** Incremental SCD2 maintenance on the TxLog ACID store: MERGE one
+    * change batch into an SCD2 table so that after K merges the table
+    * is row-identical to `scd2Build` over the union of all K batches
+    * (the DedupIndex rebuild-equivalence invariant; Scd2MergeSpec pins
+    * it, and `dim_scd2_lookup_incremental` pins it against the SQL
+    * oracle of the BATCH path).
+    *
+    * Strategy: per-key partial rebuild. Interval bounds are a per-key
+    * GLOBAL property (each version's valid_to is its successor's
+    * start), so a batch version landing mid-chain — late data, CDC
+    * replay out of binlog order — must close/reopen neighbors it never
+    * saw. Recomputing the FULL chain for exactly the keys the batch
+    * touches is the smallest unit that is always correct: correct
+    * under out-of-order delivery, idempotent under at-least-once
+    * re-delivery (the chain of a re-sent version set is the same
+    * chain), and untouched keys' rows ride through the snapshot merge
+    * unmodified. Cost: versions-of-touched-keys (existing rows come
+    * back through a key semi-join on the snapshot), not the table; the
+    * TxLog COW snapshot rewrite is the store's documented trade.
+    *
+    * Version rows never disappear under SCD2 (history is append-only),
+    * so upsert-by-(key:version) covers the whole delta — no deletes.
+    *
+    * @param batch  change rows with `VersionCols` (o_orderdate the
+    *               version timestamp)
+    * @param mergeVersion monotonically increasing merge sequence
+    *               (last-wins tie-break inside the store)
+    * @return committed TxLog version */
+  def mergeVersions(batch: DataFrame, table: String,
+                    mergeVersion: Long): Long = {
+    val spark = batch.sparkSession
+    val newVersions = batch.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"), to_date(col("o_orderdate")).as("o_orderdate"))
+    val touched = newVersions.select("o_custkey").distinct()
+    val existingTouched = graft.sinks.TxLog.read(spark, table) match {
+      case Some(t) => t
+        .join(touched, Seq("o_custkey"), "left_semi")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          to_date(col("valid_from"), "yyyy-MM-dd").as("o_orderdate"))
+      case None => newVersions.limit(0)
+    }
+    // batch wins over a previously-stored copy of the same version
+    // (attribute corrections on re-delivery), existing wins nothing it
+    // shouldn't: dedupe by (key, version) with batch priority
+    val unioned = newVersions.withColumn("__src", lit(1))
+      .unionByName(existingTouched.withColumn("__src", lit(0)))
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("__src").desc)
+    val versions = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+    val rebuilt = scd2Build(versions)
+      .withColumn("row_key",
+        concat_ws(":", col("o_custkey"), col("o_orderkey")))
+      .withColumn("merge_ver", lit(mergeVersion))
+    graft.sinks.TxLog.commitUpsert(rebuilt, table,
+      pk = "row_key", versionCol = "merge_ver")
+  }
+
+  /** The SCD2 table at its latest committed version, in `scd2Build`
+    * column shape (bookkeeping columns dropped). None if never
+    * written. */
+  def loadScd2(spark: org.apache.spark.sql.SparkSession,
+               table: String): Option[DataFrame] =
+    graft.sinks.TxLog.read(spark, table)
+      .map(_.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"), col("is_current")))
+
   def scd2Build(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
