@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 3000) return genWindow(i, rng, pc, ps, name)
     if (i >= 2000) return genCross(i, rng, pc, ps, name)
     if (i >= 1000) return genTime(i, rng, pc, ps, name)
     rng.nextInt(5) match {
@@ -295,9 +296,121 @@ object FuzzGen {
     }
   }
 
+  /** Window-function / grouped-HAVING shapes (index space ≥3000) —
+    * the analytic kernels the reference's batch twins lean on
+    * everywhere (`Dedup`, `VisitFlags`, `Sessionize` are all
+    * row_number/lag/lead under the hood), swept between the fixed
+    * queries. Guard rails: row_number's ORDER BY always carries the
+    * unique event_id tie-break (total order or the value is
+    * nondeterministic); rank/dense_rank may order by the rounded value
+    * alone (tie-stable by definition); running frames are explicit
+    * ROWS (RANGE peers would drag float peer-grouping in) and sum only
+    * integers; rank-family outputs are CAST to INT and window counts/
+    * integer sums to BIGINT on the SQL side so both dialects agree on
+    * schema. */
+  private def genWindow(i: Int, rng: Random, pc: Column, ps: String,
+                        name: String): Fuzz = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = rng.nextBoolean()
+    val m = 2 + rng.nextInt(9)
+    val keySql = if (byType) "event_type" else s"user_id % $m"
+    val keyCol: Column = if (byType) col("event_type") else col("user_id") % m
+    rng.nextInt(4) match {
+      case 0 => // ranking trio: row_number (total order) vs rank /
+        // dense_rank (peer-stable on the rounded value alone)
+        val n = 2 + rng.nextInt(6)
+        Fuzz(name,
+          (s, d) => {
+            val wTotal = Window.partitionBy(keyCol)
+              .orderBy(round(col("value"), 2).desc, col("event_id"))
+            val wPeers = Window.partitionBy(keyCol)
+              .orderBy(round(col("value"), 2).desc)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                row_number().over(wTotal).as("rn"),
+                rank().over(wPeers).as("rk"),
+                dense_rank().over(wPeers).as("drk"))
+              .filter(col("rn") <= n)
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, k, rn, rk, drk FROM (
+             |  SELECT event_id, user_id, $keySql AS k,
+             |         CAST(row_number() OVER (PARTITION BY $keySql
+             |           ORDER BY round(value, 2) DESC, event_id) AS INT) AS rn,
+             |         CAST(rank() OVER (PARTITION BY $keySql
+             |           ORDER BY round(value, 2) DESC) AS INT) AS rk,
+             |         CAST(dense_rank() OVER (PARTITION BY $keySql
+             |           ORDER BY round(value, 2) DESC) AS INT) AS drk
+             |  FROM events WHERE $ps) ranked
+             |WHERE rn <= $n ORDER BY event_id""".stripMargin)
+      case 1 => // lag/lead navigation over the per-key event sequence
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol).orderBy(col("event_id"))
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                lag(col("event_id"), 1).over(w).as("prev_id"),
+                lead(col("event_id"), 1).over(w).as("next_id"),
+                round(round(col("value"), 2) -
+                  lag(round(col("value"), 2), 1).over(w), 2).as("dv"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       lag(event_id, 1) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id) AS prev_id,
+             |       lead(event_id, 1) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id) AS next_id,
+             |       round(round(value, 2) - lag(round(value, 2), 1)
+             |         OVER (PARTITION BY $keySql ORDER BY event_id), 2) AS dv
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 2 => // running integer aggregates, explicit ROWS frame
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol).orderBy(col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                sum(col("event_id")).over(w).as("run_sum"),
+                count(lit(1)).over(w).as("run_ct"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       CAST(sum(event_id) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |         AND CURRENT ROW) AS BIGINT) AS run_sum,
+             |       CAST(count(*) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |         AND CURRENT ROW) AS BIGINT) AS run_ct
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case _ => // grouped HAVING over multiple aggregate conditions
+        val lo = 2 + rng.nextInt(20)
+        val cap = 5000 + rng.nextInt(5000)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(keyCol.as("k"))
+            .agg(count(lit(1)).as("ct"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"),
+              round(sum(round(col("value"), 2)), 2).as("vsum"))
+            .filter(col("ct") >= lo && col("min_id") <= cap)
+            .orderBy("k"),
+          s"""SELECT $keySql AS k, count(*) AS ct,
+             |       min(event_id) AS min_id, max(event_id) AS max_id,
+             |       round(sum(round(value, 2)), 2) AS vsum
+             |FROM events WHERE $ps
+             |GROUP BY $keySql
+             |HAVING count(*) >= $lo AND min(event_id) <= $cap
+             |ORDER BY k""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 44 cases replayed against the DuckDB oracle every round,
+  /** The 60 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
@@ -311,7 +424,9 @@ object FuzzGen {
       1000, 1001, 1002, 1003, 1004, 1006, 1007, 1008,
       1009, 1010, 1011, 1012,
       2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007,
-      2008, 2009, 2010, 2011)
+      2008, 2009, 2010, 2011,
+      3000, 3001, 3002, 3003, 3004, 3005, 3006, 3007,
+      3008, 3009, 3010, 3011, 3012, 3013, 3014, 3015)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -14,9 +14,10 @@ class FuzzDiffSpec extends SparkTestBase {
 
   private val cases = FuzzGen.suite(120) ++
     (1000 until 1040).map(FuzzGen.gen) ++ // the event-time shape space
-    (2000 until 2040).map(FuzzGen.gen)    // the cross-table shape space
+    (2000 until 2040).map(FuzzGen.gen) ++ // the cross-table shape space
+    (3000 until 3040).map(FuzzGen.gen)    // the window/HAVING shape space
 
-  test("200 generated filter/agg/join/time/cross cases: DataFrame plan == SQL text") {
+  test("240 generated filter/agg/join/time/cross/window cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     val failures = cases.flatMap { f =>
@@ -36,11 +37,12 @@ class FuzzDiffSpec extends SparkTestBase {
       if (f.sql.contains("o_custkey")) "cross"
       else if (f.sql.contains("JOIN")) "join"
       else if (f.sql.contains("hour(ts)")) "time"
+      else if (f.sql.contains("HAVING")) "having"
+      else if (f.sql.contains("OVER")) "window"
       else if (f.sql.contains("GROUP BY")) "agg"
-      else if (f.sql.contains("row_number")) "window"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
-    assert(shapes ==
-      Set("join", "agg", "filter", "window", "limit", "time", "cross"))
+    assert(shapes == Set("join", "agg", "filter", "window", "limit",
+      "time", "cross", "having"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
