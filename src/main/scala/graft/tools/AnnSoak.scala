@@ -113,6 +113,22 @@ object AnnSoak {
       println(f"[ann-soak] recall@10 ivfpq shortlist=$sl: $r%.3f")
     }
 
+    // 3c. IVF-PQ build vs search isolation (r5): the training cost
+    // (two k-means + encode) is the BUILD, paid once; a query batch
+    // against the built index pays only probe + ADC + rerank. The
+    // amortization ratio is the operational answer to "the IVF-PQ
+    // bench entry is training-dominated".
+    val idx = time("ivfpq index BUILD (train+encode)") {
+      val i = graft.operators.llm.PqAnn.buildIvfPqIndex(corpus)
+      i.corpus.count(); i
+    }
+    Seq(qids, qids.map(_ + 10000000L)).zipWithIndex.foreach { case (qs, b) =>
+      time(s"ivfpq SEARCH batch$b (${qs.length} queries, index reused)") {
+        graft.operators.llm.PqAnn
+          .searchIvfPq(idx, corpus, qs, k = 10).count()
+      }
+    }
+
     // 4. SemDeDup planted-twin recall at 64 cells on the twin corpus
     val twins = Similarity.withVectorTwins(corpus)
     val planted = corpus.filter(col("vec_id") % 10 === 0).count()
