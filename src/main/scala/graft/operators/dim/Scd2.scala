@@ -48,7 +48,7 @@ object Scd2 {
 
   /** Columns a version row carries into the merge — the change-stream
     * contract (what a CDC feed of order state provides). */
-  private val VersionCols = Seq("o_custkey", "o_orderkey",
+  val VersionCols: Seq[String] = Seq("o_custkey", "o_orderkey",
     "o_orderstatus", "o_orderpriority", "o_orderdate")
 
   /** Incremental SCD2 maintenance on the TxLog ACID store: MERGE one

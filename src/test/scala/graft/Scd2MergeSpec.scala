@@ -58,6 +58,31 @@ class Scd2MergeSpec extends SparkTestBase {
     assert(rowsOf(Scd2.loadScd2(spark, table).get) == before)
   }
 
+  test("streamed changelog maintenance == batch rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = Tables.orders(spark, sf0001).filter(col("o_custkey") < 100)
+    val versions = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_orderdate").cast("string"))
+      .as[(Long, Long, String, String, String)].collect()
+      .sortBy(v => (v._5, v._2))
+    val (b1, b2) = versions.splitAt(versions.length / 2)
+    val table = freshTable("stream")
+    val ms = MemoryStream[(Long, Long, String, String, String)]
+    val q = graft.streaming.Scd2Maintenance.writer(
+      ms.toDF().toDF(graft.operators.dim.Scd2.VersionCols: _*),
+      table).start()
+    ms.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assertSameRows(Scd2.loadScd2(spark, table).get,
+      Scd2.scd2Build(orders))
+  }
+
   test("point-in-time lookup over the incrementally-built table") {
     val orders = Tables.orders(spark, sf0001)
     val events = Tables.events(spark, sf0001).limit(500)
