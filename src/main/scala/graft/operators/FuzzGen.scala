@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 4000) return genSetExpr(i, rng, pc, ps, name)
     if (i >= 3000) return genWindow(i, rng, pc, ps, name)
     if (i >= 2000) return genCross(i, rng, pc, ps, name)
     if (i >= 1000) return genTime(i, rng, pc, ps, name)
@@ -408,15 +409,115 @@ object FuzzGen {
     }
   }
 
+  /** Set-operation and scalar-expression shapes (index space ≥4000):
+    * UNION/INTERSECT/EXCEPT between two predicate branches (bag-vs-set
+    * semantics and null-matching are the classic dialect traps —
+    * INTERSECT/EXCEPT are SET ops in both engines, so the DataFrame
+    * side uses `intersect`/`except`/`union().distinct()`), plus CASE
+    * bucketing and ASCII string-function projections. Guard rails:
+    * CASE thresholds compare RAW doubles (identical float64 in both
+    * engines, no rounding at the comparison), string functions stay in
+    * the dialect-identical set (upper/substring/length/concat_ws/
+    * nullif/coalesce, ASCII-only inputs). */
+  private def genSetExpr(i: Int, rng: Random, pc: Column, ps: String,
+                         name: String): Fuzz = {
+    val (pc2, ps2) = predicate(rng)
+    rng.nextInt(4) match {
+      case 0 => // set op between two projected branches
+        val (opName, opSqlKw) = Seq(
+          ("union", "UNION"), ("intersect", "INTERSECT"),
+          ("except", "EXCEPT"))(rng.nextInt(3))
+        Fuzz(name,
+          (s, d) => {
+            val ev = graft.core.Tables.events(s, d)
+            val a = ev.filter(pc)
+              .select(col("user_id"), col("event_type"))
+            val b = ev.filter(pc2)
+              .select(col("user_id"), col("event_type"))
+            val out = opName match {
+              case "union"     => a.union(b).distinct()
+              case "intersect" => a.intersect(b)
+              case _           => a.except(b)
+            }
+            out.orderBy("user_id", "event_type")
+          },
+          s"""SELECT user_id, event_type FROM events WHERE $ps
+             |$opSqlKw
+             |SELECT user_id, event_type FROM events WHERE $ps2
+             |ORDER BY user_id, event_type""".stripMargin)
+      case 1 => // UNION ALL with a branch tag, re-aggregated (bag
+        // semantics: overlap must count twice)
+        Fuzz(name,
+          (s, d) => {
+            val ev = graft.core.Tables.events(s, d)
+            ev.filter(pc)
+              .select(col("event_type"), lit("a").as("branch"))
+              .union(ev.filter(pc2)
+                .select(col("event_type"), lit("b").as("branch")))
+              .groupBy(col("event_type"), col("branch"))
+              .agg(count(lit(1)).as("ct"))
+              .orderBy("event_type", "branch")
+          },
+          s"""SELECT event_type, branch, count(*) AS ct FROM (
+             |  SELECT event_type, 'a' AS branch FROM events WHERE $ps
+             |  UNION ALL
+             |  SELECT event_type, 'b' AS branch FROM events WHERE $ps2) u
+             |GROUP BY event_type, branch
+             |ORDER BY event_type, branch""".stripMargin)
+      case 2 => // CASE bucketing over raw-double thresholds + count
+        val t1 = 50 + rng.nextInt(100)  // integer literals: identical
+        val t2 = t1 + 50 + rng.nextInt(100) // comparison in both
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_type"),
+              when(col("value") > t2, "high")
+                .when(col("value") > t1, "mid")
+                .otherwise("low").as("bucket"))
+            .groupBy(col("event_type"), col("bucket"))
+            .agg(count(lit(1)).as("ct"))
+            .orderBy("event_type", "bucket"),
+          s"""SELECT event_type,
+             |       CASE WHEN value > $t2 THEN 'high'
+             |            WHEN value > $t1 THEN 'mid'
+             |            ELSE 'low' END AS bucket,
+             |       count(*) AS ct
+             |FROM events WHERE $ps
+             |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin)
+      case _ => // ASCII string-function projection + null plumbing
+        val t = types(rng.nextInt(types.length))
+        val sLen = 1 + rng.nextInt(4)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              upper(col("event_type")).as("up"),
+              substring(col("event_type"), 1, sLen).as("pre"),
+              length(col("event_type")).cast("int").as("len"),
+              concat_ws("_", col("event_type"),
+                (col("user_id") % 10).cast("string")).as("tag"),
+              coalesce(nullif(col("event_type"), lit(t)), lit("other"))
+                .as("nn"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, upper(event_type) AS up,
+             |       substring(event_type, 1, $sLen) AS pre,
+             |       CAST(length(event_type) AS INT) AS len,
+             |       concat_ws('_', event_type,
+             |                 CAST(user_id % 10 AS STRING)) AS tag,
+             |       coalesce(nullif(event_type, '$t'), 'other') AS nn
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 60 cases replayed against the DuckDB oracle every round,
+  /** The 75 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
     * user_id modulo atoms whose CRT solution exceeds 14; index 10 is
-    * exactly such a case and is skipped, as is 1005 from the
-    * event-time space). Re-run FuzzVet and re-pin if the driver
+    * exactly such a case and is skipped, as are 1005 from the
+    * event-time space and 4010 from the set-op space). Re-run FuzzVet and re-pin if the driver
     * regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
@@ -426,7 +527,9 @@ object FuzzGen {
       2000, 2001, 2002, 2003, 2004, 2005, 2006, 2007,
       2008, 2009, 2010, 2011,
       3000, 3001, 3002, 3003, 3004, 3005, 3006, 3007,
-      3008, 3009, 3010, 3011, 3012, 3013, 3014, 3015)
+      3008, 3009, 3010, 3011, 3012, 3013, 3014, 3015,
+      4000, 4001, 4002, 4003, 4004, 4005, 4006, 4007,
+      4008, 4009, 4011, 4012, 4013, 4014, 4015)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -15,9 +15,10 @@ class FuzzDiffSpec extends SparkTestBase {
   private val cases = FuzzGen.suite(120) ++
     (1000 until 1040).map(FuzzGen.gen) ++ // the event-time shape space
     (2000 until 2040).map(FuzzGen.gen) ++ // the cross-table shape space
-    (3000 until 3040).map(FuzzGen.gen)    // the window/HAVING shape space
+    (3000 until 3040).map(FuzzGen.gen) ++ // the window/HAVING shape space
+    (4000 until 4040).map(FuzzGen.gen)    // the set-op/expression shape space
 
-  test("240 generated filter/agg/join/time/cross/window cases: DataFrame plan == SQL text") {
+  test("280 generated filter/agg/join/time/cross/window/set cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     val failures = cases.flatMap { f =>
@@ -35,6 +36,10 @@ class FuzzDiffSpec extends SparkTestBase {
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
       if (f.sql.contains("o_custkey")) "cross"
+      else if (f.sql.contains("UNION") || f.sql.contains("INTERSECT") ||
+        f.sql.contains("EXCEPT")) "setop"
+      else if (f.sql.contains("CASE WHEN") ||
+        f.sql.contains("concat_ws")) "expr"
       else if (f.sql.contains("JOIN")) "join"
       else if (f.sql.contains("hour(ts)")) "time"
       else if (f.sql.contains("HAVING")) "having"
@@ -42,7 +47,7 @@ class FuzzDiffSpec extends SparkTestBase {
       else if (f.sql.contains("GROUP BY")) "agg"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
     assert(shapes == Set("join", "agg", "filter", "window", "limit",
-      "time", "cross", "having"))
+      "time", "cross", "having", "setop", "expr"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
