@@ -1,0 +1,100 @@
+package graft.operators.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact triangle counting by degree orientation — the
+  * third graph capability next to PageRank and the dedup spine's
+  * connected components. Triangles are the primitive under clustering
+  * coefficients, community seeds, and spam/bot subgraph detection.
+  *
+  * Algorithm (Suri & Vassilvitskii, WWW'11 "Counting Triangles and the
+  * Curse of the Last Reducer"; the MapReduce form of Schank's
+  * compact-forward): canonicalize the undirected edge set, then orient
+  * every edge from its lower-(degree, id) endpoint to its higher one.
+  * The orientation is acyclic and bounds every node's OUT-degree by
+  * O(√m) regardless of how skewed the in-degree is — the hub that
+  * would otherwise emit deg² wedges emits none, its low-degree
+  * neighbors emit them instead. Each triangle {x,y,z} then exists as
+  * exactly ONE wedge (u→v, u→w with v before w in the total order)
+  * closed by exactly one oriented edge v→w, so counting needs no
+  * dedup and no factor-of-6 correction.
+  *
+  * Shape at 100 TB: three keyed exchanges — wedge join on the shared
+  * source u, closing join on (v, w), and the final per-node count.
+  * The wedge stream is Σ outdeg² ≤ O(m^1.5) rows worst case but in
+  * practice near-linear on power-law graphs (the orientation's whole
+  * point); no node ever concentrates the work, so there is no "last
+  * reducer". Degrees are node-sized and join broadcast-small in most
+  * regimes; at extreme node counts the degree join degrades to a
+  * shuffle join — plan change only.
+  *
+  * Everything is integer and order-independent, so the DuckDB oracle
+  * (a three-way self-join over id-ordered edges — orientation-free,
+  * counts each triangle once via a<b<c) must match bit-for-bit. */
+object Triangles {
+
+  /** Per-node triangle membership counts over an undirected edge set.
+    * Input may carry duplicates and/or both directions; self-loops are
+    * dropped. Output: (node, triangles) for EVERY node with an edge,
+    * zero-padded, totally ordered by node. */
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    // canonical undirected edges: a < b, exact-once
+    val e = edges0.toDF("s", "t")
+      .filter(col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src is the lex-smaller endpoint. Both deg
+    // joins are node-sized (broadcast in the common regime).
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"),
+      when(fwd, col("db")).otherwise(col("da")).as("ddst"))
+    // wedges u→v, u→w with (deg(v), v) < (deg(w), w): the unique
+    // representative of each unordered neighbor pair, and exactly the
+    // orientation the closing edge v→w carries if the triangle exists
+    val w1 = o.select(col("src").as("u"), col("dst").as("v"),
+      col("ddst").as("dv"))
+    val w2 = o.select(col("src").as("u"), col("dst").as("w"),
+      col("ddst").as("dw"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val counts = tri.select(col("u").as("node"))
+      .unionAll(tri.select(col("v").as("node")))
+      .unionAll(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("node"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .orderBy("node")
+  }
+
+  /** Flagship graph: the part↔part co-purchase projection (two parts
+    * sharing an order). The customer↔part graph PageRank ranks is
+    * bipartite — triangle-free by construction — so triangles live on
+    * the projection. Group size per order is bounded (an order holds
+    * at most 7 lines), so the pair join is keyed on orderkey with a
+    * constant fan-out, not a quadratic blowup. */
+  def copurchaseTriangles(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.join(
+      li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+      Seq("l_orderkey"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    triangleCounts(pairs)
+  }
+}

@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.graph.PageRank
+import graft.operators.graph.{PageRank, Triangles}
 
-/** Fixed-point PageRank invariants. */
+/** Fixed-point PageRank and triangle-counting invariants. */
 class GraphSpec extends SparkTestBase {
 
   import spark.implicits._
@@ -57,6 +57,46 @@ class GraphSpec extends SparkTestBase {
     val early = PageRank.pageRank(edges, iters = 20,
       earlyExitEps = Some(0L)).as[(Long, Long)].collect().toMap
     assert(full == early)
+  }
+
+  test("triangles: K4 gives every node 3; a star gives 0") {
+    // K4: every node sits on C(3,2) = 3 of the 4 triangles
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val out = Triangles.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star: all wedges, no closing edges — and the zero-pad must
+    // still list every node
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val s = Triangles.triangleCounts(star).as[(Long, Long)].collect().toMap
+    assert(s == (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("triangles: duplicates, both directions, and self-loops canonicalize") {
+    // one triangle {1,2,3} fed as a noisy multi-directed bag
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 3L), (2L, 2L)).toDF("src", "dst")
+    val out = Triangles.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: degree-oriented count equals the naive a<b<c count") {
+    // pseudo-random graph, fixed seed; naive = three-way self-join on
+    // id-ordered edges (the oracle's shape)
+    val rng = new scala.util.Random(7)
+    val e = Seq.fill(260)((rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val canon = e.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b")).distinct()
+    canon.createOrReplaceTempView("tri_e")
+    val naive = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) FROM tri_e e1
+        |JOIN tri_e e2 ON e2.a = e1.b
+        |JOIN tri_e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)
+      .first().getLong(0)
+    val perNode = Triangles.triangleCounts(e)
+      .agg(sum($"triangles")).first().getLong(0)
+    assert(perNode == 3 * naive, s"sum-of-node-counts $perNode vs 3x$naive")
   }
 
   test("co-purchase graph: popular parts rank above rare ones") {
