@@ -147,6 +147,28 @@ object SparkEntry {
     "g_pagerank_copurchase" -> ((s, d) =>
       graft.operators.graph.PageRank.copurchasePageRank(
         Tables.lineitem(s, d), Tables.orders(s, d))),
+    // exact triangle counting by degree orientation on the part↔part
+    // co-purchase projection (the bipartite PageRank graph is
+    // triangle-free by construction, so triangles live here)
+    "g_triangle_copurchase" -> ((s, d) =>
+      graft.operators.graph.Triangles.copurchaseTriangles(
+        Tables.lineitem(s, d))),
+    // table profiling: per-column nulls/exact-distinct/min/max in ONE
+    // full-scan aggregate (Expand-based multi-distinct plan)
+    "q_profile_orders" -> ((s, d) =>
+      graft.operators.quality.Profile.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))),
+    // the at-scale swap: HLL++ cardinalities, single aggregate pair,
+    // no Expand — rows-only (estimates), exact twin above is oracled
+    "q_profile_orders_approx" -> ((s, d) =>
+      graft.operators.quality.Profile.profileApprox(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))),
+    // fixed-bound equi-width histogram, one scan + broadcast zero-pad
+    "q_histogram_totalprice" -> ((s, d) =>
+      graft.operators.quality.Profile.histogram(Tables.orders(s, d),
+        "o_totalprice", 0.0, 500000.0, 10)),
     "set_intersect" -> ((s, d) => SetOps.intersectCustomers(Tables.orders(s, d))),
     "set_except" -> ((s, d) => SetOps.exceptCustomers(Tables.orders(s, d))),
     "w_status_priority_cube" -> ((s, d) =>
@@ -3160,6 +3182,58 @@ object SparkEntry {
     // iterations as chained CTEs — BIGINT arithmetic end to end, so
     // the hashes must match bit-for-bit with no rounding discipline
     Map("g_pagerank_copurchase" -> pageRankOracleSql(10)) ++
+    // triangle counting: the oracle is the orientation-free three-way
+    // self-join over id-ordered edges (a<b<c counts each triangle
+    // once); the engine's degree orientation must agree exactly
+    Map("g_triangle_copurchase" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pp e1 JOIN pp e2 ON e2.a = e1.b
+        |  JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cnt AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) m GROUP BY node),
+        |nodes AS (SELECT a AS node FROM pp UNION SELECT b FROM pp)
+        |SELECT n.node, CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles
+        |FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""".stripMargin) ++
+    // table profiling: one UNION ALL branch per profiled column;
+    // null_ct is count(*) − count(col) (BIGINT on both engines — a
+    // CASE sum would go HUGEINT in DuckDB), min/max CAST to string
+    // (integers/strings/dates only: portable text forms)
+    Map(
+      "q_profile_orders" -> {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate")
+        cols.map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |       count(*) - count($c) AS null_ct,
+             |       count(DISTINCT $c) AS distinct_ct,
+             |       CAST(min($c) AS VARCHAR) AS min_s,
+             |       CAST(max($c) AS VARCHAR) AS max_s
+             |FROM orders""".stripMargin)
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY col_name")
+      },
+      "q_histogram_totalprice" ->
+        """WITH c AS (
+          |  SELECT CAST(least(greatest(
+          |           floor((o_totalprice - 0.0) / 50000.0), 0), 9)
+          |         AS BIGINT) AS bucket,
+          |         count(*) AS ct
+          |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+          |g AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+          |SELECT g.bucket,
+          |       CAST(round(0.0 + g.bucket * 50000.0, 2) AS DOUBLE) AS lo,
+          |       CAST(round(0.0 + (g.bucket + 1) * 50000.0, 2) AS DOUBLE) AS hi,
+          |       CAST(coalesce(c.ct, 0) AS BIGINT) AS ct
+          |FROM g LEFT JOIN c USING (bucket) ORDER BY g.bucket""".stripMargin
+    ) ++
     // the differential-fuzz cases' SQL comes from the same seeded AST
     // as their DataFrame plans (FuzzGen)
     graft.operators.FuzzGen.driverSuite.map(f => f.name -> f.sql).toMap ++

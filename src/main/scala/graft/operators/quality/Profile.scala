@@ -1,0 +1,107 @@
+package graft.operators.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the "describe my 100 TB table" utility: per-column
+  * null counts, exact distinct cardinalities, min/max, and fixed-bound
+  * histograms, each as ONE full-scan aggregate (never a pass per
+  * column).
+  *
+  * Shape at 100 TB: `profile` is a single global aggregate. Multiple
+  * exact `count(DISTINCT col)` in one aggregate compile to Catalyst's
+  * Expand-based plan — the scan is replayed k-fold into the first
+  * exchange (k = #columns), which is the exact-answer price; when a
+  * profile only needs cardinality ESTIMATES, `profileApprox` swaps in
+  * `approx_count_distinct` (HLL++) and the whole profile collapses to
+  * one partial+final aggregate pair with no Expand — that is the
+  * default posture at scale, the exact form is the oracle-checkable
+  * twin. min/max/count are trivially mergeable either way.
+  *
+  * `histogram` is one scan (floor-arithmetic bucket id, clamped to the
+  * edge buckets) plus a broadcast-range zero-pad so empty buckets
+  * appear — no per-bucket pass, no sort until the bounded output. */
+object Profile {
+
+  /** One row per column: (col_name, n_rows, null_ct, distinct_ct,
+    * min_s, max_s). min/max are CAST to string — callers pick columns
+    * whose string form is engine-portable (integers, strings, dates;
+    * raw doubles are format-unstable across engines and belong in
+    * `histogram`/numeric stats instead). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // single-row unpivot: explode an array of per-column structs built
+    // from the aggregate's columns (driver-free, stays one job)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nulls").as("null_ct"),
+      col(s"${c}__distinct").as("distinct_ct"),
+      col(s"${c}__min").as("min_s"),
+      col(s"${c}__max").as("max_s"))): _*)
+    one.select(col("n_rows"), explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.null_ct").as("null_ct"),
+        col("e.distinct_ct").as("distinct_ct"),
+        col("e.min_s").as("min_s"), col("e.max_s").as("max_s"))
+      .orderBy("col_name")
+  }
+
+  /** The at-scale variant: HLL++ cardinalities, no Expand. Rows-only
+    * checkable (estimates are engine-specific); its exact twin above
+    * is the oracled form. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.05): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nulls").as("null_ct"),
+      col(s"${c}__distinct").as("distinct_ct"),
+      col(s"${c}__min").as("min_s"),
+      col(s"${c}__max").as("max_s"))): _*)
+    one.select(col("n_rows"), explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.null_ct").as("null_ct"),
+        col("e.distinct_ct").as("distinct_ct"),
+        col("e.min_s").as("min_s"), col("e.max_s").as("max_s"))
+      .orderBy("col_name")
+  }
+
+  /** Fixed-bound equi-width histogram: bucket i covers
+    * [lo + i·step, lo + (i+1)·step); values outside [lo, hi) clamp to
+    * the edge buckets (so mass is never dropped). Zero-padded to all
+    * `buckets` rows; bounds rounded to 2 dp for a portable output.
+    * Floor arithmetic only — no engine-specific width_bucket. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo, "histogram: need hi > lo, buckets > 0")
+    val spark = df.sparkSession
+    val step = (hi - lo) / buckets
+    val bucket = least(greatest(
+      floor((col(c) - lit(lo)) / lit(step)), lit(0L)),
+      lit(buckets - 1L)).as("bucket")
+    val counts = df.filter(col(c).isNotNull)
+      .select(bucket).groupBy("bucket")
+      .agg(count(lit(1)).as("ct"))
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * lit(step), 2).as("lo"),
+        round(lit(lo) + (col("bucket") + 1) * lit(step), 2).as("hi"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+      .orderBy("bucket")
+  }
+}
