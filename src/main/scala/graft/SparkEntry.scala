@@ -142,6 +142,29 @@ object SparkEntry {
       graft.operators.dim.Scd2.pointInTimeLookup(Tables.events(s, d),
         graft.operators.dim.Scd2.loadScd2(s, table).get)
     }),
+    // incremental aggregate maintenance (distributive IVM): the rollup
+    // is built by THREE hash-split TxLog merges — keys straddle
+    // batches, so every merge combines old and new partials — and the
+    // oracle is the plain one-shot GROUP BY, so rebuild equivalence of
+    // the incremental path is itself driver-checked
+    "dim_agg_rollup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit, date_format}
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-aggidx-").toString + "/rollup"
+      val li = Tables.lineitem(s, d)
+      (0 until 3).foreach(i => graft.streaming.AggIndex.mergeBatch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), table,
+        "l_suppkey", Seq("l_quantity", "l_extendedprice"),
+        Seq("l_shipdate"), batchId = i + 1L))
+      graft.streaming.AggIndex.load(s, table).get
+        .select(col("l_suppkey"), col("ct"),
+          col("sum_l_quantity"), col("sum_l_extendedprice"),
+          date_format(col("min_l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("min_ship"),
+          date_format(col("max_l_shipdate"), "yyyy-MM-dd HH:mm:ss")
+            .as("max_ship"))
+        .orderBy("l_suppkey")
+    }),
     // fixed-point PageRank: BIGINT ranks, integer DIV — iteration is
     // order-independent, so the oracle replays it bit-identically
     "g_pagerank_copurchase" -> ((s, d) =>
@@ -3207,6 +3230,19 @@ object SparkEntry {
     // CASE sum would go HUGEINT in DuckDB), min/max CAST to string
     // (integers/strings/dates only: portable text forms)
     Map(
+      // incremental rollup: the oracle is the ONE-SHOT GROUP BY the
+      // three TxLog merges must be indistinguishable from. Sums are
+      // BIGINT-truncated (trunc here == Spark's double→bigint cast for
+      // the positive measures), dates formatted (repo discipline)
+      "dim_agg_rollup_incremental" ->
+        """SELECT l_suppkey, count(*) AS ct,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |         AS sum_l_quantity,
+          |       CAST(sum(CAST(trunc(l_extendedprice) AS BIGINT)) AS BIGINT)
+          |         AS sum_l_extendedprice,
+          |       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+          |       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")
