@@ -111,6 +111,34 @@ object SparkEntry {
     // hourly resample + forward fill = grid explode ∘ as-of join
     "w_resample_ffill" -> ((s, d) =>
       AdvancedWindows.resampleFfill(Tables.events(s, d))),
+    // truncated EWMA over the daily-revenue series: the day aggregate
+    // shrinks 100 TB of orders to calendar cardinality FIRST, so the
+    // unpartitioned analytic window runs on a bounded series (the
+    // a5_global posture); α=0.5 keeps the weights exact binary
+    "ts_ewma_daily_revenue" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_date, sum, date_format}
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("bigint")).as("rev"))
+      AdvancedWindows.ewma(daily, Seq.empty, "day", "rev")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+          col("rev"), col("ewma"))
+        .orderBy("day_s")
+    }),
+    // rolling z-score anomaly flags on per-supplier weekly shipped
+    // quantity — each point scored against its TRAILING window only
+    "ts_anomaly_supplier_weekly" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, date_trunc, sum, date_format}
+      val weekly = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"),
+          date_trunc("week", col("l_shipdate")).as("wk"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+      AdvancedWindows.rollingZscore(weekly, Seq("l_suppkey"), "wk", "qty")
+        .select(col("l_suppkey"),
+          date_format(col("wk"), "yyyy-MM-dd").as("week_s"),
+          col("qty"), col("z"), col("is_anomaly"))
+        .orderBy("l_suppkey", "week_s")
+    }),
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
@@ -3243,6 +3271,63 @@ object SparkEntry {
           |       strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
           |       strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
           |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+      // truncated EWMA: the lag chain and the left-associated term /
+      // weight sums are GENERATED here to mirror the DataFrame fold
+      // order exactly; every weight literal is CAST to DOUBLE (DuckDB
+      // parses decimal-point literals as DECIMAL, which would switch
+      // the whole expression to decimal arithmetic)
+      "ts_ewma_daily_revenue" -> {
+        val k = 8
+        val terms = (0 until k).map { j =>
+          val w = math.pow(0.5, j)
+          val c = if (j == 0) "rev" else s"l$j"
+          s"CASE WHEN $c IS NULL THEN CAST(0 AS DOUBLE) " +
+            s"ELSE $c * CAST($w AS DOUBLE) END"
+        }.mkString("\n             + ")
+        val wts = (0 until k).map { j =>
+          val w = math.pow(0.5, j)
+          val c = if (j == 0) "rev" else s"l$j"
+          s"CASE WHEN $c IS NULL THEN CAST(0 AS DOUBLE) " +
+            s"ELSE CAST($w AS DOUBLE) END"
+        }.mkString("\n             + ")
+        val lags = (1 until k)
+          .map(j => s"lag(rev, $j) OVER w AS l$j").mkString(",\n         ")
+        s"""WITH d AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)
+           |           AS rev
+           |  FROM orders GROUP BY 1),
+           |l AS (
+           |  SELECT day, rev,
+           |         $lags
+           |  FROM d WINDOW w AS (ORDER BY day))
+           |SELECT strftime(day, '%Y-%m-%d') AS day_s, rev,
+           |       round(($terms)
+           |             / ($wts), 4) AS ewma
+           |FROM l ORDER BY day_s""".stripMargin
+      },
+      // rolling z-score: mean/stddev over the trailing frame EXCLUDING
+      // the current row; z compared after rounding, like the engine
+      "ts_anomaly_supplier_weekly" ->
+        """WITH wk AS (
+          |  SELECT l_suppkey, date_trunc('week', l_shipdate) AS wk,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem GROUP BY 1, 2),
+          |m AS (
+          |  SELECT l_suppkey, wk, qty,
+          |         avg(qty) OVER w AS mean,
+          |         stddev_samp(qty) OVER w AS sd
+          |  FROM wk WINDOW w AS (PARTITION BY l_suppkey ORDER BY wk
+          |                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+          |z AS (
+          |  SELECT l_suppkey, wk, qty, mean, sd,
+          |         CASE WHEN sd > 0 THEN round((qty - mean) / sd, 4) END AS z
+          |  FROM m)
+          |SELECT l_suppkey, strftime(wk, '%Y-%m-%d') AS week_s, qty, z,
+          |       (coalesce(z IS NOT NULL AND abs(z) > CAST(2.0 AS DOUBLE),
+          |                 FALSE)
+          |        OR coalesce(sd = 0 AND qty <> mean, FALSE)) AS is_anomaly
+          |FROM z ORDER BY l_suppkey, week_s""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")

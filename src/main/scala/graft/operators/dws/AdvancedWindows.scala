@@ -1,6 +1,7 @@
 package graft.operators.dws
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TimeFns
 
@@ -231,5 +232,65 @@ object AdvancedWindows {
         date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
         col("asof_event_id").as("src_event_id"),
         round(col("asof_value"), 4).as("ffill_value"))
+  }
+
+  /** Truncated exponentially-weighted moving average over a keyed,
+    * ordered series: ewma_t ≈ Σ_{j<k} (1−α)^j·x_{t−j} normalized by
+    * the present weights (so leading rows with < k history are exact,
+    * not damped toward zero). The truncation makes the recursive
+    * definition a FIXED lag chain — one window pass, k `lag` reads in
+    * a single frame, no recursion and no per-row variable-length
+    * state, so at 100 TB it costs exactly one exchange on the
+    * partition keys like any other analytic window. The dropped tail
+    * carries weight (1−α)^k (< 0.4 % at α=0.5, k=8). α defaults to
+    * 0.5: the weights are exact binary fractions, so the arithmetic
+    * is bit-stable across engines before the final rounding. */
+  def ewma(df: DataFrame, partCols: Seq[String], orderCol: String,
+           valueCol: String, alpha: Double = 0.5, k: Int = 8): DataFrame = {
+    require(k >= 1 && alpha > 0 && alpha <= 1, "ewma: need k>=1, 0<alpha<=1")
+    val w0 = Window.orderBy(col(orderCol))
+    val w = if (partCols.isEmpty) w0
+      else Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    val lags = (1 until k).foldLeft(df.withColumn("lag_0", col(valueCol))) {
+      (d, j) => d.withColumn(s"lag_$j", lag(col(valueCol), j).over(w))
+    }
+    val terms = (0 until k).map(j =>
+      when(col(s"lag_$j").isNotNull,
+        col(s"lag_$j") * lit(math.pow(1 - alpha, j))).otherwise(lit(0.0)))
+    val weights = (0 until k).map(j =>
+      when(col(s"lag_$j").isNotNull, lit(math.pow(1 - alpha, j)))
+        .otherwise(lit(0.0)))
+    lags.withColumn("ewma",
+        round(terms.reduce(_ + _) / weights.reduce(_ + _), 4))
+      .drop((0 until k).map(j => s"lag_$j"): _*)
+  }
+
+  /** Rolling z-score anomaly detection: each point scored against the
+    * TRAILING window's mean/stddev EXCLUDING itself (ROWS n PRECEDING
+    * TO 1 PRECEDING — scoring a point against a window containing it
+    * dilutes exactly the anomalies being hunted). z is null until the
+    * window holds ≥ 2 points (stddev undefined); `is_anomaly` flags
+    * |z| > threshold. One window pass, one exchange on the keys. */
+  def rollingZscore(df: DataFrame, partCols: Seq[String], orderCol: String,
+                    valueCol: String, n: Int = 8,
+                    threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-n, -1)
+    // zero-variance guard (ANSI mode: x/0 throws, and an infinite z
+    // would be ill-defined anyway): z is null when the baseline is
+    // flat, and the flag has its own clause for that regime — a point
+    // that DEVIATES from a constant baseline is the clearest anomaly
+    // there is, it must not slip through as "z undefined"
+    df.withColumn("roll_mean", avg(col(valueCol)).over(w))
+      .withColumn("roll_std", stddev_samp(col(valueCol)).over(w))
+      .withColumn("z", round(
+        when(col("roll_std") > 0,
+          (col(valueCol) - col("roll_mean")) / col("roll_std")), 4))
+      .withColumn("is_anomaly",
+        coalesce(col("z").isNotNull && abs(col("z")) > lit(threshold),
+          lit(false)) ||
+          coalesce(col("roll_std") === 0 &&
+            col(valueCol) =!= col("roll_mean"), lit(false)))
+      .drop("roll_mean", "roll_std")
   }
 }

@@ -30,6 +30,51 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out(4L) == ((1L, 10.0)), "frames never cross keys")
   }
 
+  test("ewma: alpha=0.5 closed forms; leading rows renormalize") {
+    val s = Seq((1, 10L), (2, 20L), (3, 40L)).toDF("t", "x")
+    val out = AdvancedWindows.ewma(s, Seq.empty, "t", "x")
+      .select("t", "ewma").as[(Int, Double)].collect().toMap
+    // t=1: only itself → 10; t=2: (20 + 10·0.5)/1.5; t=3:
+    // (40 + 20·0.5 + 10·0.25)/1.75
+    assert(out(1) == 10.0)
+    assert(out(2) == math.rint((20 + 5.0) / 1.5 * 1e4) / 1e4)
+    assert(out(3) == math.rint((40 + 10 + 2.5) / 1.75 * 1e4) / 1e4)
+  }
+
+  test("ewma: truncation at k — lag k carries no weight") {
+    val s = (1 to 10).map(t => (t, if (t == 1) 1000000L else 0L))
+      .toDF("t", "x")
+    val out = AdvancedWindows.ewma(s, Seq.empty, "t", "x", k = 4)
+      .select("t", "ewma").as[(Int, Double)].collect().toMap
+    assert(out(4) > 0.0, "lag 3 still inside the window")
+    assert(out(5) == 0.0, "lag 4 must be truncated away")
+  }
+
+  test("ewma: partitions never leak across keys") {
+    val s = Seq(("a", 1, 100L), ("b", 2, 0L)).toDF("k", "t", "x")
+    val out = AdvancedWindows.ewma(s, Seq("k"), "t", "x")
+      .select("k", "ewma").as[(String, Double)].collect().toMap
+    assert(out("b") == 0.0, "b's series must not see a's value")
+  }
+
+  test("rolling z-score: trailing frame excludes self, flags the spike") {
+    // stable series then a spike: the spike's own value must not
+    // dilute the baseline it is scored against
+    val s = ((1 to 9).map(t => (1L, t, 10L)) :+ (1L, 10, 100L))
+      .toDF("k", "t", "x")
+    val out = AdvancedWindows.rollingZscore(s, Seq("k"), "t", "x",
+      n = 8, threshold = 2.0)
+      .select("t", "z", "is_anomaly")
+      .as[(Int, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1)._1.isEmpty && !out(1)._2, "no history → null z, no flag")
+    assert(out(2)._1.isEmpty && !out(2)._2, "one point → stddev undefined")
+    assert(out(10)._2, "the spike must flag")
+    // steady rows score z = NaN (0/0) or 0 depending on history; they
+    // must never flag
+    assert((3 to 9).forall(t => !out(t)._2))
+  }
+
   test("resample/ffill: grid spans truncated bounds, fill carries forward") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:30:00"), 10L, "view", 1.5, "{}"),
