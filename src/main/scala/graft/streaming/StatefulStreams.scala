@@ -44,6 +44,14 @@ case class Scd2Closed(key: Long, version_id: Long, attr: String,
 case class RetentionHit(user_id: Long, cohort_date: String,
                         day_offset: Int)
 
+/** One keyed series observation consumed by the streaming z-score
+  * kernel. */
+case class SeriesPoint(key: Long, ts: Timestamp, x: Double)
+
+/** A scored series point emitted by the streaming z-score kernel. */
+case class ZScoreOut(key: Long, ts: Timestamp, x: Double,
+                     z: Option[Double], is_anomaly: Boolean)
+
 /** One-hot traffic bean row (`TrafficPageViewBean.java:12-38` shape)
   * as unioned by the traffic union job. */
 case class TrafficUnionRow(vc: String, ch: String, ar: String,
@@ -284,6 +292,53 @@ object StatefulStreams {
                 latest.map(s => micros(e.ts) - s._2))
             }
           latest.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Rolling z-score streaming twin — the last `n` observations per
+    * key as a ring-buffer ValueState; each arriving point is scored
+    * against the buffer BEFORE being pushed (the batch operator's
+    * exclude-self trailing frame). Parity with
+    * `AdvancedWindows.rollingZscore` is BIT-exact for in-order replay
+    * because the state math replays Spark's own aggregate
+    * implementations: the mean is the left-to-right sum of the frame
+    * (`Average`), the stddev is the Welford recurrence
+    * (`CentralMomentAgg`: delta = x − avg; avg += delta/k;
+    * m2 += delta·(x − avg)), and the 4-dp rounding takes the same
+    * BigDecimal HALF_UP path as `round`. Zero-variance baselines flag
+    * on any deviation, never score (the batch clause pair). */
+  def zscoreStream(points: Dataset[SeriesPoint], n: Int = 8,
+                   threshold: Double = 2.0): Dataset[ZScoreOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[Vector[Double], ZScoreOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state: GroupState[Vector[Double]]) =>
+          def r4(v: Double): Double =
+            new java.math.BigDecimal(java.lang.Double.toString(v))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = scala.collection.mutable.ArrayBuffer[ZScoreOut]()
+          it.toSeq.sortBy(_.ts.getTime).foreach { p =>
+            val m = buf.size
+            val (z, flag) =
+              if (m >= 2) {
+                val mean = buf.foldLeft(0.0)(_ + _) / m
+                var avg = 0.0; var m2 = 0.0; var k = 0
+                buf.foreach { x =>
+                  k += 1; val d = x - avg; avg += d / k; m2 += d * (x - avg)
+                }
+                val sd = math.sqrt(m2 / (m - 1))
+                if (sd > 0) {
+                  val zz = r4((p.x - mean) / sd)
+                  (Some(zz), math.abs(zz) > threshold)
+                } else (None, p.x != mean)
+              } else (None, false)
+            out += ZScoreOut(key, p.ts, p.x, z, flag)
+            buf = (buf :+ p.x).takeRight(n)
+          }
+          state.update(buf)
           out.iterator
       }
   }

@@ -467,6 +467,31 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(streamed, batch)
   }
 
+  test("rolling z-score: ring-buffer state across batches == batch window") {
+    // the real weekly series: per-supplier shipped quantity — the
+    // flagship query's exact input, keys straddling the batch split
+    val weekly = graft.core.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_suppkey"), date_trunc("week", col("l_shipdate")).as("wk"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+    val pts = weekly.select(col("l_suppkey").as("key"), col("wk").as("ts"),
+        col("qty").cast("double").as("x"))
+      .as[SeriesPoint].collect().sortBy(p => (p.ts.getTime, p.key))
+    val (b1, b2) = pts.splitAt(pts.length / 2)
+    val ms = MemoryStream[SeriesPoint]
+    val q = StatefulStreams.zscoreStream(ms.toDS()).writeStream
+      .format("memory").queryName("zscore_stream").outputMode("append").start()
+    ms.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.operators.dws.AdvancedWindows
+      .rollingZscore(weekly, Seq("l_suppkey"), "wk", "qty")
+      .select(col("l_suppkey").as("key"), col("wk").as("ts"),
+        col("qty").cast("double").as("x"), col("z"), col("is_anomaly"))
+    assertSameRows(spark.table("zscore_stream"), batch)
+  }
+
   test("retention: streamed first-of-day hits == batch cohort matrix") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
