@@ -139,6 +139,17 @@ object SparkEntry {
           col("qty"), col("z"), col("is_anomaly"))
         .orderBy("l_suppkey", "week_s")
     }),
+    // day-of-week seasonality index of daily revenue (integer weekday
+    // arithmetic — engine-locale-free; totals derived from the 7-slot
+    // sums, not a second scan)
+    "ts_seasonality_dow" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.seasonalityIndex(Tables.orders(s, d))),
+    // lag-1..7 autocorrelation from BIGINT sufficient statistics
+    "ts_autocorr_daily_qty" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.autocorrelation(Tables.lineitem(s, d))),
+    // integer-scaled CUSUM changepoint on the daily quantity series
+    "ts_cusum_changepoint" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.cusumChangepoint(Tables.lineitem(s, d))),
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
@@ -3328,6 +3339,78 @@ object SparkEntry {
           |                 FALSE)
           |        OR coalesce(sd = 0 AND qty <> mean, FALSE)) AS is_anomaly
           |FROM z ORDER BY l_suppkey, week_s""".stripMargin,
+      // weekday slot from integer day arithmetic (slot 0 = Thursday);
+      // the overall mean is derived from the 7 per-slot sums
+      "ts_seasonality_dow" ->
+        """WITH d AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |         CAST(sum(CAST(trunc(o_totalprice) AS BIGINT)) AS BIGINT)
+          |           AS rev
+          |  FROM orders GROUP BY 1),
+          |g AS (
+          |  SELECT CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow,
+          |         count(*) AS day_ct, CAST(sum(rev) AS BIGINT) AS rev_sum
+          |  FROM d GROUP BY 1),
+          |t AS (SELECT CAST(sum(rev_sum) AS BIGINT) AS tot_sum,
+          |             CAST(sum(day_ct) AS BIGINT) AS tot_ct FROM g)
+          |SELECT dow, day_ct,
+          |       round(CAST(rev_sum AS DOUBLE) / day_ct, 2) AS avg_rev,
+          |       round((CAST(rev_sum AS DOUBLE) / day_ct) /
+          |             (CAST(tot_sum AS DOUBLE) / tot_ct), 6) AS seasonal_idx
+          |FROM g CROSS JOIN t ORDER BY dow""".stripMargin,
+      // Pearson r from BIGINT-exact sufficient statistics, cast to
+      // double only in the final formula — bit-stable across engines
+      "ts_autocorr_daily_qty" -> {
+        val lags = (1 to 7)
+          .map(j => s"lag(x, $j) OVER w AS y_$j").mkString(",\n         ")
+        val unions = (1 to 7).map(j =>
+          s"SELECT $j AS lag, x, y_$j AS y FROM l WHERE y_$j IS NOT NULL")
+          .mkString("\n  UNION ALL ")
+        s"""WITH d AS (
+           |  SELECT CAST(l_shipdate AS DATE) AS day,
+           |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+           |  FROM lineitem GROUP BY 1),
+           |l AS (
+           |  SELECT day, x,
+           |         $lags
+           |  FROM d WINDOW w AS (ORDER BY day)),
+           |p AS (
+           |  $unions),
+           |s AS (
+           |  SELECT lag, count(*) AS n_pairs,
+           |         CAST(sum(x) AS BIGINT) AS sx,
+           |         CAST(sum(y) AS BIGINT) AS sy,
+           |         CAST(sum(x*y) AS BIGINT) AS sxy,
+           |         CAST(sum(x*x) AS BIGINT) AS sxx,
+           |         CAST(sum(y*y) AS BIGINT) AS syy
+           |  FROM p GROUP BY 1)
+           |SELECT lag, n_pairs,
+           |       round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+           |             sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) *
+           |                  CAST(n_pairs*syy - sy*sy AS DOUBLE)), 6)
+           |         AS autocorr
+           |FROM s ORDER BY lag""".stripMargin
+      },
+      // scaled-integer CUSUM: Σ(n·x − T) stays BIGINT-exact; the
+      // flagged changepoint is the earliest day attaining max |cusum|
+      "ts_cusum_changepoint" ->
+        """WITH d AS (
+          |  SELECT CAST(l_shipdate AS DATE) AS day,
+          |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |  FROM lineitem GROUP BY 1),
+          |s AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS tot FROM d),
+          |c AS (
+          |  SELECT day, qty,
+          |         CAST(sum(qty*n - tot)
+          |              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+          |              AS BIGINT) AS cusum_fp
+          |  FROM d CROSS JOIN s),
+          |m AS (SELECT max(abs(cusum_fp)) AS mx FROM c),
+          |e AS (SELECT min(day) AS d0 FROM c CROSS JOIN m
+          |      WHERE abs(cusum_fp) = mx)
+          |SELECT strftime(day, '%Y-%m-%d') AS day_s, qty, cusum_fp,
+          |       (day = d0) AS is_changepoint
+          |FROM c CROSS JOIN e ORDER BY day_s""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")

@@ -1,0 +1,124 @@
+package graft.operators.dws
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over daily aggregates of the fact tables —
+  * seasonality, autocorrelation and changepoint detection. All three
+  * run on a DAILY series derived from the fact scan, which makes the
+  * 100 TB posture uniform: the heavy work is ONE map-side-combined
+  * aggregate over the fact (days × keys output, tiny), and the series
+  * math that follows runs on a frame bounded by calendar days
+  * (365/year — a few thousand rows regardless of fact size), so the
+  * single-task analytic windows on the series are a bounded contract,
+  * not a scalability hole. Every kernel keeps sums in BIGINT until
+  * the final division, so the results are bit-stable across engines
+  * (integer sufficient statistics — the same trick as the fixed-point
+  * PageRank, `graph/PageRank.scala`).
+  */
+object TimeSeries {
+
+  /** Day-of-week seasonality index of daily revenue: for each of the
+    * 7 weekday slots, the ratio of that slot's mean daily revenue to
+    * the overall mean daily revenue (index 1.0 = no seasonal effect).
+    * The weekday is computed as `datediff(day, 1970-01-01) % 7` —
+    * pure integer arithmetic (slot 0 = Thursday), immune to engine
+    * locale/week-start conventions. One fact aggregate, then a 7-row
+    * frame; the over-() totals are derived from the 7 per-slot sums,
+    * not a second scan. */
+  def seasonalityIndex(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("bigint")).as("rev"))
+    val perDow = daily
+      .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7)
+        .cast("int"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("day_ct"), sum("rev").as("rev_sum"))
+    val wAll = Window.partitionBy() // 7 rows — bounded by the calendar
+    perDow
+      .withColumn("tot_sum", sum("rev_sum").over(wAll))
+      .withColumn("tot_ct", sum("day_ct").over(wAll))
+      .select(
+        col("dow"), col("day_ct"),
+        round(col("rev_sum").cast("double") / col("day_ct"), 2)
+          .as("avg_rev"),
+        round((col("rev_sum").cast("double") / col("day_ct")) /
+              (col("tot_sum").cast("double") / col("tot_ct")), 6)
+          .as("seasonal_idx"))
+      .orderBy("dow")
+  }
+
+  /** Lag-1..maxLag autocorrelation of the daily shipped-quantity
+    * series. Pairs (x_t, x_{t-j}) are materialized with one window
+    * pass (j lag columns) and reshaped to long form with one explode,
+    * so all lags share a single aggregate. Pearson r is computed from
+    * six integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² —
+    * all BIGINT-exact, summation-order-free), cast to double only in
+    * the final formula, which makes the value bit-stable across
+    * engines before the 6-dp rounding. */
+  def autocorrelation(lineitem: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, "autocorrelation: need maxLag >= 1")
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("x"))
+    val w = Window.orderBy("day") // the daily series — bounded frame
+    val lagged = (1 to maxLag).foldLeft(daily) { (d, j) =>
+      d.withColumn(s"y_$j", lag(col("x"), j).over(w))
+    }
+    val pairs = lagged
+      .select(col("x"), explode(array((1 to maxLag).map(j =>
+        struct(lit(j).as("lg"), col(s"y_$j").as("y"))): _*)).as("p"))
+      .select(col("p.lg").as("lag"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+    val stats = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    stats.select(
+        col("lag"), col("n_pairs"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                 .cast("double") *
+               (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")), 6).as("autocorr"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM changepoint detection on the daily shipped-quantity
+    * series, in scaled integer arithmetic: with n days and total T,
+    * the running statistic is cusum_i = Σ_{j≤i} (n·x_j − T) — the
+    * classic Σ(x_j − mean) scaled by n so it stays BIGINT-exact (no
+    * float accumulation order to disagree on). The flagged
+    * changepoint is the EARLIEST day attaining max |cusum| (CUSUM's
+    * estimate of where the mean shifts). Emits the full scored
+    * series; one fact aggregate + three window passes over the
+    * bounded daily frame. */
+  def cusumChangepoint(lineitem: DataFrame): DataFrame = {
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+    val wAll = Window.partitionBy() // the daily series — bounded
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("qty").over(wAll))
+      .withColumn("cusum_fp",
+        sum(col("qty") * col("n") - col("tot")).over(wRun))
+      .withColumn("mx", max(abs(col("cusum_fp"))).over(wAll))
+      .withColumn("d0",
+        min(when(abs(col("cusum_fp")) === col("mx"), col("day")))
+          .over(wAll))
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("qty"), col("cusum_fp"),
+        (col("day") === col("d0")).as("is_changepoint"))
+      .orderBy("day_s")
+  }
+}

@@ -106,6 +106,60 @@ class TimeSeriesSpec extends SparkTestBase {
     perUser.foreach { case (u, n) => assert(n == expect(u).toLong, s"user $u") }
   }
 
+  test("seasonality: planted weekday effect; slot 0 anchors to Thursday") {
+    // 1970-01-01 is a Thursday → slot 0; 1970-01-02 → slot 1
+    val orders = Seq(
+      (1L, ts("1970-01-01 00:00:00"), 100.0),
+      (2L, ts("1970-01-08 00:00:00"), 300.0), // second Thursday
+      (3L, ts("1970-01-02 00:00:00"), 400.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.dws.TimeSeries.seasonalityIndex(orders)
+      .select("dow", "day_ct", "avg_rev", "seasonal_idx")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // slot 0 mean 200, slot 1 mean 400, overall mean 800/3
+    assert(out(0) == ((2L, 200.0, 0.75)))
+    assert(out(1) == ((1L, 400.0, 1.5)))
+    assert(out.keySet == Set(0, 1))
+  }
+
+  test("autocorr: alternating series gives exactly -1 at lag 1, +1 at lag 2") {
+    val li = (0 until 8).map { i =>
+      (ts(f"2024-01-${i + 1}%02d 00:00:00"),
+        if (i % 2 == 0) 2.0 else 12.0)
+    }.toDF("l_shipdate", "l_quantity")
+    val out = graft.operators.dws.TimeSeries.autocorrelation(li, maxLag = 2)
+      .select("lag", "n_pairs", "autocorr")
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // integer sufficient statistics make these EXACT, not approximate
+    assert(out(1) == ((7L, -1.0)))
+    assert(out(2) == ((6L, 1.0)))
+  }
+
+  test("cusum: mean shift flags the last pre-shift day; ties flag earliest only") {
+    val li = (0 until 8).map { i =>
+      (ts(f"2024-02-${i + 1}%02d 00:00:00"),
+        if (i < 4) 1.0 else 11.0)
+    }.toDF("l_shipdate", "l_quantity")
+    val out = graft.operators.dws.TimeSeries.cusumChangepoint(li)
+      .select("day_s", "cusum_fp", "is_changepoint")
+      .as[(String, Long, Boolean)].collect()
+    // n=8, T=48: low days contribute 8·1−48=−40, high days +40
+    val byDay = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDay("2024-02-04") == ((-160L, true)),
+      "max |cusum| sits at the last day of the old regime")
+    assert(out.count(_._3) == 1, "exactly one changepoint")
+    assert(byDay("2024-02-08")._1 == 0L, "cusum returns to zero at the end")
+    // a flat series ties everywhere → only the earliest day flags
+    val flat = (0 until 5).map(i =>
+      (ts(f"2024-03-${i + 1}%02d 00:00:00"), 7.0))
+      .toDF("l_shipdate", "l_quantity")
+    val f = graft.operators.dws.TimeSeries.cusumChangepoint(flat)
+      .select("day_s", "is_changepoint").as[(String, Boolean)].collect()
+    assert(f.count(_._2) == 1 && f.find(_._2).get._1 == "2024-03-01")
+  }
+
   test("pmi: a planted always-together pair dominates; cap excludes mega-docs") {
     val base = (0 until 40).map { i =>
       // 'alpha beta' co-occur in every doc; 'gamma' in half of them
