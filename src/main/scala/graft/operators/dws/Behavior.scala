@@ -1,6 +1,7 @@
 package graft.operators.dws
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** User-behavior analytics over the events stream — funnel conversion
@@ -76,5 +77,29 @@ object Behavior {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_date"),
         col("day_offset").cast("int").as("day_offset"),
         col("active_users"))
+  }
+
+  /** First-order Markov transition matrix of the per-user event
+    * stream: for each ordered (prev_type → next_type) pair, the
+    * transition count and the row-normalized probability
+    * P(next | prev) = ct / Σ_next ct. Ordering inside a user is
+    * (ts, event_id) — the unique id breaks same-timestamp ties
+    * deterministically. One user-keyed exchange for the lag, one
+    * (prev, next) aggregate (type-pair cardinality is tiny — the
+    * normalizing window runs on that bounded frame, not the facts),
+    * integer counts exact, probability rounded at the edge. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ct = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("ct"))
+    val wPrev = Window.partitionBy("prev_type")
+    ct.withColumn("prev_ct", sum("ct").over(wPrev))
+      .select(col("prev_type"), col("next_type"), col("ct"),
+        round(col("ct").cast("double") / col("prev_ct"), 6).as("prob"))
+      .orderBy("prev_type", "next_type")
   }
 }

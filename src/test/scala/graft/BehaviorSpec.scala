@@ -124,4 +124,52 @@ class BehaviorSpec extends SparkTestBase {
     assert(sampleMean > corpusMean,
       s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
   }
+
+  test("markov: planted chain yields exact row-normalized probabilities") {
+    val ev = Seq(
+      // user 1: A→B→A→B  (A→B twice, B→A once)
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "B", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "A", 0.0, "{}"),
+      (4L, ts("2024-01-01 00:00:04"), 1L, "B", 0.0, "{}"),
+      // user 2: A→C  (crosses no user boundary into user 1)
+      (5L, ts("2024-01-01 00:00:01"), 2L, "A", 0.0, "{}"),
+      (6L, ts("2024-01-01 00:00:02"), 2L, "C", 0.0, "{}"),
+      // user 3: same-ts tie — event_id orders D before E
+      (7L, ts("2024-01-01 00:00:09"), 3L, "D", 0.0, "{}"),
+      (8L, ts("2024-01-01 00:00:09"), 3L, "E", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.markovTransitions(ev)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("A", "B")) == ((2L, round6(2.0 / 3))))
+    assert(out(("A", "C")) == ((1L, round6(1.0 / 3))))
+    assert(out(("B", "A")) == ((1L, 1.0)))
+    assert(out(("D", "E")) == ((1L, 1.0)), "ties order by event_id")
+    assert(!out.contains(("B", "D")), "transitions never cross users")
+    // each prev row sums to 1
+    val byPrev = out.toSeq.groupBy(_._1._1)
+      .map { case (p, xs) => p -> xs.map(_._2._2).sum }
+    byPrev.foreach { case (p, s) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"row $p sums to $s") }
+  }
+
+  private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+  test("ols: planted exact line recovers slope/intercept with r2 = 1") {
+    val li = Seq(
+      ("L", 1.0, 8.0), ("L", 2.0, 11.0), ("L", 3.0, 14.0),   // y = 3x+5
+      ("F", 2.0, 9.0), ("F", 2.0, 17.0),                     // zero x-var
+      ("N", 1.0, 10.0), ("N", 2.0, 10.0), ("N", 3.0, 16.0)   // noisy
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = graft.operators.ml.Regression
+      .olsPerGroup(li, "l_returnflag", "l_quantity", "l_extendedprice")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("L") == ((3L, Some(3.0), Some(5.0), Some(1.0))))
+    assert(out("F") == ((2L, None, None, None)),
+      "zero x-variance must yield nulls, not a division error")
+    val (n, slope, _, r2) = out("N")
+    assert(n == 3L && slope.get > 0 && r2.get < 1.0 && r2.get > 0)
+  }
 }
