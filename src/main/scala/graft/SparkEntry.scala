@@ -150,6 +150,20 @@ object SparkEntry {
     // integer-scaled CUSUM changepoint on the daily quantity series
     "ts_cusum_changepoint" -> ((s, d) =>
       graft.operators.dws.TimeSeries.cusumChangepoint(Tables.lineitem(s, d))),
+    // declarative data-quality expectations: one scan per table plus
+    // one key anti-join; report cardinality = rule count
+    "q_expectations" -> ((s, d) =>
+      graft.operators.quality.Expectations.orderSuite(
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    // first-order Markov transition matrix of the per-user event
+    // stream (row-normalized over the bounded type-pair frame)
+    "b_markov_transitions" -> ((s, d) =>
+      Behavior.markovTransitions(Tables.events(s, d))),
+    // per-group OLS fit from six BIGINT-exact sufficient statistics —
+    // one aggregate over the fact, closed form, no iteration
+    "ml_ols_returnflag" -> ((s, d) =>
+      graft.operators.ml.Regression.olsPerGroup(Tables.lineitem(s, d),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
@@ -3339,6 +3353,92 @@ object SparkEntry {
           |                 FALSE)
           |        OR coalesce(sd = 0 AND qty <> mean, FALSE)) AS is_anomaly
           |FROM z ORDER BY l_suppkey, week_s""".stripMargin,
+      // one UNION ALL branch per rule; NULLs count as range/domain
+      // violations on both sides (coalesce guards the 3VL edge)
+      "q_expectations" ->
+        """WITH r AS (
+          |  SELECT 'orders.o_orderkey is unique' AS rule,
+          |         count(*) AS checked,
+          |         count(*) - count(DISTINCT o_orderkey) AS violations
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT 'orders.o_custkey is complete', count(*),
+          |         count(*) - count(o_custkey) FROM orders
+          |  UNION ALL
+          |  SELECT 'orders.o_totalprice > 0', count(*),
+          |         CAST(sum(CASE WHEN coalesce(o_totalprice <= 0, TRUE)
+          |                       THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'orders.o_orderstatus in {O,F,P}', count(*),
+          |         CAST(sum(CASE WHEN coalesce(
+          |                         NOT o_orderstatus IN ('O','F','P'), TRUE)
+          |                       THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+          |  UNION ALL
+          |  SELECT 'lineitem.l_quantity in [1,50]', count(*),
+          |         CAST(sum(CASE WHEN coalesce(
+          |                         l_quantity < 1 OR l_quantity > 50, TRUE)
+          |                       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'lineitem.l_extendedprice > 0', count(*),
+          |         CAST(sum(CASE WHEN coalesce(l_extendedprice <= 0, TRUE)
+          |                       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+          |  UNION ALL
+          |  SELECT 'lineitem.l_orderkey references orders',
+          |         (SELECT count(*) FROM lineitem),
+          |         (SELECT count(*) FROM lineitem l
+          |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                            WHERE o.o_orderkey = l.l_orderkey)))
+          |SELECT rule, checked, violations, violations = 0 AS pass
+          |FROM r ORDER BY rule""".stripMargin,
+      // lag over (user, ts, event_id) then row-normalized pair counts
+      "b_markov_transitions" ->
+        """WITH t AS (
+          |  SELECT user_id, event_type,
+          |         lag(event_type) OVER (PARTITION BY user_id
+          |                               ORDER BY ts, event_id) AS prev_type
+          |  FROM events),
+          |c AS (
+          |  SELECT prev_type, event_type AS next_type, count(*) AS ct
+          |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev_type, next_type, ct,
+          |       round(CAST(ct AS DOUBLE) /
+          |             CAST(sum(ct) OVER (PARTITION BY prev_type) AS DOUBLE),
+          |             6) AS prob
+          |FROM c ORDER BY prev_type, next_type""".stripMargin,
+      // the oracle replays the EXACT double-product expression tree:
+      // sums are BIGINT-exact (< 2^53), products taken in DOUBLE
+      "ml_ols_returnflag" ->
+        """WITH b AS (
+          |  SELECT l_returnflag AS grp,
+          |         CAST(trunc(l_quantity) AS BIGINT) AS x,
+          |         CAST(trunc(l_extendedprice) AS BIGINT) AS y
+          |  FROM lineitem),
+          |s AS (
+          |  SELECT grp, count(*) AS n,
+          |         CAST(sum(x) AS BIGINT) AS sx,
+          |         CAST(sum(y) AS BIGINT) AS sy,
+          |         CAST(sum(x*y) AS BIGINT) AS sxy,
+          |         CAST(sum(x*x) AS BIGINT) AS sxx,
+          |         CAST(sum(y*y) AS BIGINT) AS syy
+          |  FROM b GROUP BY 1),
+          |f AS (
+          |  SELECT grp, n,
+          |         CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+          |           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+          |         CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+          |           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS denx,
+          |         CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+          |           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS deny,
+          |         CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+          |  FROM s)
+          |SELECT grp, n,
+          |       round(CASE WHEN denx > 0 THEN num/denx END, 6) AS slope,
+          |       round(CASE WHEN denx > 0
+          |                  THEN (dy - (num/denx)*dx)/CAST(n AS DOUBLE) END,
+          |             2) AS intercept,
+          |       round(CASE WHEN denx > 0 AND deny > 0
+          |                  THEN (num*num)/(denx*deny) END, 6) AS r2
+          |FROM f ORDER BY grp""".stripMargin,
       // weekday slot from integer day arithmetic (slot 0 = Thursday);
       // the overall mean is derived from the 7 per-slot sums
       "ts_seasonality_dow" ->

@@ -57,4 +57,32 @@ class ProfileSpec extends SparkTestBase {
       .map(r => r._1 -> r._4).toMap
     assert(h == Map(0L -> 2L, 1L -> 1L))
   }
+
+  test("expectations: every planted violation is counted, nulls included") {
+    val orders = Seq(
+      (1L, Option(10L), "O", Option(100.0)),
+      (1L, Option(11L), "F", Option(50.0)),   // duplicate PK
+      (2L, None, "P", Option(25.0)),          // null custkey
+      (3L, Option(12L), "X", Option(-5.0)),   // bad status AND bad price
+      (4L, Option(13L), "O", None)            // null price → range violation
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val lineitem = Seq(
+      (1L, Option(5.0), 10.0),
+      (2L, Option(80.0), 20.0),   // quantity out of range
+      (9L, Option(3.0), 30.0),    // orphan orderkey
+      (3L, None, 40.0)            // null quantity → range violation
+    ).toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    val out = graft.operators.quality.Expectations
+      .orderSuite(orders, lineitem)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("orders.o_orderkey is unique") == ((5L, 1L, false)))
+    assert(out("orders.o_custkey is complete") == ((5L, 1L, false)))
+    assert(out("orders.o_totalprice > 0") == ((5L, 2L, false)),
+      "a NULL price is a range violation, not a pass")
+    assert(out("orders.o_orderstatus in {O,F,P}") == ((5L, 1L, false)))
+    assert(out("lineitem.l_quantity in [1,50]") == ((4L, 2L, false)))
+    assert(out("lineitem.l_extendedprice > 0") == ((4L, 0L, true)))
+    assert(out("lineitem.l_orderkey references orders") == ((4L, 1L, false)))
+  }
 }
