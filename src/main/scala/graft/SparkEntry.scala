@@ -229,6 +229,15 @@ object SparkEntry {
     "g_triangle_copurchase" -> ((s, d) =>
       graft.operators.graph.Triangles.copurchaseTriangles(
         Tables.lineitem(s, d))),
+    // single-source BFS hop counts over the co-purchase bipartite
+    // graph (level-synchronous frontier, materialized rounds)
+    "g_bfs_hops" -> ((s, d) =>
+      graft.operators.graph.Traversal.copurchaseBfs(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
+    // k-core peel of the part-part co-purchase projection
+    "g_kcore_copurchase" -> ((s, d) =>
+      graft.operators.graph.Traversal.copurchaseKCore(
+        Tables.lineitem(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
     "q_profile_orders" -> ((s, d) =>
@@ -3258,6 +3267,24 @@ object SparkEntry {
     // iterations as chained CTEs — BIGINT arithmetic end to end, so
     // the hashes must match bit-for-bit with no rounding discipline
     Map("g_pagerank_copurchase" -> pageRankOracleSql(10)) ++
+    // BFS: recursive CTE with UNION-distinct dedup; min(hops) per node
+    // (the engine's first-reach level IS the minimum — BFS invariant)
+    Map("g_bfs_hops" ->
+      """WITH RECURSIVE be AS (
+        |  SELECT DISTINCT o_custkey*2 AS src, l_partkey*2+1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM be
+        |      UNION ALL SELECT dst AS src, src AS dst FROM be),
+        |bfs(node, hops) AS (
+        |  SELECT (SELECT min(src) FROM e) AS node, 0 AS hops
+        |  UNION
+        |  SELECT e.dst, bfs.hops + 1 FROM bfs JOIN e ON e.src = bfs.node
+        |  WHERE bfs.hops < 3)
+        |SELECT node, CAST(min(hops) AS INT) AS hops
+        |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin) ++
+    // k-core: `rounds` unrolled peel CTEs; a converged peel makes the
+    // trailing rounds no-ops, so the engine's fixpoint exit matches
+    Map("g_kcore_copurchase" -> kCoreOracleSql(k = 80, rounds = 8)) ++
     // triangle counting: the oracle is the orientation-free three-way
     // self-join over id-ordered edges (a<b<c counts each triangle
     // once); the engine's degree orientation must agree exactly
@@ -3578,6 +3605,34 @@ object SparkEntry {
       |  FROM scored)
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** k-core peel unrolled: d1 = full degrees; d_{i+1} = degrees over
+    * the subgraph induced by d_i's >= k survivors. Monotone, so a
+    * converged peel makes the remaining unrolled rounds no-ops. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH pp AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM pp
+        |      UNION ALL SELECT b AS src, a AS dst FROM pp),
+        |d1 AS (SELECT src AS node, count(*) AS dg FROM e GROUP BY 1)"""
+        .stripMargin
+    val peels = (2 to rounds).map { i =>
+      s""",
+         |d$i AS (
+         |  SELECT e.src AS node, count(*) AS dg FROM e
+         |  JOIN d${i - 1} a ON e.src = a.node AND a.dg >= $k
+         |  JOIN d${i - 1} b ON e.dst = b.node AND b.dg >= $k
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT node, CAST(dg AS BIGINT) AS core_deg
+         |FROM d$rounds WHERE dg >= $k ORDER BY node""".stripMargin
+  }
 
   private def pageRankOracleSql(iters: Int): String = {
     val base =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.graph.{PageRank, Triangles}
+import graft.operators.graph.{PageRank, Traversal, Triangles}
 
 /** Fixed-point PageRank and triangle-counting invariants. */
 class GraphSpec extends SparkTestBase {
@@ -111,5 +111,36 @@ class GraphSpec extends SparkTestBase {
     val r = ranks.filter(col("node").isin(hot, cold))
       .as[(Long, Long)].collect().toMap
     assert(r(hot) > r(cold), s"hot part must outrank cold: $r")
+  }
+
+  test("bfs: path graph levels, hop cap, unreachable component excluded") {
+    // path 1-2-3-4-5 plus a disconnected pair 9-10, symmetric
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val e = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = Traversal.bfsHops(e, maxHops = 3, source = Some(1L))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"cap at 3 hops excludes node 5; other component never appears: $out")
+    // uncapped: the frontier exhausts by itself and 5 lands at hop 4
+    val full = Traversal.bfsHops(e, maxHops = 100, source = Some(1L))
+      .as[(Long, Int)].collect().toMap
+    assert(full == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("kcore: chain-reaction peel empties a path; clique survives") {
+    // 5-path at k=2 unravels end-by-end over multiple rounds → empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    assert(Traversal.kCore(path, k = 2).isEmpty,
+      "a path has no 2-core — iterative peeling must cascade")
+    // 4-clique with a pendant: k=2 keeps the clique at degree 3
+    val clique = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a != b
+    } yield (a, b)) ++ Seq((4L, 99L), (99L, 4L))
+    val out = Traversal.kCore(clique.toDF("src", "dst"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"pendant 99 peels, clique keeps induced degree 3: $out")
   }
 }
