@@ -551,6 +551,9 @@ object SparkEntry {
     // PMI collocations: integer-count pmi over doc-level co-occurrence
     "llm_pmi_cooccurrence" -> ((s, d) =>
       llm.Retrieval.pmiCooccurrence(Tables.documents(s, d))),
+    // add-one-smoothed bigram LM: P(w2|w1) from one (w1,w2) aggregate
+    "llm_bigram_lm" -> ((s, d) =>
+      llm.Retrieval.bigramLm(Tables.documents(s, d))),
     // Misra–Gries sketch discovers, exact pass verifies — the output
     // IS "HAVING count > n/k", so the plain aggregate oracles it
     "llm_heavy_hitters" -> ((s, d) =>
@@ -2776,6 +2779,27 @@ object SparkEntry {
         |GROUP BY w, n.n
         |HAVING count(*) > CAST(n.n AS DOUBLE) / 50
         |ORDER BY ct DESC, token""".stripMargin,
+    // bigrams by indexing the filtered token array; V over ALL
+    // unigrams; prefix count summed over the bigram-type frame
+    "llm_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     t -> t <> '') AS a
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(a) AS w FROM toks)),
+        |idx AS (SELECT a, unnest(range(1, len(a))) AS i FROM toks
+        |        WHERE len(a) >= 2),
+        |big AS (SELECT a[CAST(i AS INT)] AS w1,
+        |               a[CAST(i AS INT) + 1] AS w2 FROM idx),
+        |c12 AS (SELECT w1, w2, count(*) AS ct FROM big GROUP BY 1, 2),
+        |c AS (SELECT w1, w2, ct,
+        |             CAST(sum(ct) OVER (PARTITION BY w1) AS BIGINT) AS c1
+        |      FROM c12)
+        |SELECT w1, w2, ct,
+        |       round(CAST(ct + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE), 6)
+        |         AS prob
+        |FROM c CROSS JOIN v WHERE ct >= 5 ORDER BY w1, w2""".stripMargin,
     // PMI is pure integer-count arithmetic inside one ln(), so the
     // replay is exact; ranking is fully tie-broken (pmi, w_a, w_b)
     "llm_pmi_cooccurrence" ->

@@ -130,4 +130,41 @@ object Retrieval {
         col("rank").cast("int").as("rank"))
       .orderBy("rank")
   }
+
+  /** Bigram language model with add-one (Laplace) smoothing:
+    * P(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V), where c(w1·) is
+    * w1's count as a bigram PREFIX and V the unigram vocabulary size.
+    * Tokenization is the whitespace form (`Tokenize.wsTokens`) so the
+    * oracle replays it with a regex split. Bigrams come from zipping
+    * the token array with its own tail — no self-join, no positional
+    * window; the corpus-sized work is ONE (w1,w2) aggregate with
+    * map-side combine. c(w1·) is summed over the bigram-TYPE frame
+    * (vocab², not corpus) and V rides a 1-row broadcast. All counts
+    * integer-exact; the smoothed probability rounds at the edge.
+    * Emits bigrams with count >= minCount (the LM head — callers
+    * wanting the full table pass minCount = 1). */
+  def bigramLm(documents: DataFrame, minCount: Int = 5): DataFrame = {
+    val toksAll = graft.core.Tables.spread(documents)
+      .select(Tokenize.wsTokens(col("text")).as("a"))
+    // V counts the FULL unigram vocabulary (single-token docs
+    // included); only the bigram stream needs >= 2 tokens
+    val vocab = broadcast(
+      toksAll.select(explode(col("a")).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+    val toks = toksAll.filter(size(col("a")) >= 2)
+    val big = toks.select(explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("ct"))
+    val wPrefix = Window.partitionBy("w1")
+    c12.withColumn("c1", sum("ct").over(wPrefix))
+      .filter(col("ct") >= minCount)
+      .crossJoin(vocab)
+      .select(col("w1"), col("w2"), col("ct"),
+        round((col("ct") + 1).cast("double") /
+              (col("c1") + col("v")).cast("double"), 6).as("prob"))
+      .orderBy("w1", "w2")
+  }
 }

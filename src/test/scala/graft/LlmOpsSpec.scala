@@ -1409,4 +1409,23 @@ class LlmOpsSpec extends SparkTestBase {
     // the fixture's 13 primary hosts all appear
     assert(perDomain.length == 13)
   }
+
+  test("bigram LM: add-one probabilities exact; V counts 1-token docs") {
+    val docs = Seq(
+      (1L, "x y x y x y"), // (x,y)·3, (y,x)·2
+      (2L, "x z"),         // (x,z)·1
+      (3L, "w")            // contributes to V only
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bigramLm(docs, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // V = |{x,y,z,w}| = 4; c(x·) = 4, c(y·) = 2
+    assert(out(("x", "y")) == ((3L, 0.5)),   "(3+1)/(4+4)")
+    assert(out(("x", "z")) == ((1L, 0.25)),  "(1+1)/(4+4)")
+    assert(out(("y", "x")) == ((2L, 0.5)),   "(2+1)/(2+4)")
+    assert(out.keySet == Set(("x", "y"), ("x", "z"), ("y", "x")),
+      "the 1-token doc must add no bigrams, only vocabulary")
+    // per-prefix probabilities never exceed 1 even smoothed
+    assert(out.values.forall(_._2 < 1.0))
+  }
 }
