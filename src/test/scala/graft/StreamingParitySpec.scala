@@ -492,6 +492,43 @@ class StreamingParitySpec extends SparkTestBase {
     assertSameRows(spark.table("zscore_stream"), batch)
   }
 
+  test("transformWithState: running spend across batches == batch window") {
+    // the new Spark 4 arbitrary-state API needs the RocksDB store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val pts = graft.core.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("bigint").as("spend_cents"))
+        .as[SpendPoint].collect().sortBy(p => (p.ts.getTime, p.event_id))
+      val (b1, b2) = pts.splitAt(pts.length / 2)
+      val ms = MemoryStream[SpendPoint]
+      val q = TwsStreams.runningSpendStream(ms.toDS()).writeStream
+        .format("memory").queryName("tws_spend").outputMode("append")
+        .start()
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Long.MinValue, 0)
+      val batch = pts.toSeq.toDF()
+        .withColumn("n_events", count(lit(1)).over(w))
+        .withColumn("total_cents", sum("spend_cents").over(w))
+        .select("user_id", "event_id", "n_events", "total_cents")
+      assertSameRows(spark.table("tws_spend"), batch)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("retention: streamed first-of-day hits == batch cohort matrix") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
