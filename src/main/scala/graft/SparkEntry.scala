@@ -164,6 +164,12 @@ object SparkEntry {
     "ml_ols_returnflag" -> ((s, d) =>
       graft.operators.ml.Regression.olsPerGroup(Tables.lineitem(s, d),
         "l_returnflag", "l_quantity", "l_extendedprice")),
+    // Naive Bayes: class-conditional micro-log-prob model (train)
+    "ml_nb_model" -> ((s, d) =>
+      graft.operators.ml.NaiveBayes.trainLangModel(Tables.documents(s, d))),
+    // Naive Bayes argmax scoring — integer micro-log sums, order-free
+    "ml_nb_predict" -> ((s, d) =>
+      graft.operators.ml.NaiveBayes.predictLang(Tables.documents(s, d))),
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
@@ -3404,6 +3410,63 @@ object SparkEntry {
           |                 FALSE)
           |        OR coalesce(sd = 0 AND qty <> mean, FALSE)) AS is_anomaly
           |FROM z ORDER BY l_suppkey, week_s""".stripMargin,
+      // add-one smoothed class-conditional log-probs in integer micros
+      "ml_nb_model" ->
+        """WITH toks AS (
+          |  SELECT lang, unnest(list_filter(
+          |           string_split_regex(lower(text), '\s+'),
+          |           t -> t <> '')) AS w
+          |  FROM documents),
+          |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+          |c AS (SELECT lang, w, count(*) AS ct FROM toks GROUP BY 1, 2),
+          |t AS (SELECT lang, w, ct,
+          |             CAST(sum(ct) OVER (PARTITION BY lang) AS BIGINT)
+          |               AS tok_c
+          |      FROM c)
+          |SELECT lang, w, ct,
+          |       CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tok_c + v)) * 1e6)
+          |            AS BIGINT) AS logp_micro
+          |FROM t CROSS JOIN v ORDER BY lang, w""".stripMargin,
+      // integer micro-log score sums; class default via coalesce for
+      // out-of-class-vocabulary tokens; argmax ties break on lang
+      "ml_nb_predict" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang, unnest(list_filter(
+          |           string_split_regex(lower(text), '\s+'),
+          |           t -> t <> '')) AS w
+          |  FROM documents),
+          |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+          |tokc AS (SELECT lang, count(*) AS tok_c FROM toks GROUP BY 1),
+          |info AS (
+          |  SELECT cls.lang,
+          |         CAST(round(ln(CAST(docs_c AS DOUBLE) / docs_n) * 1e6)
+          |              AS BIGINT) AS prior_micro,
+          |         CAST(round(ln(CAST(1.0 AS DOUBLE) / (tok_c + v)) * 1e6)
+          |              AS BIGINT) AS default_micro
+          |  FROM (SELECT lang, count(*) AS docs_c FROM documents
+          |        GROUP BY 1) cls
+          |  CROSS JOIN (SELECT count(*) AS docs_n FROM documents) n
+          |  JOIN tokc USING (lang) CROSS JOIN v),
+          |model AS (
+          |  SELECT c.lang, c.w,
+          |         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tok_c + v)) * 1e6)
+          |              AS BIGINT) AS logp_micro
+          |  FROM (SELECT lang, w, count(*) AS ct FROM toks GROUP BY 1, 2) c
+          |  JOIN tokc USING (lang) CROSS JOIN v),
+          |sc AS (
+          |  SELECT t.doc_id, i.lang,
+          |         i.prior_micro +
+          |           CAST(sum(coalesce(m.logp_micro, i.default_micro))
+          |                AS BIGINT) AS score_micro
+          |  FROM (SELECT doc_id, w FROM toks) t
+          |  CROSS JOIN info i
+          |  LEFT JOIN model m ON m.lang = i.lang AND m.w = t.w
+          |  GROUP BY t.doc_id, i.lang, i.prior_micro)
+          |SELECT doc_id, lang AS pred_lang, score_micro
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |                ORDER BY score_micro DESC, lang) AS rn
+          |      FROM sc)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       // one UNION ALL branch per rule; NULLs count as range/domain
       // violations on both sides (coalesce guards the 3VL edge)
       "q_expectations" ->
