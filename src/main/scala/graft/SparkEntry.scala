@@ -568,6 +568,10 @@ object SparkEntry {
     // levenshtein verify over distinct part names
     "llm_fuzzy_join" -> ((s, d) =>
       llm.FuzzyJoin.partNameNearMatch(Tables.part(s, d))),
+    // entity-resolution capstone: fuzzy pairs → min-label clusters →
+    // lexicographic-min canonical + cluster size
+    "llm_entity_resolution" -> ((s, d) =>
+      llm.FuzzyJoin.partEntityResolution(Tables.part(s, d))),
     // each twin's single nearest neighbor is its source by construction
     "llm_ann_lsh_twin_top1" -> ((s, d) =>
       llm.Similarity.lshTwinTop1(Tables.embeddings(s, d))),
@@ -2841,6 +2845,34 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    // pairs replayed exactly (the fuzzy-join oracle), components by
+    // recursive reachability with UNION dedup, canonical = least
+    // reachable name (incl. self), singletons ride the left join
+    "llm_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name AS name FROM part
+        |  WHERE p_name IS NOT NULL),
+        |p AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM n a JOIN n b ON a.name < b.name
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT name_a AS u, name_b AS v FROM p
+        |      UNION ALL SELECT name_b AS u, name_a AS v FROM p),
+        |r(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM r JOIN e ON e.u = r.v),
+        |canon AS (
+        |  SELECT u AS name, least(u, min(v)) AS canonical
+        |  FROM r GROUP BY u),
+        |allc AS (
+        |  SELECT n.name, coalesce(c.canonical, n.name) AS canonical
+        |  FROM n LEFT JOIN canon c USING (name))
+        |SELECT name, canonical,
+        |       CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+        |         AS cluster_size
+        |FROM allc ORDER BY name""".stripMargin,
     // full-probe IVF visits every cell, so its exact answer IS the
     // brute-force top-k — same oracle
     "llm_ann_ivf_fullprobe" ->

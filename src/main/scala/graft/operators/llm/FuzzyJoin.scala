@@ -105,4 +105,76 @@ object FuzzyJoin {
         "switch this call to nearMatchPairs(maxGramBucket = 0)")
     nearMatchPairs(part, "p_name", maxDist).orderBy("name_a", "name_b")
   }
+
+  /** Entity resolution: group a string universe into clusters by the
+    * near-match relation and elect the lexicographic-minimum member
+    * as each cluster's canonical form. Components are found by
+    * MIN-LABEL PROPAGATION directly on the strings (no id assignment
+    * step whose ordering could differ between runs): every round,
+    * each node takes the minimum of its own label and its neighbors'
+    * labels — one keyed join + a map-side-combined min per round,
+    * rounds materialized to parquet (the CC round-file contract).
+    * Label sets only ever decrease, so a no-change round is a
+    * fixpoint; the loop asserts convergence within `maxIter` (name
+    * clusters have tiny diameters — an unconverged run means the
+    * pair generation exploded, and MUST fail loudly rather than emit
+    * partial clusters). Unmatched names are their own singleton
+    * clusters. Output: (name, canonical, cluster_size). */
+  def resolveEntities(universe: DataFrame, pairs: DataFrame,
+                      maxIter: Int = 10): DataFrame = {
+    val spark = universe.sparkSession
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-er-").toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    pairs.select(col("name_a").as("u"), col("name_b").as("v"))
+      .unionAll(pairs.select(col("name_b").as("u"), col("name_a").as("v")))
+      .write.mode("overwrite").parquet(s"$dir/edges")
+    val edges = spark.read.parquet(s"$dir/edges")
+    universe.select(col("name"), col("name").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/lab-0")
+    var labels = spark.read.parquet(s"$dir/lab-0")
+    var converged = false
+    var r = 1
+    while (r <= maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("name", "u"), "u")
+        .groupBy(col("v").as("name"))
+        .agg(min(col("label")).as("nbr"))
+      labels.join(nbrMin, Seq("name"), "left")
+        .select(col("name"),
+          least(col("label"), coalesce(col("nbr"), col("label")))
+            .as("label"),
+          (col("nbr").isNotNull && col("nbr") < col("label"))
+            .as("chg"))
+        .write.mode("overwrite").parquet(s"$dir/lab-$r")
+      val next = spark.read.parquet(s"$dir/lab-$r")
+      converged = next.filter(col("chg")).isEmpty // bounded probe
+      labels = next.drop("chg")
+      r += 1
+    }
+    require(converged,
+      s"resolveEntities: labels still moving after $maxIter rounds — " +
+        "cluster diameter exceeds the bound; the near-match pair set " +
+        "has likely exploded")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("canonical")
+    labels.select(col("name"), col("label").as("canonical"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .orderBy("name")
+  }
+
+  /** Flagship: resolve the part-name catalog — near-match pairs from
+    * the lossless blocked fuzzy join, clusters by min-label
+    * propagation, the oracle replays pairs exactly and components by
+    * recursive reachability. */
+  def partEntityResolution(part: DataFrame): DataFrame = {
+    val names = part.select(col("p_name").cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    resolveEntities(names, partNameNearMatch(part))
+  }
 }

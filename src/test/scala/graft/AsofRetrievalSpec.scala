@@ -128,6 +128,25 @@ class AsofRetrievalSpec extends SparkTestBase {
     assert(out.contains(("zz zz zx", "zz zz zz", 1)), out)
   }
 
+  test("entity resolution: labels cross a chain; singletons survive") {
+    // chain w1—x1—y1—z1 (adjacent dist 1): the minimum label 'w1'
+    // must propagate 3 hops; 'solo' matches nothing
+    val names = Seq("w1", "x1", "y1", "z1", "solo ridge").toDF("name")
+    val pairs = Seq(("w1", "x1"), ("x1", "y1"), ("y1", "z1"))
+      .toDF("name_a", "name_b")
+    val out = FuzzyJoin.resolveEntities(names, pairs)
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(Seq("w1", "x1", "y1", "z1")
+      .forall(n => out(n) == (("w1", 4L))), out)
+    assert(out("solo ridge") == (("solo ridge", 1L)))
+    // a diameter past maxIter must fail loudly, not emit partials
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.resolveEntities(names, pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("still moving"), e.getMessage)
+  }
+
   // ---- SQ8 ANN ----------------------------------------------------
 
   test("sq8: quantized ranking tracks exact ranking within SQ error") {
