@@ -159,6 +159,13 @@ object SparkEntry {
     // stream (row-normalized over the bounded type-pair frame)
     "b_markov_transitions" -> ((s, d) =>
       Behavior.markovTransitions(Tables.events(s, d))),
+    // top first-k event paths per user (in-row struct sort, no
+    // second window)
+    "b_user_paths" -> ((s, d) =>
+      Behavior.topUserPaths(Tables.events(s, d))),
+    // deterministic T5-style span corruption — map-only, no shuffle
+    "llm_span_corruption" -> ((s, d) =>
+      llm.Sampling.spanCorruption(Tables.documents(s, d))),
     // per-group OLS fit from six BIGINT-exact sufficient statistics —
     // one aggregate over the fact, closed form, no iteration
     "ml_ols_returnflag" -> ((s, d) =>
@@ -3346,7 +3353,7 @@ object SparkEntry {
         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin) ++
     // k-core: `rounds` unrolled peel CTEs; a converged peel makes the
     // trailing rounds no-ops, so the engine's fixpoint exit matches
-    Map("g_kcore_copurchase" -> kCoreOracleSql(k = 80, rounds = 8)) ++
+    Map("g_kcore_copurchase" -> kCoreOracleSql(k = 64, rounds = 8)) ++
     // triangle counting: the oracle is the orientation-free three-way
     // self-join over id-ordered edges (a<b<c counts each triangle
     // once); the engine's degree orientation must agree exactly
@@ -3442,6 +3449,50 @@ object SparkEntry {
           |                 FALSE)
           |        OR coalesce(sd = 0 AND qty <> mean, FALSE)) AS is_anomaly
           |FROM z ORDER BY l_suppkey, week_s""".stripMargin,
+      // ordered string_agg replays the in-row struct-sort path build
+      "b_user_paths" ->
+        """WITH r AS (
+          |  SELECT user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |p AS (
+          |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM r WHERE rn <= 3 GROUP BY 1)
+          |SELECT path, count(*) AS user_ct
+          |FROM p GROUP BY 1 ORDER BY user_ct DESC, path""".stripMargin,
+      // positional masking replayed by indexing the token list; the
+      // filtered array's ordinal IS the sentinel id on both sides
+      "llm_span_corruption" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(
+          |           string_split_regex(lower(text), '\s+'),
+          |           t -> t <> '') AS a
+          |  FROM documents),
+          |idx AS (SELECT doc_id, a,
+          |               unnest(range(1, len(a) + 1)) AS i FROM toks),
+          |t AS (SELECT doc_id, i, a[CAST(i AS INT)] AS tok,
+          |             (i % 5 = 0) AS m,
+          |             CAST(i // 5 - 1 AS INT) AS k
+          |      FROM idx),
+          |inp AS (
+          |  SELECT doc_id,
+          |         string_agg(CASE WHEN m THEN '<extra_id_' || k || '>'
+          |                         ELSE tok END, ' ' ORDER BY i)
+          |           AS input_text
+          |  FROM t GROUP BY 1),
+          |tgt AS (
+          |  SELECT doc_id,
+          |         string_agg('<extra_id_' || k || '> ' || tok,
+          |                    ' ' ORDER BY i) AS target_text,
+          |         CAST(count(*) AS INT) AS n_masked
+          |  FROM t WHERE m GROUP BY 1)
+          |SELECT toks.doc_id, coalesce(inp.input_text, '') AS input_text,
+          |       coalesce(tgt.target_text, '') AS target_text,
+          |       coalesce(tgt.n_masked, 0) AS n_masked
+          |FROM toks LEFT JOIN inp USING (doc_id)
+          |LEFT JOIN tgt USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
       // add-one smoothed class-conditional log-probs in integer micros
       "ml_nb_model" ->
         """WITH toks AS (

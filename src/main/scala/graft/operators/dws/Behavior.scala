@@ -79,6 +79,27 @@ object Behavior {
         col("active_users"))
   }
 
+  /** Top user journey paths: each user's first `k` event types in
+    * (ts, event_id) order joined into one `a>b>c` path string, then
+    * counted across users — the "what do sessions look like"
+    * aggregate. One user-keyed window to rank, one user aggregate
+    * (order restored by sorting the (rn, type) structs INSIDE the
+    * row — no second window), one path-keyed count. Path cardinality
+    * is |types|^k, a bounded frame. */
+  def topUserPaths(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("user_ct"))
+      .orderBy(col("user_ct").desc, col("path"))
+  }
+
   /** First-order Markov transition matrix of the per-user event
     * stream: for each ordered (prev_type → next_type) pair, the
     * transition count and the row-normalized probability

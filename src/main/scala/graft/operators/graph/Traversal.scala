@@ -134,10 +134,11 @@ object Traversal {
 
   /** Flagship k-core: the part↔part co-purchase projection (the
     * triangle graph, `Triangles.copurchaseTriangles`) peeled at
-    * k = 80 — chosen so the peel actually bites at the gate SF
-    * (drops ~7% of nodes over 5 rounds) rather than passing or
-    * emptying the graph. */
-  def copurchaseKCore(lineitem: DataFrame, k: Int = 80): DataFrame = {
+    * k = 64 — chosen so the peel bites WITHOUT emptying the graph at
+    * every test SF (sf0.001: 200→189 nodes; sf0.01: 2000→1993; the
+    * whole graph unravels past its degeneracy ~64-70, so larger k
+    * zeroes the smoke SF). */
+  def copurchaseKCore(lineitem: DataFrame, k: Int = 64): DataFrame = {
     val pp = lineitem.as("l1")
       .join(lineitem.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&

@@ -67,6 +67,38 @@ object Sampling {
       .orderBy("lang", "source", "doc_id")
   }
 
+  /** T5-style span corruption: every `stride`-th token (1-based
+    * position divisible by `stride`) is replaced by a sentinel
+    * `<extra_id_k>` in the input and emitted as `<extra_id_k> token`
+    * in the target — the deterministic variant of the random masking
+    * a denoising objective uses (position arithmetic instead of RNG,
+    * so retries/partitioning/engines all agree). Pure array
+    * expressions inside one projection: no shuffle at all, the
+    * operator is map-only and scales embarrassingly. Documents
+    * shorter than one stride emit an empty target (n_masked 0). */
+  def spanCorruption(documents: DataFrame, stride: Int = 5): DataFrame = {
+    require(stride >= 2, "spanCorruption: need stride >= 2")
+    val a = graft.functions.Tokenize.wsTokens(col("text"))
+    // 0-based element index i is masked when (i+1) % stride == 0;
+    // its sentinel ordinal is k = (i+1)/stride - 1
+    def sentinel(i: org.apache.spark.sql.Column) =
+      // Column `/` is DOUBLE division — keep the ordinal integral
+      concat(lit("<extra_id_"),
+        (((i + 1) / stride).cast("int") - 1).cast("string"), lit(">"))
+    documents.select(
+      col("doc_id"),
+      concat_ws(" ", transform(a, (t, i) =>
+        when((i + 1) % stride === 0, sentinel(i)).otherwise(t)))
+        .as("input_text"),
+      concat_ws(" ", transform(
+        filter(a, (_, i) => (i + 1) % stride === 0),
+        (t, k) => concat(lit("<extra_id_"), k.cast("string"),
+          lit("> "), t))).as("target_text"),
+      size(filter(a, (_, i) => (i + 1) % stride === 0)).cast("int")
+        .as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget corpus selection: keep the highest-quality documents
     * until a token budget is filled (the curation step that turns a
     * scored corpus into a fixed-size training set). Selection is by

@@ -30,8 +30,10 @@ class BatchQueriesSpec extends SparkTestBase {
       // (determinism, repetitive < prose ordering) pinned in LlmOpsSpec
       "llm_compression_ratio",
       // approx swaps: estimators have no exact oracle; drift vs the
-      // exact twins is bounded in DwsJobSpec / LlmOpsSpec
+      // exact twins is bounded in DwsJobSpec / LlmOpsSpec /
+      // ProfileSpec (HLL distinct in the approx profile)
       "a3_province_order_window_approx", "llm_token_percentiles_approx",
+      "q_profile_orders_approx",
       // probed IVF×SQ8 is approximate by construction; the fullprobe
       // twin llm_ann_ivfsq8_fullprobe carries the sq8 oracle, recall
       // floor pinned in AsofRetrievalSpec

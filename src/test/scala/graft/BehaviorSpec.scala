@@ -156,6 +156,24 @@ class BehaviorSpec extends SparkTestBase {
 
   private def round6(v: Double): Double = math.rint(v * 1e6) / 1e6
 
+  test("user paths: first-k ordering, short users keep short paths") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "B", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "C", 0.0, "{}"),
+      (4L, ts("2024-01-01 00:00:04"), 1L, "D", 0.0, "{}"), // beyond k
+      (5L, ts("2024-01-01 00:00:01"), 2L, "A", 0.0, "{}"),
+      (6L, ts("2024-01-01 00:00:02"), 2L, "B", 0.0, "{}"),
+      // user 3: same-ts tie — event_id decides A before B
+      (8L, ts("2024-01-01 00:00:09"), 3L, "B", 0.0, "{}"),
+      (7L, ts("2024-01-01 00:00:09"), 3L, "A", 0.0, "{}"),
+      (9L, ts("2024-01-01 00:00:10"), 3L, "C", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.topUserPaths(ev)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A>B>C" -> 2L, "A>B" -> 1L), out)
+  }
+
   test("ols: planted exact line recovers slope/intercept with r2 = 1") {
     val li = Seq(
       ("L", 1.0, 8.0), ("L", 2.0, 11.0), ("L", 3.0, 14.0),   // y = 3x+5

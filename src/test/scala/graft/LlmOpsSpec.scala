@@ -1410,6 +1410,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(perDomain.length == 13)
   }
 
+  test("span corruption: positional masks, sentinel numbering, short docs") {
+    val d = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"),
+      (2L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Sampling.spanCorruption(d)
+      .as[(Long, String, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((
+      "t1 t2 t3 t4 <extra_id_0> t6 t7 t8 t9 <extra_id_1> t11",
+      "<extra_id_0> t5 <extra_id_1> t10", 2)))
+    assert(out(2L) == (("a b c", "", 0)),
+      "docs shorter than one stride emit an uncorrupted pair")
+  }
+
   test("bigram LM: add-one probabilities exact; V counts 1-token docs") {
     val docs = Seq(
       (1L, "x y x y x y"), // (x,y)·3, (y,x)·2
