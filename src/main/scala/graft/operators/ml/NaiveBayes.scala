@@ -1,7 +1,6 @@
 package graft.operators.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Tokenize
 
@@ -16,34 +15,42 @@ import graft.functions.Tokenize
   * pair, the same last-ulp exposure every logarithm-based oracle in
   * this repo carries (PMI, BM25).
   *
-  * Shape at 100 TB: training is one token aggregate keyed on
-  * (lang, w) with map-side combine; per-class totals ride the
-  * vocab-sized frame; the model itself is vocab × classes rows and
-  * BROADCASTS into scoring, so prediction is one corpus-sized token
-  * explode + broadcast join + one (doc, class) aggregate. Unseen
-  * (class, token) pairs fall back to the class's smoothed default via
-  * coalesce — the Laplace term, not a dropped feature. */
+  * Shape at 100 TB: ONE corpus-sized token aggregate keyed on
+  * (lang, w) with map-side combine is the entire statistical input —
+  * per-class token totals AND the vocabulary size both derive from
+  * that vocab-sized frame, never from a corpus rescan. Prediction
+  * adds one (column-pruned) doc-count scan and one scoring pass:
+  * token explode + broadcast model join + one (doc, class) aggregate.
+  * Unseen (class, token) pairs fall back to the class's smoothed
+  * default via coalesce — the Laplace term, not a dropped feature. */
 object NaiveBayes {
 
   private def toks(docs: DataFrame) =
     docs.select(col("doc_id"), col("lang"),
       explode(Tokenize.wsTokens(col("text"))).as("w"))
 
-  /** Class-conditional token log-probabilities with add-one
-    * smoothing: logp(w|c) = ln((ct+1)/(tok_c+V)) in micros. */
-  def trainLangModel(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val vocab = broadcast(t.agg(countDistinct(col("w")).as("v")))
-    val wC = Window.partitionBy("lang")
-    t.groupBy("lang", "w").agg(count(lit(1)).as("ct"))
-      .withColumn("tok_c", sum("ct").over(wC))
-      .crossJoin(vocab)
+  /** The single corpus-sized aggregate: (lang, w) → count. */
+  private def pairCounts(docs: DataFrame) =
+    toks(docs).groupBy("lang", "w").agg(count(lit(1)).as("ct"))
+
+  private def modelFrom(cts: DataFrame): DataFrame = {
+    // totals and vocabulary live on the vocab-sized frame
+    val tokC = cts.groupBy("lang").agg(sum("ct").as("tok_c"))
+    val vocab = broadcast(cts.agg(countDistinct(col("w")).as("v")))
+    cts.join(tokC, "lang").crossJoin(vocab)
       .select(col("lang"), col("w"), col("ct"),
         round(log((col("ct") + 1).cast("double") /
                   (col("tok_c") + col("v"))) * 1e6)
-          .cast("bigint").as("logp_micro"))
-      .orderBy("lang", "w")
+          .cast("bigint").as("logp_micro"),
+        col("tok_c"), col("v"))
   }
+
+  /** Class-conditional token log-probabilities with add-one
+    * smoothing: logp(w|c) = ln((ct+1)/(tok_c+V)) in micros. */
+  def trainLangModel(docs: DataFrame): DataFrame =
+    modelFrom(pairCounts(docs))
+      .select("lang", "w", "ct", "logp_micro")
+      .orderBy("lang", "w")
 
   /** Scores every document against every class and keeps the argmax:
     * score(d, c) = prior_micro(c) + Σ_w logp_micro(w|c), with the
@@ -51,28 +58,31 @@ object NaiveBayes {
     * on the same corpus — the demonstration contract; a held-out
     * corpus plugs into `docs` vs `train` separately. */
   def predictLang(docs: DataFrame): DataFrame = {
-    val t = toks(docs)
-    val vocab = t.agg(countDistinct(col("w")).as("v"))
-    val tokC = t.groupBy("lang").agg(count(lit(1)).as("tok_c"))
+    val model = modelFrom(pairCounts(docs))
+    // class frame: priors from a pruned doc-count scan; the smoothed
+    // default and totals ride the model frame (no corpus rescan)
+    val classTotals = model.groupBy("lang")
+      .agg(first(col("tok_c")).as("tok_c"), first(col("v")).as("v"))
     val info = docs.groupBy("lang").agg(count(lit(1)).as("docs_c"))
-      .crossJoin(docs.agg(count(lit(1)).as("docs_n")))
-      .join(tokC, "lang").crossJoin(vocab)
+      .withColumn("docs_n", sum("docs_c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .join(classTotals, "lang")
       .select(col("lang"),
         round(log(col("docs_c").cast("double") / col("docs_n")) * 1e6)
           .cast("bigint").as("prior_micro"),
         round(log(lit(1.0) / (col("tok_c") + col("v"))) * 1e6)
           .cast("bigint").as("default_micro"))
-    val model = trainLangModel(docs)
-      .select(col("lang"), col("w"), col("logp_micro"))
-    val scored = t.select(col("doc_id"), col("w"))
+    val scored = toks(docs).select(col("doc_id"), col("w"))
       .crossJoin(broadcast(info))
-      .join(broadcast(model), Seq("lang", "w"), "left")
+      .join(broadcast(model.select(col("lang"), col("w"),
+        col("logp_micro"))), Seq("lang", "w"), "left")
       .groupBy(col("doc_id"), col("lang"), col("prior_micro"))
       .agg(sum(coalesce(col("logp_micro"), col("default_micro")))
         .as("tok_micro"))
       .select(col("doc_id"), col("lang"),
         (col("prior_micro") + col("tok_micro")).as("score_micro"))
-    val wBest = Window.partitionBy("doc_id")
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
       .orderBy(col("score_micro").desc, col("lang"))
     scored.withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
