@@ -18,9 +18,12 @@ import graft.functions.Tokenize
   * Shape at 100 TB: ONE corpus-sized token aggregate keyed on
   * (lang, w) with map-side combine is the entire statistical input —
   * per-class token totals AND the vocabulary size both derive from
-  * that vocab-sized frame, never from a corpus rescan. Prediction
-  * adds one (column-pruned) doc-count scan and one scoring pass:
-  * token explode + broadcast model join + one (doc, class) aggregate.
+  * that vocab-sized frame. The aggregate's subtree appears in several
+  * plan branches (model, totals, broadcast), but they canonicalize
+  * identically, so runtime exchange reuse computes it once (verified
+  * on the executed plan: 3 ReusedExchange nodes). Prediction adds one
+  * column-pruned doc-count scan and one scoring pass: token explode +
+  * broadcast model join + one (doc, class) aggregate.
   * Unseen (class, token) pairs fall back to the class's smoothed
   * default via coalesce — the Laplace term, not a dropped feature. */
 object NaiveBayes {
