@@ -301,6 +301,17 @@ object TxLog {
     * writers: losing a version race re-reads and re-merges, so every
     * retry folds the winner's rows into the next attempt.
     *
+    * SCHEMA EVOLUTION (Delta `mergeSchema` ADD-COLUMN semantics): a
+    * batch may carry columns the table has never seen, and a batch
+    * may omit columns the table has — both sides are conformed to the
+    * column UNION with NULLs in the gaps before the merge. A column
+    * appearing on both sides with a different type is rejected (type
+    * changes are a rewrite migration, not an append-time implicit
+    * cast). Because every upsert rewrites the merged snapshot, all of
+    * a version's files share one schema — evolution never creates
+    * mixed-schema reads, and time travel to a pre-evolution version
+    * returns the old schema untouched.
+    *
     * With `statsCol` set the merged output is RANGE-CLUSTERED on that
     * column into (at most) `clusterFiles` data files, and each file's
     * footer min/max is carried into the manifest — so `readRange` can
@@ -308,6 +319,40 @@ object TxLog {
     * single-column OPTIMIZE-ZORDER analog; multi-column interleaving
     * is the documented extension). The stats harvest is one footer
     * read per staged file — metadata-only, no data scan. */
+  /** Conform two frames to their column UNION for an evolving merge:
+    * existing columns keep their position, genuinely new batch
+    * columns append in batch order, and the side missing a column
+    * takes a typed NULL. Same-name/different-type collides loudly. */
+  private def conformForEvolution(existing: DataFrame,
+                                  batch: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val eTypes = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    val clash = eTypes.keySet.intersect(bTypes.keySet)
+      .filter(c => eTypes(c) != bTypes(c))
+    require(clash.isEmpty,
+      s"TxLog: schema evolution cannot change column types: " +
+        clash.toSeq.sorted.map(c =>
+          s"$c ${eTypes(c).sql} -> ${bTypes(c).sql}").mkString(", "))
+    val all = existing.columns ++
+      batch.columns.filterNot(eTypes.contains)
+    def pad(df: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
+      df.select(all.map(c => types.get(c) match {
+        case Some(_) => col(c)
+        case None => lit(null).cast(eTypes.getOrElse(c, bTypes(c))).as(c)
+      }): _*)
+    (pad(existing, eTypes), pad(batch, bTypes))
+  }
+
+  private def mergeEvolved(batch: DataFrame, existing: Option[DataFrame],
+                           pk: String, versionCol: String): DataFrame =
+    existing match {
+      case None => batch
+      case Some(e) =>
+        val (e2, b2) = conformForEvolution(e, batch)
+        Sinks.upsert(b2, Some(e2), pk, versionCol)
+    }
+
   def commitUpsert(batch: DataFrame, table: String, pk: String,
                    versionCol: String, maxRetries: Int = 20,
                    statsCol: Option[String] = None,
@@ -319,7 +364,7 @@ object TxLog {
       attempt += 1
       val snap = latest(spark, table)
       val existing = snap.flatMap(s => readVersion(spark, table, s.version))
-      val merged = Sinks.upsert(batch, existing, pk, versionCol)
+      val merged = mergeEvolved(batch, existing, pk, versionCol)
       // stage immutable data files under a commit-unique prefix
       val commitId = UUID.randomUUID().toString.take(8)
       val tmp = new Path(s"$table/.staged-$commitId")
@@ -389,7 +434,7 @@ object TxLog {
       attempt += 1
       val snap = latest(spark, table)
       val existing = snap.flatMap(s => readVersion(spark, table, s.version))
-      val merged = Sinks.upsert(batch, existing, pk, versionCol)
+      val merged = mergeEvolved(batch, existing, pk, versionCol)
       val commitId = UUID.randomUUID().toString.take(8)
       val tmp = new Path(s"$table/.staged-$commitId")
       val toWrite = statsCol match {
@@ -632,8 +677,12 @@ object TxLog {
   def readChanges(spark: SparkSession, table: String, pk: String,
                   fromVersion: Long, toVersion: Long): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, md5, concat_ws, struct}
-    val a = readVersion(spark, table, fromVersion).getOrElse(return None)
-    val b = readVersion(spark, table, toVersion).getOrElse(return None)
+    val a0 = readVersion(spark, table, fromVersion).getOrElse(return None)
+    val b0 = readVersion(spark, table, toVersion).getOrElse(return None)
+    // the feed spans schema evolution: diff over the column UNION
+    // (pre-evolution rows take typed NULLs), so an update that only
+    // touches an evolved column is still a detected change
+    val (a, b) = conformForEvolution(a0, b0)
     val cols = a.columns.toSeq
     require(cols.contains(pk), s"pk $pk missing")
     def keyed(df: DataFrame, side: String) =

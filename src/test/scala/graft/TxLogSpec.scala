@@ -747,4 +747,66 @@ class TxLogSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getAs[String]("day"))).toSet
     assert(rows == Set((2L, "d1"), (3L, "d2")))
   }
+
+  test("schema evolution: new column appends, old rows null, time travel keeps the old shape") {
+    val t = freshTable()
+    TxLog.commitUpsert(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    // batch ADDS `score` and also omits nothing; key 2 updates
+    TxLog.commitUpsert(
+      Seq((2L, 2L, "b2", 7.5), (3L, 1L, "c", 9.0))
+        .toDF("k", "ver", "payload", "score"),
+      t, "k", "ver")
+    val now = TxLog.read(spark, t).get
+    assert(now.columns.toSeq == Seq("k", "ver", "payload", "score"),
+      "evolved column appends after the existing layout")
+    val m = now.collect()
+      .map(r => r.getLong(0) -> ((r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(m == Map(1L -> (("a", None)), 2L -> (("b2", Some(7.5))),
+      3L -> (("c", Some(9.0)))), m)
+    // pre-evolution version is untouched — old schema, old values
+    val v1 = TxLog.readVersion(spark, t, 1L).get
+    assert(v1.columns.toSeq == Seq("k", "ver", "payload"))
+    // a LATER batch may omit the evolved column: nulls, not an error
+    TxLog.commitUpsert(Seq((4L, 1L, "d")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val after = TxLog.read(spark, t).get.filter(col("k") === 4L)
+      .select("score").collect()
+    assert(after.head.isNullAt(0))
+  }
+
+  test("schema evolution: type change is rejected, not silently cast") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commitUpsert(Seq((1L, 2L, 42.0)).toDF("k", "ver", "payload"),
+        t, "k", "ver")
+    }
+    assert(e.getMessage.contains("change column types"), e.getMessage)
+  }
+
+  test("schema evolution on the partitioned path; CDF spans the evolution") {
+    val t = freshTable()
+    TxLog.commitUpsertPartitioned(
+      Seq((1L, 1L, "a", "d1"), (2L, 1L, "b", "d2"))
+        .toDF("k", "ver", "payload", "day"),
+      t, "k", "ver", "day")
+    TxLog.commitUpsertPartitioned(
+      Seq((2L, 2L, "b", "d2", 5L)).toDF("k", "ver", "payload", "day", "qty"),
+      t, "k", "ver", "day")
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[Any]("qty")).map(_.asInstanceOf[Long])).toMap
+    assert(now == Map(1L -> None, 2L -> Some(5L)))
+    // key 2's payload is unchanged — ONLY the evolved column differs;
+    // the change feed must still see the update (union-schema diff)
+    val feed = TxLog.readChanges(spark, t, "k", 1L, 2L).get
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set((2L, "update_preimage"), (2L, "update_postimage")),
+      feed)
+  }
 }
