@@ -155,6 +155,12 @@ object SparkEntry {
     "q_expectations" -> ((s, d) =>
       graft.operators.quality.Expectations.orderSuite(
         Tables.orders(s, d), Tables.lineitem(s, d))),
+    // robust per-group stats: exact median / MAD / robust-z outliers
+    "q_robust_stats" -> ((s, d) =>
+      graft.operators.quality.Drift.robustStats(Tables.orders(s, d))),
+    // population stability index between two date regimes
+    "q_drift_psi" -> ((s, d) =>
+      graft.operators.quality.Drift.psiReport(Tables.orders(s, d))),
     // first-order Markov transition matrix of the per-user event
     // stream (row-normalized over the bounded type-pair frame)
     "b_markov_transitions" -> ((s, d) =>
@@ -3550,6 +3556,66 @@ object SparkEntry {
           |                ORDER BY score_micro DESC, lang) AS rn
           |      FROM sc)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // quantile_cont == Spark's exact interpolated percentile; the
+      // outlier threshold uses the UNROUNDED mad on both sides
+      "q_robust_stats" ->
+        """WITH b AS (
+          |  SELECT o_orderpriority AS grp,
+          |         CAST(trunc(o_totalprice) AS BIGINT) AS x
+          |  FROM orders),
+          |m AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM b GROUP BY 1),
+          |a AS (SELECT b.grp, med, abs(x - med) AS ad
+          |      FROM b JOIN m USING (grp)),
+          |d AS (SELECT grp, quantile_cont(ad, 0.5) AS mad FROM a GROUP BY 1)
+          |SELECT a.grp, count(*) AS n,
+          |       round(any_value(a.med), 4) AS med,
+          |       round(any_value(d.mad), 4) AS mad,
+          |       CAST(sum(CASE WHEN ad > 3 * 1.4826 * d.mad
+          |                     THEN 1 ELSE 0 END) AS BIGINT) AS outlier_ct
+          |FROM a JOIN d USING (grp)
+          |GROUP BY a.grp ORDER BY a.grp""".stripMargin,
+      // Laplace-smoothed shares; per-bin contributions in integer
+      // micros so the summed PSI is an exact integer sum
+      "q_drift_psi" -> {
+        val bins = 10; val lo = 0.0; val width = 600000.0 / bins
+        s"""WITH base AS (
+           |  SELECT (CAST(o_orderdate AS DATE) < DATE '1995-01-01')
+           |           AS is_a,
+           |         CAST(least(greatest(
+           |           floor((o_totalprice - $lo) / $width),
+           |           CAST(0 AS DOUBLE)),
+           |           CAST(${bins - 1} AS DOUBLE)) AS INT) AS bin
+           |  FROM orders),
+           |c AS (
+           |  SELECT bin,
+           |         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS ct_a,
+           |         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)
+           |           AS ct_b
+           |  FROM base GROUP BY 1),
+           |g AS (
+           |  SELECT r.bin, coalesce(c.ct_a, 0) AS ct_a,
+           |         coalesce(c.ct_b, 0) AS ct_b
+           |  FROM (SELECT unnest(range(0, $bins)) AS bin) r
+           |  LEFT JOIN c ON c.bin = r.bin),
+           |t AS (SELECT CAST(sum(ct_a) AS BIGINT) AS n_a,
+           |             CAST(sum(ct_b) AS BIGINT) AS n_b FROM g),
+           |s AS (
+           |  SELECT CAST(bin AS INT) AS bin, ct_a, ct_b,
+           |         CAST(ct_a + 1 AS DOUBLE) / (n_a + $bins) AS p,
+           |         CAST(ct_b + 1 AS DOUBLE) / (n_b + $bins) AS q
+           |  FROM g CROSS JOIN t),
+           |mi AS (
+           |  SELECT bin, ct_a, ct_b, p, q,
+           |         CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT)
+           |           AS c_micro
+           |  FROM s),
+           |tot AS (SELECT CAST(sum(c_micro) AS BIGINT) AS psi_micro FROM mi)
+           |SELECT bin, ct_a, ct_b, round(p, 6) AS p, round(q, 6) AS q,
+           |       CAST(c_micro AS DOUBLE) / 1e6 AS contrib,
+           |       CAST(psi_micro AS DOUBLE) / 1e6 AS psi
+           |FROM mi CROSS JOIN tot ORDER BY bin""".stripMargin
+      },
       // one UNION ALL branch per rule; NULLs count as range/domain
       // violations on both sides (coalesce guards the 3VL edge)
       "q_expectations" ->

@@ -58,6 +58,39 @@ class ProfileSpec extends SparkTestBase {
     assert(h == Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("robust stats: MAD outliers; zero-MAD flags every deviation") {
+    def o(grp: String, xs: Seq[Double]) =
+      xs.map(x => (grp, x))
+    val orders = (o("X", Seq.fill(6)(10.0) :+ 1000.0) ++
+      o("Y", (1 to 9).map(_.toDouble) :+ 100.0))
+      .toDF("o_orderpriority", "o_totalprice")
+    val out = graft.operators.quality.Drift.robustStats(orders)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // X: median 10, MAD 0 — the 1000 deviates from a flat baseline
+    assert(out("X") == ((7L, 10.0, 0.0, 1L)))
+    // Y: median 5.5, MAD 2.5, threshold 11.1195 — only 100 crosses
+    assert(out("Y") == ((10L, 5.5, 2.5, 1L)))
+  }
+
+  test("psi: planted regime swap yields the hand-computed index") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = (Seq.fill(3)(("1994-06-01 00:00:00", 10.0)) ++
+      Seq.fill(3)(("1996-06-01 00:00:00", 90.0)))
+      .map { case (d, v) => (ts(d), v) }
+      .toDF("o_orderdate", "o_totalprice")
+    val out = graft.operators.quality.Drift
+      .psiReport(orders, lo = 0.0, hi = 100.0, bins = 2)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // p = (3+1)/(3+2) = 0.8 vs q = (0+1)/5 = 0.2; PSI contributions
+    // are symmetric here: ±0.6·ln 4 → both bins contribute +c
+    val c = math.rint(0.6 * math.log(4.0) * 1e6) / 1e6
+    assert(out(0)._6 == c && out(1)._6 == c, out)
+    assert(out(0)._7 == 2 * c, s"psi ${out(0)._7} != ${2 * c}")
+    assert(out(0)._2 == 3L && out(0)._3 == 0L, "regime A mass in bin 0")
+  }
+
   test("expectations: every planted violation is counted, nulls included") {
     val orders = Seq(
       (1L, Option(10L), "O", Option(100.0)),
