@@ -529,6 +529,51 @@ class StreamingParitySpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState timers: gap sessions == native session_window") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val pts = graft.core.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("bigint").as("spend_cents"))
+        .as[SpendPoint].collect().sortBy(p => (p.ts.getTime, p.event_id))
+      val (b1, b2) = pts.splitAt(pts.length / 2)
+      // sentinel far past every session's gap: advances the watermark
+      // so the event-time timers of all open sessions fire
+      val flush = SpendPoint(-1L,
+        new java.sql.Timestamp(pts.map(_.ts.getTime).max +
+          3L * 30 * 60 * 1000), -1L, 0L)
+      val ms = MemoryStream[SpendPoint]
+      val q = TwsStreams.gapSessionStream(
+        ms.toDS().withWatermark("ts", "0 seconds")).writeStream
+        .format("memory").queryName("tws_sessions").outputMode("append")
+        .start()
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+      ms.addData(flush); q.processAllAvailable()
+      // one more empty-ish batch so the flush batch's watermark (which
+      // trails by one batch) passes the sentinel and fires the timers
+      ms.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_sessions")
+        .filter(col("user_id") >= 0)
+      val batch = pts.toSeq.toDF()
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("ev_ct"), sum("spend_cents").as("cents"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("ev_ct"), col("cents"))
+      assertSameRows(streamed, batch)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("retention: streamed first-of-day hits == batch cohort matrix") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
