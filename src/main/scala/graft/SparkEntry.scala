@@ -3844,21 +3844,27 @@ object SparkEntry {
 
   /** k-core peel unrolled: d1 = full degrees; d_{i+1} = degrees over
     * the subgraph induced by d_i's >= k survivors. Monotone, so a
-    * converged peel makes the remaining unrolled rounds no-ops. */
+    * converged peel makes the remaining unrolled rounds no-ops.
+    * Every CTE is MATERIALIZED: d_{i-1} is referenced TWICE per round
+    * and `e` in every round, so DuckDB's default inlining expands the
+    * join tree 2^rounds-fold (measured: a 79 GB spill at sf0.1 before
+    * the hint; sub-second after). */
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val base =
-      """WITH pp AS (
+      """WITH pp AS MATERIALIZED (
         |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
         |  FROM lineitem l1 JOIN lineitem l2
         |    ON l1.l_orderkey = l2.l_orderkey
         |   AND l1.l_partkey < l2.l_partkey),
-        |e AS (SELECT a AS src, b AS dst FROM pp
+        |e AS MATERIALIZED (
+        |      SELECT a AS src, b AS dst FROM pp
         |      UNION ALL SELECT b AS src, a AS dst FROM pp),
-        |d1 AS (SELECT src AS node, count(*) AS dg FROM e GROUP BY 1)"""
+        |d1 AS MATERIALIZED (
+        |      SELECT src AS node, count(*) AS dg FROM e GROUP BY 1)"""
         .stripMargin
     val peels = (2 to rounds).map { i =>
       s""",
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT e.src AS node, count(*) AS dg FROM e
          |  JOIN d${i - 1} a ON e.src = a.node AND a.dg >= $k
          |  JOIN d${i - 1} b ON e.dst = b.node AND b.dg >= $k
