@@ -3748,10 +3748,13 @@ object SparkEntry {
            |         CAST(sum(y*y) AS BIGINT) AS syy
            |  FROM p GROUP BY 1)
            |SELECT lag, n_pairs,
-           |       round(CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
-           |             sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE) *
-           |                  CAST(n_pairs*syy - sy*sy AS DOUBLE)), 6)
-           |         AS autocorr
+           |       round((CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+           |               - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+           |             sqrt((CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+           |                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+           |                  (CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+           |                    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+           |             6) AS autocorr
            |FROM s ORDER BY lag""".stripMargin
       },
       // scaled-integer CUSUM: Σ(n·x − T) stays BIGINT-exact; the

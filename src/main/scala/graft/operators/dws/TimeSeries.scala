@@ -55,9 +55,12 @@ object TimeSeries {
     * pass (j lag columns) and reshaped to long form with one explode,
     * so all lags share a single aggregate. Pearson r is computed from
     * six integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² —
-    * all BIGINT-exact, summation-order-free), cast to double only in
-    * the final formula, which makes the value bit-stable across
-    * engines before the 6-dp rounding. */
+    * all BIGINT-exact, summation-order-free, each under 2^53 so
+    * exactly representable as a double); the PRODUCTS in the final
+    * formula are taken in DOUBLE — n·Σy² overflows BIGINT well before
+    * the sums do (the same audit as `ml/Regression`) — and the oracle
+    * replays the identical double expression tree, so the value is
+    * bit-stable before the 6-dp rounding. */
   def autocorrelation(lineitem: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1, "autocorrelation: need maxLag >= 1")
     val daily = lineitem
@@ -78,15 +81,14 @@ object TimeSeries {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
     stats.select(
         col("lag"), col("n_pairs"),
         round(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
-                 .cast("double") *
-               (col("n_pairs") * col("syy") - col("sy") * col("sy"))
-                 .cast("double")), 6).as("autocorr"))
+          (d("n_pairs") * d("sxy") - d("sx") * d("sy")) /
+          sqrt((d("n_pairs") * d("sxx") - d("sx") * d("sx")) *
+               (d("n_pairs") * d("syy") - d("sy") * d("sy"))), 6)
+          .as("autocorr"))
       .orderBy("lag")
   }
 

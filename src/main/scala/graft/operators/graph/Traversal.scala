@@ -22,22 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Traversal {
 
-  private lazy val tempRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-trav-")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(d.toFile)
-    }
-    d.toString
-  }
-
   private def scratch(spark: SparkSession): String =
-    spark.conf.getOption("spark.graft.traversal.scratch")
-      .getOrElse(tempRoot) +
-      s"/trav-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.core.Scratch.dir(spark, "spark.graft.traversal.scratch", "trav")
 
   /** Single-source BFS: minimum hop count from `source` to every
     * node reachable within `maxHops`. Level-synchronous frontier
@@ -60,8 +46,12 @@ object Traversal {
     val edges = spark.read.parquet(s"$dir/edges")
     // one bounded scalar (same contract as PageRank's node count);
     // symmetric edges ⇒ src covers every node
-    val s0 = source.getOrElse(
-      edges.agg(min(col("src"))).head().getLong(0))
+    val s0 = source.getOrElse {
+      val row = edges.agg(min(col("src"))).head()
+      require(!row.isNullAt(0),
+        "bfsHops: empty edge set — no default source to start from")
+      row.getLong(0)
+    }
     Seq((s0, 0)).toDF("node", "hops")
       .write.mode("overwrite").parquet(s"$dir/level-0")
     var levels = List(spark.read.parquet(s"$dir/level-0"))
@@ -93,7 +83,13 @@ object Traversal {
     * `rounds` CTEs and matches either way. Each round is the edge
     * scan semi-joined to the (node-sized) survivor set on BOTH
     * endpoints + one map-side-combined degree aggregate. Returns the
-    * surviving nodes with their core degrees. */
+    * surviving nodes with their core degrees.
+    *
+    * PRECONDITION (same as [[bfsHops]]): `edges0` must carry BOTH
+    * directions of every undirected edge — degrees are computed from
+    * the src side alone, so a single-direction list would undercount
+    * every node and drop dst-only nodes silently. The flagship
+    * symmetrizes by construction. */
   def kCore(edges0: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCore: need k >= 1, rounds >= 1")
     val spark = edges0.sparkSession

@@ -123,15 +123,7 @@ object FuzzyJoin {
   def resolveEntities(universe: DataFrame, pairs: DataFrame,
                       maxIter: Int = 10): DataFrame = {
     val spark = universe.sparkSession
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-er-").toString
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
+    val dir = graft.core.Scratch.dir(spark, "spark.graft.er.scratch", "er")
     pairs.select(col("name_a").as("u"), col("name_b").as("v"))
       .unionAll(pairs.select(col("name_b").as("u"), col("name_a").as("v")))
       .write.mode("overwrite").parquet(s"$dir/edges")

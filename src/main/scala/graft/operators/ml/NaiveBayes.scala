@@ -29,7 +29,7 @@ import graft.functions.Tokenize
 object NaiveBayes {
 
   private def toks(docs: DataFrame) =
-    docs.select(col("doc_id"), col("lang"),
+    graft.core.Tables.spread(docs).select(col("doc_id"), col("lang"),
       explode(Tokenize.wsTokens(col("text"))).as("w"))
 
   /** The single corpus-sized aggregate: (lang, w) → count. */

@@ -320,7 +320,12 @@ object StatefulStreams {
               .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
           var buf = state.getOption.getOrElse(Vector.empty[Double])
           val out = scala.collection.mutable.ArrayBuffer[ZScoreOut]()
-          it.toSeq.sortBy(_.ts.getTime).foreach { p =>
+          // full-precision micros, not getTime's millis — sub-ms
+          // series points must fold in the batch window's order
+          // (same-instant ties are caller-undefined on BOTH forms)
+          def micros(t: Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          it.toSeq.sortBy(p => micros(p.ts)).foreach { p =>
             val m = buf.size
             val (z, flag) =
               if (m >= 2) {

@@ -11,6 +11,17 @@ import org.apache.spark.sql.streaming._
 case class SpendPoint(user_id: Long, ts: Timestamp, event_id: Long,
                       spend_cents: Long)
 
+/** Epoch-micro conversions shared by the processors — event
+  * timestamps carry microseconds, and `Timestamp.getTime`'s millis
+  * would silently truncate them out of the ordering/state. */
+private[streaming] object EventMicros {
+  def usOf(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+  def tsOf(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+}
+
 /** A running per-user emission: state AFTER folding the event. */
 case class SpendRunning(user_id: Long, event_id: Long, n_events: Long,
                         total_cents: Long)
@@ -41,7 +52,8 @@ class RunningSpendProcessor
   override def handleInputRows(key: Long, rows: Iterator[SpendPoint],
       timers: TimerValues): Iterator[SpendRunning] = {
     var (n, tot) = if (agg.exists()) agg.get() else (0L, 0L)
-    val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.event_id)).map { p =>
+    val out = rows.toSeq
+      .sortBy(p => (EventMicros.usOf(p.ts), p.event_id)).map { p =>
       n += 1
       tot += p.spend_cents
       SpendRunning(key, p.event_id, n, tot)
@@ -75,12 +87,7 @@ class GapSessionProcessor(gapMs: Long)
   // session_window keeps
   @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
 
-  private def usOf(t: Timestamp): Long =
-    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-
-  private def tsOf(us: Long): Timestamp =
-    Timestamp.from(java.time.Instant.ofEpochSecond(
-      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+  import EventMicros.{usOf, tsOf}
 
   private val gapUs = gapMs * 1000L
 
