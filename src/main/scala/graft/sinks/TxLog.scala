@@ -323,23 +323,58 @@ object TxLog {
     * existing columns keep their position, genuinely new batch
     * columns append in batch order, and the side missing a column
     * takes a typed NULL. Same-name/different-type collides loudly. */
+  /** Recursively mark every nested slot nullable — the comparison key
+    * under which two types differing only in containsNull /
+    * valueContainsNull / struct-field nullability are the same type
+    * (Spark's `DataType.asNullable` is private). */
+  private[graft] def nullableNorm(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(nullableNorm(et), containsNull = true)
+      case MapType(kt, vt, _) =>
+        MapType(nullableNorm(kt), nullableNorm(vt), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = nullableNorm(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
+
   private def conformForEvolution(existing: DataFrame,
                                   batch: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions.{col, lit}
     val eTypes = existing.schema.fields.map(f => f.name -> f.dataType).toMap
     val bTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    // Nullability is widening, not a type change (Delta mergeSchema
+    // semantics): ARRAY<BIGINT> with containsNull=false round-tripped
+    // through parquet comes back containsNull=true, and rejecting that
+    // would break every evolved re-append of an array/struct column.
+    // Only a difference that survives nullable-normalization clashes.
     val clash = eTypes.keySet.intersect(bTypes.keySet)
-      .filter(c => eTypes(c) != bTypes(c))
+      .filter(c => nullableNorm(eTypes(c)) != nullableNorm(bTypes(c)))
     require(clash.isEmpty,
       s"TxLog: schema evolution cannot change column types: " +
         clash.toSeq.sorted.map(c =>
           s"$c ${eTypes(c).sql} -> ${bTypes(c).sql}").mkString(", "))
     val all = existing.columns ++
       batch.columns.filterNot(eTypes.contains)
+    // Union type per column: where the two sides differ (post-guard,
+    // nullability-only) both conform to the nullable-widened type so
+    // the merge sees one schema.
+    val unified: Map[String, org.apache.spark.sql.types.DataType] =
+      all.map { c =>
+        c -> ((eTypes.get(c), bTypes.get(c)) match {
+          case (Some(e), Some(b)) if e != b => nullableNorm(e)
+          case (Some(e), _)                 => e
+          case (_, Some(b))                 => b
+          case _ => sys.error(s"TxLog: column $c on neither side")
+        })
+      }.toMap
     def pad(df: DataFrame, types: Map[String, org.apache.spark.sql.types.DataType]) =
       df.select(all.map(c => types.get(c) match {
-        case Some(_) => col(c)
-        case None => lit(null).cast(eTypes.getOrElse(c, bTypes(c))).as(c)
+        case Some(t) if t == unified(c) => col(c)
+        case Some(_) => col(c).cast(unified(c)).as(c)
+        case None => lit(null).cast(unified(c)).as(c)
       }): _*)
     (pad(existing, eTypes), pad(batch, bTypes))
   }

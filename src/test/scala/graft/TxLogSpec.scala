@@ -777,6 +777,31 @@ class TxLogSpec extends SparkTestBase {
     assert(after.head.isNullAt(0))
   }
 
+  test("schema evolution: nullability-only diff is widening, not a type change") {
+    // Regression (round 5): an ARRAY<BIGINT> column written with
+    // containsNull=false round-trips through parquet as
+    // containsNull=true; re-appending the original encoder schema then
+    // differs from the table ONLY in nullability and must merge, not
+    // throw "cannot change column types" (the DedupIndex.appendBatch
+    // second-commit failure).
+    val t = freshTable()
+    val b1 = Seq((1L, 1L, Array(10L, 20L)), (2L, 1L, Array(30L)))
+      .toDF("k", "ver", "sig") // encoder: ARRAY<BIGINT> containsNull=false
+    TxLog.commitUpsert(b1, t, "k", "ver")
+    val stored = TxLog.read(spark, t).get.schema("sig").dataType
+    val b2 = Seq((2L, 2L, Array(31L, 32L)), (3L, 1L, Array(40L)))
+      .toDF("k", "ver", "sig")
+    assert(stored != b2.schema("sig").dataType &&
+      TxLog.nullableNorm(stored) ==
+        TxLog.nullableNorm(b2.schema("sig").dataType),
+      s"precondition: nullability-only diff ($stored vs ${b2.schema("sig").dataType})")
+    TxLog.commitUpsert(b2, t, "k", "ver") // must not throw
+    val m = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(m == Map(1L -> List(10L, 20L), 2L -> List(31L, 32L),
+      3L -> List(40L)), m)
+  }
+
   test("schema evolution: type change is rejected, not silently cast") {
     val t = freshTable()
     TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
