@@ -53,9 +53,16 @@ object FuzzyJoin {
       .orderBy(col("bucket_n").desc, col("g"))
   }
 
-  /** (pair candidates via blocking) → exact levenshtein verify. */
+  /** (pair candidates via blocking) → exact levenshtein verify.
+    *
+    * With `assertLossless` the same gram-bucket aggregation that
+    * prunes the join also audits the cap: any over-cap bucket fails
+    * loudly (for callers oracled against the exact O(n²) semantics,
+    * where a dropped gram could silently cost recall). ONE scan, two
+    * consumers — the `bloomPrunedJoin` materialize-once pattern. */
   def nearMatchPairs(values: DataFrame, column: String, maxDist: Int = 2,
-                     maxGramBucket: Int = 10000): DataFrame = {
+                     maxGramBucket: Int = 10000,
+                     assertLossless: Boolean = false): DataFrame = {
     val names = values.select(col(column).cast("string").as("name"))
       .filter(col("name").isNotNull).distinct()
     val grams = names.select(col("name"), explode(array_distinct(
@@ -63,11 +70,26 @@ object FuzzyJoin {
           i => col("name").substr(i, lit(2))))).as("g"))
     val capped =
       if (maxGramBucket > 0) {
-        val bucketSizes = grams.groupBy("g")
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= maxGramBucket)
-          .select("g")
-        grams.join(broadcast(bucketSizes), "g")
+        // Single gram-bucket aggregation feeding both the kept-gram
+        // pruning join and the lossless-cap audit. Driver-bounded:
+        // distinct character bigrams are ≤ |alphabet|² — the same
+        // small set the broadcast join ships to every executor anyway.
+        val spark = values.sparkSession
+        import spark.implicits._
+        val sizes = grams.groupBy("g").agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect()
+        if (assertLossless) {
+          val over = sizes.filter(_._2 > maxGramBucket)
+            .sortBy { case (g, n) => (-n, g) }.take(3)
+            .map { case (g, n) => s"$g=$n" }
+          require(over.isEmpty,
+            "nearMatchPairs: bigram bucket(s) exceed maxGramBucket " +
+              s"(${over.mkString(", ")}) — the capped blocking would " +
+              "no longer be lossless vs the exact oracle; raise the " +
+              "cap or call with maxGramBucket = 0")
+        }
+        val kept = sizes.collect { case (g, n) if n <= maxGramBucket => g }
+        grams.join(broadcast(kept.toSeq.toDF("g")), "g")
       } else grams
     val gramCands = capped.as("a")
       .join(capped.as("b"), col("a.g") === col("b.g") &&
@@ -91,20 +113,13 @@ object FuzzyJoin {
   /** Flagship query: near-matching part names (the product-catalog
     * entity-resolution case). This path is oracled against the exact
     * O(n²) levenshtein semantics, so the gram-bucket cap is only
-    * admissible while it drops NOTHING — assert that, eagerly, so a
-    * vocabulary growing a bigram bucket past the cap fails loudly
-    * instead of silently diverging from the oracle. */
-  def partNameNearMatch(part: DataFrame, maxDist: Int = 2): DataFrame = {
-    val overCap = cappedGrams(part, "p_name")
-      .select(col("g"), col("bucket_n")).limit(3)
-      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
-    require(overCap.isEmpty,
-      "partNameNearMatch: bigram bucket(s) exceed maxGramBucket " +
-        s"(${overCap.mkString(", ")}) — the capped blocking would no " +
-        "longer be lossless vs the exact oracle; raise the cap or " +
-        "switch this call to nearMatchPairs(maxGramBucket = 0)")
-    nearMatchPairs(part, "p_name", maxDist).orderBy("name_a", "name_b")
-  }
+    * admissible while it drops NOTHING — `assertLossless` makes the
+    * join's own bucket aggregation fail loudly the moment a
+    * vocabulary grows a bigram bucket past the cap, instead of
+    * silently diverging from the oracle. */
+  def partNameNearMatch(part: DataFrame, maxDist: Int = 2): DataFrame =
+    nearMatchPairs(part, "p_name", maxDist, assertLossless = true)
+      .orderBy("name_a", "name_b")
 
   /** Entity resolution: group a string universe into clusters by the
     * near-match relation and elect the lexicographic-minimum member

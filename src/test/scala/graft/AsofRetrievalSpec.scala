@@ -120,6 +120,30 @@ class AsofRetrievalSpec extends SparkTestBase {
     assert(out.values.forall(_ > 10), s"only over-cap buckets belong: $out")
   }
 
+  test("fuzzy join: assertLossless fails loudly on an over-cap bucket") {
+    // 'xx' is in all 20 names; with a cap of 10 the capped blocking
+    // would drop it, so the lossless contract must throw, naming the
+    // gram — and without the flag the capped (lossy) join still runs.
+    val vals = (0 until 20).map(i => s"xxname$i").toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2,
+        maxGramBucket = 10, assertLossless = true)
+    }
+    // every shared bigram ("am","me","na","xx",…) is in all 20 names;
+    // the message lists the top offenders with their bucket sizes
+    assert(e.getMessage.contains("=20") &&
+      e.getMessage.contains("lossless"), e.getMessage)
+    // without the flag the capped join runs — and because EVERY gram
+    // here is over-cap it silently finds nothing, which is precisely
+    // the oracle divergence assertLossless exists to catch
+    val lossy = FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2,
+      maxGramBucket = 10)
+    assert(lossy.count() == 0, "all grams capped -> no candidates")
+    val uncapped = FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2,
+      maxGramBucket = 0)
+    assert(uncapped.count() > 0, "uncapped blocking finds the pairs")
+  }
+
   test("fuzzy join: short strings survive via the length-band fallback") {
     val vals = Seq("ab", "ac", "abcd", "zz zz zz", "zz zz zx").toDF("v")
     val out = FuzzyJoin.nearMatchPairs(vals, "v", maxDist = 2)
