@@ -344,6 +344,15 @@ object SparkEntry {
       VisitFlags.isNewCorrection(Tables.events(s, d))),
     "cep_bounce_sessions" -> ((s, d) =>
       Sessionize.bounceSessions(Tables.events(s, d))),
+    // §2.8 transformWithState (Spark 4 arbitrary-state API): the
+    // PROCESSORS run here — a synchronous MemoryStream replay in 3
+    // time-ordered batches (cross-batch ValueState accumulation and
+    // event-time timer fires both exercised) — and the oracle is the
+    // batch semantics (cumulative window / gap-session assembly)
+    "tws_running_spend" -> ((s, d) =>
+      graft.streaming.TwsStreams.runningSpendReplay(s, Tables.events(s, d))),
+    "tws_gap_sessions" -> ((s, d) =>
+      graft.streaming.TwsStreams.gapSessionReplay(s, Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
     // U1 CJK parity: same pipeline over the Chinese fixture (the
@@ -1235,6 +1244,39 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN ev_ct = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounce_ct,
         |       CAST(sum(ev_ct) AS BIGINT) AS event_ct
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tws_running_spend" ->
+      """SELECT user_id, event_id,
+        |       count(*) OVER w AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+        |            AS BIGINT) AS total_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "tws_gap_sessions" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, cents,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, cents,
+        |         sum(new_sess) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE,
+        |                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |       CAST(count(*) AS BIGINT) AS ev_ct,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "job_order_preprocess" ->
       """WITH dic(dic_code, dic_name) AS (VALUES
         |  ('O','Open'),('F','Finished'),('P','Pending'),('1','Urgent'),

@@ -145,6 +145,108 @@ class GapSessionProcessor(gapMs: Long)
 
 object TwsStreams {
 
+  /** Run `body` with the RocksDB state store provider set
+    * (`transformWithState` does not run on the default HDFS-backed
+    * store), restoring the prior provider after. */
+  private def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)
+                            (body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Events table → time-ordered SpendPoints (integer cents). */
+  private def spendPoints(events: org.apache.spark.sql.DataFrame)
+      : Array[SpendPoint] = {
+    import org.apache.spark.sql.functions.{col, round}
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("spend_cents"))
+      .as[SpendPoint].collect()
+      .sortBy(p => (EventMicros.usOf(p.ts), p.event_id))
+  }
+
+  /** Synchronous MemoryStream replay of [[RunningSpendProcessor]] over
+    * the events table, fed in `batches` time-ordered chunks so
+    * cross-batch state accumulation is exercised — the driver-oracle
+    * harness for the `transformWithState` value-state surface (the
+    * oracle is the batch cumulative window). The MemoryStream + driver
+    * collect IS the harness, not the operator: the production entry is
+    * `runningSpendStream` over a readStream source. */
+  def runningSpendReplay(spark: org.apache.spark.sql.SparkSession,
+                         events: org.apache.spark.sql.DataFrame,
+                         batches: Int = 3): org.apache.spark.sql.DataFrame =
+    withRocksDb(spark) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val pts = spendPoints(events)
+      val name = "tws_spend_replay_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ms = MemoryStream[SpendPoint]
+      val q = runningSpendStream(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val per = math.max(1, (pts.length + batches - 1) / batches)
+      pts.grouped(per).foreach { b =>
+        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name)
+        .select(col("user_id"), col("event_id"), col("n_events"),
+          col("total_cents"))
+        .orderBy("user_id", "event_id")
+    }
+
+  /** Synchronous MemoryStream replay of [[GapSessionProcessor]] (the
+    * event-time-timer surface): time-ordered chunks, then two
+    * far-future sentinel rows so the trailing watermark passes every
+    * open session's timer and the timer path (not only the inline
+    * close) emits. Oracle: batch gap-session assembly, end = last+gap. */
+  def gapSessionReplay(spark: org.apache.spark.sql.SparkSession,
+                       events: org.apache.spark.sql.DataFrame,
+                       gapMs: Long = 30L * 60 * 1000,
+                       batches: Int = 3): org.apache.spark.sql.DataFrame =
+    withRocksDb(spark) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, date_format}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val pts = spendPoints(events)
+      require(pts.nonEmpty, "gapSessionReplay: empty events")
+      val flush = SpendPoint(-1L,
+        EventMicros.tsOf(EventMicros.usOf(pts.last.ts) + 3L * gapMs * 1000L),
+        -1L, 0L)
+      val name = "tws_session_replay_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ms = MemoryStream[SpendPoint]
+      val q = gapSessionStream(
+          ms.toDS().withWatermark("ts", "0 seconds"), gapMs).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val per = math.max(1, (pts.length + batches - 1) / batches)
+      pts.grouped(per).foreach { b =>
+        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      // watermark trails by one batch: the second sentinel batch lets
+      // the first one's event time become the watermark, firing timers
+      ms.addData(flush); q.processAllAvailable()
+      ms.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_end"),
+          col("ev_ct"), col("cents"))
+        .orderBy("user_id", "session_start")
+    }
+
   /** Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass` →
     * `...state.RocksDBStateStoreProvider`) — `transformWithState`
