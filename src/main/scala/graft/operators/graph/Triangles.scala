@@ -102,25 +102,38 @@ object Triangles {
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
     // The closing probe is wedges ⋈ edges — wedge cardinality is
-    // Σ outdeg² (41M at sf0.1 against 1.2M edges), so shuffling the
-    // WEDGE side is the expensive shape; broadcasting the edge side
-    // makes the 41M-row exchange disappear. At sf0.1 AQE reaches the
-    // same plan on its own (measured parity, 8.3 s) because the
-    // materialized oriented file sits under the 10 MB stats
-    // threshold; the explicit count-gated hint is for the regime
-    // ABOVE that threshold but below executor memory, where AQE
-    // stops converting yet shuffling Σ outdeg² rows to co-locate
-    // with m edge rows is still the wrong trade. Past the bound,
-    // fall back to the shuffle join (the only correct choice at
-    // 100 TB edge scale). The remaining flagship cost is the wedge
-    // stream itself — inherent to exact counting at this density
-    // (the graph averages degree 120).
+    // Σ outdeg² (41M at sf0.1 against 1.2M edges), so on a CLUSTER
+    // shuffling the WEDGE side over the network is the expensive
+    // shape and broadcasting the edge side makes that exchange
+    // disappear. Three regimes (TriangleSoak, fingerprint-identical):
+    //  - edge side under AQE's stats threshold (sf0.1): leave the
+    //    join UNHINTED — AQE converts to broadcast with a local
+    //    shuffle read, which beats the planner-forced broadcast
+    //    1.28× measured (7.6 vs 9.8 s on the flagship; the forced
+    //    hint builds the hash relation before the wedge stream has
+    //    been pruned by AQE);
+    //  - above AQE's threshold but below executor memory: AQE stops
+    //    converting, yet shuffling Σ outdeg² rows to co-locate with
+    //    m edge rows is still the wrong network trade — the
+    //    count-gated explicit hint covers exactly this band
+    //    (minHintEdges, maxBroadcastEdges];
+    //  - past the bound: the shuffle join, the only correct choice
+    //    at 100 TB edge scale (measured bit-identical, and on
+    //    local[32] — where exchanges never touch a network — it is
+    //    even the fastest shape).
+    // The remaining flagship cost is the wedge stream itself —
+    // inherent to exact counting at this density (avg degree 120).
     val closeSide = o.select(col("src").as("v"), col("dst").as("w"))
     val maxBroadcastEdges = spark.conf
       .getOption("spark.graft.triangles.maxBroadcastEdges")
       .map(_.toLong).getOrElse(5000000L)
+    val minHintEdges = spark.conf
+      .getOption("spark.graft.triangles.minHintEdges")
+      .map(_.toLong).getOrElse(3000000L)
+    val edgeCount = e.count()
     val tri = wedges.join(
-      if (e.count() <= maxBroadcastEdges) broadcast(closeSide)
+      if (edgeCount > minHintEdges && edgeCount <= maxBroadcastEdges)
+        broadcast(closeSide)
       else closeSide,
       Seq("v", "w"))
     val counts = tri
