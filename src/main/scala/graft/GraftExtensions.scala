@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(args(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        arity("jaro_winkler", args, 2)
+        graft.functions.JaroWinkler(args(0), args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("winnow_minima"),
       new ExpressionInfo(classOf[WinnowMinima].getName, "winnow_minima"),
       (args: Seq[Expression]) => args match {

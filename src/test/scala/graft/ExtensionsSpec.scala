@@ -79,6 +79,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.isNullAt(4))
   }
 
+  test("jaro_winkler: textbook values, DuckDB convention, SQL + codegen") {
+    org.apache.spark.sql.graftbridge.Bridge.installFunctions(
+      new GraftExtensions(), spark)
+    import graft.functions.JaroWinkler.jw
+    // the classic Winkler pairs (integer-halved transpositions)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(jw("", "") == 1.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // the integer-halving convention: "abcde" vs "abced" matches all 5
+    // chars with 2 mismatched positions -> t = 2/2 = 1, prefix l = 3
+    val j = (5.0 / 5 + 5.0 / 5 + (5.0 - 1) / 5) / 3
+    assert(math.abs(jw("abcde", "abced") - (j + 3 * 0.1 * (1 - j))) < 1e-12)
+    // SQL registration + null propagation + codegen path
+    val r = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA') AS a, " +
+        "jaro_winkler(CAST(NULL AS STRING), 'x') AS n").collect().head
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r.isNullAt(1))
+    // whole-stage codegen must hold (doGenCode, no fallback boxing)
+    val df = core.Tables.part(spark, sf0001).select(
+      graft.functions.TextExprs.jaro_winkler(col("p_name"), col("p_brand")))
+    // the starred project is the whole-stage-codegen marker — a
+    // CodegenFallback expression would print an unstarred Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("FuseCosine rewrites the HOF cosine tree to CosineSim when enabled") {
     import graft.operators.llm.Similarity
     // parquet-backed (a local Seq relation constant-folds at optimize

@@ -143,4 +143,20 @@ class GraphSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
       s"pendant 99 peels, clique keeps induced degree 3: $out")
   }
+
+  test("sssp: weighted min beats the hop-min path; round bound binds") {
+    import graft.operators.graph.ShortestPaths
+    // 0→2 direct costs 100; the 2-hop detour via 1 costs 20
+    val half = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val full = ShortestPaths.sssp(edges, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(0L -> 0L, 1L -> 10L, 2L -> 20L),
+      s"weighted distances, early exit past the fixpoint: $full")
+    // rounds=1 admits only ≤1-edge paths: the detour is invisible
+    val one = ShortestPaths.sssp(edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(0L -> 0L, 1L -> 10L, 2L -> 100L), one.toString)
+  }
 }

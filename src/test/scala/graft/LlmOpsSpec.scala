@@ -34,6 +34,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("containment catches a planted subset pair that jaccard dilutes") {
+    // doc 9000 is a verbatim 12-token excerpt of doc 9001's 60 tokens:
+    // containment = 1.0 (every excerpt gram is in the superset) while
+    // jaccard ~ 10/58 — under any sane jaccard threshold, invisible
+    val longText = (0 until 60).map(i => s"tok${i % 37}w").mkString(" ")
+    val excerpt = longText.split(" ").slice(20, 32).mkString(" ")
+    val planted = Seq(
+      (9000L, excerpt, "en", "plant", excerpt.length.toLong),
+      (9001L, longText, "en", "plant", longText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.containmentPairs(planted, every = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // excerpt grams: 10 (12 tokens); all contained in the superset
+    assert(out.exists { case (a, b, inter, sa, sb) =>
+      a == 9000L && b == 9001L && inter == sa && inter * 100 >= 80 * sa
+    }, out.toSeq)
+    // and the corresponding jaccard would NOT pass a 0.5 gate
+    assert(out.forall { case (_, _, inter, sa, sb) =>
+      inter.toDouble / (sa + sb - inter) < 0.5 }, out.toSeq)
+  }
+
   test("LSH bucket cap drops degenerate buckets, keeps normal recall") {
     // 30 byte-identical docs collide in EVERY band: a degenerate bucket
     val boiler = (0L until 30L)
@@ -1442,5 +1464,55 @@ class LlmOpsSpec extends SparkTestBase {
       "the 1-token doc must add no bigrams, only vocabulary")
     // per-prefix probabilities never exceed 1 even smoothed
     assert(out.values.forall(_._2 < 1.0))
+  }
+
+  test("cms: width-1 degenerates to the total; wide grid stays >= exact") {
+    // shingles: doc1 {"a1 b2 c3","b2 c3 d4"}, doc2 {"b2 c3 d4","c3 d4 e5"}
+    // → doc-frequency counts 1, 2, 1 (per-doc distinct)
+    val docs = Seq(
+      (1L, "a1 b2 c3 d4", "en", "t", 11L),
+      (2L, "b2 c3 d4 e5", "en", "t", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // width 1: every row hashes to cell 0, so every estimate is the
+    // corpus shingle-occurrence total — a deterministic worst case
+    val deg = Sketches.cmsEstimate(docs, depth = 4, width = 1, minLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(deg == Map("a1 b2 c3" -> ((1L, 4L, 3L)),
+      "b2 c3 d4" -> ((2L, 4L, 2L)), "c3 d4 e5" -> ((1L, 4L, 3L))),
+      deg.toString)
+    // realistic grid: exact counts pinned, over_err >= 0 (CMS can
+    // only OVERcount), estimate never below truth
+    val out = Sketches.cmsEstimate(docs, depth = 4, width = 512, minLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map("a1 b2 c3" -> 1L, "b2 c3 d4" -> 2L, "c3 d4 e5" -> 1L))
+    assert(out.forall(r => r._4 >= 0 && r._3 == r._2 + r._4), out.toSeq)
+  }
+
+  test("kmv: below-k groups are exact; corpus estimate lands near truth") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "t", 7L),
+      (2L, "c d e", "fr", "t", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // every group (and the rollup) holds < k distinct shingle hashes:
+    // the sketch IS the value set, so the estimate is the exact count.
+    // "a b c d" shingles to {"a b c","b c d"}; "c d e" to {"c d e"}
+    val small = Sketches.kmvDistinct(docs, k = 256).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(small == Map("en" -> ((2L, 2L)), "fr" -> ((1L, 1L)),
+      "(all)" -> ((3L, 3L))), small.toString)
+    // sf0.001 corpus: 3.5k–8k distinct shingles per lang engage the
+    // (k−1)/θ estimator; k=256 gives σ ≈ 1/√k ≈ 6%, so ±30% is a
+    // generous determinism-safe band (fixed hash family — cannot flake)
+    val corpus = Sketches.kmvDistinct(Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(corpus.length == 6 && corpus.forall(_._2 > 256),
+      s"every lang and the rollup should exceed k: ${corpus.toSeq}")
+    corpus.foreach { case (g, exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.30,
+        s"$g: est $est vs exact $exact")
+    }
   }
 }

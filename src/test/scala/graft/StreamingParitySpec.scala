@@ -574,6 +574,25 @@ class StreamingParitySpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState MapState+ListState: replay == batch windows") {
+    // the replay harness manages the RocksDB provider itself
+    val events = graft.core.Tables.events(spark, sf0001)
+    val streamed = graft.streaming.TwsStreams.mapListReplay(spark, events)
+    val wTyp = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    val batch = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .withColumn("type_total_cents", sum("cents").over(wTyp))
+      .withColumn("last3_sum_cents", sum("cents").over(w3))
+      .select("user_id", "event_id", "event_type",
+        "type_total_cents", "last3_sum_cents")
+    assertSameRows(streamed, batch)
+  }
+
   test("retention: streamed first-of-day hits == batch cohort matrix") {
     val evs = graft.core.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")

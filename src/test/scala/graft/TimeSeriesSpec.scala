@@ -182,4 +182,29 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(!out.exists(r => r._1 == "uniqA" || r._2 == "uniqB"),
       "pairs only inside the capped mega-doc must be excluded")
   }
+
+  test("holt: hand-walked recurrence; same-day orders aggregate first") {
+    import graft.operators.dws.TimeSeries
+    val orders = Seq(
+      ("1-URGENT", ts("2024-01-01 00:00:00"), 1.0),
+      ("1-URGENT", ts("2024-01-02 00:00:00"), 2.0),
+      ("1-URGENT", ts("2024-01-03 00:00:00"), 3.0),
+      ("2-HIGH", ts("2024-01-05 00:00:00"), 7.0),
+      ("2-HIGH", ts("2024-01-05 00:00:00"), 3.0)
+    ).toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val out = TimeSeries.holtForecast(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // cents 100,200,300: l1=100,b1=0; l2=.5·200+.5·100=150,
+    // b2=.25·50=12.5; l3=.5·300+.5·162.5=231.25,
+    // b3=.25·81.25+.75·12.5=29.6875 — all dyadic, so == is exact
+    val u = out("1-URGENT")
+    assert(u.getInt(1) == 3)
+    assert(u.getDouble(2) == 231.25 && u.getDouble(3) == 29.6875, u.toString)
+    assert(u.getDouble(4) == 260.9375, "fc_1 = l + b")
+    assert(u.getDouble(5) == 439.0625, "fc_7 = l + 7b")
+    // one day, two orders: series [1000]; level = y, trend = 0
+    val h = out("2-HIGH")
+    assert(h.getInt(1) == 1 && h.getDouble(2) == 1000.0 &&
+      h.getDouble(3) == 0.0 && h.getDouble(5) == 1000.0, h.toString)
+  }
 }
