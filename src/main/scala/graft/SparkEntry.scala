@@ -155,6 +155,16 @@ object SparkEntry {
     // replays the recurrence bit-identically before rounding)
     "ts_holt_forecast" -> ((s, d) =>
       graft.operators.dws.TimeSeries.holtForecast(Tables.orders(s, d))),
+    // RFM customer segmentation: distributed global ranking (range
+    // exchange + offset windows — no single-partition Window.orderBy)
+    // over the customer aggregate; explicit floor-division buckets
+    "b_rfm_segments" -> ((s, d) =>
+      graft.operators.dws.Behavior.rfmSegments(Tables.orders(s, d))),
+    // item-item co-purchase cosine (customers-who-bought-X-also-bought):
+    // basket-capped pair generation, micro-integer cosine, top-10/item
+    "ml_item_cf" -> ((s, d) =>
+      graft.operators.ml.ItemCf.itemCosine(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     // declarative data-quality expectations: one scan per table plus
     // one key anti-join; report cardinality = rule count
     "q_expectations" -> ((s, d) =>
@@ -4011,6 +4021,78 @@ object SparkEntry {
           |       round(f.l + CAST(7 AS DOUBLE) * f.b, 4) AS fc_7
           |FROM f JOIN n ON n.grp = f.grp AND f.i = n.n_days
           |ORDER BY f.grp""".stripMargin,
+      // RFM: three global row_numbers (total order via custkey
+      // tiebreak) + the engine's explicit floor-of-double-division
+      // bucket arithmetic — deliberately NOT NTILE, whose uneven
+      // remainder-bucket convention is a different contract
+      "b_rfm_segments" ->
+        """WITH cust AS (
+          |  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+          |         count(*) AS freq,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS monetary_cents
+          |  FROM orders GROUP BY 1),
+          |a AS (SELECT max(last_day) AS anchor FROM cust),
+          |t AS (SELECT count(*) AS total FROM cust),
+          |base AS (
+          |  SELECT o_custkey,
+          |         CAST(date_diff('day', last_day, anchor) AS BIGINT)
+          |           AS recency_days,
+          |         freq, monetary_cents
+          |  FROM cust CROSS JOIN a),
+          |r AS (SELECT *,
+          |        row_number() OVER (ORDER BY recency_days, o_custkey)
+          |          AS rn_r,
+          |        row_number() OVER (ORDER BY freq DESC, o_custkey)
+          |          AS rn_f,
+          |        row_number() OVER (ORDER BY monetary_cents DESC, o_custkey)
+          |          AS rn_m
+          |      FROM base),
+          |q AS (SELECT o_custkey, recency_days, freq, monetary_cents,
+          |        1 + CAST(floor((rn_r - 1) * 5 / CAST(t.total AS DOUBLE))
+          |                 AS BIGINT) AS r_q,
+          |        1 + CAST(floor((rn_f - 1) * 5 / CAST(t.total AS DOUBLE))
+          |                 AS BIGINT) AS f_q,
+          |        1 + CAST(floor((rn_m - 1) * 5 / CAST(t.total AS DOUBLE))
+          |                 AS BIGINT) AS m_q
+          |      FROM r CROSS JOIN t)
+          |SELECT *, r_q * 100 + f_q * 10 + m_q AS rfm_code
+          |FROM q ORDER BY o_custkey""".stripMargin,
+      // item-item CF: the capped-basket universe replayed literally —
+      // window cap, quadratic per-customer pair join, HAVING prune,
+      // one double step (×, sqrt, ÷ on exact integers) in micros
+      "ml_item_cf" ->
+        """WITH baskets AS (
+          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |capped AS (
+          |  SELECT cust, part FROM (
+          |    SELECT cust, part,
+          |           count(*) OVER (PARTITION BY cust) AS bsz
+          |    FROM baskets)
+          |  WHERE bsz <= 256),
+          |co AS (
+          |  SELECT x.part AS pa, y.part AS pb, count(*) AS co_ct
+          |  FROM capped x JOIN capped y
+          |    ON x.cust = y.cust AND x.part < y.part
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sizes AS (SELECT part, count(*) AS ct FROM capped GROUP BY 1),
+          |sym AS (SELECT pa, pb, co_ct FROM co
+          |        UNION ALL SELECT pb AS pa, pa AS pb, co_ct FROM co),
+          |scored AS (
+          |  SELECT s.pa AS part_a, s.pb AS part_b, s.co_ct,
+          |         a.ct AS ct_a, b.ct AS ct_b,
+          |         CAST(round(s.co_ct * 1000000 /
+          |              sqrt(CAST(a.ct * b.ct AS DOUBLE))) AS BIGINT)
+          |           AS cos_micros
+          |  FROM sym s JOIN sizes a ON a.part = s.pa
+          |             JOIN sizes b ON b.part = s.pb),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY part_a
+          |         ORDER BY cos_micros DESC, part_b) AS rank
+          |       FROM scored)
+          |SELECT part_a, part_b, co_ct, ct_a, ct_b, cos_micros,
+          |       CAST(rank AS BIGINT) AS rank
+          |FROM rk WHERE rank <= 10 ORDER BY part_a, rank""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")

@@ -123,4 +123,59 @@ object Behavior {
         round(col("ct").cast("double") / col("prev_ct"), 6).as("prob"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** RFM segmentation — the classic e-commerce customer scoring: per
+    * customer, Recency (days from last order to the corpus anchor =
+    * global max order date), Frequency (order count) and Monetary
+    * (lifetime cents), each quintiled 1..5 (1 = most recent / most
+    * frequent / highest spend) into a 3-digit `rfm_code`.
+    *
+    * Quintiles need a GLOBAL ranking — the single-partition
+    * `Window.orderBy` trap — so each score rides
+    * [[graft.core.Ranking.withGlobalRowNumber]] (range exchange +
+    * parallel per-partition windows + broadcast offsets) over the
+    * customer AGGREGATE, never the fact table. The bucket is explicit
+    * integer arithmetic, `1 + (rn−1)·5 ÷ n` (floor division — equal
+    * rank-width buckets), not NTILE, so the SQL replay is exact by
+    * construction. Customer-key tiebreaks make every ranking a total
+    * order. */
+  def rfmSegments(orders: DataFrame, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, "rfmSegments: need buckets >= 2")
+    val cust = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .as("monetary_cents"))
+    val anchor = cust.agg(max("last_day").as("anchor")) // 1 row
+    val base = cust.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("freq"), col("monetary_cents"))
+    val n = lit(buckets.toLong)
+    // total customer count: one bounded scalar shared by all 3 scores.
+    // Bucket arithmetic: quotients are ≤ `buckets`, far inside double
+    // exactness, so floor-of-double-division ≡ integer division and
+    // the oracle replays the identical expression
+    val total = base.count()
+    def score(df: DataFrame, sort: Seq[org.apache.spark.sql.Column],
+              out: String): DataFrame =
+      graft.core.Ranking.withGlobalRowNumber(df, sort, "__rn")
+        .withColumn(out,
+          lit(1L) + floor((col("__rn") - 1L) * n / lit(total.toDouble))
+            .cast("bigint"))
+        .drop("__rn")
+    val scored = score(
+      score(
+        score(base,
+          Seq(col("recency_days").asc, col("o_custkey").asc), "r_q"),
+        Seq(col("freq").desc, col("o_custkey").asc), "f_q"),
+      Seq(col("monetary_cents").desc, col("o_custkey").asc), "m_q")
+    scored
+      .select(col("o_custkey"), col("recency_days"), col("freq"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
+      .orderBy("o_custkey")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over the co-purchase signal —
+  * "customers who bought X also bought Y", the recommendation query an
+  * e-commerce warehouse (the reference's domain,
+  * `DwsTradeUserSpuOrderWindow.java`'s spu/tm rollups being its
+  * aggregate cousin) serves from its DWS layer. Items are vectors over
+  * the binary customer dimension; similarity is set cosine
+  *   cos(a, b) = |A ∩ B| / √(|A|·|B|)
+  * with exact integer co-counts and sizes, emitted in micros so the
+  * only double step (one multiply, one sqrt, one divide on exact
+  * integers) replays bit-identically in a SQL oracle.
+  *
+  * Scale shape (Linden et al., IEEE Internet Computing 2003 —
+  * Amazon's item-item CF): the quadratic step is per-CUSTOMER pair
+  * generation, so fanout is Σ|basket|², bounded by capping baskets at
+  * `maxBasket` distinct items (power buyers contribute noise, not
+  * signal — the MinHash/SemDeDup bucket-cap discipline). Pipeline is
+  * three keyed exchanges on reduced data: distinct (cust, part) from
+  * the facts; the capped self-join keyed on cust streaming pairs
+  * straight into a map-side-combined (a, b) count; part sizes from the
+  * same capped set. `minCo` prunes the long tail before the join with
+  * part counts; top-`topN` per item is a part_a-keyed window, never a
+  * global sort. */
+object ItemCf {
+
+  /** Top-`topN` most-cosine-similar parts per part. Output (both
+    * directions of each pair, so every item lists ITS neighbors):
+    * (part_a, part_b, co_ct, ct_a, ct_b, cos_micros, rank). */
+  def itemCosine(lineitem: DataFrame, orders: DataFrame, topN: Int = 10,
+                 minCo: Int = 2, maxBasket: Int = 256): DataFrame = {
+    require(topN >= 1 && minCo >= 1 && maxBasket >= 2,
+      "itemCosine: need topN, minCo >= 1 and maxBasket >= 2")
+    // one distinct (customer, part) exchange off the facts
+    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    // cap mega-baskets BEFORE the quadratic step; the capped set is
+    // the similarity universe (sizes and co-counts agree on it)
+    val capped = baskets
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("cust")))
+      .filter(col("bsz") <= maxBasket)
+      .drop("bsz")
+    val co = capped.as("x")
+      .join(capped.as("y"),
+        col("x.cust") === col("y.cust") && col("x.part") < col("y.part"))
+      .groupBy(col("x.part").as("pa"), col("y.part").as("pb"))
+      .agg(count(lit(1)).as("co_ct"))
+      .filter(col("co_ct") >= minCo)
+    val sizes = capped.groupBy(col("part")).agg(count(lit(1)).as("ct"))
+    val sym = co.unionAll(
+      co.select(col("pb").as("pa"), col("pa").as("pb"), col("co_ct")))
+    val scored = sym
+      .join(sizes.select(col("part").as("pa"), col("ct").as("ct_a")), "pa")
+      .join(sizes.select(col("part").as("pb"), col("ct").as("ct_b")), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("co_ct"), col("ct_a"), col("ct_b"),
+        round(col("co_ct") * lit(1000000L) /
+          sqrt((col("ct_a") * col("ct_b")).cast("double")))
+          .cast("bigint").as("cos_micros"))
+    val rank = Window.partitionBy(col("part_a"))
+      .orderBy(col("cos_micros").desc, col("part_b").asc)
+    scored
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topN)
+      .orderBy("part_a", "rank")
+  }
+}

@@ -190,4 +190,30 @@ class BehaviorSpec extends SparkTestBase {
     val (n, slope, _, r2) = out("N")
     assert(n == 3L && slope.get > 0 && r2.get < 1.0 && r2.get > 0)
   }
+
+  test("rfm: hand-computed quintiles; buckets are rank-width, not NTILE") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // 5 customers: recency 0,1,2,3,4 days before anchor 2024-01-10;
+    // freq 1 each except cust 1 (2 orders); monetary strictly ordered
+    val orders = Seq(
+      (1L, ts("2024-01-10"), 10.0), (1L, ts("2024-01-01"), 10.0),
+      (2L, ts("2024-01-09"), 50.0),
+      (3L, ts("2024-01-08"), 40.0),
+      (4L, ts("2024-01-07"), 30.0),
+      (5L, ts("2024-01-06"), 5.0)
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Behavior.rfmSegments(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // n=5, buckets=5 → quintile = rank (1 + (rn−1)·5/5)
+    // recency: cust1=0d,2=1d,3=2d,4=3d,5=4d → r_q 1..5
+    // freq: cust1=2 (rank 1), rest 1 → f_q by custkey tiebreak 1,2,3,4,5
+    // monetary cents: 2000,5000,4000,3000,500 → desc: 2,3,4,1,5
+    assert(out(1L) == ((0L, 2L, 2000L, 1L, 1L, 4L, 114L)), out(1L).toString)
+    assert(out(2L) == ((1L, 1L, 5000L, 2L, 2L, 1L, 221L)), out(2L).toString)
+    assert(out(3L) == ((2L, 1L, 4000L, 3L, 3L, 2L, 332L)), out(3L).toString)
+    assert(out(4L) == ((3L, 1L, 3000L, 4L, 4L, 3L, 443L)), out(4L).toString)
+    assert(out(5L) == ((4L, 1L, 500L, 5L, 5L, 5L, 555L)), out(5L).toString)
+  }
 }
