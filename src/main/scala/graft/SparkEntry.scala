@@ -165,6 +165,11 @@ object SparkEntry {
     "ml_item_cf" -> ((s, d) =>
       graft.operators.ml.ItemCf.itemCosine(
         Tables.lineitem(s, d), Tables.orders(s, d))),
+    // association rules at itemset size 2: support/confidence/lift in
+    // micros off the same capped-basket counts as ml_item_cf
+    "ml_assoc_rules" -> ((s, d) =>
+      graft.operators.ml.ItemCf.assocRules(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     // declarative data-quality expectations: one scan per table plus
     // one key anti-join; report cardinality = rule count
     "q_expectations" -> ((s, d) =>
@@ -277,6 +282,12 @@ object SparkEntry {
     "g_sssp_copurchase" -> ((s, d) =>
       graft.operators.graph.ShortestPaths.copurchaseSssp(
         Tables.lineitem(s, d), Tables.orders(s, d))),
+    // community detection: determinized synchronous label propagation
+    // (neighbor majority + self-vote, min-label ties) on the part-part
+    // projection, materialized rounds
+    "g_labelprop_communities" -> ((s, d) =>
+      graft.operators.graph.LabelProp.copurchaseCommunities(
+        Tables.lineitem(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
     "q_profile_orders" -> ((s, d) =>
@@ -3571,6 +3582,8 @@ object SparkEntry {
     Map("g_kcore_copurchase" -> kCoreOracleSql(k = 64, rounds = 8)) ++
     // weighted SSSP: 6 unrolled Bellman-Ford rounds, BIGINT distances
     Map("g_sssp_copurchase" -> ssspOracleSql(rounds = 6)) ++
+    // LPA communities: 4 unrolled majority-vote rounds
+    Map("g_labelprop_communities" -> labelPropOracleSql(rounds = 4)) ++
     // triangle counting: the oracle is the orientation-free three-way
     // self-join over id-ordered edges (a<b<c counts each triangle
     // once); the engine's degree orientation must agree exactly
@@ -4093,6 +4106,49 @@ object SparkEntry {
           |SELECT part_a, part_b, co_ct, ct_a, ct_b, cos_micros,
           |       CAST(rank AS BIGINT) AS rank
           |FROM rk WHERE rank <= 10 ORDER BY part_a, rank""".stripMargin,
+      // association rules: the engine's exact double parenthesization
+      // — (co·10⁶ → DOUBLE) [· n] / denominator — replayed literally
+      "ml_assoc_rules" ->
+        """WITH baskets AS (
+          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |capped AS (
+          |  SELECT cust, part FROM (
+          |    SELECT cust, part,
+          |           count(*) OVER (PARTITION BY cust) AS bsz
+          |    FROM baskets)
+          |  WHERE bsz <= 256),
+          |n AS (SELECT count(DISTINCT cust) AS n FROM capped),
+          |co AS (
+          |  SELECT x.part AS pa, y.part AS pb, count(*) AS co_ct
+          |  FROM capped x JOIN capped y
+          |    ON x.cust = y.cust AND x.part < y.part
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sizes AS (SELECT part, count(*) AS ct FROM capped GROUP BY 1),
+          |sym AS (SELECT pa, pb, co_ct FROM co
+          |        UNION ALL SELECT pb AS pa, pa AS pb, co_ct FROM co),
+          |scored AS (
+          |  SELECT s.pa AS part_a, s.pb AS part_b, s.co_ct,
+          |         a.ct AS ct_a, b.ct AS ct_b,
+          |         CAST(round(CAST(s.co_ct * 1000000 AS DOUBLE)
+          |                    / CAST(n.n AS DOUBLE)) AS BIGINT)
+          |           AS supp_micros,
+          |         CAST(round(CAST(s.co_ct * 1000000 AS DOUBLE)
+          |                    / CAST(a.ct AS DOUBLE)) AS BIGINT)
+          |           AS conf_micros,
+          |         CAST(round(CAST(s.co_ct * 1000000 AS DOUBLE)
+          |                    * CAST(n.n AS DOUBLE)
+          |                    / CAST(a.ct * b.ct AS DOUBLE)) AS BIGINT)
+          |           AS lift_micros
+          |  FROM sym s JOIN sizes a ON a.part = s.pa
+          |             JOIN sizes b ON b.part = s.pb
+          |             CROSS JOIN n),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY part_a
+          |         ORDER BY lift_micros DESC, part_b) AS rank
+          |       FROM scored)
+          |SELECT part_a, part_b, co_ct, ct_a, ct_b, supp_micros,
+          |       conf_micros, lift_micros, CAST(rank AS BIGINT) AS rank
+          |FROM rk WHERE rank <= 5 ORDER BY part_a, rank""".stripMargin,
       "q_profile_orders" -> {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_orderpriority", "o_orderdate")
@@ -4229,6 +4285,44 @@ object SparkEntry {
       s"""
          |SELECT node, CAST(dist AS BIGINT) AS dist
          |FROM d$rounds ORDER BY node""".stripMargin
+  }
+
+  /** LPA rounds unrolled as MATERIALIZED CTEs: each round re-labels
+    * every node with the most frequent (neighbor ∪ self) label,
+    * min-label ties — the engine's exact vote. Early exit is safe:
+    * rounds are deterministic functions of the labeling. */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val base =
+      """WITH pp AS MATERIALIZED (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey < l2.l_partkey),
+        |e AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM pp
+        |  UNION ALL SELECT b AS src, a AS dst FROM pp),
+        |l0 AS MATERIALIZED (
+        |  SELECT node, node AS label FROM
+        |    (SELECT src AS node FROM e UNION SELECT dst FROM e))"""
+        .stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label) AS rk
+         |    FROM (SELECT node, label, count(*) AS c FROM (
+         |            SELECT e.src AS node, d.label
+         |            FROM e JOIN l${i - 1} d ON d.node = e.dst
+         |            UNION ALL SELECT node, label FROM l${i - 1}) v
+         |          GROUP BY 1, 2) g) r
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT node, CAST(label AS BIGINT) AS label
+         |FROM l$rounds ORDER BY node""".stripMargin
   }
 
   private def pageRankOracleSql(iters: Int): String = {

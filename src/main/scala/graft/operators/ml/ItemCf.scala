@@ -28,13 +28,11 @@ import org.apache.spark.sql.functions._
   * global sort. */
 object ItemCf {
 
-  /** Top-`topN` most-cosine-similar parts per part. Output (both
-    * directions of each pair, so every item lists ITS neighbors):
-    * (part_a, part_b, co_ct, ct_a, ct_b, cos_micros, rank). */
-  def itemCosine(lineitem: DataFrame, orders: DataFrame, topN: Int = 10,
-                 minCo: Int = 2, maxBasket: Int = 256): DataFrame = {
-    require(topN >= 1 && minCo >= 1 && maxBasket >= 2,
-      "itemCosine: need topN, minCo >= 1 and maxBasket >= 2")
+  /** The capped (customer, part) universe, its pair co-counts and its
+    * per-part sizes — shared by [[itemCosine]] and [[assocRules]]. */
+  private def cappedCounts(lineitem: DataFrame, orders: DataFrame,
+                           minCo: Int, maxBasket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // one distinct (customer, part) exchange off the facts
     val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
@@ -54,6 +52,17 @@ object ItemCf {
       .agg(count(lit(1)).as("co_ct"))
       .filter(col("co_ct") >= minCo)
     val sizes = capped.groupBy(col("part")).agg(count(lit(1)).as("ct"))
+    (capped, co, sizes)
+  }
+
+  /** Top-`topN` most-cosine-similar parts per part. Output (both
+    * directions of each pair, so every item lists ITS neighbors):
+    * (part_a, part_b, co_ct, ct_a, ct_b, cos_micros, rank). */
+  def itemCosine(lineitem: DataFrame, orders: DataFrame, topN: Int = 10,
+                 minCo: Int = 2, maxBasket: Int = 256): DataFrame = {
+    require(topN >= 1 && minCo >= 1 && maxBasket >= 2,
+      "itemCosine: need topN, minCo >= 1 and maxBasket >= 2")
+    val (_, co, sizes) = cappedCounts(lineitem, orders, minCo, maxBasket)
     val sym = co.unionAll(
       co.select(col("pb").as("pa"), col("pa").as("pb"), col("co_ct")))
     val scored = sym
@@ -68,6 +77,51 @@ object ItemCf {
       .orderBy(col("cos_micros").desc, col("part_b").asc)
     scored
       .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= topN)
+      .orderBy("part_a", "rank")
+  }
+
+  /** Association rules a→b over the same capped universe (Agrawal &
+    * Srikant, VLDB '94 measures at itemset size 2 — the level the
+    * pair join already mines):
+    *   support    = co / n        (n = capped customers)
+    *   confidence = co / ct_a
+    *   lift       = co·n / (ct_a·ct_b)
+    * all emitted in micros. Every numerator/denominator is an exact
+    * BIGINT; lift multiplies in DOUBLE with pinned parenthesization
+    * ((co·10⁶ → double) · n) / (ct_a·ct_b) so it never overflows at
+    * corpus scale and the oracle walks the identical roundings.
+    * Directed output (confidence is asymmetric): both (a,b) and
+    * (b,a) are candidates, but only the `topN` rules per antecedent
+    * survive, ranked by (lift desc, consequent asc) — the output is
+    * |items|·topN-bounded by construction, where a global
+    * support/confidence threshold would leave it corpus-sized. */
+  def assocRules(lineitem: DataFrame, orders: DataFrame, minCo: Int = 2,
+                 maxBasket: Int = 256, topN: Int = 5): DataFrame = {
+    require(minCo >= 1 && maxBasket >= 2 && topN >= 1,
+      "assocRules: need minCo >= 1, maxBasket >= 2 and topN >= 1")
+    val (capped, co, sizes) =
+      cappedCounts(lineitem, orders, minCo, maxBasket)
+    // bounded scalar: the capped-customer count (support denominator)
+    val n = capped.select(col("cust")).distinct().count()
+    val sym = co.unionAll(
+      co.select(col("pb").as("pa"), col("pa").as("pb"), col("co_ct")))
+    val coMicros = (col("co_ct") * lit(1000000L)).cast("double")
+    val scored = sym
+      .join(sizes.select(col("part").as("pa"), col("ct").as("ct_a")), "pa")
+      .join(sizes.select(col("part").as("pb"), col("ct").as("ct_b")), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("co_ct"), col("ct_a"), col("ct_b"),
+        round(coMicros / lit(n.toDouble)).cast("bigint").as("supp_micros"),
+        round(coMicros / col("ct_a").cast("double")).cast("bigint")
+          .as("conf_micros"),
+        round(coMicros * lit(n.toDouble) /
+          (col("ct_a") * col("ct_b")).cast("double")).cast("bigint")
+          .as("lift_micros"))
+    val best = Window.partitionBy(col("part_a"))
+      .orderBy(col("lift_micros").desc, col("part_b").asc)
+    scored
+      .withColumn("rank", row_number().over(best).cast("long"))
       .filter(col("rank") <= topN)
       .orderBy("part_a", "rank")
   }

@@ -159,4 +159,20 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(one == Map(0L -> 0L, 1L -> 10L, 2L -> 100L), one.toString)
   }
+
+  test("label propagation: bridged triangles split; pendant edge settles") {
+    import graft.operators.graph.LabelProp
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4,
+    // plus a pendant pair {7,8}. Self-vote + min-label ties: each
+    // triangle collapses to its min label, the bridge does NOT merge
+    // them (majority stays local), the pendant pair settles at min —
+    // all by round 3, so rounds=6 also exercises the early exit
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L), (7L, 8L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val out = LabelProp.propagate(edges, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L), out.toString)
+  }
 }

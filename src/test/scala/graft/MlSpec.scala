@@ -71,5 +71,16 @@ class MlSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(1), r.getLong(5), r.getLong(6)))
     assert(loose.toSet == Set((101L, 816497L, 1L), (102L, 577350L, 2L)),
       loose.toSeq.toString)
+
+    // association rules on the same universe: n=3 capped customers;
+    // supp(A,B)=2/3, conf(A→B)=2/3, conf(B→A)=1, lift=2·3/(3·2)=1
+    val rules = ItemCf.assocRules(li, ord, minCo = 2, maxBasket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(rules.keySet == Set((100L, 101L), (101L, 100L)))
+    assert(rules((100L, 101L)) == ((666667L, 666667L, 1000000L)),
+      rules((100L, 101L)).toString)
+    assert(rules((101L, 100L)) == ((666667L, 1000000L, 1000000L)),
+      rules((101L, 100L)).toString)
   }
 }
