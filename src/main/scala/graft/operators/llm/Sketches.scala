@@ -28,13 +28,18 @@ object Sketches {
   private def h32(c: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), c)), 1, 8), 16, 10).cast("long")
 
-  /** Per-doc-distinct word 3-gram shingles ([[DedupOps.shingles]]) —
-    * the unbounded-cardinality stream both sketches summarize (the
-    * test corpus's token VOCABULARY is small by construction; its
-    * shingle space is not, which is the regime a sketch exists for). */
+  /** Per-doc-distinct word 3-gram shingles — the unbounded-cardinality
+    * stream both sketches summarize (the test corpus's token
+    * VOCABULARY is small by construction; its shingle space is not,
+    * which is the regime a sketch exists for). Rides the RELATIONAL
+    * [[DedupOps.shingleRows]] form (posexplode + lead, codegen'd):
+    * the `shingles()` array expression costs ~19 s at sf0.1 against
+    * ~2 s here — the documented transform-lambda trap. The distinct
+    * makes the bag per-doc-unique, matching `array_distinct` in the
+    * column form. */
   private def toks(documents: DataFrame): DataFrame =
-    graft.core.Tables.spread(documents)
-      .select(explode(DedupOps.shingles(col("text"))).as("w"))
+    DedupOps.shingleRows(documents)
+      .select(col("doc_id"), col("shingle").as("w")).distinct()
 
   /** Count-Min estimates audited against exact counts: build a
     * depth×width CMS over the shingle stream, then read back every
@@ -113,15 +118,19 @@ object Sketches {
     require(k >= 2, "kmvDistinct: need k >= 2")
     val spark = documents.sparkSession
     import spark.implicits._
-    val hashed = graft.core.Tables.spread(documents)
-      .select(col("lang"),
-        explode(DedupOps.shingles(col("text"))).as("w"))
-      .select(col("lang"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"),
-        col("w"))
+    // distinct (lang, shingle) FIRST — one columnar exchange shrinks
+    // the stream to distinct grams before the typed aggregator (whose
+    // per-row SortedSet rebuild priced the raw-stream form at ~16 s
+    // vs ~3 s here); h is a function of w, so these rows double as
+    // the exact-count frame below
+    val dist = DedupOps.shingleRows(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("shingle").as("w")).distinct()
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
     val agg = kmvAggregator(k).toColumn
     // one pass for the sketches (bounded state per group) ...
-    val perLang = hashed.select(col("lang"), col("h")).as[(String, Long)]
+    val perLang = dist.select(col("lang"), col("h")).as[(String, Long)]
       .groupByKey(_._1).mapValues(_._2).agg(agg)
       .toDF("grp", "minima")
     // ... and the (all) rollup from the SKETCHES, not the corpus
@@ -130,10 +139,11 @@ object Sketches {
       .groupByKey(_._1).mapValues(_._2).agg(agg)
       .toDF("grp", "minima")
     // exact distincts to audit against (the expensive truth the sketch
-    // replaces at scale)
-    val exact = hashed.select(col("lang").as("grp"), col("w")).distinct()
-      .groupBy("grp").agg(count(lit(1)).as("exact_distinct"))
-    val exactAll = hashed.select(col("w")).distinct()
+    // replaces at scale) — `dist` rows ARE distinct (lang, w), so the
+    // per-lang truth is a plain count over them
+    val exact = dist.groupBy(col("lang").as("grp"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val exactAll = dist.select(col("w")).distinct()
       .agg(count(lit(1)).as("exact_distinct"))
       .select(lit("(all)").as("grp"), col("exact_distinct"))
     val maxH = math.pow(2.0, 60) - 1
