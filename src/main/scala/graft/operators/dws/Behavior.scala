@@ -148,11 +148,19 @@ object Behavior {
         sum(round(col("o_totalprice") * 100).cast("bigint"))
           .as("monetary_cents"))
     val anchor = cust.agg(max("last_day").as("anchor")) // 1 row
-    val base = cust.crossJoin(broadcast(anchor))
+    // materialize the customer aggregate ONCE (Scratch, the iterative-
+    // operator contract): the count below plus the three rankings are
+    // five consumers, each of which would otherwise re-run the fact
+    // scan + aggregate
+    val spark = orders.sparkSession
+    val dir = graft.core.Scratch.dir(spark, "spark.graft.rfm.scratch", "rfm")
+    cust.crossJoin(broadcast(anchor))
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_day")).cast("long")
           .as("recency_days"),
         col("freq"), col("monetary_cents"))
+      .write.mode("overwrite").parquet(s"$dir/base")
+    val base = spark.read.parquet(s"$dir/base")
     val n = lit(buckets.toLong)
     // total customer count: one bounded scalar shared by all 3 scores.
     // Bucket arithmetic: quotients are ≤ `buckets`, far inside double

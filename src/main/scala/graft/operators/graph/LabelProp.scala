@@ -65,12 +65,13 @@ object LabelProp {
         .unionAll(lab)
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val best = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("label").asc)
+      // argmax by (count desc, label asc) as ONE hash aggregate:
+      // max of the lexicographic struct (c, −label) — a per-round
+      // row_number window would add a sort the aggregate doesn't need
       votes
-        .withColumn("rk", row_number().over(best))
-        .filter(col("rk") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
         .write.mode("overwrite").parquet(s"$dir/lab-$r")
       lab = spark.read.parquet(s"$dir/lab-$r")
       val now = fp(lab)

@@ -102,20 +102,24 @@ object ItemCf {
       "assocRules: need minCo >= 1, maxBasket >= 2 and topN >= 1")
     val (capped, co, sizes) =
       cappedCounts(lineitem, orders, minCo, maxBasket)
-    // bounded scalar: the capped-customer count (support denominator)
-    val n = capped.select(col("cust")).distinct().count()
+    // the support denominator rides a 1-row broadcast cross join —
+    // a driver-side count() would execute the whole basket pipeline
+    // a second time just to fetch one scalar
+    val nDf = capped.agg(
+      countDistinct(col("cust")).cast("double").as("n_cust"))
     val sym = co.unionAll(
       co.select(col("pb").as("pa"), col("pa").as("pb"), col("co_ct")))
     val coMicros = (col("co_ct") * lit(1000000L)).cast("double")
     val scored = sym
       .join(sizes.select(col("part").as("pa"), col("ct").as("ct_a")), "pa")
       .join(sizes.select(col("part").as("pb"), col("ct").as("ct_b")), "pb")
+      .crossJoin(broadcast(nDf))
       .select(col("pa").as("part_a"), col("pb").as("part_b"),
         col("co_ct"), col("ct_a"), col("ct_b"),
-        round(coMicros / lit(n.toDouble)).cast("bigint").as("supp_micros"),
+        round(coMicros / col("n_cust")).cast("bigint").as("supp_micros"),
         round(coMicros / col("ct_a").cast("double")).cast("bigint")
           .as("conf_micros"),
-        round(coMicros * lit(n.toDouble) /
+        round(coMicros * col("n_cust") /
           (col("ct_a") * col("ct_b")).cast("double")).cast("bigint")
           .as("lift_micros"))
     val best = Window.partitionBy(col("part_a"))
