@@ -160,6 +160,10 @@ object SparkEntry {
     // over the customer aggregate; explicit floor-division buckets
     "b_rfm_segments" -> ((s, d) =>
       graft.operators.dws.Behavior.rfmSegments(Tables.orders(s, d))),
+    // exact global percentiles by distributed rank selection (the
+    // scale-safe alternative to percentile()'s per-group buffering)
+    "q_global_quantiles" -> ((s, d) =>
+      graft.operators.quality.Profile.globalQuantiles(Tables.orders(s, d))),
     // item-item co-purchase cosine (customers-who-bought-X-also-bought):
     // basket-capped pair generation, micro-integer cosine, top-10/item
     "ml_item_cf" -> ((s, d) =>
@@ -4034,6 +4038,23 @@ object SparkEntry {
           |       round(f.l + CAST(7 AS DOUBLE) * f.b, 4) AS fc_7
           |FROM f JOIN n ON n.grp = f.grp AND f.i = n.n_days
           |ORDER BY f.grp""".stripMargin,
+      // exact global percentiles: rank selection over the same total
+      // order; rank arithmetic in double on both sides
+      "q_global_quantiles" ->
+        """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+          |             AS cents, o_orderkey
+          |           FROM orders),
+          |n AS (SELECT count(*) AS n FROM v),
+          |r AS (SELECT cents,
+          |             row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+          |      FROM v),
+          |q AS (SELECT CAST(pct AS BIGINT) AS pct
+          |      FROM (VALUES (50), (90), (99)) t(pct))
+          |SELECT q.pct, r.cents, n.n AS n_rows
+          |FROM q CROSS JOIN n
+          |JOIN r ON r.rn = CAST(ceil(CAST(q.pct * n.n AS DOUBLE)
+          |                           / CAST(100 AS DOUBLE)) AS BIGINT)
+          |ORDER BY pct""".stripMargin,
       // RFM: three global row_numbers (total order via custkey
       // tiebreak) + the engine's explicit floor-of-double-division
       // bucket arithmetic — deliberately NOT NTILE, whose uneven

@@ -104,4 +104,33 @@ object Profile {
         coalesce(col("ct"), lit(0L)).as("ct"))
       .orderBy("bucket")
   }
+
+  /** EXACT global percentiles of the order totals (integer cents) by
+    * rank selection: the pct-th percentile is the row at rank
+    * ⌈pct·n/100⌉ of the (cents, key) total order. Spark's exact
+    * `percentile` aggregate buffers the whole column per group and a
+    * bare `Window.orderBy` runs on ONE task — this instead rides
+    * [[graft.core.Ranking.withGlobalRowNumber]] (range exchange +
+    * parallel per-partition windows), so the only per-task state is a
+    * partition's own rows. n and the target ranks are driver scalars
+    * (⌈·⌉ in double — exact far past any real n). Output: (pct,
+    * cents, n_rows) per requested percentile. */
+  def globalQuantiles(orders: DataFrame,
+                      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "globalQuantiles: pcts must be in 1..100")
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val vals = orders.select(
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+      col("o_orderkey"))
+    val n = vals.count() // bounded scalar
+    val ranks = pcts.map(p => (p.toLong, math.ceil(p * n / 100.0).toLong))
+    val rankDf = ranks.toDF("pct", "rn")
+    graft.core.Ranking.withGlobalRowNumber(vals,
+        Seq(col("cents").asc, col("o_orderkey").asc), "__rn")
+      .join(broadcast(rankDf), col("__rn") === col("rn"))
+      .select(col("pct"), col("cents"), lit(n).as("n_rows"))
+      .orderBy("pct")
+  }
 }

@@ -24,6 +24,18 @@ class RankingSpec extends SparkTestBase {
     assert(desc.maxBy(_._2)._1 == 0 && desc.minBy(_._2)._1 == 999)
   }
 
+  test("global quantiles: rank selection on a known distribution") {
+    import graft.operators.quality.Profile
+    // cents 100..1000: p50 → rank 5 (500), p90 → rank 9 (900),
+    // p99 → rank ceil(9.9)=10 (1000)
+    val orders = (1 to 10).map(i => (i.toLong, i * 1.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Profile.globalQuantiles(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(50L -> ((500L, 10L)), 90L -> ((900L, 10L)),
+      99L -> ((1000L, 10L))), out.toString)
+  }
+
   test("ranking runs on parallel range partitions, not one window task") {
     val df = (0 until 1000).map(i => ((i * 31) % 997, i)).toDF("k", "id")
     val ranked = Ranking.withGlobalRowNumber(df,
