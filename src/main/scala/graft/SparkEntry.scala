@@ -621,6 +621,11 @@ object SparkEntry {
     // BM25 ranked retrieval (Lucene idf variant), query terms broadcast
     "llm_bm25_topk" -> ((s, d) =>
       llm.Retrieval.bm25TopK(Tables.documents(s, d))),
+    // hybrid retrieval: lexical BM25 ⊕ dense cosine fused by
+    // reciprocal rank (integer micros — order-free fused sum)
+    "llm_hybrid_rrf" -> ((s, d) =>
+      llm.Retrieval.hybridRrfTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d))),
     // PMI collocations: integer-count pmi over doc-level co-occurrence
     "llm_pmi_cooccurrence" -> ((s, d) =>
       llm.Retrieval.pmiCooccurrence(Tables.documents(s, d))),
@@ -2937,6 +2942,73 @@ object SparkEntry {
         |                     ORDER BY score DESC, doc_id) AS rank FROM agg)
         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // hybrid RRF: both rankers replayed (BM25 body ≡ llm_bm25_topk
+    // with the RELATIONALLY derived first-8-token queries; cosine body
+    // ≡ llm_ann_bruteforce), fused by the integer-micro 1/(60+rank)
+    "llm_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           w -> w <> '')) AS w
+        |         FROM documents),
+        |qt AS (SELECT doc_id AS query_id, qw FROM (
+        |         SELECT doc_id, unnest(list_slice(list_filter(
+        |           string_split_regex(lower(text), '\s+'),
+        |           w -> w <> ''), 1, 8)) AS qw
+        |         FROM documents WHERE doc_id IN (0,1,2,3,4))
+        |       GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+        |       WHERE w IN (SELECT qw FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE w IN (SELECT qw FROM qt) GROUP BY 1),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) *
+        |               (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 *
+        |                 (CAST(len AS DOUBLE) /
+        |                  (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+        |               6) AS c
+        |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+        |       CROSS JOIN stats JOIN qt ON qt.qw = tf.w),
+        |lexagg AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+        |           FROM contrib WHERE doc_id <> query_id GROUP BY 1, 2),
+        |lexd AS (SELECT query_id, doc_id, lex_rank FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY score DESC, doc_id) AS lex_rank
+        |           FROM lexagg) WHERE lex_rank <= 20),
+        |q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> x::DOUBLE) AS q_emb
+        |      FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(
+        |           list_transform(e.embedding, x -> x::DOUBLE), q_emb), 4)
+        |           AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> query_id),
+        |densed AS (SELECT query_id, doc_id, dense_rank FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_sim DESC, doc_id) AS dense_rank
+        |             FROM scored) WHERE dense_rank <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+        |         CAST(d.dense_rank AS BIGINT) AS dense_rank,
+        |         coalesce(CAST(round(CAST(1000000 AS DOUBLE)
+        |                  / CAST(60 + l.lex_rank AS DOUBLE)) AS BIGINT), 0)
+        |       + coalesce(CAST(round(CAST(1000000 AS DOUBLE)
+        |                  / CAST(60 + d.dense_rank AS DOUBLE)) AS BIGINT), 0)
+        |           AS rrf_micros
+        |  FROM lexd l FULL OUTER JOIN densed d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+        |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_micros,
+        |       CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY rrf_micros DESC, doc_id) AS rank
+        |      FROM fused)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the MG sketch is a superset discoverer; after the exact verify
     // pass the result is literally this aggregate
     "llm_heavy_hitters" ->

@@ -39,12 +39,25 @@ object Retrieval {
                k: Int = 5): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    // BM25 constants (k1=1.2, b=0.75) pre-folded to the exact literal
-    // shapes the oracle uses: tf*(k1+1)=tf*2.2, k1*(1-b+b*r)=1.2*(0.25+0.75r)
     val qTerms = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
     }.toDF("query_id", "qw")
+    bm25Scores(documents, qTerms)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
 
+  /** Un-ranked BM25 score table (query_id, doc_id, score) for an
+    * arbitrary relational query-term set — the kernel [[bm25TopK]]
+    * ranks and [[hybridRrfTopK]] fuses. */
+  private[llm] def bm25Scores(documents: DataFrame,
+                              qTerms: DataFrame): DataFrame = {
+    // BM25 constants (k1=1.2, b=0.75) pre-folded to the exact literal
+    // shapes the oracle uses: tf*(k1+1)=tf*2.2, k1*(1-b+b*r)=1.2*(0.25+0.75r)
     val toks = graft.core.Tables.spread(documents)
       .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
     // doc length over ALL tokens — computed as size(tokens) per row:
@@ -78,11 +91,54 @@ object Retrieval {
 
     contrib.groupBy("query_id", "doc_id")
       .agg(round(sum(col("c")), 4).as("score"))
-      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR '09): a lexical BM25 ranking and a dense
+    * embedding-cosine ranking fused by
+    *   rrf(d) = Σ_rankers round(10⁶ / (60 + rank_r(d)))
+    * — integer micros, so the fused score is an order-free BIGINT sum
+    * a SQL engine replays exactly. The lexical query for doc q is
+    * DERIVED RELATIONALLY (the distinct first-8 tokens of q's own
+    * text), so no driver round-trip touches the corpus and the oracle
+    * rebuilds the very same query set.
+    *
+    * Shape at 100 TB: the two rankers are the existing BM25 aggregate
+    * (query-term semi-filtered) and `Similarity.bruteForceTopK`
+    * (swappable for the IVF/LSH path past brute-force scale); the
+    * fusion is a (query, doc)-keyed full outer join of two ≤
+    * queries×`deep` rank tables — bounded output, one small exchange. */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+                    queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                    k: Int = 10, deep: Int = 20, rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && deep >= k && rrfK >= 1,
+      "hybridRrfTopK: need k >= 1, deep >= k, rrfK >= 1")
+    val qTerms = graft.core.Tables.spread(documents)
+      .filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"),
+        posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "qw")))
+      .filter(col("pos") < 8)
+      .select(col("query_id"), col("qw")).distinct()
+    val lex = bm25Scores(documents, qTerms)
+      .filter(col("doc_id") =!= col("query_id")) // self-match excluded
+      .withColumn("lex_rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= deep)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val dense = Similarity.bruteForceTopK(embeddings, queryIds, deep)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("dense_rank"))
+    def rrf(rank: Column): Column =
+      round(lit(1000000.0) / (lit(rrfK) + rank).cast("double")).cast("bigint")
+    lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        col("rank").cast("int").as("rank"), col("score"))
+        col("lex_rank"), col("dense_rank"),
+        (coalesce(rrf(col("lex_rank")), lit(0L)) +
+          coalesce(rrf(col("dense_rank")), lit(0L))).as("rrf_micros"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micros").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
 

@@ -1466,6 +1466,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.values.forall(_._2 < 1.0))
   }
 
+  test("hybrid rrf: both-lists doc beats either single-list winner") {
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "t", 16L),
+      (1L, "unrelated words here", "en", "t", 20L),
+      (2L, "alpha beta gamma", "en", "t", 16L),
+      (3L, "alpha beta zzz", "en", "t", 14L),
+      (4L, "zeta eta theta", "en", "t", 14L),
+      (5L, "omicron pi rho", "en", "t", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(-1f, 0f), 0), (3L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0f, 1f), 0), (5L, Array(0f, -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Retrieval.hybridRrfTopK(docs, embs, queryIds = Seq(0L))
+      .collect().map(r => (r.getLong(1), r.getLong(4), r.getLong(5)))
+    // lex (exact copy #1, 2-of-3 terms #2): 2, 3. dense (identical
+    // vec #1, near vec #2, zeros by id, negatives last): 1, 3, 4, 5, 2.
+    // fusion: doc3 rides BOTH lists (16129+16129=32258) and beats
+    // doc2 (lex#1 + dense#5 = 16393+15385) and doc1 (dense#1 only)
+    assert(out.map(_._1).toSeq == Seq(3L, 2L, 1L, 4L, 5L), out.toSeq)
+    assert(out.head._2 == 32258L && out.head._3 == 1L, out.head.toString)
+    // micros are the documented 1/(60+rank) roundings
+    assert(out.map(_._2).toSeq == Seq(32258L, 31778L, 16393L,
+      15873L, 15625L), out.toSeq)
+  }
+
   test("cms: width-1 degenerates to the total; wide grid stays >= exact") {
     // shingles: doc1 {"a1 b2 c3","b2 c3 d4"}, doc2 {"b2 c3 d4","c3 d4 e5"}
     // → doc-frequency counts 1, 2, 1 (per-doc distinct)
