@@ -40,7 +40,10 @@ object ItemCf {
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
     // cap mega-baskets BEFORE the quadratic step; the capped set is
-    // the similarity universe (sizes and co-counts agree on it)
+    // the similarity universe (sizes and co-counts agree on it).
+    // Deliberately NOT scratch-materialized: its consumers all share
+    // the distinct's shuffle via AQE exchange reuse inside one query,
+    // and a parquet round-trip measured SLOWER at sf0.1 (4.0 → 5.4 s)
     val capped = baskets
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("cust")))
       .filter(col("bsz") <= maxBasket)
