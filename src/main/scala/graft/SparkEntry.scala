@@ -207,6 +207,15 @@ object SparkEntry {
     // Naive Bayes argmax scoring — integer micro-log sums, order-free
     "ml_nb_predict" -> ((s, d) =>
       graft.operators.ml.NaiveBayes.predictLang(Tables.documents(s, d))),
+    // classifier evaluation: (true, pred) confusion matrix with
+    // per-class floored-micro precision/recall/F1 — one corpus-sized
+    // aggregate, label-sized everything after
+    "ml_eval_confusion" -> ((s, d) =>
+      graft.operators.ml.Evaluation.nbConfusion(Tables.documents(s, d))),
+    // exact one-vs-rest ROC-AUC by the Mann–Whitney rank statistic —
+    // integer pair counts (U2 = 2·U keeps tie half-credit integral)
+    "ml_eval_auc" -> ((s, d) =>
+      graft.operators.ml.Evaluation.nbAuc(Tables.documents(s, d))),
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
@@ -291,6 +300,11 @@ object SparkEntry {
     // projection, materialized rounds
     "g_labelprop_communities" -> ((s, d) =>
       graft.operators.graph.LabelProp.copurchaseCommunities(
+        Tables.lineitem(s, d))),
+    // link prediction: Adamic–Adar top-20 over the support-filtered
+    // co-purchase graph (micro-int 1/ln(deg) weights, hub-capped)
+    "g_adamic_adar" -> ((s, d) =>
+      graft.operators.graph.LinkPrediction.copurchaseAdamicAdar(
         Tables.lineitem(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
@@ -716,6 +730,43 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The NB scoring CTE chain (toks → … → sc: per-(doc, class) micro
+    * score sums) shared verbatim by `ml_nb_predict` and the two
+    * evaluation oracles built on its output. */
+  private val nbScoreCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(list_filter(
+      |           string_split_regex(lower(text), '\s+'),
+      |           t -> t <> '')) AS w
+      |  FROM documents),
+      |v AS (SELECT count(DISTINCT w) AS v FROM toks),
+      |tokc AS (SELECT lang, count(*) AS tok_c FROM toks GROUP BY 1),
+      |info AS (
+      |  SELECT cls.lang,
+      |         CAST(round(ln(CAST(docs_c AS DOUBLE) / docs_n) * 1e6)
+      |              AS BIGINT) AS prior_micro,
+      |         CAST(round(ln(CAST(1.0 AS DOUBLE) / (tok_c + v)) * 1e6)
+      |              AS BIGINT) AS default_micro
+      |  FROM (SELECT lang, count(*) AS docs_c FROM documents
+      |        GROUP BY 1) cls
+      |  CROSS JOIN (SELECT count(*) AS docs_n FROM documents) n
+      |  JOIN tokc USING (lang) CROSS JOIN v),
+      |model AS (
+      |  SELECT c.lang, c.w,
+      |         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tok_c + v)) * 1e6)
+      |              AS BIGINT) AS logp_micro
+      |  FROM (SELECT lang, w, count(*) AS ct FROM toks GROUP BY 1, 2) c
+      |  JOIN tokc USING (lang) CROSS JOIN v),
+      |sc AS (
+      |  SELECT t.doc_id, i.lang,
+      |         i.prior_micro +
+      |           CAST(sum(coalesce(m.logp_micro, i.default_micro))
+      |                AS BIGINT) AS score_micro
+      |  FROM (SELECT doc_id, w FROM toks) t
+      |  CROSS JOIN info i
+      |  LEFT JOIN model m ON m.lang = i.lang AND m.w = t.w
+      |  GROUP BY t.doc_id, i.lang, i.prior_micro)""".stripMargin
+
   /** Shared by `llm_decontaminate` and its Bloom-prescreened twin —
     * the two plans produce bit-identical results by construction. */
   private val decontaminateSql: String =
@@ -3660,6 +3711,44 @@ object SparkEntry {
     Map("g_sssp_copurchase" -> ssspOracleSql(rounds = 6)) ++
     // LPA communities: 4 unrolled majority-vote rounds
     Map("g_labelprop_communities" -> labelPropOracleSql(rounds = 4)) ++
+    // Adamic–Adar link prediction on the support-≥2 co-purchase graph:
+    // integer micro weights round(1e6/ln(deg)), hub cap replayed
+    Map("g_adamic_adar" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT o1.p AS a, o2.p AS b, count(*) AS n
+        |    FROM op o1 JOIN op o2
+        |      ON o1.o = o2.o AND o1.p < o2.p
+        |    GROUP BY 1, 2)
+        |  WHERE n >= 2),
+        |sym AS (SELECT a AS s, b AS d FROM e
+        |        UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT s AS z, count(*) AS dg FROM sym GROUP BY 1),
+        |ctr AS (
+        |  SELECT sym.s AS z, sym.d,
+        |         CAST(round(1e6 / ln(CAST(dg AS DOUBLE))) AS BIGINT)
+        |           AS w_micro
+        |  FROM sym JOIN deg ON deg.z = sym.s
+        |  WHERE dg BETWEEN 2 AND 1024),
+        |wed AS (
+        |  SELECT c1.z, c1.d AS na, c2.d AS nb, c1.w_micro
+        |  FROM ctr c1 JOIN ctr c2
+        |    ON c1.z = c2.z AND c1.d < c2.d),
+        |cand AS (
+        |  SELECT * FROM wed
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |                    WHERE e.a = wed.na AND e.b = wed.nb)),
+        |scr AS (
+        |  SELECT na AS a, nb AS b, count(*) AS cn,
+        |         CAST(sum(w_micro) AS BIGINT) AS aa_micro
+        |  FROM cand GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (
+        |         ORDER BY aa_micro DESC, a, b) AS rank FROM scr)
+        |SELECT a, b, cn, aa_micro, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin) ++
     // triangle counting: the oracle is the orientation-free three-way
     // self-join over id-ordered edges (a<b<c counts each triangle
     // once); the engine's degree orientation must agree exactly
@@ -3818,44 +3907,82 @@ object SparkEntry {
           |FROM t CROSS JOIN v ORDER BY lang, w""".stripMargin,
       // integer micro-log score sums; class default via coalesce for
       // out-of-class-vocabulary tokens; argmax ties break on lang
-      "ml_nb_predict" ->
-        """WITH toks AS (
-          |  SELECT doc_id, lang, unnest(list_filter(
-          |           string_split_regex(lower(text), '\s+'),
-          |           t -> t <> '')) AS w
-          |  FROM documents),
-          |v AS (SELECT count(DISTINCT w) AS v FROM toks),
-          |tokc AS (SELECT lang, count(*) AS tok_c FROM toks GROUP BY 1),
-          |info AS (
-          |  SELECT cls.lang,
-          |         CAST(round(ln(CAST(docs_c AS DOUBLE) / docs_n) * 1e6)
-          |              AS BIGINT) AS prior_micro,
-          |         CAST(round(ln(CAST(1.0 AS DOUBLE) / (tok_c + v)) * 1e6)
-          |              AS BIGINT) AS default_micro
-          |  FROM (SELECT lang, count(*) AS docs_c FROM documents
-          |        GROUP BY 1) cls
-          |  CROSS JOIN (SELECT count(*) AS docs_n FROM documents) n
-          |  JOIN tokc USING (lang) CROSS JOIN v),
-          |model AS (
-          |  SELECT c.lang, c.w,
-          |         CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tok_c + v)) * 1e6)
-          |              AS BIGINT) AS logp_micro
-          |  FROM (SELECT lang, w, count(*) AS ct FROM toks GROUP BY 1, 2) c
-          |  JOIN tokc USING (lang) CROSS JOIN v),
-          |sc AS (
-          |  SELECT t.doc_id, i.lang,
-          |         i.prior_micro +
-          |           CAST(sum(coalesce(m.logp_micro, i.default_micro))
-          |                AS BIGINT) AS score_micro
-          |  FROM (SELECT doc_id, w FROM toks) t
-          |  CROSS JOIN info i
-          |  LEFT JOIN model m ON m.lang = i.lang AND m.w = t.w
-          |  GROUP BY t.doc_id, i.lang, i.prior_micro)
+      "ml_nb_predict" -> (nbScoreCte +
+        """
           |SELECT doc_id, lang AS pred_lang, score_micro
           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
           |                ORDER BY score_micro DESC, lang) AS rn
           |      FROM sc)
-          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      // confusion matrix from the NB argmax; ratios are floored micros
+      // (floor of an IEEE double quotient of exact ints — both engines
+      // produce the identical correctly-rounded double, then the
+      // identical floor, so the compare is still bit-exact)
+      "ml_eval_confusion" -> (nbScoreCte +
+        """,
+          |pred AS (
+          |  SELECT doc_id, lang AS pred_lang
+          |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |                  ORDER BY score_micro DESC, lang) AS rn
+          |        FROM sc)
+          |  WHERE rn = 1),
+          |m AS (SELECT d.lang, p.pred_lang, count(*) AS n
+          |      FROM documents d JOIN pred p USING (doc_id)
+          |      GROUP BY 1, 2),
+          |bt AS (SELECT lang,
+          |         CAST(sum(CASE WHEN pred_lang = lang THEN n
+          |                       ELSE 0 END) AS BIGINT) AS tp,
+          |         CAST(sum(CASE WHEN pred_lang <> lang THEN n
+          |                       ELSE 0 END) AS BIGINT) AS fn,
+          |         CAST(sum(n) AS BIGINT) AS support
+          |       FROM m GROUP BY 1),
+          |bp AS (SELECT pred_lang AS lang,
+          |         CAST(sum(CASE WHEN pred_lang <> lang THEN n
+          |                       ELSE 0 END) AS BIGINT) AS fp
+          |       FROM m GROUP BY 1),
+          |pr AS (
+          |  SELECT bt.lang, tp, coalesce(fp, CAST(0 AS BIGINT)) AS fp,
+          |         fn, support,
+          |         CAST(floor(1000000 * tp /
+          |                    nullif(tp + coalesce(fp, 0), 0))
+          |              AS BIGINT) AS prec_micro,
+          |         CAST(floor(1000000 * tp / nullif(tp + fn, 0))
+          |              AS BIGINT) AS rec_micro
+          |  FROM bt LEFT JOIN bp USING (lang))
+          |SELECT lang, tp, fp, fn, support, prec_micro, rec_micro,
+          |       CAST(floor(2 * prec_micro * rec_micro /
+          |                  nullif(prec_micro + rec_micro, 0))
+          |            AS BIGINT) AS f1_micro
+          |FROM pr ORDER BY lang""".stripMargin),
+      // exact one-vs-rest AUC by Mann–Whitney rank counting on the
+      // score-sized frame; U2 = 2U keeps tie half-credit integral
+      "ml_eval_auc" -> (nbScoreCte +
+        """,
+          |lab AS (
+          |  SELECT s.score_micro,
+          |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos
+          |  FROM (SELECT doc_id, score_micro FROM sc
+          |        WHERE lang = 'en') s
+          |  JOIN documents d USING (doc_id)),
+          |grp AS (SELECT score_micro,
+          |               CAST(sum(is_pos) AS BIGINT) AS pos,
+          |               CAST(sum(1 - is_pos) AS BIGINT) AS neg
+          |        FROM lab GROUP BY 1),
+          |cum AS (SELECT *,
+          |          CAST(sum(neg) OVER (ORDER BY score_micro
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING
+          |                 AND CURRENT ROW) - neg AS BIGINT)
+          |            AS cum_neg_below
+          |        FROM grp)
+          |SELECT CAST(sum(pos) AS BIGINT) AS p_count,
+          |       CAST(sum(neg) AS BIGINT) AS n_count,
+          |       CAST(sum(2 * pos * cum_neg_below + pos * neg)
+          |            AS BIGINT) AS u2,
+          |       CAST(floor(1000000 *
+          |              sum(2 * pos * cum_neg_below + pos * neg) /
+          |              nullif(2 * sum(pos) * sum(neg), 0))
+          |            AS BIGINT) AS auc_micro
+          |FROM cum""".stripMargin),
       // quantile_cont == Spark's exact interpolated percentile; the
       // outlier threshold uses the UNROUNDED mad on both sides
       "q_robust_stats" ->

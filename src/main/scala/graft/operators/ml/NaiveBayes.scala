@@ -61,6 +61,26 @@ object NaiveBayes {
     * on the same corpus — the demonstration contract; a held-out
     * corpus plugs into `docs` vs `train` separately. */
   def predictLang(docs: DataFrame): DataFrame = {
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("lang"))
+    scoreAll(docs).withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        col("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-(doc, class) scores for ONE class — the ranking statistic
+    * for one-vs-rest evaluation ([[Evaluation.nbAuc]]). The class
+    * filter sits on the broadcast `info` side, so Catalyst prunes the
+    * per-class fanout before the scoring aggregate ever sees it. */
+  def scoreClass(docs: DataFrame, cls: String): DataFrame =
+    scoreAll(docs).filter(col("lang") === cls)
+      .select(col("doc_id"), col("score_micro"))
+
+  /** The full (doc, class, score_micro) frame before the argmax. */
+  private def scoreAll(docs: DataFrame): DataFrame = {
     val model = modelFrom(pairCounts(docs))
     // class frame: priors from a pruned doc-count scan; the smoothed
     // default and totals ride the model frame (no corpus rescan)
@@ -75,7 +95,7 @@ object NaiveBayes {
           .cast("bigint").as("prior_micro"),
         round(log(lit(1.0) / (col("tok_c") + col("v"))) * 1e6)
           .cast("bigint").as("default_micro"))
-    val scored = toks(docs).select(col("doc_id"), col("w"))
+    toks(docs).select(col("doc_id"), col("w"))
       .crossJoin(broadcast(info))
       .join(broadcast(model.select(col("lang"), col("w"),
         col("logp_micro"))), Seq("lang", "w"), "left")
@@ -84,13 +104,5 @@ object NaiveBayes {
         .as("tok_micro"))
       .select(col("doc_id"), col("lang"),
         (col("prior_micro") + col("tok_micro")).as("score_micro"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("score_micro").desc, col("lang"))
-    scored.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"),
-        col("score_micro"))
-      .orderBy("doc_id")
   }
 }

@@ -175,4 +175,30 @@ class GraphSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L), out.toString)
   }
+
+  test("adamic-adar: path graph predicts the closing link; a full " +
+      "triangle leaves no candidates") {
+    import graft.operators.graph.LinkPrediction
+    import spark.implicits._
+    // support-2 edges 1-2 (orders 10,11) and 2-3 (orders 12,13);
+    // order 20 holds a one-off 1,3 co-purchase that must be pruned
+    // by minSupport before any wedge work
+    val path = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L),
+      (20L, 1L), (20L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = LinkPrediction.copurchaseAdamicAdar(path).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    // center z=2 has deg 2: w = round(1e6/ln 2) = 1442695
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getInt(4)) == ((1L, 3L, 1L, 1442695L, 1)))
+
+    // close the triangle with support 2 -> every wedge pair is an
+    // existing edge, so link prediction returns nothing
+    val tri = path.unionAll(Seq((21L, 1L), (21L, 3L))
+      .toDF("l_orderkey", "l_partkey"))
+    assert(LinkPrediction.copurchaseAdamicAdar(tri).isEmpty)
+  }
 }

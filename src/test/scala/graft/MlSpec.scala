@@ -83,4 +83,57 @@ class MlSpec extends SparkTestBase {
     assert(rules((101L, 100L)) == ((666667L, 1000000L, 1000000L)),
       rules((101L, 100L)).toString)
   }
+
+  test("eval confusion: matrix matches an independent recount; clean " +
+      "separation is diagonal with unit micro P/R/F1") {
+    import graft.operators.ml.Evaluation
+    val corpus = Seq(
+      (1L, "x x y", "A"), (2L, "x y y", "A"),
+      (3L, "z z w", "B"), (4L, "z w w", "B")
+    ).toDF("doc_id", "text", "lang")
+    val out = Evaluation.nbConfusion(corpus)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // independent recount from the argmax itself
+    val pred = NaiveBayes.predictLang(corpus)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    val truth = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")
+    for (c <- Seq("A", "B")) {
+      val tp = truth.count { case (d, t) => t == c && pred(d) == c }
+      val fn = truth.count { case (d, t) => t == c && pred(d) != c }
+      val fp = truth.count { case (d, t) => t != c && pred(d) == c }
+      assert(out(c)._1 == tp && out(c)._2 == fp && out(c)._3 == fn,
+        s"$c: ${out(c)}")
+    }
+    // the corpus separates cleanly, so the matrix is diagonal
+    assert(out("A") == ((2L, 0L, 0L, 2L, 1000000L, 1000000L, 1000000L)))
+    assert(out("B") == ((2L, 0L, 0L, 2L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("eval auc: U2 matches brute-force pair counting; separation " +
+      "gives exactly 1e6 micros") {
+    import graft.operators.ml.Evaluation
+    val corpus = Seq(
+      (1L, "x x y", "en"), (2L, "x y y", "en"),
+      (3L, "z z w", "de"), (4L, "z w w", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val row = Evaluation.nbAuc(corpus, posClass = "en").head()
+    val (p, n, u2, auc) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(p == 2 && n == 2)
+    // brute-force: every (pos, neg) score pair, 2 credits per win,
+    // 1 per tie — recomputed from the scoring frame itself
+    val sc = NaiveBayes.scoreClass(corpus, "en")
+      .as[(Long, Long)].collect().toMap
+    val truth = Map(1L -> true, 2L -> true, 3L -> false, 4L -> false)
+    val expU2 = (for {
+      (dp, tp) <- truth if tp; (dn, tn) <- truth if !tn
+    } yield {
+      if (sc(dp) > sc(dn)) 2L else if (sc(dp) == sc(dn)) 1L else 0L
+    }).sum
+    assert(u2 == expU2, s"u2=$u2 brute=$expU2")
+    // the en-docs share tokens only with each other -> full separation
+    assert(auc == 1000000L, s"auc_micro=$auc")
+  }
 }
