@@ -306,6 +306,11 @@ object SparkEntry {
     "g_adamic_adar" -> ((s, d) =>
       graft.operators.graph.LinkPrediction.copurchaseAdamicAdar(
         Tables.lineitem(s, d))),
+    // HITS hubs (customers) and authorities (parts): integer-micro
+    // mutual recursion, max-normalized by BIGINT div each half-round
+    "g_hits_copurchase" -> ((s, d) =>
+      graft.operators.graph.Hits.copurchaseHits(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
     "q_profile_orders" -> ((s, d) =>
@@ -640,6 +645,10 @@ object SparkEntry {
     "llm_hybrid_rrf" -> ((s, d) =>
       llm.Retrieval.hybridRrfTopK(
         Tables.documents(s, d), Tables.embeddings(s, d))),
+    // ranking-quality metrics: graded-relevance nDCG@5 + first-full-
+    // hit reciprocal rank over the BM25 ranking, integer discounts
+    "llm_retrieval_ndcg" -> ((s, d) =>
+      llm.Retrieval.bm25RankingMetrics(Tables.documents(s, d))),
     // PMI collocations: integer-count pmi over doc-level co-occurrence
     "llm_pmi_cooccurrence" -> ((s, d) =>
       llm.Retrieval.pmiCooccurrence(Tables.documents(s, d))),
@@ -667,6 +676,10 @@ object SparkEntry {
     // pinned bit-exact to DuckDB's rapidfuzz
     "llm_jaro_winkler" -> ((s, d) =>
       llm.FuzzyJoin.partNameJaroWinkler(Tables.part(s, d))),
+    // sorted-neighborhood near-dup blocking: bucket-partitioned
+    // sliding window over the normalized sort key, JW verify
+    "llm_dedup_snm" -> ((s, d) =>
+      llm.DedupOps.snmNearDups(Tables.documents(s, d))),
     // entity-resolution capstone: fuzzy pairs → min-label clusters →
     // lexicographic-min canonical + cluster size
     "llm_entity_resolution" -> ((s, d) =>
@@ -766,6 +779,38 @@ object SparkEntry {
       |  CROSS JOIN info i
       |  LEFT JOIN model m ON m.lang = i.lang AND m.w = t.w
       |  GROUP BY t.doc_id, i.lang, i.prior_micro)""".stripMargin
+
+  /** The BM25 CTE chain (q → toks → … → ranked) shared by
+    * `llm_bm25_topk` and the nDCG metrics oracle built on it. */
+  private val bm25RankedCte: String =
+    """WITH q(query_id, qw) AS (
+      |  VALUES (0,'spark'),(0,'fast'),(0,'hash'),
+      |         (1,'window'),(1,'sort'),(1,'table'),
+      |         (2,'slow'),(2,'batch'),(2,'merge')),
+      |toks AS (SELECT doc_id, unnest(list_filter(
+      |           string_split_regex(lower(text), '\s+'),
+      |           w -> w <> '')) AS w
+      |         FROM documents),
+      |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+      |       WHERE w IN (SELECT qw FROM q) GROUP BY 1, 2),
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+      |       WHERE w IN (SELECT qw FROM q) GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) *
+      |               (tf * 2.2) /
+      |               (tf + 1.2 * (0.25 + 0.75 *
+      |                 (CAST(len AS DOUBLE) /
+      |                  (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+      |               6) AS c
+      |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
+      |       CROSS JOIN stats JOIN q ON q.qw = tf.w),
+      |agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+      |        FROM contrib GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |                     ORDER BY score DESC, doc_id) AS rank FROM agg)""".stripMargin
 
   /** Shared by `llm_decontaminate` and its Bloom-prescreened twin —
     * the two plans produce bit-identical results by construction. */
@@ -2962,37 +3007,52 @@ object SparkEntry {
     "llm_ann_sq8" -> sq8OracleSql,
     // BM25 (Lucene 1+ idf variant), k1=1.2 b=0.75 pre-folded to the
     // same literal shapes; idf 6 dp, per-term 6 dp, score 4 dp
-    "llm_bm25_topk" ->
-      """WITH q(query_id, qw) AS (
-        |  VALUES (0,'spark'),(0,'fast'),(0,'hash'),
-        |         (1,'window'),(1,'sort'),(1,'table'),
-        |         (2,'slow'),(2,'batch'),(2,'merge')),
-        |toks AS (SELECT doc_id, unnest(list_filter(
-        |           string_split_regex(lower(text), '\s+'),
-        |           w -> w <> '')) AS w
-        |         FROM documents),
-        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM lens),
-        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-        |       WHERE w IN (SELECT qw FROM q) GROUP BY 1, 2),
-        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
-        |       WHERE w IN (SELECT qw FROM q) GROUP BY 1),
-        |contrib AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         round(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) *
-        |               (tf * 2.2) /
-        |               (tf + 1.2 * (0.25 + 0.75 *
-        |                 (CAST(len AS DOUBLE) /
-        |                  (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
-        |               6) AS c
-        |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id)
-        |       CROSS JOIN stats JOIN q ON q.qw = tf.w),
-        |agg AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
-        |        FROM contrib GROUP BY 1, 2),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |                     ORDER BY score DESC, doc_id) AS rank FROM agg)
+    "llm_bm25_topk" -> (bm25RankedCte +
+      """
         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+    // nDCG@5 + first-full-hit RR on the BM25 ranking: relevance =
+    // distinct query terms present; discounts rounded to micros
+    // BEFORE the products so both aggregates are integer-exact
+    "llm_retrieval_ndcg" -> (bm25RankedCte +
+      """,
+        |rel AS (
+        |  SELECT query_id, doc_id,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS rel
+        |  FROM (SELECT DISTINCT t.doc_id, q.query_id, t.w
+        |        FROM toks t JOIN q ON q.qw = t.w)
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+        |dcg AS (
+        |  SELECT r.query_id,
+        |         CAST(sum(rel * CAST(round(1e6 /
+        |           log2(CAST(rank AS DOUBLE) + 1)) AS BIGINT))
+        |           AS BIGINT) AS dcg_micro
+        |  FROM ranked r JOIN rel USING (query_id, doc_id)
+        |  WHERE rank <= 5 GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |         CAST(sum(rel * CAST(round(1e6 /
+        |           log2(CAST(irank AS DOUBLE) + 1)) AS BIGINT))
+        |           AS BIGINT) AS idcg_micro
+        |  FROM (SELECT query_id, rel, doc_id,
+        |               row_number() OVER (PARTITION BY query_id
+        |                 ORDER BY rel DESC, doc_id) AS irank
+        |        FROM rel)
+        |  WHERE irank <= 5 GROUP BY 1),
+        |ff AS (
+        |  SELECT r.query_id, min(rank) AS first_full
+        |  FROM ranked r JOIN rel USING (query_id, doc_id)
+        |       JOIN nt USING (query_id)
+        |  WHERE rank <= 5 AND rel = n_terms GROUP BY 1)
+        |SELECT d.query_id, dcg_micro, idcg_micro,
+        |       CAST(floor(1000000 * dcg_micro / nullif(idcg_micro, 0))
+        |            AS BIGINT) AS ndcg_micro,
+        |       coalesce(CAST(round(1e6 / first_full) AS BIGINT),
+        |                CAST(0 AS BIGINT)) AS rr_full_micro
+        |FROM dcg d JOIN ideal USING (query_id)
+        |     LEFT JOIN ff USING (query_id)
+        |ORDER BY d.query_id""".stripMargin),
     // hybrid RRF: both rankers replayed (BM25 body ≡ llm_bm25_topk
     // with the RELATIONALLY derived first-8-token queries; cosine body
     // ≡ llm_ann_bruteforce), fused by the integer-micro 1/(60+rank)
@@ -3205,6 +3265,41 @@ object SparkEntry {
         |   AND a.name < b.name)
         |WHERE jw_micros >= 800000
         |ORDER BY name_a, name_b""".stripMargin,
+    // sorted-neighborhood blocking: bucket-partitioned lead() windows
+    // over the normalized 64-char key, JW verify in integer micros
+    "llm_dedup_snm" ->
+      """WITH k0 AS (
+        |  SELECT doc_id,
+        |         substr(regexp_replace(lower(text),
+        |           '[^a-z0-9]', '', 'g'), 1, 64) AS k
+        |  FROM documents),
+        |k1 AS (SELECT doc_id, k, substr(k, 1, 2) AS bucket
+        |       FROM k0 WHERE length(k) > 0),
+        |l AS (
+        |  SELECT doc_id, k,
+        |         lead(doc_id, 1) OVER w AS nd_1, lead(k, 1) OVER w AS nk_1,
+        |         lead(doc_id, 2) OVER w AS nd_2, lead(k, 2) OVER w AS nk_2,
+        |         lead(doc_id, 3) OVER w AS nd_3, lead(k, 3) OVER w AS nk_3
+        |  FROM k1
+        |  WINDOW w AS (PARTITION BY bucket ORDER BY k, doc_id)),
+        |p AS (
+        |  SELECT doc_id AS doc_a, nd_1 AS doc_b,
+        |         CAST(round(jaro_winkler_similarity(k, nk_1) * 1000000)
+        |              AS BIGINT) AS jw_micros
+        |  FROM l WHERE nd_1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nd_2,
+        |         CAST(round(jaro_winkler_similarity(k, nk_2) * 1000000)
+        |              AS BIGINT)
+        |  FROM l WHERE nd_2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, nd_3,
+        |         CAST(round(jaro_winkler_similarity(k, nk_3) * 1000000)
+        |              AS BIGINT)
+        |  FROM l WHERE nd_3 IS NOT NULL)
+        |SELECT doc_a, doc_b, jw_micros FROM p
+        |WHERE jw_micros >= 900000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // pairs replayed exactly (the fuzzy-join oracle), components by
     // recursive reachability with UNION dedup, canonical = least
     // reachable name (incl. self), singletons ride the left join
@@ -3709,6 +3804,8 @@ object SparkEntry {
     Map("g_kcore_copurchase" -> kCoreOracleSql(k = 64, rounds = 8)) ++
     // weighted SSSP: 6 unrolled Bellman-Ford rounds, BIGINT distances
     Map("g_sssp_copurchase" -> ssspOracleSql(rounds = 6)) ++
+    // HITS: 4 unrolled integer-micro rounds, max-div normalization
+    Map("g_hits_copurchase" -> hitsOracleSql(rounds = 4)) ++
     // LPA communities: 4 unrolled majority-vote rounds
     Map("g_labelprop_communities" -> labelPropOracleSql(rounds = 4)) ++
     // Adamic–Adar link prediction on the support-≥2 co-purchase graph:
@@ -4477,6 +4574,50 @@ object SparkEntry {
     * the engine's join + unionAll + min aggregate; the engine's
     * fixpoint early-exit is oracle-safe because distances only
     * decrease, so converged trailing rounds are no-ops. */
+  /** HITS rounds unrolled as MATERIALIZED CTEs — per round, the two
+    * keyed sums and the two max-renormalizations in BIGINT floor
+    * division (values nonnegative, so DuckDB's `//` agrees with the
+    * engine's `div`). Early exit is oracle-safe: the engine only
+    * exits on EXACT hub-table equality, which makes every later
+    * round a self-reproduction. */
+  private def hitsOracleSql(rounds: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score
+        |  FROM e)""".stripMargin
+    val rounds_ = (1 to rounds).map { i =>
+      s""",
+         |a${i}r AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS raw
+         |  FROM h${i - 1} h JOIN e ON e.src = h.node GROUP BY 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, (raw * 1000000) //
+         |    nullif((SELECT max(raw) FROM a${i}r), 0) AS score
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS raw
+         |  FROM a$i a JOIN e ON e.dst = a.node GROUP BY 1),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, (raw * 1000000) //
+         |    nullif((SELECT max(raw) FROM h${i}r), 0) AS score
+         |  FROM h${i}r)""".stripMargin
+    }.mkString
+    base + rounds_ +
+      s"""
+         |SELECT node, kind, score_micro, CAST(rank AS INT) AS rank
+         |FROM (SELECT node, kind, score_micro,
+         |             row_number() OVER (PARTITION BY kind
+         |               ORDER BY score_micro DESC, node) AS rank
+         |      FROM (SELECT node, 'hub' AS kind, score AS score_micro
+         |            FROM h$rounds
+         |            UNION ALL
+         |            SELECT node, 'auth', score FROM a$rounds))
+         |WHERE rank <= 20 ORDER BY kind, rank""".stripMargin
+  }
+
   private def ssspOracleSql(rounds: Int): String = {
     val base =
       """WITH w0 AS MATERIALIZED (

@@ -550,4 +550,43 @@ object DedupOps {
     documents.select("doc_id", "text", "lang", "source", "n_chars")
       .unionByName(mutated)
   }
+
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995,
+    * "The merge/purge problem"): sort on a normalized key, compare
+    * each record only to its `w−1` successors in sort order, verify
+    * the survivors with Jaro–Winkler in integer micros. Distributed
+    * contract: the sliding window is PARTITIONED by the key's 2-char
+    * bucket — windows never cross buckets, so no global single-
+    * partition sort exists at any scale; a near-pair whose normalized
+    * prefixes diverge in the first two characters is out of scope by
+    * construction (the standard distributed-SNM trade, and the oracle
+    * replays the identical bucketing). The comparison string is the
+    * normalized text capped at 64 chars, so the verify cost is
+    * per-pair constant. */
+  def snmNearDups(documents: DataFrame, w: Int = 4,
+                  minMicros: Long = 900000L): DataFrame = {
+    require(w >= 2, "snmNearDups: need window >= 2")
+    val norm = substring(regexp_replace(lower(col("text")),
+      "[^a-z0-9]", ""), 1, 64)
+    val keyed = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), norm.as("k"))
+      .filter(length(col("k")) > 0)
+      .withColumn("bucket", substring(col("k"), 1, 2))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+    val leadCols = (1 until w).map(o =>
+      lead(col("doc_id"), o).over(win).as(s"nd_$o")) ++
+      (1 until w).map(o => lead(col("k"), o).over(win).as(s"nk_$o"))
+    val withLeads = keyed.select(
+      (Seq(col("doc_id"), col("k"), col("bucket")) ++ leadCols): _*)
+    val pairs = (1 until w).map { o =>
+      withLeads.filter(col(s"nd_$o").isNotNull)
+        .select(col("doc_id").as("doc_a"), col(s"nd_$o").as("doc_b"),
+          round(graft.functions.TextExprs
+            .jaro_winkler(col("k"), col(s"nk_$o")) * 1000000)
+            .cast("bigint").as("jw_micros"))
+    }.reduce(_ unionAll _)
+    pairs.filter(col("jw_micros") >= minMicros)
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -223,4 +223,61 @@ object Retrieval {
               (col("c1") + col("v")).cast("double"), 6).as("prob"))
       .orderBy("w1", "w2")
   }
+
+  /** Ranking-quality metrics for the BM25 ranking (Järvelin &
+    * Kekäläinen 2002 for nDCG): graded relevance rel(q, d) = number
+    * of distinct query terms present in d, DCG@k with micro-int log2
+    * discounts round(1e6/log2(rank+1)), IDCG from the ideal
+    * reordering of the SAME relevance table, nDCG as their floored
+    * micro ratio, and the reciprocal rank of the first FULLY relevant
+    * hit (all query terms present; 0 when none ranks). Every discount
+    * is rounded to BIGINT before the products and sums, so both
+    * aggregates are order-free integer arithmetic.
+    *
+    * Shape at 100 TB: relevance is the term-filtered (query, doc)
+    * frame the BM25 aggregate already bounds; the ideal ranking
+    * windows partition per query. Nothing corpus-sized flows past the
+    * token semi-join. */
+  def bm25RankingMetrics(documents: DataFrame,
+                         queries: Seq[(Int, String)] = defaultQueries,
+                         k: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }.toDF("query_id", "qw")
+    val nTerms = qTerms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val toks = graft.core.Tables.spread(documents)
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+    val rel = toks.join(broadcast(qTerms), col("w") === col("qw"))
+      .select("query_id", "doc_id", "qw").distinct()
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    def disc(rank: Column): Column =
+      round(lit(1e6) / log2(rank.cast("double") + 1)).cast("bigint")
+    val ranked = bm25TopK(documents, queries, k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dcg = ranked.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(sum(col("rel") * disc(col("rank"))).as("dcg_micro"))
+    val ideal = rel.withColumn("irank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("rel") * disc(col("irank"))).as("idcg_micro"))
+    val firstFull = ranked.join(rel, Seq("query_id", "doc_id"))
+      .join(broadcast(nTerms), "query_id")
+      .filter(col("rel") === col("n_terms"))
+      .groupBy("query_id").agg(min("rank").as("first_full"))
+    dcg.join(ideal, "query_id")
+      .join(firstFull, Seq("query_id"), "left")
+      .select(col("query_id"), col("dcg_micro"), col("idcg_micro"),
+        floor(lit(1000000L) * col("dcg_micro") /
+          nullif(col("idcg_micro"), lit(0L)))
+          .cast("bigint").as("ndcg_micro"),
+        coalesce(round(lit(1e6) / col("first_full")).cast("bigint"),
+          lit(0L)).as("rr_full_micro"))
+      .orderBy("query_id")
+  }
 }

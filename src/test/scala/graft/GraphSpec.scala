@@ -201,4 +201,44 @@ class GraphSpec extends SparkTestBase {
       .toDF("l_orderkey", "l_partkey"))
     assert(LinkPrediction.copurchaseAdamicAdar(tri).isEmpty)
   }
+
+  test("hits: integer-micro rounds match a plain-Scala model; a " +
+      "symmetric graph hits the exact-equality early exit") {
+    import graft.operators.graph.Hits
+    import spark.implicits._
+    // c1 buys p1,p2; c2 buys p1 — asymmetric, so scores keep moving
+    val li = Seq((10L, 100L), (10L, 101L), (11L, 100L))
+      .toDF("l_orderkey", "l_partkey")
+    val ord = Seq((10L, 1L), (11L, 2L)).toDF("o_orderkey", "o_custkey")
+    val out = Hits.copurchaseHits(li, ord, rounds = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    // the same recursion in plain Scala Longs (floor div on nonneg)
+    val edges = Seq((1L, 100L), (1L, 101L), (2L, 100L))
+    var hub = Map(1L -> 1000000L, 2L -> 1000000L)
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 4) {
+      val ar = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val am = ar.values.max
+      auth = ar.map { case (k, v) => k -> v * 1000000L / am }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val hm = hr.values.max
+      hub = hr.map { case (k, v) => k -> v * 1000000L / hm }
+    }
+    assert(out(("hub", 1L))._1 == hub(1L) &&
+      out(("hub", 2L))._1 == hub(2L), s"$out vs $hub")
+    assert(out(("auth", 100L))._1 == auth(100L) &&
+      out(("auth", 101L))._1 == auth(101L), s"$out vs $auth")
+    assert(out(("hub", 1L))._2 == 1 && out(("auth", 100L))._2 == 1)
+
+    // two disjoint purchases: every score is 1e6 after round 1, the
+    // hub table equals round 0's, and the exit must not change ranks
+    val li2 = Seq((10L, 100L), (11L, 101L)).toDF("l_orderkey", "l_partkey")
+    val sym = Hits.copurchaseHits(li2, ord, rounds = 4)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    assert(sym.toSet == Set(("hub", 1L, 1000000L), ("hub", 2L, 1000000L),
+      ("auth", 100L, 1000000L), ("auth", 101L, 1000000L)), sym.toSeq)
+  }
 }

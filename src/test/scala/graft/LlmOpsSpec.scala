@@ -1542,4 +1542,26 @@ class LlmOpsSpec extends SparkTestBase {
         s"$g: est $est vs exact $exact")
     }
   }
+
+  test("snm near-dups: adjacent normalized keys pair and verify; " +
+      "cross-bucket prefixes are out of scope by construction") {
+    import graft.operators.llm.DedupOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello World Alpha", "en", "s", 17L),
+      (2L, "hello, world alphaa", "en", "s", 19L),
+      (3L, "hezzz unrelated text body", "en", "s", 25L),
+      (4L, "aello world alpha", "en", "s", 17L), // bucket 'ae' != 'he'
+      (5L, "zzz totally different", "en", "s", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = DedupOps.snmNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // only (1,2) survives: same 'he' bucket, adjacent in key order,
+    // JW of helloworldalpha vs helloworldalphaa >= 0.9; doc 3 shares
+    // the bucket but verifies below threshold; doc 4's near-identical
+    // key lives in bucket 'ae' and is never compared
+    assert(out.keySet == Set((1L, 2L)), out.keySet)
+    assert(out((1L, 2L)) >= 900000L)
+  }
 }

@@ -47,4 +47,36 @@ class RankingSpec extends SparkTestBase {
     assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
       s"global ranking must not collapse to one partition:\n$plan")
   }
+
+  test("bm25 ranking metrics: dcg/idcg/ndcg/rr match a longhand " +
+      "recomputation from the ranking and the texts") {
+    import graft.operators.llm.Retrieval
+    val docs = Seq(
+      (1L, "x y x y filler words here", "en", "s", 10L),
+      (2L, "x x x x x x only one term", "en", "s", 10L),
+      (3L, "y appears once", "en", "s", 10L),
+      (4L, "no match at all", "en", "s", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val qs = Seq(0 -> "x y")
+    val row = Retrieval.bm25RankingMetrics(docs, qs, k = 5).head()
+    val (dcg, idcg, ndcg, rr) = (row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4))
+    // longhand: relevance from the texts, ranking from bm25TopK
+    val texts = Map(1L -> "x y x y filler words here",
+      2L -> "x x x x x x only one term", 3L -> "y appears once",
+      4L -> "no match at all")
+    val rel = texts.map { case (d, t) =>
+      d -> Seq("x", "y").count(t.split("\\s+").contains(_)).toLong
+    }.filter(_._2 > 0)
+    val ranked = Retrieval.bm25TopK(docs, qs, 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    def disc(r: Int) = math.rint(1e6 / (math.log(r + 1.0) / math.log(2))).toLong
+    val expDcg = ranked.map { case (d, r) => rel(d) * disc(r) }.sum
+    val ideal = rel.toSeq.sortBy { case (d, v) => (-v, d) }.take(5)
+      .zipWithIndex.map { case ((_, v), i) => v * disc(i + 1) }.sum
+    assert(dcg == expDcg && idcg == ideal, s"($dcg,$idcg) vs ($expDcg,$ideal)")
+    assert(ndcg == 1000000L * dcg / idcg)
+    val firstFull = ranked.collectFirst { case (d, r) if rel(d) == 2 => r }
+    assert(rr == firstFull.map(r => math.rint(1e6 / r).toLong).getOrElse(0L))
+  }
 }
