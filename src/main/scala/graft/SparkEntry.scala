@@ -270,6 +270,40 @@ object SparkEntry {
             .as("max_ship"))
         .orderBy("l_suppkey")
     }),
+    // incremental JOIN maintenance (delta-join IVM): the orders ⋈
+    // lineitem view is built by THREE batch pairs, split so lineitems
+    // straddle batches AND precede their order row (arrival order is
+    // free — a wide row lands when its LAST side does); the oracle is
+    // the one-shot join, so rebuild equivalence is driver-checked
+    "dim_wide_join_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit, round}
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-joinidx-").toString + "/join"
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      // wide-row identity: (orderkey, partkey, suppkey) — the
+      // driver's synthetic lineitem repeats linenumbers per order,
+      // so the classic (orderkey, linenumber) pk would FOLD genuine
+      // rows; pkCols is the operator's declared uniqueness contract
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      (0 until 3).foreach(i => graft.streaming.JoinIndex.mergeBatch(
+        ord.filter(pmod(col("o_orderkey"), lit(3)) === i),
+        li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
+          lit(3)) === i),
+        table, key = "o_orderkey",
+        pkCols = Seq("o_orderkey", "l_partkey", "l_suppkey"),
+        batchId = i + 1L))
+      graft.streaming.JoinIndex.load(s, table).get
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"),
+          col("l_quantity").cast("bigint").as("qty"),
+          round(col("l_extendedprice") * 100).cast("bigint")
+            .as("price_cents"))
+        .orderBy("o_orderkey", "l_linenumber")
+    }),
     // fixed-point PageRank: BIGINT ranks, integer DIV — iteration is
     // order-independent, so the oracle replays it bit-identically
     "g_pagerank_copurchase" -> ((s, d) =>
@@ -3875,6 +3909,16 @@ object SparkEntry {
       // three TxLog merges must be indistinguishable from. Sums are
       // BIGINT-truncated (trunc here == Spark's double→bigint cast for
       // the positive measures), dates formatted (repo discipline)
+      // delta-join IVM: the incremental path must equal the one-shot
+      // join bit-for-bit (qty is integral-valued; cents are exact)
+      "dim_wide_join_incremental" ->
+        """SELECT o.o_orderkey, l.l_linenumber, o.o_custkey,
+          |       o.o_orderstatus,
+          |       CAST(l.l_quantity AS BIGINT) AS qty,
+          |       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+          |         AS price_cents
+          |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
       "dim_agg_rollup_incremental" ->
         """SELECT l_suppkey, count(*) AS ct,
           |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)

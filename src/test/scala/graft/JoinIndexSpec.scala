@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.JoinIndex
+import org.apache.spark.sql.functions._
+
+/** Delta-join IVM semantics: K incremental batch pairs equal the
+  * one-shot join; arrival order across sides is free; replays no-op. */
+class JoinIndexSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // orders o1..o3; o2's lineitems straddle batches, o3's lineitem
+  // arrives one batch BEFORE its order row
+  private val orderBatches = Seq(
+    Seq((1L, 10L, "O")),
+    Seq((2L, 20L, "F")),
+    Seq((3L, 30L, "O")))
+  private val lineBatches = Seq(
+    Seq((1L, 1, 5.0), (2L, 1, 7.0), (3L, 1, 9.0)), // l for o2,o3 early
+    Seq((1L, 2, 6.0)),
+    Seq((2L, 2, 8.0)))
+
+  private def odf(rows: Seq[(Long, Long, String)]) =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus")
+  private def ldf(rows: Seq[(Long, Int, Double)]) =
+    rows.toDF("o_orderkey", "l_linenumber", "l_quantity")
+
+  test("three incremental batch pairs equal the one-shot join, " +
+      "including cross-batch and line-before-order rows") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    (0 until 3).foreach(i => JoinIndex.mergeBatch(
+      odf(orderBatches(i)), ldf(lineBatches(i)), table,
+      key = "o_orderkey", pkCols = Seq("o_orderkey", "l_linenumber"),
+      batchId = i + 1L))
+    val got = JoinIndex.load(spark, table).get
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val oneShot = odf(orderBatches.flatten)
+      .join(ldf(lineBatches.flatten), "o_orderkey")
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == oneShot, s"incremental $got vs one-shot $oneShot")
+    assert(got.size == 5)
+  }
+
+  test("a replayed batch id is applied exactly once") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    JoinIndex.mergeBatch(odf(orderBatches(0)), ldf(lineBatches(0)),
+      table, "o_orderkey", Seq("o_orderkey", "l_linenumber"), 1L)
+    val v1 = JoinIndex.load(spark, table).get.collect().toSet
+    // same id again — must no-op even with different (late) content
+    JoinIndex.mergeBatch(odf(orderBatches(1)), ldf(lineBatches(1)),
+      table, "o_orderkey", Seq("o_orderkey", "l_linenumber"), 1L)
+    assert(JoinIndex.load(spark, table).get.collect().toSet == v1)
+  }
+
+  test("a pk-violating right batch fails loudly instead of folding") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    val dup = ldf(Seq((1L, 1, 5.0), (1L, 1, 6.0))) // same declared pk
+    val e = intercept[IllegalArgumentException] {
+      JoinIndex.mergeBatch(odf(orderBatches(0)), dup, table,
+        "o_orderkey", Seq("o_orderkey", "l_linenumber"), 1L)
+    }
+    assert(e.getMessage.contains("uniquely identify"))
+  }
+}
