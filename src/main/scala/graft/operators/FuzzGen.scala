@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 5000) return genSubquery(i, rng, pc, ps, name)
     if (i >= 4000) return genSetExpr(i, rng, pc, ps, name)
     if (i >= 3000) return genWindow(i, rng, pc, ps, name)
     if (i >= 2000) return genCross(i, rng, pc, ps, name)
@@ -509,6 +510,93 @@ object FuzzGen {
     }
   }
 
+  /** Subquery shapes (index space ≥5000): EXISTS / NOT EXISTS
+    * correlation against orders (the planner's semi/anti join family),
+    * IN over a grouped-HAVING derived table, and an uncorrelated
+    * scalar-subquery threshold. Dialect guard-rails: the scalar
+    * threshold compares RAW doubles (identical float64 both engines —
+    * the CASE-bucket precedent), and an empty scalar subquery yields
+    * NULL, which both engines drop through the comparison. */
+  private def genSubquery(i: Int, rng: Random, pc: Column, ps: String,
+                          name: String): Fuzz = {
+    rng.nextInt(4) match {
+      case 0 => // EXISTS → left-semi join
+        val st = Seq("O", "F", "P")(rng.nextInt(3))
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .join(graft.core.Tables.orders(s, d)
+              .filter(col("o_orderstatus") === st)
+              .select(col("o_custkey").as("user_id")),
+              Seq("user_id"), "left_semi")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              round(col("value"), 2).as("value_r"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, user_id, event_type,
+             |       round(value, 2) AS value_r
+             |FROM events e WHERE ($ps) AND EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = e.user_id
+             |    AND o.o_orderstatus = '$st')
+             |ORDER BY event_id""".stripMargin)
+      case 1 => // NOT EXISTS → left-anti join
+        val st = Seq("O", "F", "P")(rng.nextInt(3))
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .join(graft.core.Tables.orders(s, d)
+              .filter(col("o_orderstatus") === st)
+              .select(col("o_custkey").as("user_id")),
+              Seq("user_id"), "left_anti")
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, user_id, event_type
+             |FROM events e WHERE ($ps) AND NOT EXISTS (
+             |  SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = e.user_id
+             |    AND o.o_orderstatus = '$st')
+             |ORDER BY event_id""".stripMargin)
+      case 2 => // IN over a grouped-HAVING derived table → semi join
+        val k = 5 + rng.nextInt(21)
+        Fuzz(name,
+          (s, d) => {
+            val ev = graft.core.Tables.events(s, d)
+            ev.filter(pc)
+              .join(ev.groupBy(col("user_id"))
+                .agg(count(lit(1)).as("n")).filter(col("n") >= k)
+                .select("user_id"),
+                Seq("user_id"), "left_semi")
+              .groupBy(col("user_id"))
+              .agg(count(lit(1)).as("ct"),
+                min(col("event_id")).as("min_id"))
+              .orderBy("user_id")
+          },
+          s"""SELECT user_id, count(*) AS ct, min(event_id) AS min_id
+             |FROM events WHERE ($ps) AND user_id IN (
+             |  SELECT user_id FROM events
+             |  GROUP BY user_id HAVING count(*) >= $k)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      case _ => // uncorrelated scalar-subquery threshold
+        val (pc2, ps2) = predicate(rng)
+        val drop = 50 + rng.nextInt(101)
+        Fuzz(name,
+          (s, d) => {
+            val ev = graft.core.Tables.events(s, d)
+            ev.filter(pc)
+              .crossJoin(broadcast(ev.filter(pc2)
+                .agg((max(col("value")) - drop).as("thr"))))
+              .filter(col("value") > col("thr"))
+              .select(col("event_id"), col("user_id"),
+                round(col("value"), 2).as("value_r"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, round(value, 2) AS value_r
+             |FROM events WHERE ($ps) AND value > (
+             |  SELECT max(value) - $drop FROM events WHERE $ps2)
+             |ORDER BY event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The 75 cases replayed against the DuckDB oracle every round,
@@ -517,8 +605,9 @@ object FuzzGen {
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
     * user_id modulo atoms whose CRT solution exceeds 14; index 10 is
     * exactly such a case and is skipped, as are 1005 from the
-    * event-time space and 4010 from the set-op space). Re-run FuzzVet and re-pin if the driver
-    * regenerates testdata. */
+    * event-time space, 4010 from the set-op space, and 5008/5010/
+    * 5015/5018 from the subquery space). Re-run FuzzVet and re-pin if
+    * the driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
       17, 18, 19, 20,
@@ -529,7 +618,9 @@ object FuzzGen {
       3000, 3001, 3002, 3003, 3004, 3005, 3006, 3007,
       3008, 3009, 3010, 3011, 3012, 3013, 3014, 3015,
       4000, 4001, 4002, 4003, 4004, 4005, 4006, 4007,
-      4008, 4009, 4011, 4012, 4013, 4014, 4015)
+      4008, 4009, 4011, 4012, 4013, 4014, 4015,
+      5000, 5001, 5002, 5003, 5004, 5005, 5006, 5007,
+      5009, 5011, 5012, 5013, 5014, 5016, 5017, 5019)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

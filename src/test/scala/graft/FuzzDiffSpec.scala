@@ -16,9 +16,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (1000 until 1040).map(FuzzGen.gen) ++ // the event-time shape space
     (2000 until 2040).map(FuzzGen.gen) ++ // the cross-table shape space
     (3000 until 3040).map(FuzzGen.gen) ++ // the window/HAVING shape space
-    (4000 until 4040).map(FuzzGen.gen)    // the set-op/expression shape space
+    (4000 until 4040).map(FuzzGen.gen) ++ // the set-op/expression shape space
+    (5000 until 5040).map(FuzzGen.gen)    // the subquery/semi-anti shape space
 
-  test("280 generated filter/agg/join/time/cross/window/set cases: DataFrame plan == SQL text") {
+  test("320 generated filter/agg/join/time/cross/window/set/subquery cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     val failures = cases.flatMap { f =>
