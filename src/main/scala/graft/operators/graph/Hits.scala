@@ -30,8 +30,15 @@ object Hits {
   /** `rounds` HITS iterations over directed (src → dst) edges; hubs
     * live on src, authorities on dst. Returns both sides' top-`k`:
     * (node, kind, score_micro, rank) with rank over (score desc,
-    * node) within each kind. */
-  def hits(edges0: DataFrame, rounds: Int, k: Int = 20): DataFrame = {
+    * node) within each kind. `earlyExit` turns on the exact-equality
+    * fixpoint probe (3 node-sized jobs per round) — worth it only
+    * when `rounds` overshoots convergence; the flagship's pinned 4
+    * rounds never converge on the co-purchase graph, so the default
+    * skips the probe (the PageRank early-exit precedent: oracle-safe
+    * either way, since exit fires only on a proven self-reproducing
+    * table). */
+  def hits(edges0: DataFrame, rounds: Int, k: Int = 20,
+           earlyExit: Boolean = false): DataFrame = {
     require(rounds >= 1, "hits: need rounds >= 1")
     val spark = edges0.sparkSession
     val dir = scratch(spark)
@@ -74,9 +81,11 @@ object Hits {
       // fingerprint would be a mere proxy): hub_r == hub_{r−1}
       // implies auth_{r+1} = f(hub_r) = auth_r and onward, so every
       // later round reproduces itself and early exit is oracle-safe
-      val hc = hub.count()
-      fixed = prevHub.count() == hc &&
-        hub.unionAll(prevHub).distinct().count() == hc
+      if (earlyExit) {
+        val hc = hub.count()
+        fixed = prevHub.count() == hc &&
+          hub.unionAll(prevHub).distinct().count() == hc
+      }
       r += 1
     }
     val byKind = org.apache.spark.sql.expressions.Window
@@ -96,12 +105,13 @@ object Hits {
   /** Flagship: hubs = customers, authorities = parts, over the
     * distinct customer→part purchase edges. */
   def copurchaseHits(lineitem: DataFrame, orders: DataFrame,
-                     rounds: Int = 4): DataFrame = {
+                     rounds: Int = 4,
+                     earlyExit: Boolean = false): DataFrame = {
     val e = lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
       .distinct()
-    hits(e, rounds)
+    hits(e, rounds, earlyExit = earlyExit)
   }
 }

@@ -54,12 +54,28 @@ object Retrieval {
   /** Un-ranked BM25 score table (query_id, doc_id, score) for an
     * arbitrary relational query-term set — the kernel [[bm25TopK]]
     * ranks and [[hybridRrfTopK]] fuses. */
+  /** Term frequencies of the query-term subset: one corpus tokenize
+    * pass, broadcast term pre-filter before the (doc, w) aggregate.
+    * Shared subtree of the BM25 score, its df table, and the
+    * relevance table in [[bm25RankingMetrics]] — identical aggregates
+    * canonicalize the same, so runtime exchange reuse computes the
+    * pass once per query (verified: ReusedExchange in the final
+    * adaptive plan, `tools/PlanProbe`). Local-mode trade, measured:
+    * reuse serializes stages an idle 32-core box used to run as
+    * redundant parallel scans (bm25 0.92 → 1.36 s at sf0.1), but it
+    * removes a whole corpus tokenize+scan per consumer — the term
+    * that dominates at 100 TB, where the scan is I/O-bound and cores
+    * aren't idle. */
+  private def termTf(documents: DataFrame, qTerms: DataFrame): DataFrame =
+    graft.core.Tables.spread(documents)
+      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
+      .join(broadcast(qTerms.select(col("qw").as("w")).distinct()), "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+
   private[llm] def bm25Scores(documents: DataFrame,
                               qTerms: DataFrame): DataFrame = {
     // BM25 constants (k1=1.2, b=0.75) pre-folded to the exact literal
     // shapes the oracle uses: tf*(k1+1)=tf*2.2, k1*(1-b+b*r)=1.2*(0.25+0.75r)
-    val toks = graft.core.Tables.spread(documents)
-      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
     // doc length over ALL tokens — computed as size(tokens) per row:
     // NARROW (no explode, no exchange), so the corpus is tokenized
     // once for lengths and once for the term-filtered tf stream
@@ -71,11 +87,11 @@ object Retrieval {
     val stats = broadcast(
       lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len")))
 
-    val termSet = qTerms.select(col("qw").as("w")).distinct()
-    val qToks = toks.join(broadcast(termSet), "w")
-    val tf = qToks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val docFreq = qToks.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).as("df"))
+    val tf = termTf(documents, qTerms)
+    // df derives from the tf frame (tf is distinct on (doc, w), so
+    // counting its rows per term IS the distinct-doc count) — one
+    // corpus tokenize pass instead of two
+    val docFreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
 
     val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
     val contrib = tf
@@ -248,10 +264,13 @@ object Retrieval {
         .map(t => (qid, t))
     }.toDF("query_id", "qw")
     val nTerms = qTerms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
-    val toks = graft.core.Tables.spread(documents)
-      .select(col("doc_id"), explode(Tokenize.tokens(col("text"))).as("w"))
-    val rel = toks.join(broadcast(qTerms), col("w") === col("qw"))
-      .select("query_id", "doc_id", "qw").distinct()
+    // relevance from the SAME tf aggregate the BM25 score consumes
+    // (tf is distinct on (doc, w), so joining the query map and
+    // counting rows per (query, doc) IS the distinct-terms-present
+    // count) — no third corpus tokenize pass, and the shared subtree
+    // deduplicates at runtime via exchange reuse
+    val rel = termTf(documents, qTerms)
+      .join(broadcast(qTerms), col("w") === col("qw"))
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
     def disc(rank: Column): Column =
       round(lit(1e6) / log2(rank.cast("double") + 1)).cast("bigint")

@@ -234,9 +234,10 @@ class GraphSpec extends SparkTestBase {
     assert(out(("hub", 1L))._2 == 1 && out(("auth", 100L))._2 == 1)
 
     // two disjoint purchases: every score is 1e6 after round 1, the
-    // hub table equals round 0's, and the exit must not change ranks
+    // hub table equals round 0's, and the (opt-in) exact-equality
+    // early exit must fire without changing ranks
     val li2 = Seq((10L, 100L), (11L, 101L)).toDF("l_orderkey", "l_partkey")
-    val sym = Hits.copurchaseHits(li2, ord, rounds = 4)
+    val sym = Hits.copurchaseHits(li2, ord, rounds = 4, earlyExit = true)
       .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
     assert(sym.toSet == Set(("hub", 1L, 1000000L), ("hub", 2L, 1000000L),
       ("auth", 100L, 1000000L), ("auth", 101L, 1000000L)), sym.toSeq)
