@@ -207,6 +207,12 @@ object SparkEntry {
     // Naive Bayes argmax scoring — integer micro-log sums, order-free
     "ml_nb_predict" -> ((s, d) =>
       graft.operators.ml.NaiveBayes.predictLang(Tables.documents(s, d))),
+    // temporal-split recommender evaluation: train item-CF before the
+    // pivot, recommend top-5 unseen neighbors per customer, hit-rate
+    // against post-pivot purchases — one metrics row
+    "ml_cf_eval_hitrate" -> ((s, d) =>
+      graft.operators.ml.ItemCf.evalHitRate(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
     // classifier evaluation: (true, pred) confusion matrix with
     // per-class floored-micro precision/recall/F1 — one corpus-sized
     // aggregate, label-sized everything after
@@ -4435,6 +4441,80 @@ object SparkEntry {
       // item-item CF: the capped-basket universe replayed literally —
       // window cap, quadratic per-customer pair join, HAVING prune,
       // one double step (×, sqrt, ÷ on exact integers) in micros
+      // temporal-split CF hit-rate: the sims CTE replays ml_item_cf
+      // on the pre-pivot orders (incl. its rank<=10 neighbor cut);
+      // candidates exclude the train basket; metrics over users
+      // active on both sides
+      "ml_cf_eval_hitrate" ->
+        """WITH train_orders AS (
+          |  SELECT * FROM orders
+          |  WHERE CAST(o_orderdate AS DATE) < DATE '1999-07-01'),
+          |test_orders AS (
+          |  SELECT * FROM orders
+          |  WHERE CAST(o_orderdate AS DATE) >= DATE '1999-07-01'),
+          |baskets AS (
+          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          |  FROM lineitem JOIN train_orders ON l_orderkey = o_orderkey),
+          |capped AS (
+          |  SELECT cust, part FROM (
+          |    SELECT cust, part,
+          |           count(*) OVER (PARTITION BY cust) AS bsz
+          |    FROM baskets)
+          |  WHERE bsz <= 256),
+          |co AS (
+          |  SELECT x.part AS pa, y.part AS pb, count(*) AS co_ct
+          |  FROM capped x JOIN capped y
+          |    ON x.cust = y.cust AND x.part < y.part
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |sizes AS (SELECT part, count(*) AS ct FROM capped GROUP BY 1),
+          |sym AS (SELECT pa, pb, co_ct FROM co
+          |        UNION ALL SELECT pb AS pa, pa AS pb, co_ct FROM co),
+          |scored AS (
+          |  SELECT s.pa AS part_a, s.pb AS part_b,
+          |         CAST(round(s.co_ct * 1000000 /
+          |              sqrt(CAST(a.ct * b.ct AS DOUBLE))) AS BIGINT)
+          |           AS cos_micros
+          |  FROM sym s JOIN sizes a ON a.part = s.pa
+          |             JOIN sizes b ON b.part = s.pb),
+          |sims AS (
+          |  SELECT part_a, part_b, cos_micros FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY part_a
+          |             ORDER BY cos_micros DESC, part_b) AS rank
+          |    FROM scored)
+          |  WHERE rank <= 10),
+          |test AS (
+          |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          |  FROM lineitem JOIN test_orders ON l_orderkey = o_orderkey),
+          |cand AS (
+          |  SELECT t.cust, s.part_b AS rec,
+          |         max(s.cos_micros) AS score
+          |  FROM baskets t JOIN sims s ON s.part_a = t.part
+          |  GROUP BY 1, 2),
+          |cand2 AS (
+          |  SELECT * FROM cand c
+          |  WHERE NOT EXISTS (SELECT 1 FROM baskets t
+          |                    WHERE t.cust = c.cust AND t.part = c.rec)),
+          |topk AS (
+          |  SELECT cust, rec FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY cust
+          |             ORDER BY score DESC, rec) AS rank
+          |    FROM cand2)
+          |  WHERE rank <= 5),
+          |eu AS (
+          |  SELECT DISTINCT b.cust
+          |  FROM (SELECT DISTINCT cust FROM baskets) b
+          |  JOIN (SELECT DISTINCT cust FROM test) te ON te.cust = b.cust),
+          |recs AS (SELECT tk.* FROM topk tk JOIN eu ON eu.cust = tk.cust),
+          |hits AS (
+          |  SELECT * FROM recs r
+          |  WHERE EXISTS (SELECT 1 FROM test t
+          |                WHERE t.cust = r.cust AND t.part = r.rec))
+          |SELECT (SELECT count(*) FROM eu) AS n_users,
+          |       (SELECT count(*) FROM recs) AS n_recs,
+          |       (SELECT count(*) FROM hits) AS n_hits,
+          |       CAST(floor(1000000 * (SELECT count(*) FROM hits) /
+          |            nullif((SELECT count(*) FROM recs), 0)) AS BIGINT)
+          |         AS hitrate_micro""".stripMargin,
       "ml_item_cf" ->
         """WITH baskets AS (
           |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part

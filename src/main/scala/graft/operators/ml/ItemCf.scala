@@ -132,4 +132,59 @@ object ItemCf {
       .filter(col("rank") <= topN)
       .orderBy("part_a", "rank")
   }
+
+  /** Temporal-split recommender evaluation of the item-CF model:
+    * train the similarity table on orders BEFORE `pivotDate`, issue
+    * each customer the top-`k` unseen neighbors of their train-basket
+    * items (score = max cosine over the basket, ties on item id), and
+    * measure hits against the SAME customer's post-pivot purchases —
+    * the offline hit-rate@k protocol. One metrics row out:
+    * (n_users, n_recs, n_hits, hitrate_micro) over users active on
+    * BOTH sides of the split; hitrate = hits / recs issued, floored
+    * micros. Shape at 100 TB: everything after the train-side CF
+    * (already capped/blocked) is basket-sized joins; the metrics are
+    * three scalar aggregates. */
+  def evalHitRate(lineitem: DataFrame, orders: DataFrame,
+                  pivotDate: String = "1999-07-01", k: Int = 5,
+                  topN: Int = 10, minCo: Int = 2,
+                  maxBasket: Int = 256): DataFrame = {
+    val trainOrders = orders
+      .filter(to_date(col("o_orderdate")) < lit(pivotDate))
+    val testOrders = orders
+      .filter(to_date(col("o_orderdate")) >= lit(pivotDate))
+    def basketsOf(ord: DataFrame) =
+      lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .join(ord.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+    val sims = itemCosine(lineitem, trainOrders, topN, minCo, maxBasket)
+      .select(col("part_a"), col("part_b"), col("cos_micros"))
+    val train = basketsOf(trainOrders)
+    val test = basketsOf(testOrders)
+    // recommendations: neighbors of the train basket, minus the train
+    // basket itself, best score per candidate, top-k per customer
+    val cand = train.join(sims, train("part") === sims("part_a"))
+      .groupBy(col("cust"), col("part_b").as("rec"))
+      .agg(max(col("cos_micros")).as("score"))
+      .join(train.select(col("cust"), col("part").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+    val topK = cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("cust"))
+          .orderBy(col("score").desc, col("rec"))))
+      .filter(col("rank") <= k)
+    // only customers active on both sides of the split are evaluated
+    val evalUsers = train.select("cust").distinct()
+      .join(test.select("cust").distinct(), "cust")
+    val recs = topK.join(evalUsers, "cust")
+    val hits = recs.join(test.select(col("cust"), col("part").as("rec")),
+      Seq("cust", "rec"), "left_semi")
+    broadcast(evalUsers.agg(count(lit(1)).as("n_users")))
+      .crossJoin(broadcast(recs.agg(count(lit(1)).as("n_recs"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_users"), col("n_recs"), col("n_hits"),
+        floor(lit(1000000L) * col("n_hits") /
+          nullif(col("n_recs"), lit(0L)))
+          .cast("bigint").as("hitrate_micro"))
+  }
 }

@@ -136,4 +136,26 @@ class MlSpec extends SparkTestBase {
     // the en-docs share tokens only with each other -> full separation
     assert(auc == 1000000L, s"auc_micro=$auc")
   }
+
+  test("cf hit-rate: planted temporal split — unseen neighbor of the " +
+      "train basket hits the test basket; no-rec and no-test users " +
+      "handled") {
+    import graft.operators.ml.ItemCf
+    // train (pre-pivot): c1 {A,B}, c2 {A,B} -> sim(A,B) co=2;
+    // c3 {A} -> its one unseen neighbor is B
+    // test (post-pivot): c3 buys B (hit), c1 buys C (but c1 has no
+    // unseen neighbors -> 0 recs), c2 has no test activity -> excluded
+    val orders = Seq(
+      (10L, 1L, "1999-01-01"), (11L, 2L, "1999-01-02"),
+      (12L, 3L, "1999-01-03"),
+      (20L, 3L, "2000-01-01"), (21L, 1L, "2000-01-02")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 100L), (10L, 101L), (11L, 100L), (11L, 101L), (12L, 100L),
+      (20L, 101L), (21L, 102L)
+    ).toDF("l_orderkey", "l_partkey")
+    val row = ItemCf.evalHitRate(li, orders).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) == ((2L, 1L, 1L, 1000000L)), row.toString)
+  }
 }
