@@ -287,10 +287,13 @@ object SparkEntry {
         .createTempDirectory("graft-joinidx-").toString + "/join"
       val ord = Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      // wide-row identity: (orderkey, partkey, suppkey) — the
-      // driver's synthetic lineitem repeats linenumbers per order,
-      // so the classic (orderkey, linenumber) pk would FOLD genuine
-      // rows; pkCols is the operator's declared uniqueness contract
+      // wide-row identity: the FULL right row — the driver's synthetic
+      // lineitem has no natural pk (linenumbers repeat per order, and
+      // at sf0.001 even (okey, ln, pkey, skey) collides with distinct
+      // payloads), so row identity = row content, and the operator's
+      // eager uniqueness check proves no full duplicates exist
+      val liCols = Seq("o_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice")
       val li = Tables.lineitem(s, d).select(
         col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
@@ -299,8 +302,7 @@ object SparkEntry {
         ord.filter(pmod(col("o_orderkey"), lit(3)) === i),
         li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
           lit(3)) === i),
-        table, key = "o_orderkey",
-        pkCols = Seq("o_orderkey", "l_partkey", "l_suppkey"),
+        table, key = "o_orderkey", pkCols = liCols,
         batchId = i + 1L))
       graft.streaming.JoinIndex.load(s, table).get
         .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
@@ -351,6 +353,11 @@ object SparkEntry {
     "g_hits_copurchase" -> ((s, d) =>
       graft.operators.graph.Hits.copurchaseHits(
         Tables.lineitem(s, d), Tables.orders(s, d))),
+    // local clustering coefficients (Watts–Strogatz) on the
+    // support-filtered graph — floored micros, deg ≥ 2 nodes
+    "g_clustering_coeff" -> ((s, d) =>
+      graft.operators.graph.Triangles.supportClusteringCoeff(
+        Tables.lineitem(s, d))),
     // table profiling: per-column nulls/exact-distinct/min/max in ONE
     // full-scan aggregate (Expand-based multi-distinct plan)
     "q_profile_orders" -> ((s, d) =>
@@ -3846,6 +3853,38 @@ object SparkEntry {
     Map("g_sssp_copurchase" -> ssspOracleSql(rounds = 6)) ++
     // HITS: 4 unrolled integer-micro rounds, max-div normalization
     Map("g_hits_copurchase" -> hitsOracleSql(rounds = 4)) ++
+    // local clustering coefficients on the support-≥2 graph: plain
+    // id-ordered triangle enumeration, per-node expansion, floor-div
+    Map("g_clustering_coeff" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT a, b FROM (
+        |    SELECT o1.p AS a, o2.p AS b, count(*) AS n
+        |    FROM op o1 JOIN op o2
+        |      ON o1.o = o2.o AND o1.p < o2.p
+        |    GROUP BY 1, 2)
+        |  WHERE n >= 2),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1)
+        |SELECT d.node, dg, coalesce(tri, CAST(0 AS BIGINT)) AS tri,
+        |       CAST(floor(2000000 * coalesce(tri, 0) /
+        |            (dg * (dg - 1))) AS BIGINT) AS coeff_micro
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node
+        |WHERE dg >= 2 ORDER BY d.node""".stripMargin) ++
     // LPA communities: 4 unrolled majority-vote rounds
     Map("g_labelprop_communities" -> labelPropOracleSql(rounds = 4)) ++
     // Adamic–Adar link prediction on the support-≥2 co-purchase graph:

@@ -24,22 +24,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object LinkPrediction {
 
-  /** Top-k predicted links by Adamic–Adar over the support-filtered
-    * part co-purchase graph. Output: (a, b, cn, aa_micro, rank) with
-    * a < b, rank dense over (aa_micro desc, a, b). */
-  def copurchaseAdamicAdar(lineitem: DataFrame, minSupport: Int = 2,
-                           maxDeg: Int = 1024, k: Int = 20): DataFrame = {
-    // distinct (order, part) first so support counts ORDERS, not
-    // lineitem multiplicity (a part can repeat within an order)
+  /** Canonical (a < b) edges of the support-filtered co-purchase
+    * graph: an edge exists when the pair co-occurs in ≥ `minSupport`
+    * DISTINCT orders (the distinct (order, part) projection comes
+    * first so support counts orders, not lineitem multiplicity).
+    * The one fact-sized shuffle every consumer pays. */
+  private[graph] def supportEdges(lineitem: DataFrame,
+                                  minSupport: Int): DataFrame = {
     val op = lineitem.select(col("l_orderkey").as("o"),
       col("l_partkey").as("p")).distinct()
-    // the one fact-sized shuffle: self-join on the order key
-    val edges = op.join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+    op.join(op.select(col("o"), col("p").as("p2")), Seq("o"))
       .filter(col("p") < col("p2"))
       .groupBy(col("p").as("a"), col("p2").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select("a", "b")
+  }
+
+  /** Top-k predicted links by Adamic–Adar over the support-filtered
+    * part co-purchase graph. Output: (a, b, cn, aa_micro, rank) with
+    * a < b, rank dense over (aa_micro desc, a, b). */
+  def copurchaseAdamicAdar(lineitem: DataFrame, minSupport: Int = 2,
+                           maxDeg: Int = 1024, k: Int = 20): DataFrame = {
+    val edges = supportEdges(lineitem, minSupport)
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy(col("src").as("z"))

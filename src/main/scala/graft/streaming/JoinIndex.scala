@@ -84,4 +84,26 @@ object JoinIndex {
     * (maintenance columns dropped). None for a never-written table. */
   def load(spark: SparkSession, table: String): Option[DataFrame] =
     TxLog.read(spark, s"$table/wide").map(_.drop(Ver, "w_pk"))
+
+  /** Streaming attachment: ONE side-tagged stream (a `sideCol` of
+    * 'L'/'R' — the single-topic CDC shape both sides usually arrive
+    * on) split per micro-batch and applied through [[mergeBatch]].
+    * `leftCols`/`rightCols` project each side's payload out of the
+    * unioned row; monotonic foreachBatch ids make restarts replay
+    * harmlessly. Caller sets checkpoint/trigger. */
+  def writer(tagged: DataFrame, table: String, key: String,
+             pkCols: Seq[String], sideCol: String,
+             leftCols: Seq[String], rightCols: Seq[String])
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    tagged.writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          mergeBatch(
+            b.filter(col(sideCol) === "L").select(leftCols.map(col): _*),
+            b.filter(col(sideCol) === "R").select(rightCols.map(col): _*),
+            table, key, pkCols, batchId = id + 1)
+          ()
+        }
+      }
 }

@@ -242,4 +242,31 @@ class GraphSpec extends SparkTestBase {
     assert(sym.toSet == Set(("hub", 1L, 1000000L), ("hub", 2L, 1000000L),
       ("auth", 100L, 1000000L), ("auth", 101L, 1000000L)), sym.toSeq)
   }
+
+  test("clustering coefficient: closed triangle gives 1e6 per node; " +
+      "a path center scores 0; pendants are excluded") {
+    import graft.operators.graph.Triangles
+    import spark.implicits._
+    // support-2 edges 1-2, 2-3 (path); one-off (1,3) pruned
+    val path = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L),
+      (20L, 1L), (20L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val p = Triangles.supportClusteringCoeff(path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // only node 2 has deg >= 2; open wedge -> coefficient 0
+    assert(p.keySet == Set(2L) && p(2L) == ((2L, 0L, 0L)), p.toString)
+
+    // close the triangle with support 2: every node deg 2, tri 1,
+    // coeff = 2e6/(2*1) = 1e6
+    val tri = path.unionAll(Seq((21L, 1L), (21L, 3L))
+      .toDF("l_orderkey", "l_partkey"))
+    val t = Triangles.supportClusteringCoeff(tri).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(t.keySet == Set(1L, 2L, 3L), t.toString)
+    assert(Seq(1L, 2L, 3L).forall(n => t(n) == ((2L, 1L, 1000000L))), t)
+  }
 }

@@ -66,4 +66,35 @@ class JoinIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("uniquely identify"))
   }
+
+  test("streamed side-tagged foreachBatch maintenance == one-shot join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    // (side, o_orderkey, o_custkey, l_linenumber, l_quantity):
+    // left rows carry (key, cust), right rows (key, ln, qty)
+    val ms = MemoryStream[(String, Long, Long, Int, Double)]
+    val q = JoinIndex.writer(
+      ms.toDF().toDF("side", "o_orderkey", "o_custkey",
+        "l_linenumber", "l_quantity"),
+      table, key = "o_orderkey",
+      pkCols = Seq("o_orderkey", "l_linenumber"), sideCol = "side",
+      leftCols = Seq("o_orderkey", "o_custkey"),
+      rightCols = Seq("o_orderkey", "l_linenumber", "l_quantity"))
+      .start()
+    // batch 1: order 1 + lines for orders 1 AND 2 (line-before-order)
+    ms.addData(("L", 1L, 10L, 0, 0.0), ("R", 1L, 0L, 1, 5.0),
+      ("R", 2L, 0L, 1, 7.0))
+    q.processAllAvailable()
+    // batch 2: order 2 arrives; its earlier line must join now
+    ms.addData(("L", 2L, 20L, 0, 0.0), ("R", 1L, 0L, 2, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = JoinIndex.load(spark, table).get
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == Set((1L, 1, 10L, 5.0), (1L, 2, 10L, 6.0),
+      (2L, 1, 20L, 7.0)), got.toString)
+  }
 }
