@@ -225,6 +225,14 @@ object SparkEntry {
     // ordered funnel: earliest-qualifying-event semantics, strict >
     "b_funnel_conversion" -> ((s, d) =>
       Behavior.funnel(Tables.events(s, d))),
+    // deadline-windowed funnel: steps 2/3 must land within 60 min of
+    // the user's first step-1 event (session-deadline protocol)
+    "b_funnel_windowed" -> ((s, d) =>
+      Behavior.funnelWindowed(Tables.events(s, d))),
+    // Benford first-digit audit of the order totals: observed vs
+    // log10(1+1/d) shares, micro-int deviations
+    "q_benford_totalprice" -> ((s, d) =>
+      graft.operators.quality.Drift.benfordAudit(Tables.orders(s, d))),
     // retention matrix keyed by first-active day
     "b_retention_cohorts" -> ((s, d) =>
       Behavior.retentionCohorts(Tables.events(s, d))),
@@ -1118,6 +1126,55 @@ object SparkEntry {
         |       round(l_quantity, 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE month(o_orderdate) = 1""".stripMargin,
+    // deadline funnel: the 60-minute window rides t1 through the
+    // chain; interval arithmetic is timestamp-exact in both engines
+    "b_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1,
+        |         min(ts) + INTERVAL 60 MINUTE AS deadline
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2,
+        |              min(s1.deadline) AS deadline
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.ts > s1.t1 AND e.ts <= s1.deadline
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.ts > s2.t2 AND e.ts <= s2.deadline
+        |       GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+        |             (SELECT count(*) FROM s2) AS u2,
+        |             (SELECT count(*) FROM s3) AS u3)
+        |SELECT 1 AS step, 'view' AS step_type, u1 AS users,
+        |       CAST(1.0 AS DOUBLE) AS conv_rate FROM c
+        |UNION ALL
+        |SELECT 2, 'click', u2,
+        |       round(CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE), 4) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', u3,
+        |       round(CAST(u3 AS DOUBLE) / CAST(u2 AS DOUBLE), 4) FROM c
+        |ORDER BY step""".stripMargin,
+    // Benford: digit extraction is IEEE double arithmetic on both
+    // sides; expectation log10(1+1/d) rounded to micros
+    "q_benford_totalprice" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(o_totalprice /
+        |           pow(10.0, floor(log10(o_totalprice)))) AS INT)
+        |           AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, n,
+        |       CAST(floor(1000000 * n / total) AS BIGINT)
+        |         AS share_micro,
+        |       CAST(round(log10(1.0 + 1.0 / digit) * 1e6) AS BIGINT)
+        |         AS benford_micro,
+        |       abs(CAST(floor(1000000 * n / total) AS BIGINT) -
+        |           CAST(round(log10(1.0 + 1.0 / digit) * 1e6)
+        |                AS BIGINT)) AS dev_micro
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     // funnel steps chain strictly-after minima; counts integer-exact
     "b_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -186,4 +186,46 @@ object Behavior {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_code"))
       .orderBy("o_custkey")
   }
+
+  /** Deadline-windowed funnel: like [[funnel]], but steps 2 and 3
+    * must land within `windowMin` minutes of the user's FIRST step-1
+    * event (the session-deadline protocol — an unbounded funnel
+    * overcounts users who "converted" weeks later). Same
+    * earliest-qualifying-event semantics, with the deadline carried
+    * from step 1 through the chain; one keyed aggregate per step. */
+  def funnelWindowed(events: DataFrame,
+                     steps: Seq[String] = Seq("view", "click", "purchase"),
+                     windowMin: Int = 60): DataFrame = {
+    require(steps.size == 3, "funnelWindowed() is specified for 3 steps")
+    val s1 = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .withColumn("deadline",
+        col("t1") + expr(s"INTERVAL $windowMin MINUTES"))
+    val s2 = events.filter(col("event_type") === steps(1))
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("deadline"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("deadline")).as("deadline"))
+    val s3 = events.filter(col("event_type") === steps(2))
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("deadline"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("u1"))
+      .crossJoin(s2.agg(count(lit(1)).as("u2")))
+      .crossJoin(s3.agg(count(lit(1)).as("u3")))
+    counts.select(explode(array(
+        struct(lit(1).as("step"), lit(steps.head).as("step_type"),
+          col("u1").as("users"), lit(1.0).as("conv_rate")),
+        struct(lit(2).as("step"), lit(steps(1)).as("step_type"),
+          col("u2").as("users"),
+          round(col("u2").cast("double") / col("u1").cast("double"), 4)
+            .as("conv_rate")),
+        struct(lit(3).as("step"), lit(steps(2)).as("step_type"),
+          col("u3").as("users"),
+          round(col("u3").cast("double") / col("u2").cast("double"), 4)
+            .as("conv_rate")))).as("r"))
+      .select(col("r.step"), col("r.step_type"), col("r.users"),
+        col("r.conv_rate"))
+      .orderBy("step")
+  }
 }

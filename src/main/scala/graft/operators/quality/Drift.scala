@@ -94,4 +94,30 @@ object Drift {
         (col("psi_micro").cast("double") / 1e6).as("psi"))
       .orderBy("bin")
   }
+
+  /** Benford first-digit audit (Benford 1938; the classic fraud /
+    * data-generation-defect screen): observed share of each leading
+    * significant digit of a positive measure vs the Benford
+    * expectation log10(1 + 1/d), both in floored/rounded micros.
+    * One scan + a 9-row aggregate; digit extraction is pure double
+    * arithmetic (floor(x / 10^floor(log10 x))) with IEEE-identical
+    * results in both engines. */
+  def benfordAudit(orders: DataFrame, valueCol: String = "o_totalprice")
+      : DataFrame = {
+    val x = col(valueCol).cast("double")
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val counts = orders.filter(x >= lit(1.0))
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("total")))
+    counts.crossJoin(total)
+      .select(col("digit"), col("n"),
+        floor(lit(1000000L) * col("n") / col("total"))
+          .cast("bigint").as("share_micro"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6)
+          .cast("bigint").as("benford_micro"))
+      .withColumn("dev_micro",
+        abs(col("share_micro") - col("benford_micro")))
+      .orderBy("digit")
+  }
 }

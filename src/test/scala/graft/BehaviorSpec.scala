@@ -216,4 +216,29 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(4L) == ((3L, 1L, 3000L, 4L, 4L, 3L, 443L)), out(4L).toString)
     assert(out(5L) == ((4L, 1L, 500L, 5L, 5L, 5L, 555L)), out(5L).toString)
   }
+
+  test("windowed funnel: the 60-minute deadline from step 1 gates " +
+      "steps 2 and 3") {
+    val ev = Seq(
+      // A: click +30m, purchase +50m -> full conversion
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:50:00"), 1L, "purchase", 0.0, "{}"),
+      // B: click at +90m — outside the deadline, stops at step 1
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 01:30:00"), 2L, "click", 0.0, "{}"),
+      // C: click +40m inside, purchase +70m outside -> stops at 2
+      (6L, ts("2024-01-01 00:00:00"), 3L, "view", 0.0, "{}"),
+      (7L, ts("2024-01-01 00:40:00"), 3L, "click", 0.0, "{}"),
+      (8L, ts("2024-01-01 01:10:00"), 3L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Behavior.funnelWindowed(ev)
+      .select("step", "users").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 1L)), out.toSeq)
+    // the unbounded funnel would let B and C through — the deadline
+    // is what this operator adds
+    val loose = Behavior.funnel(ev)
+      .select("step", "users").as[(Int, Long)].collect().sortBy(_._1)
+    assert(loose.toSeq == Seq((1, 3L), (2, 3L), (3, 2L)), loose.toSeq)
+  }
 }

@@ -118,4 +118,22 @@ class ProfileSpec extends SparkTestBase {
     assert(out("lineitem.l_extendedprice > 0") == ((4L, 0L, true)))
     assert(out("lineitem.l_orderkey references orders") == ((4L, 1L, false)))
   }
+
+  test("benford audit: hand-built digit distribution and expectations") {
+    import graft.operators.quality.Drift
+    val orders = Seq(1.5, 19.0, 250.0, 3000.0, 0.5)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("o_orderkey", "o_totalprice")
+    val out = Drift.benfordAudit(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // 0.5 is excluded (< 1); digits: 1,1,2,3 over total 4
+    assert(out.keySet == Set(1, 2, 3), out.keySet)
+    val b1 = math.rint(math.log10(2.0) * 1e6).toLong       // 301030
+    val b2 = math.rint(math.log10(1.5) * 1e6).toLong       // 176091
+    val b3 = math.rint(math.log10(4.0 / 3) * 1e6).toLong   // 124939
+    assert(out(1) == ((2L, 500000L, b1, 500000L - b1)), out(1).toString)
+    assert(out(2) == ((1L, 250000L, b2, math.abs(250000L - b2))))
+    assert(out(3) == ((1L, 250000L, b3, math.abs(250000L - b3))))
+  }
 }
