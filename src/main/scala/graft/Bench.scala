@@ -110,8 +110,15 @@ object Bench {
     // is kept. The reprobed set + both values are recorded in the JSON
     // so a regression can never silently hide behind the reprobe: a
     // REAL slowdown reproduces in the reprobe and still surfaces.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", outFile)
+    // Scoped probe runs write BENCH_PROBE.json by default: a probe
+    // overwriting the committed full artifact has twice now destroyed
+    // the reprobe baselines of every other query (and once got a
+    // 2-query artifact committed as if it were the round's bench).
+    val defaultOut =
+      if (only.isDefined) "BENCH_PROBE.json" else "BENCH_FULL.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_FULL.json")
     val prior = priorQueries(baselinePath)
     val byName = selected.toMap
     val reprobes = firstPass.flatMap { case (name, v) =>
