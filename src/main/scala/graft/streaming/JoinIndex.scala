@@ -54,8 +54,12 @@ object JoinIndex {
       s"JoinIndex.mergeBatch: pkCols ${pkCols.mkString(",")} do not " +
         "uniquely identify right-side rows in this batch — the upsert " +
         "would fold genuine join rows")
+    // coalesce guards the empty-view case: a batch pair whose delta
+    // joined to nothing still commits an (empty) wide version, and
+    // max over no rows is NULL
     val highWater = TxLog.read(spark, s"$table/wide").map(
-      _.agg(max(col(Ver))).head().getLong(0)).getOrElse(Long.MinValue)
+      _.agg(coalesce(max(col(Ver)), lit(Long.MinValue)))
+        .head().getLong(0)).getOrElse(Long.MinValue)
     if (batchId <= highWater)
       return TxLog.latest(spark, s"$table/wide").map(_.version).getOrElse(0L)
     // snapshots BEFORE any commit — the delta algebra needs L and R,
@@ -71,11 +75,16 @@ object JoinIndex {
       Some(dLeft.join(dRight, key))
     ).flatten.reduce(_ unionByName _)
       .withColumn("w_pk", pk).withColumn(Ver, lit(batchId))
-    TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
-      s"$table/left", pk = key, versionCol = Ver)
-    TxLog.commitUpsert(
-      dRight.withColumn("w_pk", pk).withColumn(Ver, lit(batchId)),
-      s"$table/right", pk = "w_pk", versionCol = Ver)
+    // one-sided micro-batches are normal under the side-tagged stream
+    // shape: skip the empty side's commit — an empty upsert would be
+    // a full copy-on-write rewrite of an unchanged accumulator
+    if (!dLeft.isEmpty)
+      TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
+        s"$table/left", pk = key, versionCol = Ver)
+    if (!dRight.isEmpty)
+      TxLog.commitUpsert(
+        dRight.withColumn("w_pk", pk).withColumn(Ver, lit(batchId)),
+        s"$table/right", pk = "w_pk", versionCol = Ver)
     TxLog.commitUpsert(deltaWide, s"$table/wide", pk = "w_pk",
       versionCol = Ver)
   }

@@ -97,4 +97,23 @@ class JoinIndexSpec extends SparkTestBase {
     assert(got == Set((1L, 1, 10L, 5.0), (1L, 2, 10L, 6.0),
       (2L, 1, 20L, 7.0)), got.toString)
   }
+
+  test("one-sided batches: rights-only then lefts-only still converge " +
+      "to the one-shot join") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    // batch 1 carries ONLY lineitems, batch 2 ONLY orders
+    JoinIndex.mergeBatch(odf(Nil), ldf(lineBatches.flatten), table,
+      "o_orderkey", Seq("o_orderkey", "l_linenumber"), 1L)
+    JoinIndex.mergeBatch(odf(orderBatches.flatten), ldf(Nil), table,
+      "o_orderkey", Seq("o_orderkey", "l_linenumber"), 2L)
+    val got = JoinIndex.load(spark, table).get
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val oneShot = odf(orderBatches.flatten)
+      .join(ldf(lineBatches.flatten), "o_orderkey")
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == oneShot, s"$got vs $oneShot")
+  }
 }
