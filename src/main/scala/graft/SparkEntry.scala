@@ -1513,13 +1513,15 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
         |            AS BIGINT) AS total_cents
         |FROM events
+        |WHERE user_id % 4 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS UNBOUNDED PRECEDING)
         |ORDER BY user_id, event_id""".stripMargin,
     "tws_map_list_state" ->
       """WITH pts AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE user_id % 4 = 0)
         |SELECT user_id, event_id, event_type,
         |       CAST(sum(cents) OVER (PARTITION BY user_id, event_type
         |         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -1533,7 +1535,8 @@ object SparkEntry {
     "tws_gap_sessions" ->
       """WITH pts AS (
         |  SELECT user_id, ts, event_id,
-        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |         CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE user_id % 4 = 0),
         |flagged AS (
         |  SELECT user_id, ts, event_id, cents,
         |         CASE WHEN lag(ts) OVER w IS NULL
@@ -4184,14 +4187,17 @@ object SparkEntry {
           |                       ELSE 0 END) AS BIGINT) AS fp
           |       FROM m GROUP BY 1),
           |pr AS (
-          |  SELECT bt.lang, tp, coalesce(fp, CAST(0 AS BIGINT)) AS fp,
-          |         fn, support,
-          |         CAST(floor(1000000 * tp /
-          |                    nullif(tp + coalesce(fp, 0), 0))
+          |  SELECT lang, coalesce(tp, CAST(0 AS BIGINT)) AS tp,
+          |         coalesce(fp, CAST(0 AS BIGINT)) AS fp,
+          |         coalesce(fn, CAST(0 AS BIGINT)) AS fn,
+          |         coalesce(support, CAST(0 AS BIGINT)) AS support,
+          |         CAST(floor(1000000 * coalesce(tp, 0) /
+          |                    nullif(coalesce(tp, 0) + coalesce(fp, 0), 0))
           |              AS BIGINT) AS prec_micro,
-          |         CAST(floor(1000000 * tp / nullif(tp + fn, 0))
+          |         CAST(floor(1000000 * coalesce(tp, 0) /
+          |                    nullif(coalesce(tp, 0) + coalesce(fn, 0), 0))
           |              AS BIGINT) AS rec_micro
-          |  FROM bt LEFT JOIN bp USING (lang))
+          |  FROM bt FULL JOIN bp USING (lang))
           |SELECT lang, tp, fp, fn, support, prec_micro, rec_micro,
           |       CAST(floor(2 * prec_micro * rec_micro /
           |                  nullif(prec_micro + rec_micro, 0))

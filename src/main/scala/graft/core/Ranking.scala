@@ -27,14 +27,27 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /** `df` plus a 1-based BIGINT `out` column numbering rows in `sort`
-    * order. `sort` must be a total order over the rows. */
+    * order. `sort` must be a total order over the rows.
+    *
+    * The ranged frame is MATERIALIZED once (scratch parquet, the
+    * iterative-operator contract) before anything reads it:
+    * `repartitionByRange` samples boundaries with a per-execution
+    * seed, so executing the plan twice — once for the counts collect,
+    * once for the returned frame — could assign rows to different
+    * partitions between the two actions and duplicate or skip ranks.
+    * Both the counts and the output derive from the single
+    * materialization, so the pid→offset map always matches the rows
+    * it numbers. */
   def withGlobalRowNumber(df: DataFrame, sort: Seq[Column],
                           out: String = "rn"): DataFrame = {
     require(sort.nonEmpty, "withGlobalRowNumber: need sort columns")
     val spark = df.sparkSession
     val pid = "__graft_rn_pid"
-    val ranged = df.repartitionByRange(sort: _*)
+    val scratch = Scratch.dir(spark, "graft.rank.scratchDir", "rank")
+    df.repartitionByRange(sort: _*)
       .withColumn(pid, spark_partition_id())
+      .write.parquet(scratch)
+    val ranged = spark.read.parquet(scratch)
     // bounded: one row per range partition
     val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("ct"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

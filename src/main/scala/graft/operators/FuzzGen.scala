@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 6000) return genLateral(i, rng, pc, ps, name)
     if (i >= 5000) return genSubquery(i, rng, pc, ps, name)
     if (i >= 4000) return genSetExpr(i, rng, pc, ps, name)
     if (i >= 3000) return genWindow(i, rng, pc, ps, name)
@@ -597,17 +598,126 @@ object FuzzGen {
     }
   }
 
+  /** Correlated-scalar + LATERAL shapes (index space ≥6000): the two
+    * relational shapes the ≥5000 space does not generate — correlated
+    * SCALAR subqueries (SELECT-list count; WHERE-clause max
+    * threshold) and LATERAL derived tables (correlated aggregate;
+    * ORDER BY ... LIMIT top-k). The DataFrame twins express the same
+    * semantics the way Catalyst decorrelates them: a grouped or
+    * windowed build side joined on the correlation key. Guard-rails:
+    * a correlated count over no rows is 0 (coalesce on the join
+    * build — the classic COUNT-decorrelation trap), sum over no rows
+    * is NULL on BOTH sides, double sums ride `round(., 2)`, scalar
+    * max thresholds compare raw float64 (single division, identical
+    * in both engines), and every output is totally ordered. */
+  private def genLateral(i: Int, rng: Random, pc: Column, ps: String,
+                         name: String): Fuzz = {
+    rng.nextInt(4) match {
+      case 0 => // correlated scalar COUNT in the SELECT list
+        val st = Seq("O", "F", "P")(rng.nextInt(3))
+        Fuzz(name,
+          (s, d) => {
+            val u = graft.core.Tables.events(s, d).filter(pc)
+              .select("user_id").distinct()
+            val n = graft.core.Tables.orders(s, d)
+              .filter(col("o_orderstatus") === st)
+              .groupBy(col("o_custkey").as("user_id"))
+              .agg(count(lit(1)).as("n_orders"))
+            u.join(n, Seq("user_id"), "left")
+              .select(col("user_id"),
+                coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+              .orderBy("user_id")
+          },
+          s"""SELECT user_id,
+             |       (SELECT count(*) FROM orders o
+             |        WHERE o.o_custkey = e.user_id
+             |          AND o.o_orderstatus = '$st') AS n_orders
+             |FROM (SELECT DISTINCT user_id FROM events WHERE ($ps)) e
+             |ORDER BY user_id""".stripMargin)
+      case 1 => // correlated scalar MAX as a WHERE threshold
+        val dv = 500 + rng.nextInt(1500)
+        Fuzz(name,
+          (s, d) => {
+            val mx = graft.core.Tables.orders(s, d)
+              .groupBy(col("o_custkey").as("user_id"))
+              .agg(max(col("o_totalprice")).as("__mx"))
+            graft.core.Tables.events(s, d).filter(pc)
+              .join(mx, Seq("user_id"), "left")
+              .filter(col("value") > col("__mx") / dv)
+              .select(col("event_id"), col("user_id"),
+                round(col("value"), 2).as("value_r"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, round(value, 2) AS value_r
+             |FROM events e
+             |WHERE ($ps) AND value > (
+             |  SELECT max(o.o_totalprice) FROM orders o
+             |  WHERE o.o_custkey = e.user_id) / $dv
+             |ORDER BY event_id""".stripMargin)
+      case 2 => // LATERAL correlated aggregate (always one row per key)
+        val m = 2 + rng.nextInt(5); val r = rng.nextInt(m)
+        Fuzz(name,
+          (s, d) => {
+            val u = graft.core.Tables.events(s, d).filter(pc)
+              .select("user_id").distinct()
+            val agg = graft.core.Tables.orders(s, d)
+              .filter(col("o_orderkey") % m === r)
+              .groupBy(col("o_custkey").as("user_id"))
+              .agg(count(lit(1)).as("n"),
+                round(sum(col("o_totalprice")), 2).as("spend_r"))
+            u.join(agg, Seq("user_id"), "left")
+              .select(col("user_id"),
+                coalesce(col("n"), lit(0L)).as("n"), col("spend_r"))
+              .orderBy("user_id")
+          },
+          s"""SELECT u.user_id, l.n, l.spend_r
+             |FROM (SELECT DISTINCT user_id FROM events WHERE ($ps)) u,
+             |  LATERAL (SELECT count(*) AS n,
+             |             round(sum(o.o_totalprice), 2) AS spend_r
+             |           FROM orders o
+             |           WHERE o.o_custkey = u.user_id
+             |             AND o.o_orderkey % $m = $r) l
+             |ORDER BY user_id""".stripMargin)
+      case _ => // LATERAL top-k per key (ORDER BY ... LIMIT inside)
+        val k = 1 + rng.nextInt(3)
+        Fuzz(name,
+          (s, d) => {
+            val u = graft.core.Tables.events(s, d).filter(pc)
+              .select("user_id").distinct()
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+            val top = graft.core.Tables.orders(s, d)
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= k)
+              .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+                col("o_totalprice"))
+            // inner: a LATERAL with no rows contributes nothing
+            u.join(top, Seq("user_id"))
+              .orderBy("user_id", "o_orderkey")
+          },
+          s"""SELECT u.user_id, l.o_orderkey, l.o_totalprice
+             |FROM (SELECT DISTINCT user_id FROM events WHERE ($ps)) u,
+             |  LATERAL (SELECT o.o_orderkey, o.o_totalprice
+             |           FROM orders o WHERE o.o_custkey = u.user_id
+             |           ORDER BY o.o_totalprice DESC, o.o_orderkey
+             |           LIMIT $k) l
+             |ORDER BY user_id, o_orderkey""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 75 cases replayed against the DuckDB oracle every round,
+  /** The 92 cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
     * user_id modulo atoms whose CRT solution exceeds 14; index 10 is
     * exactly such a case and is skipped, as are 1005 from the
-    * event-time space, 4010 from the set-op space, and 5008/5010/
-    * 5015/5018 from the subquery space). Re-run FuzzVet and re-pin if
-    * the driver regenerates testdata. */
+    * event-time space, 4010 from the set-op space, 5008/5010/
+    * 5015/5018 from the subquery space, and 6013/6015/6019 from the
+    * correlated/LATERAL space). Re-run FuzzVet and re-pin if the
+    * driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
       17, 18, 19, 20,
@@ -620,7 +730,9 @@ object FuzzGen {
       4000, 4001, 4002, 4003, 4004, 4005, 4006, 4007,
       4008, 4009, 4011, 4012, 4013, 4014, 4015,
       5000, 5001, 5002, 5003, 5004, 5005, 5006, 5007,
-      5009, 5011, 5012, 5013, 5014, 5016, 5017, 5019)
+      5009, 5011, 5012, 5013, 5014, 5016, 5017, 5019,
+      6000, 6001, 6002, 6003, 6004, 6005, 6006, 6007,
+      6008, 6009, 6010, 6011, 6012, 6014, 6016, 6017, 6018)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

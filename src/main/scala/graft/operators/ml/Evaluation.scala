@@ -46,9 +46,14 @@ object Evaluation {
     def microRatio(num: org.apache.spark.sql.Column,
                    den: org.apache.spark.sql.Column) =
       floor(lit(1000000L) * num / nullif(den, lit(0L))).cast("bigint")
-    byTrue.join(byPred, Seq("lang"), "left")
-      .select(col("lang"), col("tp"),
-        coalesce(col("fp"), lit(0L)).as("fp"), col("fn"), col("support"))
+    // FULL outer: a class that is predicted but never true has no
+    // byTrue row, and a left join would drop it — losing its fp count
+    // and skewing any macro-precision computed downstream
+    byTrue.join(byPred, Seq("lang"), "full_outer")
+      .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"),
+        coalesce(col("support"), lit(0L)).as("support"))
       .withColumn("prec_micro", microRatio(col("tp"), col("tp") + col("fp")))
       .withColumn("rec_micro", microRatio(col("tp"), col("tp") + col("fn")))
       // F1 in micro space: floor(2·p·r/(p+r)) on the already-floored

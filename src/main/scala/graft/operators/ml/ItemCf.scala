@@ -28,17 +28,22 @@ import org.apache.spark.sql.functions._
   * global sort. */
 object ItemCf {
 
-  /** The capped (customer, part) universe, its pair co-counts and its
-    * per-part sizes — shared by [[itemCosine]] and [[assocRules]]. */
-  private def cappedCounts(lineitem: DataFrame, orders: DataFrame,
-                           minCo: Int, maxBasket: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // one distinct (customer, part) exchange off the facts
-    val baskets = lineitem.select(col("l_orderkey"), col("l_partkey"))
+  /** The distinct (customer, part) basket universe off the facts —
+    * one distinct exchange. */
+  private def basketUniverse(lineitem: DataFrame,
+                             orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+
+  /** The capped universe, its pair co-counts and its per-part sizes,
+    * from an ALREADY-DISTINCT (cust, part) frame — shared by
+    * [[itemCosine]], [[assocRules]] and [[evalHitRate]] (which feeds
+    * the same frame to the CF and the eval joins). */
+  private def cappedFrom(baskets: DataFrame, minCo: Int, maxBasket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // cap mega-baskets BEFORE the quadratic step; the capped set is
     // the similarity universe (sizes and co-counts agree on it).
     // Deliberately NOT scratch-materialized: its consumers all share
@@ -58,14 +63,27 @@ object ItemCf {
     (capped, co, sizes)
   }
 
+  private def cappedCounts(lineitem: DataFrame, orders: DataFrame,
+                           minCo: Int, maxBasket: Int)
+      : (DataFrame, DataFrame, DataFrame) =
+    cappedFrom(basketUniverse(lineitem, orders), minCo, maxBasket)
+
   /** Top-`topN` most-cosine-similar parts per part. Output (both
     * directions of each pair, so every item lists ITS neighbors):
     * (part_a, part_b, co_ct, ct_a, ct_b, cos_micros, rank). */
   def itemCosine(lineitem: DataFrame, orders: DataFrame, topN: Int = 10,
-                 minCo: Int = 2, maxBasket: Int = 256): DataFrame = {
+                 minCo: Int = 2, maxBasket: Int = 256): DataFrame =
+    itemCosineFrom(basketUniverse(lineitem, orders), topN, minCo, maxBasket)
+
+  /** [[itemCosine]] over a caller-supplied distinct (cust, part)
+    * universe — lets `evalHitRate` feed ONE (possibly materialized)
+    * train universe to the CF and the eval joins alike. */
+  private[ml] def itemCosineFrom(baskets: DataFrame, topN: Int = 10,
+                                 minCo: Int = 2,
+                                 maxBasket: Int = 256): DataFrame = {
     require(topN >= 1 && minCo >= 1 && maxBasket >= 2,
       "itemCosine: need topN, minCo >= 1 and maxBasket >= 2")
-    val (_, co, sizes) = cappedCounts(lineitem, orders, minCo, maxBasket)
+    val (_, co, sizes) = cappedFrom(baskets, minCo, maxBasket)
     val sym = co.unionAll(
       co.select(col("pb").as("pa"), col("pa").as("pb"), col("co_ct")))
     val scored = sym
@@ -152,16 +170,28 @@ object ItemCf {
       .filter(to_date(col("o_orderdate")) < lit(pivotDate))
     val testOrders = orders
       .filter(to_date(col("o_orderdate")) >= lit(pivotDate))
-    def basketsOf(ord: DataFrame) =
-      lineitem.select(col("l_orderkey"), col("l_partkey"))
-        .join(ord.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-        .distinct()
-    val sims = itemCosine(lineitem, trainOrders, topN, minCo, maxBasket)
+    // ONE train universe for the CF build AND the eval joins (the CF
+    // alone references it thrice: pair join twice + sizes; the eval
+    // thrice more: candidates, seen-filter, eval-user set). Whether
+    // that universe is scratch-materialized or left to AQE exchange
+    // reuse is a measured trade — flip `graft.cf.scratchTrain`;
+    // default = materialize (measured at sf0.1: 8.1 s vs 9.4 s
+    // AQE-reuse probe min-of-3 — six consumers amortize the parquet
+    // round-trip that lost when `cappedCounts` had only three).
+    val spark = lineitem.sparkSession
+    val trainRaw = basketUniverse(lineitem, trainOrders)
+    val train =
+      if (!spark.conf.getOption("graft.cf.scratchTrain")
+            .forall(_.toBoolean)) trainRaw
+      else {
+        val dir = graft.core.Scratch.dir(spark,
+          "graft.cf.scratchDir", "cf-train")
+        trainRaw.write.parquet(dir)
+        spark.read.parquet(dir)
+      }
+    val sims = itemCosineFrom(train, topN, minCo, maxBasket)
       .select(col("part_a"), col("part_b"), col("cos_micros"))
-    val train = basketsOf(trainOrders)
-    val test = basketsOf(testOrders)
+    val test = basketUniverse(lineitem, testOrders)
     // recommendations: neighbors of the train basket, minus the train
     // basket itself, best score per candidate, top-k per customer
     val cand = train.join(sims, train("part") === sims("part_a"))

@@ -59,9 +59,31 @@ object TxLog {
     * row whose file_name no longer appears in `files` is stale and
     * harmless (the anti-join finds no match); rewriting commits
     * (upsert / optimize / COW delete of everything) materialize
-    * deletions and drop the dv list. */
+    * deletions and drop the dv list.
+    *
+    * `props`: small string key-values published ATOMICALLY with the
+    * commit (the Delta `txn`/commitInfo pattern): an upsert's caller
+    * can stamp e.g. a streaming high-water mark, and readers get it
+    * from the manifest alone — no data scan. Non-rewriting commits
+    * carry the prior snapshot's props forward verbatim. */
   final case class Snapshot(version: Long, files: Seq[FileEntry],
-                            dvs: Seq[String] = Nil)
+                            dvs: Seq[String] = Nil,
+                            props: Map[String, String] = Map.empty)
+
+  /** Conventional props key for a streaming writer's exactly-once
+    * high-water mark (the Delta `txn.version` analog): the IVM legs
+    * stamp their last applied batch id here and read it back in O(1)
+    * from the manifest instead of scanning the view for max(ver). */
+  val HighWaterProp = "graft.highWater"
+
+  /** Internal clustering column the plain upsert path stamps into
+    * data files: `xxhash64(pk)`, range-clustered so every file's
+    * manifest carries a narrow hash range and a later upsert can
+    * merge ONLY the files whose range contains a batch key's hash
+    * (file-level pruned merge — commit cost O(delta + overlapping
+    * files), not O(table)). Stored in the files, never surfaced:
+    * every read drops it. */
+  private[graft] val PkHashCol = "__graft_pkh"
 
   private val LogDir = "_txlog"
   private val DataDir = "data"
@@ -162,7 +184,12 @@ object TxLog {
     val dvs = text.linesIterator.collect {
       case l if l.startsWith("dv=") => l.stripPrefix("dv=")
     }.toSeq
-    Snapshot(version, files, dvs)
+    val props = text.linesIterator.collect {
+      case l if l.startsWith("prop=") =>
+        val kv = l.stripPrefix("prop=").split('\u0001')
+        kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+    Snapshot(version, files, dvs, props)
   }
 
   /** Read the table at its latest version (None = never committed). */
@@ -277,7 +304,8 @@ object TxLog {
               masked.withColumn(c, restored)
           }
       }
-      val unioned = frames.reduce(_.unionByName(_))
+      // the internal pk-hash clustering column never surfaces to readers
+      val unioned = frames.reduce(_.unionByName(_)).drop(PkHashCol)
       if (!hasDvs) Some(unioned)
       else {
         // one anti-join against the union of the snapshot's DV files:
@@ -307,10 +335,11 @@ object TxLog {
     * column UNION with NULLs in the gaps before the merge. A column
     * appearing on both sides with a different type is rejected (type
     * changes are a rewrite migration, not an append-time implicit
-    * cast). Because every upsert rewrites the merged snapshot, all of
-    * a version's files share one schema — evolution never creates
-    * mixed-schema reads, and time travel to a pre-evolution version
-    * returns the old schema untouched.
+    * cast). A column-ADDING upsert always rewrites the whole snapshot
+    * (the pruned-merge path refuses it), so all of a version's files
+    * share one schema — evolution never creates mixed-schema reads,
+    * and time travel to a pre-evolution version returns the old
+    * schema untouched.
     *
     * With `statsCol` set the merged output is RANGE-CLUSTERED on that
     * column into (at most) `clusterFiles` data files, and each file's
@@ -388,50 +417,132 @@ object TxLog {
         Sinks.upsert(b2, Some(e2), pk, versionCol)
     }
 
+  /** Stage `df` into `data/` under `commitId`: write to a temp dir,
+    * harvest footer stats for `statCols` per part file, drop row-less
+    * files from empty range cells (keeping ONE anchor when
+    * `keepAnchor` and nothing has rows, so an empty table still reads
+    * with its schema), and move the survivors to their immutable
+    * names. Returns the new FileEntries. */
+  private def stageData(fs: FileSystem, table: String, commitId: String,
+                        df: DataFrame, statCols: Seq[String],
+                        keepAnchor: Boolean): Seq[FileEntry] = {
+    val tmp = new Path(s"$table/.staged-$commitId")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dataDir = new Path(s"$table/$DataDir")
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("part-")).toSeq
+      .map(st => (st, footerStatsMulti(fs, st.getPath, statCols)))
+    val withRows = parts.filter { case (_, (rows, _)) => rows > 0L }
+    val chosen =
+      if (withRows.nonEmpty) withRows
+      else if (keepAnchor) parts.take(1)
+      else Nil
+    parts.diff(chosen).foreach { case (st, _) => fs.delete(st.getPath, false) }
+    val staged = chosen.map { case (st, (_, stats)) =>
+      val name = s"c$commitId-${st.getPath.getName}"
+      if (!fs.rename(st.getPath, new Path(dataDir, name)))
+        sys.error(s"TxLog: failed to stage ${st.getPath}")
+      FileEntry(s"$DataDir/$name", None, stats)
+    }
+    fs.delete(tmp, true)
+    staged
+  }
+
+  /** File-level pruned-merge plan for one upsert attempt, or None when
+    * the attempt must rewrite the whole table. Eligibility: every file
+    * of the snapshot is unpartitioned, carries a `PkHashCol` range, no
+    * deletion vectors are outstanding, and the batch adds no columns
+    * (schema evolution keeps the one-schema-per-snapshot invariant by
+    * rewriting). The overlap set is exact at file granularity: a file
+    * containing batch key k has xxhash64(k) inside its true min/max by
+    * construction, so carrying every non-overlapping file by reference
+    * can never orphan a stale row of a merged key. The range probe is
+    * one delta-sized distinct + a broadcast range join against the
+    * (file-count-bounded) bounds frame; past ~10^4 files the documented
+    * refinement is a sorted-interval lookup instead of the nested-loop
+    * broadcast. */
+  private def prunePlan(spark: SparkSession, snap: Snapshot, table: String,
+                        batch: DataFrame, pk: String)
+      : Option[(Seq[FileEntry], Option[DataFrame], Int)] = {
+    import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
+    val eligible = snap.dvs.isEmpty && snap.files.nonEmpty &&
+      snap.files.forall(e => e.part.isEmpty && e.stats.exists(_.col == PkHashCol))
+    if (!eligible) return None
+    val head = spark.read.parquet(s"$table/${snap.files.head.path}")
+    val eTypes = head.schema.fields.filterNot(_.name == PkHashCol)
+      .map(f => f.name -> f.dataType).toMap
+    val fits = batch.schema.fields.forall(f => eTypes.get(f.name)
+      .exists(t => nullableNorm(t) == nullableNorm(f.dataType)))
+    if (!fits) return None
+    import spark.implicits._
+    val bounds = snap.files.zipWithIndex.map { case (e, i) =>
+      val cs = e.stats.find(_.col == PkHashCol).get
+      (i, cs.min, cs.max)
+    }.toDF("__fi", "__lo", "__hi")
+    val touched = batch.select(xxhash64(col(pk)).as("__h")).distinct()
+      .join(broadcast(bounds),
+        col("__h") >= col("__lo") && col("__h") <= col("__hi"))
+      .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+    val (overlap, carried) =
+      snap.files.zipWithIndex.partition { case (_, i) => touched(i) }
+    val existing =
+      if (overlap.isEmpty)
+        // schema-only frame so the merge still conforms an
+        // all-inserts batch to the table's column set
+        Some(head.drop(PkHashCol).limit(0))
+      else Some(spark.read
+        .parquet(overlap.map(f => s"$table/${f._1.path}"): _*)
+        .drop(PkHashCol))
+    Some((carried.map(_._1), existing, math.max(1, overlap.size)))
+  }
+
   def commitUpsert(batch: DataFrame, table: String, pk: String,
                    versionCol: String, maxRetries: Int = 20,
                    statsCol: Option[String] = None,
-                   clusterFiles: Int = 8): Long = {
+                   clusterFiles: Int = 8,
+                   props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     val spark = batch.sparkSession
+    require(!batch.columns.contains(PkHashCol),
+      s"TxLog: column name $PkHashCol is reserved")
     val fs = fsOf(spark, table)
     var attempt = 0
     while (true) {
       attempt += 1
       val snap = latest(spark, table)
-      val existing = snap.flatMap(s => readVersion(spark, table, s.version))
-      val merged = mergeEvolved(batch, existing, pk, versionCol)
-      // stage immutable data files under a commit-unique prefix
+      val allProps = snap.map(_.props).getOrElse(Map.empty) ++ props
       val commitId = UUID.randomUUID().toString.take(8)
-      val tmp = new Path(s"$table/.staged-$commitId")
-      val toWrite = statsCol match {
-        case Some(sc) => merged.repartitionByRange(
-          clusterFiles, org.apache.spark.sql.functions.col(sc))
-        case None => merged
+      // PRUNED MERGE (the default, statsCol-less path): merge the
+      // batch with ONLY the files whose pk-hash range can hold a batch
+      // key; every other FileEntry is carried into the new manifest by
+      // reference — commit cost O(delta + overlapping files), never
+      // O(table). `statsCol` commits keep the legacy full rewrite
+      // (their files cluster on statsCol, not the pk hash).
+      val plan = if (statsCol.isDefined) None
+                 else snap.flatMap(s => prunePlan(spark, s, table, batch, pk))
+      val (carried, staged) = plan match {
+        case Some((carr, existingOverlap, outFiles)) =>
+          val merged = mergeEvolved(batch, existingOverlap, pk, versionCol)
+          val stamped = merged.withColumn(PkHashCol, xxhash64(col(pk)))
+            .repartitionByRange(outFiles, col(PkHashCol))
+          (carr, stageData(fs, table, commitId, stamped,
+            Seq(PkHashCol), keepAnchor = carr.isEmpty))
+        case None =>
+          val existing = snap.flatMap(s => readVersion(spark, table, s.version))
+          val merged = mergeEvolved(batch, existing, pk, versionCol)
+          val toWrite = statsCol match {
+            case Some(sc) => merged.repartitionByRange(clusterFiles, col(sc))
+            // full rewrites still range-cluster on the pk hash and
+            // carry its per-file range, so the NEXT commit can prune
+            case None => merged.withColumn(PkHashCol, xxhash64(col(pk)))
+              .repartitionByRange(clusterFiles, col(PkHashCol))
+          }
+          (Nil, stageData(fs, table, commitId, toWrite,
+            Seq(statsCol.getOrElse(PkHashCol)), keepAnchor = true))
       }
-      toWrite.write.mode("overwrite").parquet(tmp.toString)
-      val dataDir = new Path(s"$table/$DataDir")
-      fs.mkdirs(dataDir)
-      val parts = fs.listStatus(tmp)
-        .filter(_.getPath.getName.startsWith("part-")).toSeq
-        .map(st => (st, statsCol.map(sc => footerStats(fs, st.getPath, sc))))
-      // drop row-less files from empty range partitions: they carry no
-      // stats and would defeat skipping — but keep ONE when the whole
-      // merge result is empty, so an empty table still reads as an
-      // empty frame with its schema (same as the no-stats path)
-      val withRows = parts.filter { case (_, info) => !info.exists(_._1 == 0L) }
-      val chosen = if (withRows.nonEmpty) withRows else parts.take(1)
-      parts.diff(chosen).foreach { case (st, _) =>
-        fs.delete(st.getPath, false) }
-      val staged = chosen.map { case (st, info) =>
-        val name = s"c$commitId-${st.getPath.getName}"
-        if (!fs.rename(st.getPath, new Path(dataDir, name)))
-          sys.error(s"TxLog: failed to stage ${st.getPath}")
-        FileEntry(s"$DataDir/$name", None, statsCol.flatMap(sc =>
-          info.flatMap(_._2).map { case (mn, mx) => ColStats(sc, mn, mx) }).toSeq)
-      }
-      fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
-      if (tryCommit(fs, table, target, staged)) {
+      if (tryCommit(fs, table, target, carried ++ staged, Nil, allProps)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return target
       }
@@ -461,7 +572,8 @@ object TxLog {
                               versionCol: String, partCol: String,
                               maxRetries: Int = 20,
                               statsCol: Option[String] = None,
-                              clusterFiles: Int = 8): Long = {
+                              clusterFiles: Int = 8,
+                              props: Map[String, String] = Map.empty): Long = {
     val spark = batch.sparkSession
     val fs = fsOf(spark, table)
     var attempt = 0
@@ -510,7 +622,8 @@ object TxLog {
         }
       fs.delete(tmp, true)
       val target = snap.map(_.version).getOrElse(0L) + 1L
-      if (tryCommit(fs, table, target, staged)) {
+      if (tryCommit(fs, table, target, staged, Nil,
+          snap.map(_.props).getOrElse(Map.empty) ++ props)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return target
       }
@@ -534,7 +647,8 @@ object TxLog {
     *    service, as Delta documents. */
   private def tryCommit(fs: FileSystem, table: String, version: Long,
                         files: Seq[FileEntry],
-                        dvs: Seq[String] = Nil): Boolean = {
+                        dvs: Seq[String] = Nil,
+                        props: Map[String, String] = Map.empty): Boolean = {
     val target = manifestPath(table, version)
     fs.mkdirs(target.getParent)
     val tmp = new Path(target.getParent,
@@ -543,12 +657,18 @@ object TxLog {
     try {
       def statsSuffix(st: Seq[ColStats]): Seq[String] =
         st.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
+      props.foreach { case (k, v) =>
+        require(Seq(k, v).forall(x => !x.contains('\u0001') &&
+          !x.contains('\n') && !x.contains('\r')),
+          s"TxLog: prop '$k' contains a manifest separator") }
       val body = (s"version=$version" +: (files.map {
         case FileEntry(p, None, st) =>
           ((("file=" + p) +: statsSuffix(st))).mkString("\u0001")
         case FileEntry(p, Some((c, v)), st) =>
           (Seq("pfile=" + c, v, p) ++ statsSuffix(st)).mkString("\u0001")
-      } ++ dvs.map("dv=" + _))).mkString("", "\n", "\n")
+      } ++ dvs.map("dv=" + _)
+        ++ props.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"prop=$k\u0001$v" })).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
     val published =
@@ -684,7 +804,7 @@ object TxLog {
       // mask (entries naming rewritten files go stale-harmless); with
       // nothing untouched every DV row is stale — drop the list
       val carriedDvs = if (untouched.nonEmpty) snap.dvs else Nil
-      if (tryCommit(fs, table, target, files, carriedDvs)) {
+      if (tryCommit(fs, table, target, files, carriedDvs, snap.props)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return Some(target)
       }
@@ -822,7 +942,8 @@ object TxLog {
       fs.delete(tmp, true)
       val dvPath = s"$DataDir/$name"
       val target = snap.version + 1L
-      if (tryCommit(fs, table, target, snap.files, snap.dvs :+ dvPath)) {
+      if (tryCommit(fs, table, target, snap.files, snap.dvs :+ dvPath,
+          snap.props)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return Some(target)
       }
@@ -901,10 +1022,22 @@ object TxLog {
     * an upsert wins the version, the compactor re-reads the NEW
     * snapshot (the upsert's rows are folded in) and retries, so no
     * concurrent write is ever lost. Returns the committed version, or
-    * None for an empty/absent table. */
+    * None for an empty/absent table.
+    *
+    * `pk` (zorderCols empty only): PRESERVE the pruned-merge layout —
+    * re-cluster on `xxhash64(pk)` and carry per-file PkHashCol stats,
+    * so the file-size re-leveling an incremental-upsert table needs
+    * does NOT force the next upsert into a full rewrite. This is how
+    * an IVM table compacts: small-file debt from many pruned commits
+    * → one `optimize(pk = Some(key))` → pruned commits continue. */
   def optimize(spark: SparkSession, table: String,
                zorderCols: Seq[String] = Nil, targetFiles: Int = 8,
-               bits: Int = 6, maxRetries: Int = 20): Option[Long] = {
+               bits: Int = 6, maxRetries: Int = 20,
+               pk: Option[String] = None): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    require(pk.isEmpty || zorderCols.isEmpty,
+      "optimize: pk-layout compaction and z-order clustering are " +
+        "mutually exclusive (a file clusters on one key)")
     val fs = fsOf(spark, table)
     var attempt = 0
     while (true) {
@@ -914,19 +1047,24 @@ object TxLog {
         case Some(s) => s
       }
       val df = readVersion(spark, table, snap.version).getOrElse(return None)
-      val toWrite =
-        if (zorderCols.isEmpty) df.repartition(targetFiles)
-        else df.withColumn("__z", zorderKey(df, zorderCols, bits))
-          .repartitionByRange(targetFiles, org.apache.spark.sql.functions.col("__z"))
-          .drop("__z")
+      val toWrite = pk match {
+        case Some(k) => df.withColumn(PkHashCol, xxhash64(col(k)))
+          .repartitionByRange(targetFiles, col(PkHashCol))
+        case None =>
+          if (zorderCols.isEmpty) df.repartition(targetFiles)
+          else df.withColumn("__z", zorderKey(df, zorderCols, bits))
+            .repartitionByRange(targetFiles, col("__z"))
+            .drop("__z")
+      }
       val commitId = UUID.randomUUID().toString.take(8)
       val tmp = new Path(s"$table/.staged-$commitId")
       toWrite.write.mode("overwrite").parquet(tmp.toString)
       val dataDir = new Path(s"$table/$DataDir")
       fs.mkdirs(dataDir)
+      val statCols = if (pk.isDefined) Seq(PkHashCol) else zorderCols
       val parts = fs.listStatus(tmp)
         .filter(_.getPath.getName.startsWith("part-")).toSeq
-        .map(st => (st, footerStatsMulti(fs, st.getPath, zorderCols)))
+        .map(st => (st, footerStatsMulti(fs, st.getPath, statCols)))
       // drop row-less files (empty range cells), but keep one for an
       // empty table — same policy as commitUpsert
       val withRows = parts.filter { case (_, (rows, _)) => rows > 0L }
@@ -940,7 +1078,7 @@ object TxLog {
       }
       fs.delete(tmp, true)
       val target = snap.version + 1L
-      if (tryCommit(fs, table, target, staged)) {
+      if (tryCommit(fs, table, target, staged, Nil, snap.props)) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return Some(target)
       }

@@ -30,9 +30,10 @@ import graft.sinks.TxLog
   * Shape at 100 TB: the partial aggregate is map-side combined (one
   * keyed exchange over the batch, not the table); the affected-keys
   * read is a semi join that TxLog file-stats skipping can prune; the
-  * commit rewrites the affected rows' files copy-on-write — dim-scale
-  * fine, and past that the documented trade is partitioning the table
-  * by key range so a commit touches only overlapping partitions. */
+  * commit rides TxLog's file-level pruned merge — only files whose
+  * pk-hash range holds an affected key are rewritten, the rest carry
+  * by reference, so commit cost tracks the batch's key count, not
+  * the rollup's. */
 object AggIndex {
 
   private val Ver = "agg_ver"
@@ -71,11 +72,18 @@ object AggIndex {
                  sumCols: Seq[String], minMaxCols: Seq[String],
                  batchId: Long): Long = {
     val spark = batch.sparkSession
-    val cur = TxLog.read(spark, table)
-    val highWater = cur.map(
-      _.agg(max(col(Ver))).head().getLong(0)).getOrElse(Long.MinValue)
+    val snap = TxLog.latest(spark, table)
+    // the applied-batch mark rides the manifest props — atomic with
+    // the commit it describes and O(1) to read; pre-props tables fall
+    // back to the view scan once, and the next commit stamps the prop
+    val highWater = snap.map(s =>
+      s.props.get(TxLog.HighWaterProp).map(_.toLong).getOrElse(
+        TxLog.readVersion(spark, table, s.version).map(
+          _.agg(max(col(Ver))).head().getLong(0))
+          .getOrElse(Long.MinValue))).getOrElse(Long.MinValue)
     if (batchId <= highWater)
-      return TxLog.latest(spark, table).map(_.version).getOrElse(0L)
+      return snap.map(_.version).getOrElse(0L)
+    val cur = TxLog.read(spark, table)
     val p = partial(batch, key, sumCols, minMaxCols)
     val merged = cur match {
       case Some(t) =>
@@ -87,7 +95,8 @@ object AggIndex {
       case None => p
     }
     TxLog.commitUpsert(merged.withColumn(Ver, lit(batchId)),
-      table, pk = key, versionCol = Ver)
+      table, pk = key, versionCol = Ver,
+      props = Map(TxLog.HighWaterProp -> batchId.toString))
   }
 
   /** The queryable rollup at the latest committed version (maintenance

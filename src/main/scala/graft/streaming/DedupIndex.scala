@@ -27,11 +27,11 @@ import graft.sinks.TxLog
   *    a property of the WHOLE corpus, and capping per-batch would
   *    diverge from the rebuild (a bucket can cross the cap only once
   *    the union does).
-  *  - The TxLog merge is copy-on-write over the full index snapshot —
-  *    fine at dim-table scale; when the index outgrows that, `optimize`
-  *    compaction plus partitioning the table by `band` bounds each
-  *    commit's rewrite to the touched partitions (documented trade,
-  *    same as Delta's MERGE).
+  *  - The TxLog merge is file-level pruned: only index files whose
+  *    row_key-hash range holds a batch key are rewritten, the rest
+  *    carry by reference — commit cost tracks the batch, not the
+  *    accumulated index. `optimize` compaction re-levels file sizes
+  *    when incremental commits fragment the layout.
   */
 object DedupIndex {
 

@@ -28,47 +28,66 @@ import graft.sinks.TxLog
   *
   * Shape at 100 TB: the delta joins shuffle delta-sized inputs keyed
   * on the join key (the accumulated side is read through TxLog, where
-  * file stats prune non-overlapping key ranges); the wide commit is
-  * copy-on-write over the affected pks only. Past dim scale, the
-  * documented trade is key-range partitioning of the accumulators so
-  * a batch touches only overlapping partitions — same contract as
-  * AggIndex. */
+  * file stats prune non-overlapping key ranges); each commit rides
+  * TxLog's file-level pruned merge, so its copy-on-write rewrites
+  * ONLY the files whose pk-hash range holds a delta key and carries
+  * every other file by reference — commit cost O(delta + overlapping
+  * files), not O(view). The applied-batch high-water mark is a
+  * manifest prop (atomic with the commit, O(1) to read), so replay
+  * detection never scans the view either. */
 object JoinIndex {
 
   private val Ver = "join_ver"
+
+  /** Collision-safe wide-row key over `pkCols`: JSON-encode the pk
+    * struct with nulls kept explicit. A plain delimiter concat would
+    * fold distinct tuples — ("a|b","c") vs ("a","b|c"), and
+    * concat_ws silently SKIPS nulls so ("a",null) ≡ ("a") — and the
+    * upsert would then silently merge genuinely distinct wide rows.
+    * JSON escaping keeps the encoding injective on distinct tuples
+    * (field order is the struct's, fixed by `pkCols`). */
+  private def widePk(pkCols: Seq[String]) =
+    to_json(struct(pkCols.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
 
   /** MERGE one insert-only batch pair into the join view as one ACID
     * commit sequence. Both frames must carry `key`; wide-row identity
     * is `pkCols` — the DECLARED uniqueness contract for right-side
     * rows (left must be unique on `key`). A pk collision would make
-    * the upsert silently FOLD genuine bag-join rows, so each delta
-    * batch is checked eagerly (one delta-sized aggregate — the
-    * maintenance path buys correctness-for-cost here) and a violation
-    * fails loudly. Returns the committed wide version, or the current
-    * one when `batchId` is at or below the high-water mark. */
+    * the upsert silently FOLD genuine bag-join rows, so each applied
+    * delta batch is checked (one delta-sized aggregate, after the
+    * replay early-return so skipped batches don't pay it) and a
+    * violation fails loudly. Returns the committed wide version, or
+    * the current one when `batchId` is at or below the high-water
+    * mark. An empty batch pair still commits the (empty) wide delta,
+    * advancing the high-water prop — with the pruned merge that is a
+    * metadata-only commit, so restarts never re-replay it. */
   def mergeBatch(dLeft: DataFrame, dRight: DataFrame, table: String,
                  key: String, pkCols: Seq[String], batchId: Long): Long = {
     val spark = dLeft.sparkSession
+    val wideSnap = TxLog.latest(spark, s"$table/wide")
+    val highWater = wideSnap.map(s =>
+      s.props.get(TxLog.HighWaterProp).map(_.toLong).getOrElse {
+        // legacy tables (pre-props): fall back to the view scan once;
+        // the next commit stamps the prop
+        TxLog.readVersion(spark, s"$table/wide", s.version).map(
+          _.agg(coalesce(max(col(Ver)), lit(Long.MinValue)))
+            .head().getLong(0)).getOrElse(Long.MinValue)
+      }).getOrElse(Long.MinValue)
+    if (batchId <= highWater)
+      return wideSnap.map(_.version).getOrElse(0L)
     require(dRight.groupBy(pkCols.map(col): _*)
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
       s"JoinIndex.mergeBatch: pkCols ${pkCols.mkString(",")} do not " +
         "uniquely identify right-side rows in this batch — the upsert " +
         "would fold genuine join rows")
-    // coalesce guards the empty-view case: a batch pair whose delta
-    // joined to nothing still commits an (empty) wide version, and
-    // max over no rows is NULL
-    val highWater = TxLog.read(spark, s"$table/wide").map(
-      _.agg(coalesce(max(col(Ver)), lit(Long.MinValue)))
-        .head().getLong(0)).getOrElse(Long.MinValue)
-    if (batchId <= highWater)
-      return TxLog.latest(spark, s"$table/wide").map(_.version).getOrElse(0L)
     // snapshots BEFORE any commit — the delta algebra needs L and R,
     // not L' and R' (after a partial-failure replay they may already
     // contain the delta; the pk upsert folds the resulting dups)
     val leftPrev = TxLog.read(spark, s"$table/left").map(_.drop(Ver))
     val rightPrev = TxLog.read(spark, s"$table/right")
       .map(_.drop(Ver, "w_pk"))
-    val pk = concat_ws("|", pkCols.map(c => col(c).cast("string")): _*)
+    val pk = widePk(pkCols)
     val deltaWide = Seq(
       rightPrev.map(r => dLeft.join(r, key)),
       leftPrev.map(l => l.join(dRight, key)),
@@ -76,8 +95,8 @@ object JoinIndex {
     ).flatten.reduce(_ unionByName _)
       .withColumn("w_pk", pk).withColumn(Ver, lit(batchId))
     // one-sided micro-batches are normal under the side-tagged stream
-    // shape: skip the empty side's commit — an empty upsert would be
-    // a full copy-on-write rewrite of an unchanged accumulator
+    // shape: skip the empty side's commit — even pruned, it would
+    // stage and commit for no row change
     if (!dLeft.isEmpty)
       TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
         s"$table/left", pk = key, versionCol = Ver)
@@ -86,7 +105,8 @@ object JoinIndex {
         dRight.withColumn("w_pk", pk).withColumn(Ver, lit(batchId)),
         s"$table/right", pk = "w_pk", versionCol = Ver)
     TxLog.commitUpsert(deltaWide, s"$table/wide", pk = "w_pk",
-      versionCol = Ver)
+      versionCol = Ver,
+      props = Map(TxLog.HighWaterProp -> batchId.toString))
   }
 
   /** The queryable join view at the latest committed version

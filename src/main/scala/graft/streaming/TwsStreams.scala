@@ -214,12 +214,25 @@ object TwsStreams {
     }
   }
 
-  /** Events table → time-ordered SpendPoints (integer cents). */
+  /** Deterministic key-sample modulus for the REPLAY HARNESSES below:
+    * MemoryStream keeps every added row on the driver, so an unbounded
+    * replay would be the suite's first driver OOM as the gate SF
+    * grows. Only users with `user_id % SampleMod == 0` are replayed —
+    * exact semantics over the sampled keys (state is per-key, so
+    * dropping whole keys changes nothing for the kept ones), and the
+    * oracles apply the identical predicate. The production entries
+    * (`runningSpendStream`/`gapSessionStream`/`mapListSpendStream`)
+    * are full readStream transforms with no sampling. */
+  val SampleMod = 4L
+
+  /** Events table → time-ordered SpendPoints (integer cents),
+    * key-sampled by [[SampleMod]] — the driver-bounded harness feed. */
   private def spendPoints(events: org.apache.spark.sql.DataFrame)
       : Array[SpendPoint] = {
-    import org.apache.spark.sql.functions.{col, round}
+    import org.apache.spark.sql.functions.{col, lit, pmod, round}
     import events.sparkSession.implicits._
-    events.select(col("user_id"), col("ts"), col("event_id"),
+    events.filter(pmod(col("user_id"), lit(SampleMod)) === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
         round(col("value") * 100).cast("bigint").as("spend_cents"))
       .as[SpendPoint].collect()
       .sortBy(p => (EventMicros.usOf(p.ts), p.event_id))
@@ -330,10 +343,11 @@ object TwsStreams {
                     batches: Int = 3): org.apache.spark.sql.DataFrame =
     withRocksDb(spark) {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import org.apache.spark.sql.functions.{col, round}
+      import org.apache.spark.sql.functions.{col, lit, pmod, round}
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import spark.implicits._
-      val pts = events.select(col("user_id"), col("ts"), col("event_id"),
+      val pts = events.filter(pmod(col("user_id"), lit(SampleMod)) === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
           col("event_type"),
           round(col("value") * 100).cast("bigint").as("spend_cents"))
         .as[TypedSpendPoint].collect()

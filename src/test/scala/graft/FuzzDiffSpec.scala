@@ -17,7 +17,8 @@ class FuzzDiffSpec extends SparkTestBase {
     (2000 until 2040).map(FuzzGen.gen) ++ // the cross-table shape space
     (3000 until 3040).map(FuzzGen.gen) ++ // the window/HAVING shape space
     (4000 until 4040).map(FuzzGen.gen) ++ // the set-op/expression shape space
-    (5000 until 5040).map(FuzzGen.gen)    // the subquery/semi-anti shape space
+    (5000 until 5040).map(FuzzGen.gen) ++ // the subquery/semi-anti shape space
+    (6000 until 6040).map(FuzzGen.gen)    // the correlated-scalar/LATERAL space
 
   test("320 generated filter/agg/join/time/cross/window/set/subquery cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")

@@ -41,11 +41,24 @@ class RankingSpec extends SparkTestBase {
     val ranked = Ranking.withGlobalRowNumber(df,
       Seq(col("k").asc, col("id").asc), "rn")
     val plan = ranked.queryExecution.executedPlan.toString
-    // the sort must arrive via a range exchange; the window partitions
-    // on the pid column rather than running unpartitioned
-    assert(plan.contains("rangepartitioning"), plan)
+    // the range exchange runs in the one-time scratch materialization
+    // (per-execution sampling seeds make re-executing it unsafe); the
+    // returned plan reads the materialized ranges and windows
+    // partitioned on the pid column, never unpartitioned
+    assert(plan.contains("__graft_rn_pid"), plan)
+    assert(plan.contains("graft-scratch") || plan.contains("rank-"),
+      s"ranking must read the single materialization:\n$plan")
     assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
       s"global ranking must not collapse to one partition:\n$plan")
+    // determinism across executions of the SAME returned frame: two
+    // actions see identical global numbering (the double-execution
+    // hazard the materialization removes)
+    val a = ranked.select("id", "rn").collect().map(r =>
+      r.getInt(0) -> r.getLong(1)).toMap
+    val b = ranked.select("id", "rn").collect().map(r =>
+      r.getInt(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (1L to 1000L))
   }
 
   test("bm25 ranking metrics: dcg/idcg/ndcg/rr match a longhand " +

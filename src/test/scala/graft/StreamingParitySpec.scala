@@ -583,7 +583,10 @@ class StreamingParitySpec extends SparkTestBase {
       .rowsBetween(Long.MinValue, 0)
     val w3 = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    // the replay harness key-samples by SampleMod; the truth must too
     val batch = events
+      .filter(pmod(col("user_id"),
+        lit(graft.streaming.TwsStreams.SampleMod)) === 0)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         round(col("value") * 100).cast("bigint").as("cents"))
       .withColumn("type_total_cents", sum("cents").over(wTyp))

@@ -834,4 +834,119 @@ class TxLogSpec extends SparkTestBase {
     assert(feed == Set((2L, "update_preimage"), (2L, "update_postimage")),
       feed)
   }
+
+  test("pruned merge: untouched files carry BY REFERENCE across commits") {
+    val t = freshTable()
+    // wide key range, clustered into several pk-hash files
+    TxLog.commitUpsert((1L to 400L).map(k => (k, 1L, s"p$k"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    val before = TxLog.read(spark, t).get.inputFiles.toSet
+    assert(before.size >= 4, s"expected several files, got ${before.size}")
+    // a 2-key delta must rewrite only the files holding those keys
+    TxLog.commitUpsert(Seq((7L, 2L, "u7"), (401L, 1L, "n401"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    val after = TxLog.read(spark, t).get.inputFiles.toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty,
+      s"no v1 file survived into v2 — the merge rewrote everything:\n" +
+        s"before=$before\nafter=$after")
+    assert(after.diff(before).size <= before.size / 2,
+      s"delta commit staged ${after.diff(before).size} new files")
+    // and the merged state is exactly the serial-upsert truth
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now.size == 401 && now(7L) == "u7" && now(401L) == "n401" &&
+      now(8L) == "p8")
+  }
+
+  test("pruned merge equals full rebuild over a random commit schedule") {
+    val rnd = new scala.util.Random(42)
+    val t = freshTable()
+    var truth = Map.empty[Long, (Long, String)]
+    (1 to 6).foreach { ver =>
+      val keys = Seq.fill(30)(rnd.nextInt(500).toLong).distinct
+      val rows = keys.map(k => (k, ver.toLong, s"v$ver-$k"))
+      rows.foreach { case (k, v, p) =>
+        if (!truth.get(k).exists(_._1 > v)) truth += k -> ((v, p)) }
+      TxLog.commitUpsert(rows.toDF("k", "ver", "payload"), t, "k", "ver")
+    }
+    val got = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == truth)
+    // the internal clustering column never leaks to readers
+    assert(!TxLog.read(spark, t).get.columns.contains("__graft_pkh"))
+    assert(!TxLog.readChanges(spark, t, "k", 1L, 6L).get.columns
+      .contains("__graft_pkh"))
+  }
+
+  test("manifest props: atomic with the commit, carried forward, overridable") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
+      t, "k", "ver", props = Map(TxLog.HighWaterProp -> "5"))
+    assert(TxLog.latest(spark, t).get.props ==
+      Map(TxLog.HighWaterProp -> "5"))
+    // a prop-less commit carries the prior snapshot's props verbatim
+    TxLog.commitUpsert(Seq((2L, 1L, "b")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    assert(TxLog.latest(spark, t).get.props ==
+      Map(TxLog.HighWaterProp -> "5"))
+    // a later writer overrides its key, other keys survive
+    TxLog.commitUpsert(Seq((3L, 1L, "c")).toDF("k", "ver", "payload"),
+      t, "k", "ver",
+      props = Map(TxLog.HighWaterProp -> "9", "graft.owner" -> "job-1"))
+    assert(TxLog.latest(spark, t).get.props ==
+      Map(TxLog.HighWaterProp -> "9", "graft.owner" -> "job-1"))
+    // props survive a non-upsert commit (delete) and time travel reads
+    // still resolve data correctly underneath
+    TxLog.commitDelete(spark, t, col("k") === 2L)
+    assert(TxLog.latest(spark, t).get.props("graft.owner") == "job-1")
+    assert(TxLog.read(spark, t).get.count() == 2)
+  }
+
+  test("pk-layout optimize compacts small-file debt AND preserves " +
+      "pruned-merge eligibility") {
+    val t = freshTable()
+    (1 to 5).foreach(i => TxLog.commitUpsert(
+      Seq((i * 10L, 1L, s"p$i")).toDF("k", "ver", "payload"), t, "k", "ver"))
+    TxLog.optimize(spark, t, targetFiles = 2, pk = Some("k"))
+    val compacted = TxLog.read(spark, t).get.inputFiles.toSet
+    assert(compacted.size <= 2, s"compaction left ${compacted.size} files")
+    // the next delta commit must still carry a compacted file by
+    // reference (a plain optimize would have dropped the pk layout
+    // and forced a full rewrite)
+    TxLog.commitUpsert(Seq((10L, 2L, "u")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val after = TxLog.read(spark, t).get.inputFiles.toSet
+    assert(compacted.intersect(after).nonEmpty,
+      s"post-optimize upsert rewrote everything: $compacted -> $after")
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now == Map(10L -> "u", 20L -> "p2", 30L -> "p3",
+      40L -> "p4", 50L -> "p5"))
+    assert(!TxLog.read(spark, t).get.columns.contains("__graft_pkh"))
+  }
+
+  test("pruned merge composes with DV deletes and evolution fallback") {
+    val t = freshTable()
+    TxLog.commitUpsert((1L to 100L).map(k => (k, 1L, s"p$k"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    // merge-on-read delete, then an upsert: DVs force the full path,
+    // which must materialize the deletion (deleted row stays gone)
+    TxLog.commitDeleteMor(spark, t, col("k") === 50L)
+    TxLog.commitUpsert(Seq((7L, 2L, "u7")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!now.contains(50L) && now(7L) == "u7" && now.size == 99)
+    assert(TxLog.latest(spark, t).get.dvs.isEmpty,
+      "the rewriting upsert must materialize and drop the DV list")
+    // column-adding batch: evolution falls back to the full rewrite
+    // and keeps one schema per snapshot
+    TxLog.commitUpsert(Seq((8L, 2L, "u8", 42L))
+      .toDF("k", "ver", "payload", "extra"), t, "k", "ver")
+    val evolved = TxLog.read(spark, t).get
+    assert(evolved.columns.toSeq == Seq("k", "ver", "payload", "extra"))
+    assert(evolved.filter(col("k") === 8L).head().getLong(3) == 42L)
+    assert(evolved.filter(col("k") === 7L).head().isNullAt(3))
+  }
 }
