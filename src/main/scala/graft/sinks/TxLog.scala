@@ -88,6 +88,18 @@ object TxLog {
   private val LogDir = "_txlog"
   private val DataDir = "data"
 
+  /** Env-gated phase timing (`GRAFT_TXLOG_PROBE=1`) for the commit
+    * path — feeds the SCALE.md cost receipts. */
+  private val probeLog = sys.env.contains("GRAFT_TXLOG_PROBE")
+  private[graft] def timed[T](tag: String)(body: => T): T =
+    if (!probeLog) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[txlog] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Hive's directory-name sentinel for a NULL partition value. */
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
 
@@ -271,6 +283,27 @@ object TxLog {
     } finally rdr.close()
   }
 
+  /** The per-row-group parquet bloom filters of `col` in one file —
+    * a footer+bloom-pages read, no data pages. None when ANY row
+    * group lacks a bloom for the column (the file then can't be
+    * cleared by probing and must count as a possible holder). */
+  private def fileBlooms(fs: FileSystem, file: Path, col: String)
+      : Option[Seq[org.apache.parquet.column.values.bloomfilter.BloomFilter]] = {
+    import scala.jdk.CollectionConverters._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+        fs.getFileStatus(file), fs.getConf))
+    try {
+      val per = rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == col)
+          .flatMap(cc => Option(rdr.getBloomFilterDataReader(b))
+            .flatMap(r => Option(r.readBloomFilter(cc))))
+      }
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else Some(per.flatten)
+    } finally rdr.close()
+  }
+
   private def readFiles(spark: SparkSession, table: String, version: Long,
                         keep: FileEntry => Boolean): Option[DataFrame] = {
     if (version < 0) return None
@@ -427,7 +460,16 @@ object TxLog {
                         df: DataFrame, statCols: Seq[String],
                         keepAnchor: Boolean): Seq[FileEntry] = {
     val tmp = new Path(s"$table/.staged-$commitId")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer =
+      if (!statCols.contains(PkHashCol)) df.write
+      else df.write
+        // parquet BLOOM FILTERS on the pk hash: the prune probe tests
+        // delta keys against each candidate file's bloom (footer-only)
+        // instead of scanning its rows — an insert-only delta clears
+        // every file without reading a data page
+        .option(s"parquet.bloom.filter.enabled#$PkHashCol", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+    writer.mode("overwrite").parquet(tmp.toString)
     val dataDir = new Path(s"$table/$DataDir")
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp)
@@ -454,17 +496,40 @@ object TxLog {
     * of the snapshot is unpartitioned, carries a `PkHashCol` range, no
     * deletion vectors are outstanding, and the batch adds no columns
     * (schema evolution keeps the one-schema-per-snapshot invariant by
-    * rewriting). The overlap set is exact at file granularity: a file
-    * containing batch key k has xxhash64(k) inside its true min/max by
-    * construction, so carrying every non-overlapping file by reference
-    * can never orphan a stale row of a merged key. The range probe is
-    * one delta-sized distinct + a broadcast range join against the
-    * (file-count-bounded) bounds frame; past ~10^4 files the documented
-    * refinement is a sorted-interval lookup instead of the nested-loop
-    * broadcast. */
+    * rewriting).
+    *
+    * Two probe stages, both exact-no-false-negative at file
+    * granularity:
+    *  1. RANGE: a file containing batch key k has xxhash64(k) inside
+    *     its manifest min/max by construction — one delta-sized
+    *     distinct + a broadcast range join against the file-count-
+    *     bounded bounds frame (past ~10^4 files the documented
+    *     refinement is a sorted-interval lookup).
+    *  2. CONTAINMENT: uniform hashes make EVERY file range-overlap an
+    *     insert-heavy delta even though none holds its keys, so the
+    *     range survivors are scanned ONCE (null-safe semi join on the
+    *     real pk, `_metadata.file_name` identifying the holder) and
+    *     only files that actually HOLD a batch key are rewritten.
+    *     An insert-only batch therefore writes delta-sized new files
+    *     and carries the entire table by reference — the true
+    *     O(delta) commit; update-heavy batches degrade smoothly to
+    *     the overlap set.
+    * Cost: O(range-overlap scan) read + O(delta + holder files)
+    * write. */
+  /** One upsert attempt's pruned-merge plan. `holdRows` is None when
+    * NO file holds a batch key (the pure-append case); `batchUnique`
+    * is true when the probe PROVED the batch pk-unique (every row's
+    * pk hash distinct — same pk implies same hash, so hash-unique
+    * implies pk-unique; a hash collision can only force an
+    * unnecessary dedupe, never skip a needed one). */
+  private final case class PrunedPlan(carried: Seq[FileEntry],
+                                      holdRows: Option[DataFrame],
+                                      schemaOnly: DataFrame,
+                                      outFiles: Int,
+                                      batchUnique: Boolean)
+
   private def prunePlan(spark: SparkSession, snap: Snapshot, table: String,
-                        batch: DataFrame, pk: String)
-      : Option[(Seq[FileEntry], Option[DataFrame], Int)] = {
+                        batch: DataFrame, pk: String): Option[PrunedPlan] = {
     import org.apache.spark.sql.functions.{broadcast, col, xxhash64}
     val eligible = snap.dvs.isEmpty && snap.files.nonEmpty &&
       snap.files.forall(e => e.part.isEmpty && e.stats.exists(_.col == PkHashCol))
@@ -476,26 +541,111 @@ object TxLog {
       .exists(t => nullableNorm(t) == nullableNorm(f.dataType)))
     if (!fits) return None
     import spark.implicits._
-    val bounds = snap.files.zipWithIndex.map { case (e, i) =>
-      val cs = e.stats.find(_.col == PkHashCol).get
-      (i, cs.min, cs.max)
-    }.toDF("__fi", "__lo", "__hi")
-    val touched = batch.select(xxhash64(col(pk)).as("__h")).distinct()
-      .join(broadcast(bounds),
-        col("__h") >= col("__lo") && col("__h") <= col("__hi"))
-      .select("__fi").distinct().collect().map(_.getInt(0)).toSet
-    val (overlap, carried) =
-      snap.files.zipWithIndex.partition { case (_, i) => touched(i) }
-    val existing =
-      if (overlap.isEmpty)
-        // schema-only frame so the merge still conforms an
-        // all-inserts batch to the table's column set
-        Some(head.drop(PkHashCol).limit(0))
+    val schemaOnly = head.drop(PkHashCol).limit(0)
+    val fs = fsOf(spark, table)
+    // ONE delta execution for the whole probe: collect the pk hashes
+    // WITH multiplicity (driver-bounded) and run everything driver-
+    // side — batch-uniqueness detection, range check against the
+    // manifest bounds, then parquet BLOOM membership per surviving
+    // file (footer-only). No false negatives (stats are true min/max;
+    // blooms never false-negative), so a carried file can never hide
+    // a merged key; a bloom false positive only rewrites one extra
+    // file. Past the cap, fall back to an executor-side exact
+    // containment scan of the range survivors.
+    val hsRows = batch.select(xxhash64(col(pk)).as("__h"))
+      .limit(BloomProbeMaxKeys + 1).collect()
+    var unique = false
+    val (hold, carried) =
+      if (hsRows.length <= BloomProbeMaxKeys) {
+        val all = hsRows.map(_.getLong(0)).sorted
+        val hs = all.distinct
+        unique = hs.length == all.length
+        // hashes falling inside [lo, hi]: binary-search the sorted
+        // delta hashes — O(log d) per file plus the in-range slice
+        def inRange(lo: Long, hi: Long): Array[Long] = {
+          var a = 0; var b = hs.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (hs(m) < lo) a = m + 1 else b = m
+          }
+          var e = a
+          while (e < hs.length && hs(e) <= hi) e += 1
+          java.util.Arrays.copyOfRange(hs, a, e)
+        }
+        snap.files.partition { e =>
+          val cs = e.stats.find(_.col == PkHashCol).get
+          val cand = inRange(cs.min, cs.max)
+          cand.nonEmpty && (
+            fileBlooms(fs, new Path(s"$table/${e.path}"), PkHashCol) match {
+              case Some(bfs) =>
+                cand.exists(h => bfs.exists(bf => bf.findHash(bf.hash(h))))
+              case None => true // no bloom: cannot be cleared
+            })
+        }
+      } else {
+        val bounds = snap.files.zipWithIndex.map { case (e, i) =>
+          val cs = e.stats.find(_.col == PkHashCol).get
+          (i, cs.min, cs.max)
+        }.toDF("__fi", "__lo", "__hi")
+        val ranged = batch.select(xxhash64(col(pk)).as("__h")).distinct()
+          .join(broadcast(bounds),
+            col("__h") >= col("__lo") && col("__h") <= col("__hi"))
+          .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+        val (rangeOverlap, rangeCarried) =
+          snap.files.zipWithIndex.partition { case (_, i) => ranged(i) }
+        if (rangeOverlap.isEmpty) (Nil, snap.files)
+        else {
+          // exact containment (null-safe through the hash column —
+          // xxhash64(NULL) is the seed constant on both sides, so a
+          // NULL pk still folds instead of duplicating)
+          val holders = spark.read
+            .parquet(rangeOverlap.map(f => s"$table/${f._1.path}"): _*)
+            .select(col(PkHashCol), col("_metadata.file_name").as("__fn"))
+            .join(batch.select(xxhash64(col(pk)).as(PkHashCol)).distinct(),
+              Seq(PkHashCol), "left_semi")
+            .select("__fn").distinct().collect().map(_.getString(0)).toSet
+          val (h, c) = rangeOverlap.partition { case (e, _) =>
+            holders(e.path.substring(e.path.lastIndexOf('/') + 1)) }
+          (h.map(_._1), rangeCarried.map(_._1) ++ c.map(_._1))
+        }
+      }
+    val holdRows =
+      if (hold.isEmpty) None
       else Some(spark.read
-        .parquet(overlap.map(f => s"$table/${f._1.path}"): _*)
+        .parquet(hold.map(f => s"$table/${f.path}"): _*)
         .drop(PkHashCol))
-    Some((carried.map(_._1), existing, math.max(1, overlap.size)))
+    // append commits (no holder files) size their file count by the
+    // batch, so a large append writes in parallel instead of through
+    // one task; merge commits re-level the holder set
+    val outFiles =
+      if (hold.nonEmpty) hold.size
+      else math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1))
+    Some(PrunedPlan(carried, holdRows, schemaOnly, outFiles, unique))
   }
+
+  /** Target rows per data file for parallel append writes (locally
+    * small rows; a cluster deployment would size by bytes). */
+  private val AppendRowsPerFile = 65536
+
+  /** First commit on a FRESH table: same probe as [[prunePlan]] minus
+    * the files — a proven-pk-unique batch skips the dedupe window and
+    * appends in parallel. None (→ the classic full path) past the
+    * driver cap. */
+  private def freshPlan(batch: DataFrame, pk: String): Option[PrunedPlan] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val hsRows = batch.select(xxhash64(col(pk)).as("__h"))
+      .limit(BloomProbeMaxKeys + 1).collect()
+    if (hsRows.length > BloomProbeMaxKeys) return None
+    val all = hsRows.map(_.getLong(0)).sorted
+    val unique = all.distinct.length == all.length
+    Some(PrunedPlan(Nil, None, batch.limit(0),
+      math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1)),
+      unique))
+  }
+
+  /** Driver-side cap on the bloom-probe hash collect; a delta with
+    * more distinct keys probes by the executor-side exact scan. */
+  private val BloomProbeMaxKeys = 2000000
 
   def commitUpsert(batch: DataFrame, table: String, pk: String,
                    versionCol: String, maxRetries: Int = 20,
@@ -507,10 +657,22 @@ object TxLog {
     require(!batch.columns.contains(PkHashCol),
       s"TxLog: column name $PkHashCol is reserved")
     val fs = fsOf(spark, table)
+    // the batch plan is executed by the prune probe AND the merge —
+    // cache it across them when it is itself expensive (a join/agg/
+    // window pipeline); a plain scan re-runs cheaper than it caches
+    val heavyBatch = batch.queryExecution.analyzed.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _ => false
+    }.isDefined
+    if (heavyBatch)
+      batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var attempt = 0
     while (true) {
       attempt += 1
-      val snap = latest(spark, table)
+      val snap = timed("latest")(latest(spark, table))
       val allProps = snap.map(_.props).getOrElse(Map.empty) ++ props
       val commitId = UUID.randomUUID().toString.take(8)
       // PRUNED MERGE (the default, statsCol-less path): merge the
@@ -520,29 +682,71 @@ object TxLog {
       // O(table). `statsCol` commits keep the legacy full rewrite
       // (their files cluster on statsCol, not the pk hash).
       val plan = if (statsCol.isDefined) None
-                 else snap.flatMap(s => prunePlan(spark, s, table, batch, pk))
+                 else timed("prunePlan")(snap match {
+                   case Some(s) => prunePlan(spark, s, table, batch, pk)
+                   case None => freshPlan(batch, pk)
+                 })
+      // single-file writes need no boundaries — and for >1 files,
+      // `repartitionByRange` executes its child TWICE (a sampling job
+      // for the boundaries, then the exchange), so persist the merged
+      // frame across the pair (measured 1.7x on the delta-join bench
+      // before the cache)
+      def stageClustered(merged: DataFrame, outFiles: Int, cluster: String,
+                         stats: Seq[String],
+                         keepAnchor: Boolean): Seq[FileEntry] =
+        if (outFiles <= 1)
+          timed("stage+write")(stageData(fs, table, commitId,
+            merged.repartition(1), stats, keepAnchor))
+        else {
+          val cached = merged.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try timed("stage+write")(stageData(fs, table, commitId,
+            cached.repartitionByRange(outFiles, col(cluster)), stats,
+            keepAnchor))
+          finally { cached.unpersist(false); () }
+        }
       val (carried, staged) = plan match {
-        case Some((carr, existingOverlap, outFiles)) =>
-          val merged = mergeEvolved(batch, existingOverlap, pk, versionCol)
+        case Some(PrunedPlan(carr, holdRows, schemaOnly, outFiles, uniq)) =>
+          val merged = holdRows match {
+            // pure append of a proven-pk-unique batch: the merge IS
+            // the batch (conformed to the table's columns) — no
+            // dedupe window, no extra exchange
+            case None if uniq =>
+              conformForEvolution(schemaOnly, batch)._2
+            case other =>
+              mergeEvolved(batch, other.orElse(Some(schemaOnly)),
+                pk, versionCol)
+          }
           val stamped = merged.withColumn(PkHashCol, xxhash64(col(pk)))
-            .repartitionByRange(outFiles, col(PkHashCol))
-          (carr, stageData(fs, table, commitId, stamped,
-            Seq(PkHashCol), keepAnchor = carr.isEmpty))
+          val entries =
+            if (holdRows.isEmpty && uniq && outFiles > 1)
+              // parallel append: round-robin exchange, no boundary
+              // sampling, no persist — the files' hash ranges are
+              // wide but their BLOOMS stay exact, which is what the
+              // prune probe keys on
+              timed("stage+write")(stageData(fs, table, commitId,
+                stamped.repartition(outFiles), Seq(PkHashCol),
+                keepAnchor = carr.isEmpty))
+            else stageClustered(stamped, outFiles, PkHashCol,
+              Seq(PkHashCol), keepAnchor = carr.isEmpty)
+          (carr, entries)
         case None =>
           val existing = snap.flatMap(s => readVersion(spark, table, s.version))
           val merged = mergeEvolved(batch, existing, pk, versionCol)
-          val toWrite = statsCol match {
-            case Some(sc) => merged.repartitionByRange(clusterFiles, col(sc))
+          val staged = statsCol match {
+            case Some(sc) => stageClustered(merged, clusterFiles, sc,
+              Seq(sc), keepAnchor = true)
             // full rewrites still range-cluster on the pk hash and
             // carry its per-file range, so the NEXT commit can prune
-            case None => merged.withColumn(PkHashCol, xxhash64(col(pk)))
-              .repartitionByRange(clusterFiles, col(PkHashCol))
+            case None => stageClustered(
+              merged.withColumn(PkHashCol, xxhash64(col(pk))),
+              clusterFiles, PkHashCol, Seq(PkHashCol), keepAnchor = true)
           }
-          (Nil, stageData(fs, table, commitId, toWrite,
-            Seq(statsCol.getOrElse(PkHashCol)), keepAnchor = true))
+          (Nil, staged)
       }
       val target = snap.map(_.version).getOrElse(0L) + 1L
-      if (tryCommit(fs, table, target, carried ++ staged, Nil, allProps)) {
+      if (timed("tryCommit")(
+          tryCommit(fs, table, target, carried ++ staged, Nil, allProps))) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
         return target
       }
@@ -553,6 +757,7 @@ object TxLog {
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
     }
     -1L // unreachable
+    } finally { if (heavyBatch) { batch.unpersist(false); () } }
   }
 
   /** Partitioned variant: stage with Hive-style `partitionBy(partCol)`

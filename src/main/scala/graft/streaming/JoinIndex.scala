@@ -64,6 +64,7 @@ object JoinIndex {
     * metadata-only commit, so restarts never re-replay it. */
   def mergeBatch(dLeft: DataFrame, dRight: DataFrame, table: String,
                  key: String, pkCols: Seq[String], batchId: Long): Long = {
+    import TxLog.timed
     val spark = dLeft.sparkSession
     val wideSnap = TxLog.latest(spark, s"$table/wide")
     val highWater = wideSnap.map(s =>
@@ -76,37 +77,72 @@ object JoinIndex {
       }).getOrElse(Long.MinValue)
     if (batchId <= highWater)
       return wideSnap.map(_.version).getOrElse(0L)
-    require(dRight.groupBy(pkCols.map(col): _*)
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
-      s"JoinIndex.mergeBatch: pkCols ${pkCols.mkString(",")} do not " +
-        "uniquely identify right-side rows in this batch — the upsert " +
-        "would fold genuine join rows")
     // snapshots BEFORE any commit — the delta algebra needs L and R,
     // not L' and R' (after a partial-failure replay they may already
     // contain the delta; the pk upsert folds the resulting dups)
     val leftPrev = TxLog.read(spark, s"$table/left").map(_.drop(Ver))
-    val rightPrev = TxLog.read(spark, s"$table/right")
-      .map(_.drop(Ver, "w_pk"))
-    val pk = widePk(pkCols)
+    // keep the STORED w_pk: every wide row's key rides its right side,
+    // so no branch recomputes the JSON encoding
+    val rightPrev = TxLog.read(spark, s"$table/right").map(_.drop(Ver))
+    // key the right delta ONCE and cache it — the uniqueness check,
+    // the right commit (probe + write) and two deltaWide branches all
+    // consume it
+    val rightKeyed = dRight.withColumn("w_pk", widePk(pkCols)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaWide = Seq(
       rightPrev.map(r => dLeft.join(r, key)),
-      leftPrev.map(l => l.join(dRight, key)),
-      Some(dLeft.join(dRight, key))
+      leftPrev.map(l => l.join(rightKeyed, key)),
+      Some(dLeft.join(rightKeyed, key))
     ).flatten.reduce(_ unionByName _)
-      .withColumn("w_pk", pk).withColumn(Ver, lit(batchId))
+      .withColumn(Ver, lit(batchId))
     // one-sided micro-batches are normal under the side-tagged stream
     // shape: skip the empty side's commit — even pruned, it would
     // stage and commit for no row change
-    if (!dLeft.isEmpty)
-      TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
-        s"$table/left", pk = key, versionCol = Ver)
-    if (!dRight.isEmpty)
-      TxLog.commitUpsert(
-        dRight.withColumn("w_pk", pk).withColumn(Ver, lit(batchId)),
-        s"$table/right", pk = "w_pk", versionCol = Ver)
-    TxLog.commitUpsert(deltaWide, s"$table/wide", pk = "w_pk",
-      versionCol = Ver,
-      props = Map(TxLog.HighWaterProp -> batchId.toString))
+    // the two ACCUMULATOR commits target independent tables and
+    // deltaWide's inputs were snapshot-resolved above, so they run
+    // CONCURRENTLY (Spark schedules jobs from both threads); the WIDE
+    // commit — which carries the high-water prop — stays strictly
+    // last, so a crash anywhere replays the whole batch and the
+    // exactly-once mark only advances once all three landed
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fLeft = Future {
+      if (timed("jx:left-nonempty")(!dLeft.isEmpty))
+        timed("jx:left-commit")(
+          TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
+            s"$table/left", pk = key, versionCol = Ver))
+    }
+    // materialize the wide delta's 3-join pipeline CONCURRENTLY with
+    // the accumulator commits (commitUpsert will find it cached and
+    // unpersist it when done); the wide COMMIT still waits for both
+    val fWarm = Future {
+      deltaWide.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    val fRight = Future {
+      // the uniqueness contract check rides the right-commit thread so
+      // it overlaps the left commit; a violation still aborts before
+      // the right/wide commits land, and an already-landed left commit
+      // replays idempotently after the failure
+      timed("jx:uniq-require")(require(
+        rightKeyed.groupBy(pkCols.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
+        s"JoinIndex.mergeBatch: pkCols ${pkCols.mkString(",")} do not " +
+          "uniquely identify right-side rows in this batch — the upsert " +
+          "would fold genuine join rows"))
+      if (timed("jx:right-nonempty")(!rightKeyed.isEmpty))
+        timed("jx:right-commit")(TxLog.commitUpsert(
+          rightKeyed.withColumn(Ver, lit(batchId)),
+          s"$table/right", pk = "w_pk", versionCol = Ver))
+    }
+    try {
+      Await.result(fLeft.zip(fRight).zip(fWarm), Duration.Inf)
+      timed("jx:wide-commit")(
+        TxLog.commitUpsert(deltaWide, s"$table/wide", pk = "w_pk",
+          versionCol = Ver,
+          props = Map(TxLog.HighWaterProp -> batchId.toString)))
+    } finally { rightKeyed.unpersist(false); () }
   }
 
   /** The queryable join view at the latest committed version

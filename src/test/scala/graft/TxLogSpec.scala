@@ -837,26 +837,28 @@ class TxLogSpec extends SparkTestBase {
 
   test("pruned merge: untouched files carry BY REFERENCE across commits") {
     val t = freshTable()
-    // wide key range, clustered into several pk-hash files
-    TxLog.commitUpsert((1L to 400L).map(k => (k, 1L, s"p$k"))
-      .toDF("k", "ver", "payload"), t, "k", "ver")
+    // four append commits → four data files with per-file blooms
+    (0 until 4).foreach(b => TxLog.commitUpsert(
+      (1L to 100L).map(k => (b * 1000L + k, 1L, s"p$b-$k"))
+        .toDF("k", "ver", "payload"), t, "k", "ver"))
     val before = TxLog.read(spark, t).get.inputFiles.toSet
     assert(before.size >= 4, s"expected several files, got ${before.size}")
-    // a 2-key delta must rewrite only the files holding those keys
-    TxLog.commitUpsert(Seq((7L, 2L, "u7"), (401L, 1L, "n401"))
+    // a delta updating ONE commit's key must rewrite only the file
+    // holding it; every other file carries by reference
+    TxLog.commitUpsert(Seq((7L, 2L, "u7"), (9001L, 1L, "n9001"))
       .toDF("k", "ver", "payload"), t, "k", "ver")
     val after = TxLog.read(spark, t).get.inputFiles.toSet
     val carried = before.intersect(after)
-    assert(carried.nonEmpty,
-      s"no v1 file survived into v2 — the merge rewrote everything:\n" +
+    assert(carried.size >= 3,
+      s"append files were rewritten, not carried:\n" +
         s"before=$before\nafter=$after")
-    assert(after.diff(before).size <= before.size / 2,
+    assert(after.diff(before).size <= 2,
       s"delta commit staged ${after.diff(before).size} new files")
     // and the merged state is exactly the serial-upsert truth
     val now = TxLog.read(spark, t).get.collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(now.size == 401 && now(7L) == "u7" && now(401L) == "n401" &&
-      now(8L) == "p8")
+    assert(now.size == 401 && now(7L) == "u7" && now(9001L) == "n9001" &&
+      now(1007L) == "p1-7")
   }
 
   test("pruned merge equals full rebuild over a random commit schedule") {
