@@ -174,15 +174,19 @@ object ItemCf {
     // alone references it thrice: pair join twice + sizes; the eval
     // thrice more: candidates, seen-filter, eval-user set). Whether
     // that universe is scratch-materialized or left to AQE exchange
-    // reuse is a measured trade — flip `graft.cf.scratchTrain`;
-    // default = materialize (measured at sf0.1: 8.1 s vs 9.4 s
-    // AQE-reuse probe min-of-3 — six consumers amortize the parquet
-    // round-trip that lost when `cappedCounts` had only three).
+    // reuse is a measured trade — flip `graft.cf.scratchTrain`.
+    // Measured at sf0.1 (bench min-of-3, same window): scratch 8.93 s
+    // vs AQE reuse 8.86 s — a wash even with six consumers, because
+    // AQE already reuses the distinct's exchange within the single
+    // query; default = the simpler AQE path (no scratch I/O), the
+    // same verdict `cappedCounts` reached with three consumers. On a
+    // real cluster, where exchange reuse still re-reads shuffle
+    // blocks over the network, the flag flips the trade per site.
     val spark = lineitem.sparkSession
     val trainRaw = basketUniverse(lineitem, trainOrders)
     val train =
       if (!spark.conf.getOption("graft.cf.scratchTrain")
-            .forall(_.toBoolean)) trainRaw
+            .exists(_.toBoolean)) trainRaw
       else {
         val dir = graft.core.Scratch.dir(spark,
           "graft.cf.scratchDir", "cf-train")
