@@ -233,6 +233,11 @@ object SparkEntry {
     // log10(1+1/d) shares, micro-int deviations
     "q_benford_totalprice" -> ((s, d) =>
       graft.operators.quality.Drift.benfordAudit(Tables.orders(s, d))),
+    // NATIVE recursive CTE (Spark 4 UnionLoop): monthly rollup on a
+    // recursively generated month spine, gap months kept — the SQL
+    // text is shared verbatim with the DuckDB oracle
+    "cte_month_spine_gapfill" -> ((s, d) =>
+      graft.plans.RecursiveCte.monthSpineGapfill(Tables.orders(s, d))),
     // retention matrix keyed by first-active day
     "b_retention_cohorts" -> ((s, d) =>
       Behavior.retentionCohorts(Tables.events(s, d))),
@@ -1175,6 +1180,10 @@ object SparkEntry {
         |           CAST(round(log10(1.0 + 1.0 / digit) * 1e6)
         |                AS BIGINT)) AS dev_micro
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // native recursive CTE: the ORACLE IS THE SPARK TEXT — both
+    // engines execute the identical WITH RECURSIVE statement
+    "cte_month_spine_gapfill" ->
+      graft.plans.RecursiveCte.monthSpineGapfillSql,
     // funnel steps chain strictly-after minima; counts integer-exact
     "b_funnel_conversion" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

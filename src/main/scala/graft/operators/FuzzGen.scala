@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 7000) return genRecursive(i, rng, pc, ps, name)
     if (i >= 6000) return genLateral(i, rng, pc, ps, name)
     if (i >= 5000) return genSubquery(i, rng, pc, ps, name)
     if (i >= 4000) return genSetExpr(i, rng, pc, ps, name)
@@ -706,9 +707,137 @@ object FuzzGen {
     }
   }
 
+  /** Recursive-CTE shapes (index space ≥7000): `WITH RECURSIVE` is new
+    * engine surface in Spark 4 (UnionLoopExec), and this space
+    * differentials it THREE ways — the DataFrame twin here is never a
+    * recursive plan (a `range` spine, a typed per-row unfold, or a
+    * closed form), the SQL text recurses in Spark (`FuzzDiffSpec`),
+    * and the SAME text recurses in DuckDB (driver oracle) — so a bug
+    * in either engine's loop execution or in the twin's algebra
+    * surfaces as a three-way disagreement. Guard-rails on top of the
+    * base grammar: recursion is `UNION ALL` only (Spark 4.1 rejects
+    * UNION-distinct recursion: UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+    * every step STRICTLY decreases a non-negative integer or carries
+    * an explicit depth bound, and worst-case depth stays ≤ 61 — well
+    * under Spark's default cteRecursionLevelLimit of 100 (exceeding
+    * it is an ERROR, not truncation, so the bound is correctness).
+    * Arithmetic is integer +/-/% on non-negative operands only; the
+    * one division (ancestor closed form) is exact by construction
+    * (`a - a%step` is a multiple of `step`, float64 division of small
+    * exact integers is exact in both engines). Seeds guard
+    * `user_id IS NOT NULL` on BOTH sides: the typed unfold twins
+    * decode seeds as primitive Longs, and a future testdata
+    * generation with null user_ids must change the seed SET, not
+    * silently NPE one side. */
+  private def genRecursive(i: Int, rng: Random, pc: Column, ps: String,
+                           name: String): Fuzz = {
+    rng.nextInt(4) match {
+      case 0 => // recursive integer spine LEFT JOINed to a fact slice
+        // (the gap-fill pattern: spine rows with no facts must survive
+        // with ct = 0 — count(col) over an all-null group)
+        val k = 5 + rng.nextInt(40)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d).filter(pc)
+            .join(s.range(0L, k + 1L).toDF("x"),
+              col("user_id") % (k + 1) === col("x"), "right")
+            .groupBy(col("x"))
+            .agg(count(col("event_id")).as("ct"))
+            .orderBy("x"),
+          s"""WITH RECURSIVE n(x) AS (
+             |  SELECT CAST(0 AS BIGINT) UNION ALL
+             |  SELECT x + 1 FROM n WHERE x < $k)
+             |SELECT x, count(e.event_id) AS ct
+             |FROM n LEFT JOIN (SELECT * FROM events WHERE $ps) e
+             |  ON e.user_id % ${k + 1} = n.x
+             |GROUP BY x ORDER BY x""".stripMargin)
+      case 1 => // per-seed subtraction chain: x -> x - (x % d + 1),
+        // data-dependent termination (strictly decreasing, so depth is
+        // bounded by the seed value, itself bounded by the modulus)
+        val cap = 20 + rng.nextInt(41) // seeds 0..cap-1, depth <= cap <= 60
+        val d0 = 3 + rng.nextInt(8)
+        Fuzz(name,
+          (s, d) => {
+            import s.implicits._
+            graft.core.Tables.events(s, d)
+              .filter(pc && col("user_id").isNotNull)
+              .select((col("user_id") % cap).as("start")).distinct()
+              .as[Long]
+              .flatMap { s0 =>
+                // the twin unfolds the chain per row — no recursion,
+                // no joins; distributed because seeds are
+                Iterator.iterate(s0)(x => x - (x % d0 + 1))
+                  .takeWhile(_ > 0).map(x => (s0, x)).toSeq :+
+                  ((s0, Iterator.iterate(s0)(x => x - (x % d0 + 1))
+                    .dropWhile(_ > 0).next()))
+              }
+              .toDF("start", "x")
+              .groupBy(col("start"))
+              .agg(count(lit(1)).as("steps"), min(col("x")).as("floor_x"))
+              .orderBy("start")
+          },
+          s"""WITH RECURSIVE chain(start, x) AS (
+             |  SELECT DISTINCT user_id % $cap, user_id % $cap
+             |  FROM events WHERE ($ps) AND user_id IS NOT NULL
+             |  UNION ALL
+             |  SELECT start, x - (x % $d0 + 1) FROM chain WHERE x > 0)
+             |SELECT start, count(*) AS steps, min(x) AS floor_x
+             |FROM chain GROUP BY start ORDER BY start""".stripMargin)
+      case 2 => // ancestor chain over nation keys vs the CLOSED FORM:
+        // parent = a - step while >= 0, so depth = a div step + 1 and
+        // root = a % step — recursion checked against pure arithmetic
+        val step = 2 + rng.nextInt(9)
+        val fm = 1 + rng.nextInt(3); val fr = rng.nextInt(fm)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.nation(s, d)
+            .filter(col("n_nationkey") % fm === fr)
+            .select(col("n_nationkey").as("k"),
+              (((col("n_nationkey") - col("n_nationkey") % step) / step)
+                .cast("long") + 1L).as("depth"),
+              (col("n_nationkey") % step).as("root"))
+            .orderBy("k"),
+          s"""WITH RECURSIVE anc(k, a) AS (
+             |  SELECT n_nationkey, n_nationkey FROM nation
+             |  WHERE n_nationkey % $fm = $fr
+             |  UNION ALL
+             |  SELECT k, a - $step FROM anc WHERE a - $step >= 0)
+             |SELECT k, count(*) AS depth, min(a) AS root
+             |FROM anc GROUP BY k ORDER BY k""".stripMargin)
+      case _ => // depth-bounded walk of the functional graph
+        // u -> (a*u + b) % m: one successor per node, so rows grow
+        // linearly with depth (never combinatorially) — the twin
+        // iterates the map locally and counts distinct visits
+        val m = 8 + rng.nextInt(17)
+        val a = 2 + rng.nextInt(4); val b = rng.nextInt(m)
+        val dep = 5 + rng.nextInt(12)
+        Fuzz(name,
+          (s, d) => {
+            import s.implicits._
+            graft.core.Tables.events(s, d)
+              .filter(pc && col("user_id").isNotNull)
+              .select((col("user_id") % m).as("seed")).distinct()
+              .as[Long]
+              .map { s0 =>
+                val visited = Iterator.iterate(s0)(x => (a * x + b) % m)
+                  .take(dep + 1).toSet
+                (s0, visited.size.toLong)
+              }
+              .toDF("seed", "n_reach")
+              .orderBy("seed")
+          },
+          s"""WITH RECURSIVE r(seed, node, depth) AS (
+             |  SELECT DISTINCT user_id % $m, user_id % $m, 0
+             |  FROM events WHERE ($ps) AND user_id IS NOT NULL
+             |  UNION ALL
+             |  SELECT seed, ($a * node + $b) % $m, depth + 1
+             |  FROM r WHERE depth < $dep)
+             |SELECT seed, count(DISTINCT node) AS n_reach
+             |FROM r GROUP BY seed ORDER BY seed""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
-  /** The 92 cases replayed against the DuckDB oracle every round,
+  /** The cases replayed against the DuckDB oracle every round,
     * pinned to indices VETTED non-empty at sf0.001/0.01/0.1 by
     * `graft.tools.FuzzVet` (random conjunctions can be satisfiable in
     * the abstract yet empty on the 15-user sf0.001 slice — e.g. two
@@ -716,7 +845,9 @@ object FuzzGen {
     * exactly such a case and is skipped, as are 1005 from the
     * event-time space, 4010 from the set-op space, 5008/5010/
     * 5015/5018 from the subquery space, and 6013/6015/6019 from the
-    * correlated/LATERAL space). Re-run FuzzVet and re-pin if the
+    * correlated/LATERAL space; all 20 recursive-CTE cases vetted
+    * non-empty — their anchors are spines/key-moduli, satisfiable at
+    * every SF by construction). Re-run FuzzVet and re-pin if the
     * driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
@@ -732,7 +863,10 @@ object FuzzGen {
       5000, 5001, 5002, 5003, 5004, 5005, 5006, 5007,
       5009, 5011, 5012, 5013, 5014, 5016, 5017, 5019,
       6000, 6001, 6002, 6003, 6004, 6005, 6006, 6007,
-      6008, 6009, 6010, 6011, 6012, 6014, 6016, 6017, 6018)
+      6008, 6009, 6010, 6011, 6012, 6014, 6016, 6017, 6018,
+      7000, 7001, 7002, 7003, 7004, 7005, 7006, 7007,
+      7008, 7009, 7010, 7011, 7012, 7013, 7014, 7015,
+      7016, 7017, 7018, 7019)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -201,16 +201,36 @@ object TwsStreams {
 
   /** Run `body` with the RocksDB state store provider set
     * (`transformWithState` does not run on the default HDFS-backed
-    * store), restoring the prior provider after. */
+    * store) AND the shuffle-partition count bounded to
+    * [[ReplayStatePartitions]], restoring both after. The partition
+    * bound is a HARNESS constant, not operator tuning: each replay
+    * micro-batch opens/commits one RocksDB instance per state
+    * partition, so 32 partitions over a few hundred sampled keys is
+    * ~2 s of pure store fixed cost per batch. 8 partitions carry the
+    * same keys (state is hash-distributed per key; results are
+    * partition-count-independent) at a quarter of the fixed cost.
+    * The production entries inherit whatever the deployment sets —
+    * this conf scope ends before the replay's result frame is even
+    * read. */
+  private val ReplayStatePartitions = "8"
   private def withRocksDb[T](spark: org.apache.spark.sql.SparkSession)
                             (body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val pkey = "spark.sql.shuffle.partitions"
     val prior = spark.conf.getOption(key)
+    val priorParts = spark.conf.getOption(pkey)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try body finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    spark.conf.set(pkey, ReplayStatePartitions)
+    try body finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      priorParts match {
+        case Some(v) => spark.conf.set(pkey, v)
+        case None => spark.conf.unset(pkey)
+      }
     }
   }
 

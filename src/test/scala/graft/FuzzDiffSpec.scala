@@ -18,11 +18,13 @@ class FuzzDiffSpec extends SparkTestBase {
     (3000 until 3040).map(FuzzGen.gen) ++ // the window/HAVING shape space
     (4000 until 4040).map(FuzzGen.gen) ++ // the set-op/expression shape space
     (5000 until 5040).map(FuzzGen.gen) ++ // the subquery/semi-anti shape space
-    (6000 until 6040).map(FuzzGen.gen)    // the correlated-scalar/LATERAL space
+    (6000 until 6040).map(FuzzGen.gen) ++ // the correlated-scalar/LATERAL space
+    (7000 until 7040).map(FuzzGen.gen)    // the recursive-CTE space (Spark 4 UnionLoop)
 
-  test("320 generated filter/agg/join/time/cross/window/set/subquery cases: DataFrame plan == SQL text") {
+  test("360 generated filter/agg/join/time/cross/window/set/subquery/recursive cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
+    Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
     val failures = cases.flatMap { f =>
       val df = f.build(spark, sf0001)
       val viaSql = spark.sql(f.sql)
@@ -37,7 +39,8 @@ class FuzzDiffSpec extends SparkTestBase {
     assert(FuzzGen.driverSuite.map(_.sql) == FuzzGen.driverSuite.map(_.sql))
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
-      if (f.sql.contains("o_custkey")) "cross"
+      if (f.sql.contains("WITH RECURSIVE")) "recursive"
+      else if (f.sql.contains("o_custkey")) "cross"
       else if (f.sql.contains("UNION") || f.sql.contains("INTERSECT") ||
         f.sql.contains("EXCEPT")) "setop"
       else if (f.sql.contains("CASE WHEN") ||
@@ -49,7 +52,7 @@ class FuzzDiffSpec extends SparkTestBase {
       else if (f.sql.contains("GROUP BY")) "agg"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
     assert(shapes == Set("join", "agg", "filter", "window", "limit",
-      "time", "cross", "having", "setop", "expr"))
+      "time", "cross", "having", "setop", "expr", "recursive"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
