@@ -651,8 +651,9 @@ object TxLog {
                    versionCol: String, maxRetries: Int = 20,
                    statsCol: Option[String] = None,
                    clusterFiles: Int = 8,
-                   props: Map[String, String] = Map.empty): Long = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
+                   props: Map[String, String] = Map.empty,
+                   failOnDupPk: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
     val spark = batch.sparkSession
     require(!batch.columns.contains(PkHashCol),
       s"TxLog: column name $PkHashCol is reserved")
@@ -670,6 +671,7 @@ object TxLog {
       batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     var attempt = 0
+    var dupChecked = false
     while (true) {
       attempt += 1
       val snap = timed("latest")(latest(spark, table))
@@ -686,6 +688,24 @@ object TxLog {
                    case Some(s) => prunePlan(spark, s, table, batch, pk)
                    case None => freshPlan(batch, pk)
                  })
+      // `failOnDupPk` enforces a caller-declared within-batch pk
+      // uniqueness CONTRACT (last-wins folding would otherwise
+      // silently merge distinct rows — the JoinIndex failure mode).
+      // The prune probe already collected the batch's pk hashes, so
+      // the common case costs NOTHING extra: hash-unique implies
+      // pk-unique. Only an unproven batch (hash collision, >cap
+      // delta, statsCol path) pays one exact delta-sized aggregate.
+      // Checked once — uniqueness is a batch property, not a snapshot
+      // property, so commit-race retries never re-pay it.
+      if (failOnDupPk && !dupChecked) {
+        if (!plan.exists(_.batchUnique)) timed("dupCheck")(require(
+          batch.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).isEmpty,
+          s"TxLog.commitUpsert($table): values of pk '$pk' do not " +
+            "uniquely identify rows in this batch — the upsert would " +
+            "fold distinct rows"))
+        dupChecked = true
+      }
       // single-file writes need no boundaries — and for >1 files,
       // `repartitionByRange` executes its child TWICE (a sampling job
       // for the boundaries, then the exchange), so persist the merged

@@ -54,8 +54,9 @@ object JoinIndex {
     * commit sequence. Both frames must carry `key`; wide-row identity
     * is `pkCols` — the DECLARED uniqueness contract for right-side
     * rows (left must be unique on `key`). A pk collision would make
-    * the upsert silently FOLD genuine bag-join rows, so each applied
-    * delta batch is checked (one delta-sized aggregate, after the
+    * the upsert silently FOLD genuine bag-join rows, so BOTH
+    * accumulator commits declare `failOnDupPk`: the contract is
+    * proven for free by the pruned merge's hash probe (after the
     * replay early-return so skipped batches don't pay it) and a
     * violation fails loudly. Returns the committed wide version, or
     * the current one when `batchId` is at or below the high-water
@@ -111,7 +112,8 @@ object JoinIndex {
       if (timed("jx:left-nonempty")(!dLeft.isEmpty))
         timed("jx:left-commit")(
           TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
-            s"$table/left", pk = key, versionCol = Ver))
+            s"$table/left", pk = key, versionCol = Ver,
+            failOnDupPk = true))
     }
     // materialize the wide delta's 3-join pipeline CONCURRENTLY with
     // the accumulator commits (commitUpsert will find it cached and
@@ -121,20 +123,18 @@ object JoinIndex {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     }
     val fRight = Future {
-      // the uniqueness contract check rides the right-commit thread so
-      // it overlaps the left commit; a violation still aborts before
-      // the right/wide commits land, and an already-landed left commit
-      // replays idempotently after the failure
-      timed("jx:uniq-require")(require(
-        rightKeyed.groupBy(pkCols.map(col): _*)
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty,
-        s"JoinIndex.mergeBatch: pkCols ${pkCols.mkString(",")} do not " +
-          "uniquely identify right-side rows in this batch — the upsert " +
-          "would fold genuine join rows"))
+      // the right-side uniqueness contract (pkCols unique per batch —
+      // w_pk is injective on the pk tuple, so w_pk-unique ⟺
+      // pkCols-unique) is enforced INSIDE the commit: the pruned
+      // merge's probe already collects the batch pk hashes, so the
+      // proof is free instead of a second delta-sized aggregate. A
+      // violation still aborts before the right/wide commits land,
+      // and an already-landed left commit replays idempotently.
       if (timed("jx:right-nonempty")(!rightKeyed.isEmpty))
         timed("jx:right-commit")(TxLog.commitUpsert(
           rightKeyed.withColumn(Ver, lit(batchId)),
-          s"$table/right", pk = "w_pk", versionCol = Ver))
+          s"$table/right", pk = "w_pk", versionCol = Ver,
+          failOnDupPk = true))
     }
     try {
       Await.result(fLeft.zip(fRight).zip(fWarm), Duration.Inf)
