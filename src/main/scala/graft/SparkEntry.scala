@@ -56,6 +56,10 @@ object SparkEntry {
     // three-valued-logic corners: nullif / IS DISTINCT FROM / coalesce
     "f_null_semantics" -> ((s, d) =>
       SetOps.nullSemantics(Tables.orders(s, d))),
+    // Spark 4 VARIANT: parse_json once -> typed variant_get paths
+    // (schema-free semi-structured payloads, engine-native)
+    "f_variant_props_agg" -> ((s, d) =>
+      graft.functions.JsonFns.variantPropsAgg(Tables.events(s, d))),
     // §2.4 joins + §2.6 union
     "j1_order_wide_table" -> ((s, d) =>
       Joins.orderWideTable(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -1393,6 +1397,15 @@ object SparkEntry {
         |       CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS band,
         |       coalesce(json_extract_string(props, '$.missing'), 'none') AS missing_prop
         |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+    // Spark-side VARIANT path extraction replayed as DuckDB JSON
+    // string extraction + CAST — integer payloads, bit-exact
+    "f_variant_props_agg" ->
+      """SELECT event_type, count(*) AS ct,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS k_sum,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // zip_with has no DuckDB twin: the reversed dot product is
     // replayed by index (a[i]·a[n-i+1]) — same integer arithmetic
     "f_array_functions" ->

@@ -44,4 +44,29 @@ object JsonFns {
     * `DwdTradeOrderPreProcess.java:45-99`) over a JSON-string column. */
   def jsonField(jsonCol: Column, field: String): Column =
     get_json_object(jsonCol, s"$$.$field")
+
+  /** Semi-structured payload aggregation through Spark 4's VARIANT
+    * type: `parse_json` ONCE into a binary variant column, then typed
+    * `variant_get` path extraction — the schema-free alternative to
+    * `from_json`+StructType ([[parseWithQuarantine]]) for payloads
+    * whose shape isn't declared up front (the reference's fastjson
+    * `JSONObject.get` style, but engine-native). At 100 TB the
+    * parse-once contract is the point: every additional extracted
+    * path reads the already-decoded binary variant instead of
+    * re-tokenizing the JSON string per field the way chained
+    * `get_json_object` calls do, and the whole pipeline stays inside
+    * whole-stage codegen (no UDF). Output contract (integer-exact in
+    * both engines — the DuckDB oracle extracts the same path with
+    * `json_extract_string` + CAST): per event_type, row count and
+    * sum/min/max of the `$.k` payload field. */
+  def variantPropsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("__v", parse_json(col("props")))
+      .withColumn("__k", expr("variant_get(__v, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ct"),
+        sum(col("__k")).cast("bigint").as("k_sum"),
+        min(col("__k")).as("k_min"),
+        max(col("__k")).as("k_max"))
+      .orderBy("event_type")
 }

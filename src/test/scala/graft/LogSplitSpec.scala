@@ -57,4 +57,24 @@ class LogSplitSpec extends SparkTestBase {
     val a = splits("action").selectExpr("action_id").collect()
     assert(a.map(_.getString(0)).toSeq == Seq("favor_add"))
   }
+
+  test("variantPropsAgg parses through a genuine VARIANT column and " +
+    "matches the per-string get_json_object twin") {
+    val events = graft.core.Tables.events(spark, sf0001)
+    // the intermediate really is Spark 4's binary VariantType (the
+    // parse-once contract), not a string round-trip
+    import org.apache.spark.sql.functions._
+    assert(events.withColumn("__v", parse_json(col("props")))
+      .schema("__v").dataType.isInstanceOf[
+        org.apache.spark.sql.types.VariantType])
+    val twin = events
+      .withColumn("__k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ct"),
+        sum(col("__k")).cast("bigint").as("k_sum"),
+        min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
+      .orderBy("event_type")
+    assert(rowsOf(graft.functions.JsonFns.variantPropsAgg(events)) ==
+      rowsOf(twin))
+  }
 }
