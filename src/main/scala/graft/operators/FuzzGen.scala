@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 8000) return genGroupingSets(i, rng, pc, ps, name)
     if (i >= 7000) return genRecursive(i, rng, pc, ps, name)
     if (i >= 6000) return genLateral(i, rng, pc, ps, name)
     if (i >= 5000) return genSubquery(i, rng, pc, ps, name)
@@ -835,6 +836,123 @@ object FuzzGen {
     }
   }
 
+  /** Multi-grouping / filtered-aggregate shapes (index space ≥8000):
+    * ROLLUP, CUBE, explicit GROUPING SETS, and FILTER-clause
+    * aggregates — the grouping surface the fixed `w_grouping_sets` /
+    * `w_status_priority_cube` queries pin, swept between them.
+    * Dialect guard-rails: super-aggregate rows carry NULL group keys
+    * whose SORT ORDER differs by engine default (Spark NULLS FIRST
+    * ASC, DuckDB NULLS LAST), so every rollup/cube key is rewritten
+    * to an explicit sentinel through `grouping(col)` BEFORE the
+    * ORDER BY — never sort a nullable super-aggregate key; and
+    * `grouping_id()` is deliberately excluded (bit order is
+    * engine-defined), only per-column `grouping()` appears. The
+    * GROUPING SETS twin is a UNION ALL of independent aggregates —
+    * a non-grouping-sets derivation, so the engine's set expansion
+    * is differentialed against plain relational algebra, not against
+    * itself. */
+  private def genGroupingSets(i: Int, rng: Random, pc: Column, ps: String,
+                              name: String): Fuzz = {
+    val m = 2 + rng.nextInt(9)
+    // grouping() is only legal inside the rollup/cube aggregate, so
+    // the marker columns ride the agg and the sentinel rewrite is a
+    // plain projection over them
+    val etSentinel = when(col("__g1") === 1, lit("ALL"))
+      .otherwise(col("event_type")).as("et")
+    val ugSentinel = when(col("__g2") === 1, lit(-1L))
+      .otherwise(col("ug")).as("ug")
+    def base(s: SparkSession, d: String) =
+      graft.core.Tables.events(s, d).filter(pc)
+        .select(col("event_type"), (col("user_id") % m).as("ug"),
+          col("event_id"), col("value"))
+    val fromSql =
+      s"(SELECT event_type, user_id % $m AS ug, event_id, value " +
+        s"FROM events WHERE $ps) t"
+    rng.nextInt(4) match {
+      case 0 => // ROLLUP (event_type, ug): 3 grouping levels
+        Fuzz(name,
+          (s, d) => base(s, d)
+            .rollup(col("event_type"), col("ug"))
+            .agg(grouping(col("event_type")).as("__g1"),
+              grouping(col("ug")).as("__g2"),
+              count(lit(1)).as("ct"),
+              sum(col("event_id")).cast("bigint").as("id_sum"))
+            .select(etSentinel, ugSentinel, col("ct"), col("id_sum"))
+            .orderBy("et", "ug"),
+          s"""SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+             |            ELSE event_type END AS et,
+             |       CASE WHEN grouping(ug) = 1 THEN -1 ELSE ug END AS ug,
+             |       count(*) AS ct,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM $fromSql
+             |GROUP BY ROLLUP(event_type, ug) ORDER BY et, ug""".stripMargin)
+      case 1 => // CUBE (event_type, ug): all 4 grouping levels
+        Fuzz(name,
+          (s, d) => base(s, d)
+            .cube(col("event_type"), col("ug"))
+            .agg(grouping(col("event_type")).as("__g1"),
+              grouping(col("ug")).as("__g2"),
+              count(lit(1)).as("ct"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"))
+            .select(etSentinel, ugSentinel, col("ct"), col("min_id"),
+              col("max_id"))
+            .orderBy("et", "ug"),
+          s"""SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+             |            ELSE event_type END AS et,
+             |       CASE WHEN grouping(ug) = 1 THEN -1 ELSE ug END AS ug,
+             |       count(*) AS ct, min(event_id) AS min_id,
+             |       max(event_id) AS max_id
+             |FROM $fromSql
+             |GROUP BY CUBE(event_type, ug) ORDER BY et, ug""".stripMargin)
+      case 2 => // explicit GROUPING SETS ((et),(ug),()) vs a UNION ALL
+        // of plain aggregates — the engine's expansion checked against
+        // a derivation that never mentions grouping sets
+        Fuzz(name,
+          (s, d) => {
+            val b = base(s, d)
+            val byType = b.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("ct"))
+              .select(col("event_type").as("et"), lit(-1L).as("ug"),
+                col("ct"))
+            val byUg = b.groupBy(col("ug"))
+              .agg(count(lit(1)).as("ct"))
+              .select(lit("ALL").as("et"), col("ug"), col("ct"))
+            val global = b.agg(count(lit(1)).as("ct"))
+              .select(lit("ALL").as("et"), lit(-1L).as("ug"), col("ct"))
+            byType.unionByName(byUg).unionByName(global)
+              .orderBy("et", "ug")
+          },
+          s"""SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL'
+             |            ELSE event_type END AS et,
+             |       CASE WHEN grouping(ug) = 1 THEN -1 ELSE ug END AS ug,
+             |       count(*) AS ct
+             |FROM $fromSql
+             |GROUP BY GROUPING SETS ((event_type), (ug), ())
+             |ORDER BY et, ug""".stripMargin)
+      case _ => // FILTER-clause aggregates vs the when()-projection twin
+        val t = 50 + rng.nextInt(150)
+        val r = rng.nextInt(2)
+        Fuzz(name,
+          (s, d) => base(s, d)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("ct"),
+              count(when(col("value") > t, 1)).as("hi_ct"),
+              sum(when(col("ug") % 2 === r, col("event_id")))
+                .cast("bigint").as("sel_sum"),
+              min(when(col("ug") % 2 =!= r, col("event_id")))
+                .as("other_min"))
+            .orderBy("event_type"),
+          s"""SELECT event_type, count(*) AS ct,
+             |       count(*) FILTER (WHERE value > $t) AS hi_ct,
+             |       CAST(sum(event_id) FILTER (WHERE ug % 2 = $r)
+             |            AS BIGINT) AS sel_sum,
+             |       min(event_id) FILTER (WHERE ug % 2 <> $r) AS other_min
+             |FROM $fromSql
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -847,7 +965,9 @@ object FuzzGen {
     * 5015/5018 from the subquery space, and 6013/6015/6019 from the
     * correlated/LATERAL space; all 20 recursive-CTE cases vetted
     * non-empty — their anchors are spines/key-moduli, satisfiable at
-    * every SF by construction). Re-run FuzzVet and re-pin if the
+    * every SF by construction; all 20 grouping-sets/FILTER cases
+    * vetted non-empty — a rollup/cube over an empty slice still
+    * emits its grand-total row). Re-run FuzzVet and re-pin if the
     * driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
@@ -866,7 +986,10 @@ object FuzzGen {
       6008, 6009, 6010, 6011, 6012, 6014, 6016, 6017, 6018,
       7000, 7001, 7002, 7003, 7004, 7005, 7006, 7007,
       7008, 7009, 7010, 7011, 7012, 7013, 7014, 7015,
-      7016, 7017, 7018, 7019)
+      7016, 7017, 7018, 7019,
+      8000, 8001, 8002, 8003, 8004, 8005, 8006, 8007,
+      8008, 8009, 8010, 8011, 8012, 8013, 8014, 8015,
+      8016, 8017, 8018, 8019)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -19,9 +19,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (4000 until 4040).map(FuzzGen.gen) ++ // the set-op/expression shape space
     (5000 until 5040).map(FuzzGen.gen) ++ // the subquery/semi-anti shape space
     (6000 until 6040).map(FuzzGen.gen) ++ // the correlated-scalar/LATERAL space
-    (7000 until 7040).map(FuzzGen.gen)    // the recursive-CTE space (Spark 4 UnionLoop)
+    (7000 until 7040).map(FuzzGen.gen) ++ // the recursive-CTE space (Spark 4 UnionLoop)
+    (8000 until 8040).map(FuzzGen.gen)    // the grouping-sets/FILTER-aggregate space
 
-  test("360 generated filter/agg/join/time/cross/window/set/subquery/recursive cases: DataFrame plan == SQL text") {
+  test("400 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
@@ -40,6 +41,9 @@ class FuzzDiffSpec extends SparkTestBase {
     // and every shape appears in the 120-case sweep
     val shapes = cases.map(f =>
       if (f.sql.contains("WITH RECURSIVE")) "recursive"
+      else if (f.sql.contains("ROLLUP") || f.sql.contains("CUBE") ||
+        f.sql.contains("GROUPING SETS") ||
+        f.sql.contains("FILTER (WHERE")) "grouping"
       else if (f.sql.contains("o_custkey")) "cross"
       else if (f.sql.contains("UNION") || f.sql.contains("INTERSECT") ||
         f.sql.contains("EXCEPT")) "setop"
@@ -52,7 +56,8 @@ class FuzzDiffSpec extends SparkTestBase {
       else if (f.sql.contains("GROUP BY")) "agg"
       else if (f.sql.contains("LIMIT")) "limit" else "filter").toSet
     assert(shapes == Set("join", "agg", "filter", "window", "limit",
-      "time", "cross", "having", "setop", "expr", "recursive"))
+      "time", "cross", "having", "setop", "expr", "recursive",
+      "grouping"))
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
