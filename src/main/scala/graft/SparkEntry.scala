@@ -159,6 +159,36 @@ object SparkEntry {
     // replays the recurrence bit-identically before rounding)
     "ts_holt_forecast" -> ((s, d) =>
       graft.operators.dws.TimeSeries.holtForecast(Tables.orders(s, d))),
+    // additive Holt–Winters (weekly seasonality): the same sequential
+    // per-key fold carrying a 7-slot seasonal vector; dyadic α/β/γ so
+    // the oracle's recursive CTE (7 slot columns, CASE-updated)
+    // replays the recurrence bit-identically before rounding
+    "ts_holtwinters_forecast" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.holtWintersForecast(
+        Tables.orders(s, d))),
+    // clamped (saturating) cumulative sum — the recurrence SQL
+    // windows cannot express (each prefix depends on the CLAMPED
+    // previous prefix); per-key ordered fold, all-integer, the
+    // oracle replays it as a recursive CTE
+    "ts_clamped_inventory" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.clampedInventory(Tables.orders(s, d))),
+    // Mann–Kendall trend test: BIGINT S + tie-corrected var×18 over
+    // the calendar-bounded monthly series; the α=0.05 verdict is an
+    // exact integer cross-multiplication (no float in the decision)
+    "ts_mann_kendall" -> ((s, d) =>
+      graft.operators.dws.TrendTests.mannKendall(Tables.orders(s, d))),
+    // Theil–Sen robust slope: lower-median RANK SELECTION over
+    // single-division pairwise slopes (never an average of floats)
+    "ts_theil_sen" -> ((s, d) =>
+      graft.operators.dws.TrendTests.theilSen(Tables.orders(s, d))),
+    // multi-touch attribution (first/last/linear) with exact integer
+    // cent-splitting — per-conversion credits sum to cents exactly
+    "b_attribution_credit" -> ((s, d) =>
+      graft.operators.dws.Behavior.attributionCredit(Tables.events(s, d))),
+    // referential-integrity audit: per-FK-edge orphan/null counts via
+    // distinct-built anti-joins (the Expectations/Profile sibling)
+    "q_referential_integrity" -> ((s, d) =>
+      graft.operators.quality.Integrity.audit(s, d)),
     // RFM customer segmentation: distributed global ranking (range
     // exchange + offset windows — no single-partition Window.orderBy)
     // over the customer aggregate; explicit floor-division buckets
@@ -333,6 +363,11 @@ object SparkEntry {
     // order-independent, so the oracle replays it bit-identically
     "g_pagerank_copurchase" -> ((s, d) =>
       graft.operators.graph.PageRank.copurchasePageRank(
+        Tables.lineitem(s, d), Tables.orders(s, d))),
+    // personalized PageRank: teleport mass lands on the seed set only
+    // (node % 100 = 0 customers); same BIGINT fixed-point, 6 rounds
+    "g_ppr_copurchase" -> ((s, d) =>
+      graft.operators.graph.PageRank.copurchasePpr(
         Tables.lineitem(s, d), Tables.orders(s, d))),
     // exact triangle counting by degree orientation on the part↔part
     // co-purchase projection (the bipartite PageRank graph is
@@ -3913,6 +3948,9 @@ object SparkEntry {
     // iterations as chained CTEs — BIGINT arithmetic end to end, so
     // the hashes must match bit-for-bit with no rounding discipline
     Map("g_pagerank_copurchase" -> pageRankOracleSql(10)) ++
+    // personalized PageRank: same unrolled-integer-round contract,
+    // teleport gated on the seed LEFT JOIN
+    Map("g_ppr_copurchase" -> pprOracleSql(6)) ++
     // BFS: recursive CTE with UNION-distinct dedup; min(hops) per node
     // (the engine's first-reach level IS the minimum — BFS invariant)
     Map("g_bfs_hops" ->
@@ -4508,6 +4546,227 @@ object SparkEntry {
           |       round(f.l + CAST(7 AS DOUBLE) * f.b, 4) AS fc_7
           |FROM f JOIN n ON n.grp = f.grp AND f.i = n.n_days
           |ORDER BY f.grp""".stripMargin,
+      // additive Holt–Winters: the recursive CTE carries the 7
+      // seasonal slots as columns; lt/st repeat textually with the
+      // SAME parenthesization as the Spark fold, so every IEEE op
+      // sequence is identical and the pre-round doubles match bitwise
+      "ts_holtwinters_forecast" -> {
+        // s_{c_t} read, lt, st — shared fragments of the recurrence
+        val sc = "(CASE r.slot WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 " +
+          "WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 " +
+          "WHEN 5 THEN f.s5 ELSE f.s6 END)"
+        val lt = s"(CAST(0.5 AS DOUBLE) * (CAST(r.cents AS DOUBLE) - $sc)" +
+          s" + CAST(0.5 AS DOUBLE) * (f.l + f.b))"
+        val st = s"(CAST(0.25 AS DOUBLE) * (CAST(r.cents AS DOUBLE) - $lt)" +
+          s" + CAST(0.75 AS DOUBLE) * $sc)"
+        val slotUpd = (0 to 6).map(j =>
+          s"CASE WHEN r.slot = $j THEN $st ELSE f.s$j END").mkString(",\n    ")
+        def sAt(expr: String) =
+          s"(CASE $expr WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 " +
+            s"WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 " +
+            s"ELSE f.s6 END)"
+        val sNext = sAt("((lastr.last_slot + 1) % 7)")
+        val sSame = sAt("lastr.last_slot")
+        s"""WITH RECURSIVE d AS (
+           |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+           |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           |              AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1, 2),
+           |r AS (SELECT grp, cents,
+           |             CAST((day - DATE '1970-01-01') % 7 AS INT) AS slot,
+           |             row_number() OVER (PARTITION BY grp ORDER BY day) AS i
+           |      FROM d),
+           |n AS (SELECT grp, count(*) AS n_days FROM r GROUP BY 1),
+           |lastr AS (SELECT r.grp, r.slot AS last_slot
+           |          FROM r JOIN n ON n.grp = r.grp AND r.i = n.n_days),
+           |f(grp, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+           |  SELECT grp, i, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE),
+           |         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           |         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+           |         CAST(0 AS DOUBLE)
+           |  FROM r WHERE i = 1
+           |  UNION ALL
+           |  SELECT r.grp, r.i,
+           |    $lt,
+           |    CAST(0.25 AS DOUBLE) * ($lt - f.l) + CAST(0.75 AS DOUBLE) * f.b,
+           |    $slotUpd
+           |  FROM f JOIN r ON r.grp = f.grp AND r.i = f.i + 1)
+           |SELECT f.grp, n.n_days,
+           |       round(f.l, 4) AS level_4, round(f.b, 4) AS trend_4,
+           |       round($sNext, 4) AS s_next_4,
+           |       round(f.l + f.b + $sNext, 4) AS fc_1,
+           |       round(f.l + CAST(7 AS DOUBLE) * f.b + $sSame, 4) AS fc_7
+           |FROM f
+           |JOIN n ON n.grp = f.grp AND f.i = n.n_days
+           |JOIN lastr ON lastr.grp = f.grp
+           |ORDER BY f.grp""".stripMargin
+      },
+      // clamped cumulative sum: per-key recursive CTE, all-integer
+      // (counts, rank-selected median, clamp bounds) — exact match
+      "ts_clamped_inventory" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+          |         CAST(count(*) AS BIGINT) AS cnt
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT grp, day, cnt,
+          |             CAST(row_number() OVER (PARTITION BY grp
+          |               ORDER BY day) AS BIGINT) AS i
+          |      FROM d),
+          |n AS (SELECT grp, count(*) AS n_days FROM r GROUP BY 1),
+          |mrank AS (SELECT grp, cnt,
+          |                 CAST(row_number() OVER (PARTITION BY grp
+          |                   ORDER BY cnt, day) AS BIGINT) AS rn
+          |          FROM d),
+          |med AS (SELECT m.grp, m.cnt AS med
+          |        FROM mrank m JOIN n ON n.grp = m.grp
+          |        WHERE m.rn * 2 = n.n_days OR m.rn * 2 = n.n_days + 1),
+          |f(grp, i, inv, lo, hi) AS (
+          |  SELECT grp, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          |  FROM n
+          |  UNION ALL
+          |  SELECT f.grp, f.i + 1,
+          |         greatest(CAST(0 AS BIGINT),
+          |           least(CAST(25 AS BIGINT), f.inv + r.cnt - med.med)),
+          |         f.lo + CASE WHEN f.inv + r.cnt - med.med < 0
+          |                     THEN 1 ELSE 0 END,
+          |         f.hi + CASE WHEN f.inv + r.cnt - med.med > 25
+          |                     THEN 1 ELSE 0 END
+          |  FROM f
+          |  JOIN r ON r.grp = f.grp AND r.i = f.i + 1
+          |  JOIN med ON med.grp = f.grp)
+          |SELECT f.grp, n.n_days, med.med,
+          |       f.inv AS final_balance, f.lo AS floor_clamps,
+          |       f.hi AS cap_clamps
+          |FROM f
+          |JOIN n ON n.grp = f.grp AND f.i = n.n_days
+          |JOIN med ON med.grp = f.grp
+          |ORDER BY f.grp""".stripMargin,
+      // Mann–Kendall: S and var×18 in BIGINT; the significance
+      // verdict is the exact cross-multiplication 180000·(S∓1)² >
+      // 38416·var18 ⟺ Z² > 1.96² — no float in the decision path
+      "ts_mann_kendall" ->
+        """WITH d AS (
+          |  SELECT o_orderpriority AS grp,
+          |         date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+          |         count(*) AS cnt
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT grp, cnt,
+          |             CAST(row_number() OVER (PARTITION BY grp
+          |               ORDER BY mon) AS BIGINT) AS i
+          |      FROM d),
+          |p AS (SELECT a.grp,
+          |             CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+          |                           WHEN b.cnt < a.cnt THEN -1
+          |                           ELSE 0 END) AS BIGINT) AS s_stat
+          |      FROM r a JOIN r b ON b.grp = a.grp AND a.i < b.i
+          |      GROUP BY 1),
+          |t AS (SELECT grp,
+          |             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+          |               AS tie18
+          |      FROM (SELECT grp, cnt, count(*) AS t FROM r
+          |            GROUP BY 1, 2) q
+          |      WHERE t > 1 GROUP BY 1),
+          |n AS (SELECT grp, count(*) AS n_months FROM r GROUP BY 1),
+          |base AS (
+          |  SELECT n.grp, n.n_months, p.s_stat,
+          |         CAST(n.n_months * (n.n_months - 1) *
+          |              (2 * n.n_months + 5)
+          |              - coalesce(t.tie18, 0) AS BIGINT) AS var18,
+          |         CAST(CASE WHEN p.s_stat > 0 THEN p.s_stat - 1
+          |                   WHEN p.s_stat < 0 THEN p.s_stat + 1
+          |                   ELSE 0 END AS BIGINT) AS s_adj
+          |  FROM n JOIN p ON p.grp = n.grp
+          |  LEFT JOIN t ON t.grp = n.grp)
+          |SELECT grp, n_months, s_stat, var18,
+          |       CASE WHEN s_stat = 0 OR var18 = 0 THEN CAST(0 AS DOUBLE)
+          |            ELSE round(CAST(s_adj AS DOUBLE) /
+          |                   sqrt(CAST(var18 AS DOUBLE) /
+          |                        CAST(18 AS DOUBLE)), 6) END AS z_6,
+          |       CASE WHEN s_stat > 0
+          |               AND 180000 * s_adj * s_adj > 38416 * var18
+          |              THEN 'increasing'
+          |            WHEN s_stat < 0
+          |               AND 180000 * s_adj * s_adj > 38416 * var18
+          |              THEN 'decreasing'
+          |            ELSE 'no_trend' END AS trend
+          |FROM base ORDER BY grp""".stripMargin,
+      // Theil–Sen: lower-median rank selection phrased as 2·rn = n or
+      // n+1 (no integer-division convention in play); each slope is
+      // one correctly-rounded IEEE division of two exact integers
+      "ts_theil_sen" ->
+        """WITH d AS (
+          |  SELECT o_orderpriority AS grp,
+          |         date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+          |         count(*) AS cnt
+          |  FROM orders GROUP BY 1, 2),
+          |r AS (SELECT grp, cnt,
+          |             CAST(row_number() OVER (PARTITION BY grp
+          |               ORDER BY mon) AS BIGINT) AS i
+          |      FROM d),
+          |s AS (SELECT a.grp, a.i AS i, b.i AS j,
+          |             CAST(b.cnt - a.cnt AS DOUBLE) /
+          |               CAST(b.i - a.i AS DOUBLE) AS slope
+          |      FROM r a JOIN r b ON b.grp = a.grp AND a.i < b.i),
+          |w AS (SELECT grp, i, j, slope,
+          |             CAST(row_number() OVER (PARTITION BY grp
+          |               ORDER BY slope, i, j) AS BIGINT) AS rn,
+          |             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+          |               AS n_pairs
+          |      FROM s)
+          |SELECT grp, n_pairs, round(slope, 6) AS slope_med6
+          |FROM w WHERE rn * 2 = n_pairs OR rn * 2 = n_pairs + 1
+          |ORDER BY grp""".stripMargin,
+      // attribution: exact integer cent-splitting — share =
+      // (cents − cents % k)/k is an exact division (the result is an
+      // integer < 2^53), remainder rides the last touch
+      "b_attribution_credit" ->
+        """WITH conv AS (
+          |  SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE event_type = 'purchase'),
+          |t AS (
+          |  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+          |         event_type AS channel
+          |  FROM events WHERE event_type IN ('view', 'click')),
+          |p AS (
+          |  SELECT c.conv_id, c.cents, t.channel,
+          |         row_number() OVER (PARTITION BY c.conv_id
+          |           ORDER BY t.touch_ts, t.touch_id) AS rn_a,
+          |         row_number() OVER (PARTITION BY c.conv_id
+          |           ORDER BY t.touch_ts DESC, t.touch_id DESC) AS rn_d,
+          |         CAST(count(*) OVER (PARTITION BY c.conv_id) AS BIGINT)
+          |           AS k
+          |  FROM conv c JOIN t ON t.user_id = c.user_id
+          |    AND t.touch_ts < c.conv_ts
+          |    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+          |credits AS (
+          |  SELECT 'first_touch' AS model, channel, conv_id,
+          |         cents AS credit
+          |  FROM p WHERE rn_a = 1
+          |  UNION ALL
+          |  SELECT 'last_touch', channel, conv_id, cents
+          |  FROM p WHERE rn_d = 1
+          |  UNION ALL
+          |  SELECT 'linear', channel, conv_id,
+          |         CAST((cents - cents % k) / k AS BIGINT)
+          |           + CASE WHEN rn_d = 1 THEN cents % k ELSE 0 END
+          |  FROM p
+          |  UNION ALL
+          |  SELECT m.model, 'direct', c.conv_id, c.cents
+          |  FROM conv c
+          |  CROSS JOIN (VALUES ('first_touch'), ('last_touch'),
+          |              ('linear')) m(model)
+          |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.conv_id = c.conv_id))
+          |SELECT model, channel,
+          |       count(DISTINCT conv_id) AS n_conv,
+          |       CAST(sum(credit) AS BIGINT) AS credit_cents
+          |FROM credits GROUP BY model, channel
+          |ORDER BY model, channel""".stripMargin,
+      // referential integrity: per-edge scalar-subquery counts — the
+      // NOT EXISTS replays the anti-join literally
+      "q_referential_integrity" ->
+        graft.operators.quality.Integrity.auditSql,
       // exact global percentiles: rank selection over the same total
       // order; rank arithmetic in double on both sides
       "q_global_quantiles" ->
@@ -4932,6 +5191,39 @@ object SparkEntry {
       s"""
          |SELECT node, CAST(label AS BIGINT) AS label
          |FROM l$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: the [[pageRankOracleSql]] round
+    * structure with the teleport term gated on a seed LEFT JOIN —
+    * unrolled integer rounds, bit-exact. */
+  private def pprOracleSql(iters: Int): String = {
+    val tele = "(CASE WHEN s.node IS NOT NULL " +
+      "THEN 1000000000000 // scnt ELSE CAST(0 AS BIGINT) END)"
+    val base =
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey*2 AS src, l_partkey*2+1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |es AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM es GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM es),
+         |seeds AS (SELECT node FROM nodes WHERE node % 100 = 0),
+         |ns AS (SELECT count(*) AS scnt FROM seeds),
+         |pr0 AS (SELECT nodes.node, $tele AS r
+         |        FROM nodes CROSS JOIN ns
+         |        LEFT JOIN seeds s ON s.node = nodes.node)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |it$i AS (SELECT es.dst AS node, sum(pr${i - 1}.r // deg.deg) AS s
+         |        FROM es JOIN pr${i - 1} ON es.src = pr${i - 1}.node
+         |        JOIN deg ON es.src = deg.src GROUP BY 1),
+         |pr$i AS (SELECT it$i.node, (15 * $tele + 85 * it$i.s) // 100 AS r
+         |        FROM it$i CROSS JOIN ns
+         |        LEFT JOIN seeds s ON s.node = it$i.node)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr$iters " +
+      "ORDER BY node"
   }
 
   private def pageRankOracleSql(iters: Int): String = {

@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 9000) return genAdvWindow(i, rng, pc, ps, name)
     if (i >= 8000) return genGroupingSets(i, rng, pc, ps, name)
     if (i >= 7000) return genRecursive(i, rng, pc, ps, name)
     if (i >= 6000) return genLateral(i, rng, pc, ps, name)
@@ -953,6 +954,157 @@ object FuzzGen {
     }
   }
 
+  /** Advanced window-frame + navigation shapes (index space ≥9000):
+    * the frame surface the ≥3000 space does not sweep — NTILE
+    * bucketing, PERCENT_RANK/CUME_DIST distribution functions,
+    * bounded sliding ROWS frames (j PRECEDING .. k FOLLOWING),
+    * integer RANGE frames, FIRST_VALUE/LAST_VALUE/NTH_VALUE with an
+    * explicit full frame, and deep LAG/LEAD with non-null defaults.
+    * Dialect guard-rails: NTILE only over a TOTAL order (its
+    * remainder-bucket convention is shared, but peer assignment
+    * within ties is not); PERCENT_RANK/CUME_DIST emit raw float64 —
+    * each is ONE correctly-rounded IEEE division of two exact small
+    * integers, so both engines produce bit-identical doubles (the
+    * same rationale as the scalar-max thresholds in the ≥6000
+    * space); LAST_VALUE always rides an explicit UNBOUNDED FOLLOWING
+    * frame (the default frame ends at CURRENT ROW, a classic
+    * cross-engine trap — pinned explicitly so the differential tests
+    * the frame clause, not the default); RANGE frames order by an
+    * integer key so the frame bound arithmetic is exact. */
+  private def genAdvWindow(i: Int, rng: Random, pc: Column, ps: String,
+                           name: String): Fuzz = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = rng.nextBoolean()
+    val m = 2 + rng.nextInt(9)
+    val keySql = if (byType) "event_type" else s"user_id % $m"
+    val keyCol: Column = if (byType) col("event_type") else col("user_id") % m
+    rng.nextInt(6) match {
+      case 0 => // NTILE over a total order per key
+        val k = 2 + rng.nextInt(6)
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol).orderBy(col("event_id"))
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                ntile(k).over(w).as("tile"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       CAST(ntile($k) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id) AS INT) AS tile
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 1 => // PERCENT_RANK / CUME_DIST over value peers
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol)
+              .orderBy(round(col("value"), 2).desc)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                percent_rank().over(w).as("pr"),
+                cume_dist().over(w).as("cd"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       percent_rank() OVER (PARTITION BY $keySql
+             |         ORDER BY round(value, 2) DESC) AS pr,
+             |       cume_dist() OVER (PARTITION BY $keySql
+             |         ORDER BY round(value, 2) DESC) AS cd
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 2 => // bounded sliding ROWS frame: j PRECEDING .. k FOLLOWING
+        val p = 1 + rng.nextInt(4); val f = rng.nextInt(4)
+        val endSql = if (f == 0) "CURRENT ROW" else s"$f FOLLOWING"
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol).orderBy(col("event_id"))
+              .rowsBetween(-p, f)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                sum(col("event_id")).over(w).as("win_sum"),
+                count(lit(1)).over(w).as("win_ct"),
+                min(round(col("value"), 2)).over(w).as("win_min"),
+                max(round(col("value"), 2)).over(w).as("win_max"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       CAST(sum(event_id) OVER w AS BIGINT) AS win_sum,
+             |       CAST(count(*) OVER w AS BIGINT) AS win_ct,
+             |       min(round(value, 2)) OVER w AS win_min,
+             |       max(round(value, 2)) OVER w AS win_max
+             |FROM events WHERE $ps
+             |WINDOW w AS (PARTITION BY $keySql ORDER BY event_id
+             |  ROWS BETWEEN $p PRECEDING AND $endSql)
+             |ORDER BY event_id""".stripMargin)
+      case 3 => // integer RANGE frame on user_id (peers all included)
+        val r = 2 + rng.nextInt(8)
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(col("event_type"))
+              .orderBy(col("user_id")).rangeBetween(-r, 0)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"),
+                col("event_type").as("k"),
+                count(lit(1)).over(w).as("near_ct"),
+                sum(col("user_id")).over(w).as("near_uid_sum"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, event_type AS k,
+             |       CAST(count(*) OVER w AS BIGINT) AS near_ct,
+             |       CAST(sum(user_id) OVER w AS BIGINT) AS near_uid_sum
+             |FROM events WHERE $ps
+             |WINDOW w AS (PARTITION BY event_type ORDER BY user_id
+             |  RANGE BETWEEN $r PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
+      case 4 => // FIRST/LAST/NTH_VALUE over an explicit full frame
+        val n = 2 + rng.nextInt(3)
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol)
+              .orderBy(round(col("value"), 2).desc, col("event_id"))
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                first_value(col("event_id")).over(w).as("top_id"),
+                last_value(col("event_id")).over(w).as("bot_id"),
+                nth_value(col("event_id"), n).over(w).as("nth_id"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       first_value(event_id) OVER w AS top_id,
+             |       last_value(event_id) OVER w AS bot_id,
+             |       nth_value(event_id, $n) OVER w AS nth_id
+             |FROM events WHERE $ps
+             |WINDOW w AS (PARTITION BY $keySql
+             |  ORDER BY round(value, 2) DESC, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin)
+      case _ => // deep LAG/LEAD with a non-null default
+        val off = 2 + rng.nextInt(2); val dflt = rng.nextInt(1000)
+        Fuzz(name,
+          (s, d) => {
+            val w = Window.partitionBy(keyCol).orderBy(col("event_id"))
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"), col("user_id"), keyCol.as("k"),
+                lag(col("event_id"), off, dflt.toLong).over(w).as("lag_d"),
+                lead(col("event_id"), off, dflt.toLong).over(w)
+                  .as("lead_d"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, user_id, $keySql AS k,
+             |       lag(event_id, $off, $dflt) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id) AS lag_d,
+             |       lead(event_id, $off, $dflt) OVER (PARTITION BY $keySql
+             |         ORDER BY event_id) AS lead_d
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -962,8 +1114,9 @@ object FuzzGen {
     * user_id modulo atoms whose CRT solution exceeds 14; index 10 is
     * exactly such a case and is skipped, as are 1005 from the
     * event-time space, 4010 from the set-op space, 5008/5010/
-    * 5015/5018 from the subquery space, and 6013/6015/6019 from the
-    * correlated/LATERAL space; all 20 recursive-CTE cases vetted
+    * 5015/5018 from the subquery space, 6013/6015/6019 from the
+    * correlated/LATERAL space, and 9014 from the window-frame space
+    * (9020 pins in its place); all 20 recursive-CTE cases vetted
     * non-empty — their anchors are spines/key-moduli, satisfiable at
     * every SF by construction; all 20 grouping-sets/FILTER cases
     * vetted non-empty — a rollup/cube over an empty slice still
@@ -989,7 +1142,10 @@ object FuzzGen {
       7016, 7017, 7018, 7019,
       8000, 8001, 8002, 8003, 8004, 8005, 8006, 8007,
       8008, 8009, 8010, 8011, 8012, 8013, 8014, 8015,
-      8016, 8017, 8018, 8019)
+      8016, 8017, 8018, 8019,
+      9000, 9001, 9002, 9003, 9004, 9005, 9006, 9007,
+      9008, 9009, 9010, 9011, 9012, 9013, 9015,
+      9016, 9017, 9018, 9019, 9020)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

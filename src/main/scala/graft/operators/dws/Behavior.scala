@@ -228,4 +228,74 @@ object Behavior {
         col("r.conv_rate"))
       .orderBy("step")
   }
+
+  /** Multi-touch marketing attribution: every purchase's value (in
+    * exact integer cents) is credited to the view/click touches that
+    * preceded it within a lookback window, under THREE models at
+    * once — first-touch, last-touch, and linear. Linear credit is
+    * exact integer arithmetic: each of the k touches gets
+    * (cents − cents mod k)/k and the LAST touch absorbs the
+    * remainder, so per-conversion credits sum to cents exactly (no
+    * float splitting, no lost pennies — the invariant the spec
+    * asserts). Purchases with no preceding touch credit a synthetic
+    * 'direct' channel in full under every model.
+    *
+    * Shape at 100 TB: the touch↔conversion pairing is a user-keyed
+    * equi-join with the time predicate applied on top (an interval
+    * join bounded by per-user activity inside the lookback window —
+    * the same contract as `j6_interval_join`), then two row_numbers
+    * and a count over conv_id-partitioned windows (conversion fan-in
+    * is lookback-bounded). The final rollup is a tiny
+    * models×channels aggregate. Hot users skew the pair join exactly
+    * like any interval join; `skew/Salting` composes if needed. */
+  def attributionCredit(events: DataFrame,
+                        lookbackDays: Int = 7): DataFrame = {
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts").as("conv_ts"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+    val touch = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"), col("event_type").as("channel"))
+    val pairs = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >=
+          col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val wAsc = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val wDesc = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val ranked = pairs
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy("conv_id")))
+    // exact integer split: share = (cents − rem)/k, remainder to last
+    val rem = col("cents") % col("k")
+    val share = ((col("cents") - rem) / col("k")).cast("bigint")
+    val firstT = ranked.filter(col("rn_a") === 1)
+      .select(lit("first_touch").as("model"), col("channel"),
+        col("conv_id"), col("cents").as("credit"))
+    val lastT = ranked.filter(col("rn_d") === 1)
+      .select(lit("last_touch").as("model"), col("channel"),
+        col("conv_id"), col("cents").as("credit"))
+    val linear = ranked
+      .select(lit("linear").as("model"), col("channel"), col("conv_id"),
+        (share + when(col("rn_d") === 1, rem).otherwise(lit(0L)))
+          .as("credit"))
+    val models = conv.sparkSession
+      .createDataset(Seq("first_touch", "last_touch", "linear"))(
+        org.apache.spark.sql.Encoders.STRING).toDF("model")
+    val direct = conv
+      .join(pairs.select("conv_id").distinct(), Seq("conv_id"),
+        "left_anti")
+      .crossJoin(models)
+      .select(col("model"), lit("direct").as("channel"), col("conv_id"),
+        col("cents").as("credit"))
+    firstT.unionByName(lastT).unionByName(linear).unionByName(direct)
+      .groupBy("model", "channel")
+      .agg(countDistinct(col("conv_id")).as("n_conv"),
+        sum(col("credit")).cast("bigint").as("credit_cents"))
+      .orderBy("model", "channel")
+  }
 }

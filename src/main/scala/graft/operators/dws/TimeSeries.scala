@@ -142,6 +142,127 @@ object TimeSeries {
       .orderBy("grp")
   }
 
+  /** Additive Holt–Winters (triple exponential smoothing, Winters
+    * 1960) per order priority over the daily revenue series, weekly
+    * seasonality (p = 7):
+    *
+    *   l_t = α·(y_t − s_{c_t}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_{c_t} ← γ·(y_t − l_t) + (1−γ)·s_{c_t},   c_t = slot(day) mod 7
+    *
+    * with l_1 = y_1, b_1 = 0, s ≡ 0 — the t = 1 seasonal update is
+    * vacuous (y_1 − l_1 = 0), so the uniform recurrence applies from
+    * t = 2. α = 1/2, β = γ = 1/4 are exactly-representable dyadics
+    * over integer-cent inputs, so every intermediate is a dyadic
+    * rational both engines compute bit-identically — the oracle
+    * replays the fold as a recursive CTE carrying the 7 seasonal
+    * slots as columns, SAME parenthesization. The slot is
+    * `datediff(day, epoch) % 7` (pure integer, locale-free — the
+    * `seasonalityIndex` convention). Like `holtForecast`, the fold is
+    * inherently sequential and runs per key over the collected daily
+    * array — bounded by calendar days, the module's uniform contract.
+    * Emits final state + the h = 1 and h = 7 forecasts
+    * ŷ_{n+h} = l_n + h·b_n + s_{slot(n+h)} (h = 7 reuses day-n's
+    * slot; h = 1 uses the next day's). */
+  def holtWintersForecast(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("grp"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))
+        .as("cents"))
+      .withColumn("slot",
+        (datediff(col("day"), lit("1970-01-01")) % 7).cast("int"))
+    val series = daily
+      .groupBy("grp")
+      .agg(sort_array(collect_list(
+        struct(col("day"), col("slot"), col("cents")))).as("pts"))
+    val zeros7 = array(Seq.fill(7)(lit(0.0)): _*)
+    val folded = series.select(col("grp"), size(col("pts")).as("n_days"),
+      element_at(col("pts"), -1).getField("slot").as("last_slot"),
+      aggregate(col("pts"),
+        struct(lit(0L).as("n"), lit(0.0).as("l"), lit(0.0).as("b"),
+          zeros7.as("s")),
+        (acc, e) => {
+          val y = e.getField("cents").cast("double")
+          val c = e.getField("slot")
+          val sc = element_at(acc.getField("s"), c + 1)
+          val lt = when(acc.getField("n") === 0, y)
+            .otherwise(lit(0.5) * (y - sc) +
+              lit(0.5) * (acc.getField("l") + acc.getField("b")))
+          val bt = when(acc.getField("n") === 0, lit(0.0))
+            .otherwise(lit(0.25) * (lt - acc.getField("l")) +
+              lit(0.75) * acc.getField("b"))
+          val st = lit(0.25) * (y - lt) + lit(0.75) * sc
+          struct(
+            (acc.getField("n") + 1).as("n"),
+            lt.as("l"), bt.as("b"),
+            transform(acc.getField("s"),
+              (v, idx) => when(idx === c, st).otherwise(v)).as("s"))
+        }).as("st"))
+    folded.select(col("grp"), col("n_days"),
+        round(col("st.l"), 4).as("level_4"),
+        round(col("st.b"), 4).as("trend_4"),
+        round(element_at(col("st.s"),
+          (col("last_slot") + 1) % 7 + 1), 4).as("s_next_4"),
+        round(col("st.l") + col("st.b") +
+          element_at(col("st.s"), (col("last_slot") + 1) % 7 + 1), 4)
+          .as("fc_1"),
+        round(col("st.l") + lit(7.0) * col("st.b") +
+          element_at(col("st.s"), col("last_slot") + 1), 4).as("fc_7"))
+      .orderBy("grp")
+  }
+
+  /** Clamped (saturating) cumulative sum — the inventory-balance
+    * recurrence inv_t = clamp(inv_{t−1} + net_t, 0, cap) — per order
+    * priority over the daily order-count series, with the net flow
+    * centered on the series' own LOWER MEDIAN daily count (exact rank
+    * selection, so the flow oscillates around zero and both clamps
+    * bind). A clamped running sum is NOT expressible with SQL window
+    * frames (the clamp makes each prefix depend on the clamped
+    * previous prefix — it needs recursion), which is exactly why it
+    * earns an operator: Spark runs it as the module's sequential
+    * per-key fold over the calendar-bounded daily array, and the
+    * oracle replays it as a per-key recursive CTE. ALL-INTEGER
+    * arithmetic (counts, median, clamp bounds), so the match is exact
+    * with no rounding discipline. Emits per key: days, median, final
+    * balance, and how many days each clamp bound fired. */
+  def clampedInventory(orders: DataFrame, cap: Long = 25L): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("grp"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    // lower-median daily count per key: rank selection over the
+    // (cnt, day) total order, the multiplicative (n vs n+1) predicate
+    val wMed = Window.partitionBy("grp").orderBy(col("cnt"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wMed).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("grp")))
+      .filter(col("rn") * 2 === col("nd") ||
+        col("rn") * 2 === col("nd") + 1)
+      .select(col("grp"), col("cnt").as("med"))
+    val series = daily.join(med, "grp")
+      .groupBy(col("grp"), col("med"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("pts"))
+    val folded = series.select(col("grp"), col("med"),
+      size(col("pts")).as("n_days"),
+      aggregate(col("pts"),
+        struct(lit(0L).as("inv"), lit(0L).as("lo"), lit(0L).as("hi")),
+        (acc, e) => {
+          val raw = acc.getField("inv") + e.getField("cnt") - col("med")
+          struct(
+            greatest(lit(0L), least(lit(cap), raw)).as("inv"),
+            (acc.getField("lo") + when(raw < 0, 1L).otherwise(0L))
+              .as("lo"),
+            (acc.getField("hi") + when(raw > cap, 1L).otherwise(0L))
+              .as("hi"))
+        }).as("st"))
+    folded.select(col("grp"), col("n_days"), col("med"),
+        col("st.inv").as("final_balance"),
+        col("st.lo").as("floor_clamps"), col("st.hi").as("cap_clamps"))
+      .orderBy("grp")
+  }
+
   /** CUSUM changepoint detection on the daily shipped-quantity
     * series, in scaled integer arithmetic: with n days and total T,
     * the running statistic is cusum_i = Σ_{j≤i} (n·x_j − T) — the

@@ -193,4 +193,75 @@ object PageRank {
     // union-of-both-directions ⇒ symmetric by construction
     pageRank(customerPartGraph(lineitem, orders), iters, earlyExitEps,
       symmetric = true)
+
+  /** Personalized PageRank (Jeh & Widom '03 / Page et al. '98 §6):
+    * the teleport term lands ONLY on a seed set S, so the stationary
+    * mass measures proximity TO the seeds rather than global
+    * centrality —
+    *
+    *   r(v) = (15·seedMass(v) + 85·Σ_{u→v} r(u) DIV deg(u)) DIV 100,
+    *   seedMass(v) = Scale DIV |S| for v ∈ S, else 0,  r₀ = seedMass
+    *
+    * in the same order-independent BIGINT fixed-point as [[pageRank]]
+    * (so the oracle unrolls the identical rounds and hashes match
+    * bit-for-bit). Requires a SYMMETRIC edge set (the co-purchase
+    * construction): in/out-degree ≥ 1 everywhere means the per-round
+    * contribution aggregate already covers every node, so no pad join
+    * — the teleport rides a broadcast-sized LEFT JOIN against the
+    * seed table instead. Same materialized-round contract (parquet
+    * round files every [[ChainDepth]] rounds).
+    *
+    * Seeds: nodes with `node % seedMod = 0` — on the parity encoding
+    * (customer → 2k) an even `seedMod` selects customers only, by
+    * key arithmetic both engines replay exactly. */
+  def personalizedPageRank(edges0: DataFrame, seedMod: Long = 100L,
+                           iters: Int = 6): DataFrame = {
+    val spark = edges0.sparkSession
+    val scratch = spark.conf.getOption("spark.graft.pagerank.scratch")
+      .getOrElse(tempRoot) +
+      s"/ppr-${java.util.UUID.randomUUID().toString.take(8)}"
+    edges0.write.mode("overwrite").parquet(s"$scratch/edges")
+    val edges = spark.read.parquet(s"$scratch/edges")
+    val deg0 = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    edges.join(deg0, "src")
+      .write.mode("overwrite").parquet(s"$scratch/edgesdeg")
+    val edgesDeg = spark.read.parquet(s"$scratch/edgesdeg")
+    edgesDeg.select(col("src").as("node")).distinct()
+      .write.mode("overwrite").parquet(s"$scratch/nodes")
+    val nodes = spark.read.parquet(s"$scratch/nodes")
+    val seeds = nodes.filter(col("node") % seedMod === 0)
+      .select(col("node").as("seed"))
+    val nSeeds = seeds.count() // one scalar job, the pageRank contract
+    require(nSeeds > 0,
+      s"personalizedPageRank: no seeds under node % $seedMod = 0")
+    val seedInit = Scale / nSeeds
+    // teleport as a broadcast-sized left join: matched ⇒ seedMass
+    def withTeleport(contrib: DataFrame): DataFrame =
+      contrib.join(seeds, col("node") === col("seed"), "left")
+        .select(col("node"),
+          expr(s"(15 * CAST(if(seed IS NULL, 0, $seedInit) AS BIGINT)" +
+            " + 85 * s) DIV 100").as("r"))
+    def round(ranks: DataFrame): DataFrame =
+      withTeleport(edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r DIV deg")).as("s")))
+    var ranks = nodes.join(seeds, col("node") === col("seed"), "left")
+      .select(col("node"),
+        expr(s"CAST(if(seed IS NULL, 0, $seedInit) AS BIGINT)").as("r"))
+    var done = 0
+    while (done < iters) {
+      val step = math.min(ChainDepth, iters - done)
+      val next = (1 to step).foldLeft(ranks)((r, _) => round(r))
+      done += step
+      next.write.mode("overwrite").parquet(s"$scratch/round-$done")
+      ranks = spark.read.parquet(s"$scratch/round-$done")
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"))
+  }
+
+  def copurchasePpr(lineitem: DataFrame, orders: DataFrame,
+                    iters: Int = 6): DataFrame =
+    personalizedPageRank(customerPartGraph(lineitem, orders),
+      seedMod = 100L, iters = iters)
 }

@@ -20,9 +20,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (5000 until 5040).map(FuzzGen.gen) ++ // the subquery/semi-anti shape space
     (6000 until 6040).map(FuzzGen.gen) ++ // the correlated-scalar/LATERAL space
     (7000 until 7040).map(FuzzGen.gen) ++ // the recursive-CTE space (Spark 4 UnionLoop)
-    (8000 until 8040).map(FuzzGen.gen)    // the grouping-sets/FILTER-aggregate space
+    (8000 until 8040).map(FuzzGen.gen) ++ // the grouping-sets/FILTER-aggregate space
+    (9000 until 9040).map(FuzzGen.gen)    // the window-frame/navigation space
 
-  test("400 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping cases: DataFrame plan == SQL text") {
+  test("440 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
