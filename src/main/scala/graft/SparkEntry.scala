@@ -198,6 +198,10 @@ object SparkEntry {
     // scale-safe alternative to percentile()'s per-group buffering)
     "q_global_quantiles" -> ((s, d) =>
       graft.operators.quality.Profile.globalQuantiles(Tables.orders(s, d))),
+    // exact per-group percentiles: one keyed window, no per-group
+    // value buffering (the grouped sibling of q_global_quantiles)
+    "q_grouped_quantiles" -> ((s, d) =>
+      graft.operators.quality.Profile.groupedQuantiles(Tables.orders(s, d))),
     // item-item co-purchase cosine (customers-who-bought-X-also-bought):
     // basket-capped pair generation, micro-integer cosine, top-10/item
     "ml_item_cf" -> ((s, d) =>
@@ -511,6 +515,12 @@ object SparkEntry {
     // running/session processors don't touch
     "tws_map_list_state" -> ((s, d) =>
       graft.streaming.TwsStreams.mapListReplay(s, Tables.events(s, d))),
+    // clamped running balance: the streaming leg of
+    // ts_clamped_inventory — a non-windowable recurrence held as one
+    // ValueState tuple per key; oracle is a per-key recursive CTE
+    "tws_clamped_balance" -> ((s, d) =>
+      graft.streaming.TwsStreams.clampedBalanceReplay(
+        s, Tables.events(s, d))),
     // §2.9 UDTF + A6
     "u1_a6_keyword_frequency" -> ((s, d) => TrafficWindows.keywordFrequency(Tables.documents(s, d))),
     // U1 CJK parity: same pipeline over the Chinese fixture (the
@@ -1588,6 +1598,30 @@ object SparkEntry {
         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |         AS BIGINT) AS last3_sum_cents
         |FROM pts
+        |ORDER BY user_id, event_id""".stripMargin,
+    "tws_clamped_balance" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         CAST(row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events WHERE user_id % 4 = 0),
+        |f(user_id, i, event_id, bal, lo, hi) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  UNION ALL
+        |  SELECT f.user_id, f.i + 1, e.event_id,
+        |         greatest(CAST(0 AS BIGINT),
+        |           least(CAST(100000 AS BIGINT), f.bal + e.cents - 5000)),
+        |         f.lo + CASE WHEN f.bal + e.cents - 5000 < 0
+        |                     THEN 1 ELSE 0 END,
+        |         f.hi + CASE WHEN f.bal + e.cents - 5000 > 100000
+        |                     THEN 1 ELSE 0 END
+        |  FROM f JOIN e ON e.user_id = f.user_id AND e.i = f.i + 1)
+        |SELECT user_id, event_id, bal AS balance_cents,
+        |       lo AS floor_clamps, hi AS cap_clamps
+        |FROM f WHERE i > 0
         |ORDER BY user_id, event_id""".stripMargin,
     "tws_gap_sessions" ->
       """WITH pts AS (
@@ -4784,6 +4818,27 @@ object SparkEntry {
           |JOIN r ON r.rn = CAST(ceil(CAST(q.pct * n.n AS DOUBLE)
           |                           / CAST(100 AS DOUBLE)) AS BIGINT)
           |ORDER BY pct""".stripMargin,
+      // per-group exact percentiles: keyed rank selection, identical
+      // ceil(p·n/100) arithmetic on both engines
+      "q_grouped_quantiles" ->
+        """WITH v AS (SELECT o_orderpriority AS grp,
+          |                  CAST(round(o_totalprice * 100) AS BIGINT)
+          |                    AS cents,
+          |                  o_orderkey
+          |           FROM orders),
+          |r AS (SELECT grp, cents,
+          |             CAST(row_number() OVER (PARTITION BY grp
+          |               ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+          |             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT)
+          |               AS n_rows
+          |      FROM v),
+          |q AS (SELECT CAST(pct AS BIGINT) AS pct
+          |      FROM (VALUES (50), (90), (99)) t(pct))
+          |SELECT grp, pct, cents, n_rows
+          |FROM r JOIN q
+          |  ON r.rn = CAST(ceil(CAST(q.pct * r.n_rows AS DOUBLE)
+          |                      / CAST(100 AS DOUBLE)) AS BIGINT)
+          |ORDER BY grp, pct""".stripMargin,
       // RFM: three global row_numbers (total order via custkey
       // tiebreak) + the engine's explicit floor-of-double-division
       // bucket arithmetic — deliberately NOT NTILE, whose uneven

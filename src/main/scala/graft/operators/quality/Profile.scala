@@ -1,6 +1,7 @@
 package graft.operators.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the "describe my 100 TB table" utility: per-column
@@ -132,5 +133,37 @@ object Profile {
       .join(broadcast(rankDf), col("__rn") === col("rn"))
       .select(col("pct"), col("cents"), lit(n).as("n_rows"))
       .orderBy("pct")
+  }
+
+  /** Exact PER-GROUP percentiles by rank selection — the grouped
+    * sibling of [[globalQuantiles]]. Where the global form needs the
+    * range-exchange row-number machinery (`core/Ranking`), the
+    * grouped form is just one KEYED window (partitionBy group ⇒ a
+    * hash exchange Spark scales horizontally — no single-partition
+    * sort, no per-group value buffering the way `percentile()`'s
+    * aggregation buffer grows). rank = ceil(p·n/100) with the
+    * multiplication taken exactly in double (p·n < 2^53) — identical
+    * arithmetic on both engines. */
+  def groupedQuantiles(orders: DataFrame,
+                       pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "groupedQuantiles: pcts must be in 1..100")
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val vals = orders.select(col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+      col("o_orderkey"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    val ranked = vals
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_rows",
+        count(lit(1)).over(Window.partitionBy("grp")))
+    val pctDf = pcts.map(_.toLong).toDF("pct")
+    ranked.join(broadcast(pctDf),
+        col("rn") === ceil((col("pct") * col("n_rows")).cast("double") /
+          lit(100.0)).cast("bigint"))
+      .select(col("grp"), col("pct"), col("cents"), col("n_rows"))
+      .orderBy("grp", "pct")
   }
 }

@@ -63,6 +63,47 @@ class RunningSpendProcessor
   }
 }
 
+/** A running clamped balance emission: state AFTER the event. */
+case class BalanceRunning(user_id: Long, event_id: Long,
+                          balance_cents: Long, floor_clamps: Long,
+                          cap_clamps: Long)
+
+/** Clamped (saturating) per-user running balance on
+  * `transformWithState` — the streaming leg of the batch
+  * `TimeSeries.clampedInventory` fold: each event deposits its cents
+  * and a constant drain is charged, the balance saturating at
+  * [0, cap]. The clamp makes the recurrence non-windowable (each
+  * prefix depends on the CLAMPED previous prefix), so streaming state
+  * is the natural home: one (balance, floorCt, capCt) ValueState per
+  * key regardless of history length, RocksDB-spillable — the
+  * billions-of-keys posture. Integer arithmetic end to end, so
+  * cross-batch replay is bit-identical to the batch fold and to the
+  * oracle's per-key recursive CTE. */
+class ClampedBalanceProcessor(drainCents: Long, capCents: Long)
+    extends StatefulProcessor[Long, SpendPoint, BalanceRunning] {
+
+  @transient private var bal: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    bal = getHandle.getValueState[(Long, Long, Long)]("bal",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[SpendPoint],
+      timers: TimerValues): Iterator[BalanceRunning] = {
+    var (b, lo, hi) = if (bal.exists()) bal.get() else (0L, 0L, 0L)
+    val out = rows.toSeq
+      .sortBy(p => (EventMicros.usOf(p.ts), p.event_id)).map { p =>
+      val raw = b + p.spend_cents - drainCents
+      if (raw < 0) lo += 1
+      if (raw > capCents) hi += 1
+      b = math.max(0L, math.min(capCents, raw))
+      BalanceRunning(key, p.event_id, b, lo, hi)
+    }
+    bal.update((b, lo, hi))
+    out.iterator
+  }
+}
+
 /** A closed gap session (end = last event + gap, the native
   * `session_window` convention, so the batch twin compares 1:1). */
 case class SessionClosed(user_id: Long, session_start: Timestamp,
@@ -344,6 +385,46 @@ object TwsStreams {
       .transformWithState(new RunningSpendProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Clamped-balance processor (RocksDB store as above). */
+  def clampedBalanceStream(points: Dataset[SpendPoint],
+                           drainCents: Long = 5000L,
+                           capCents: Long = 100000L)
+      : Dataset[BalanceRunning] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user_id)
+      .transformWithState(new ClampedBalanceProcessor(drainCents, capCents),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Synchronous MemoryStream replay of [[ClampedBalanceProcessor]]
+    * (same SampleMod-bounded harness contract as
+    * [[runningSpendReplay]]): the oracle is the per-key recursive CTE
+    * replaying the clamp with the same integer arithmetic. */
+  def clampedBalanceReplay(spark: org.apache.spark.sql.SparkSession,
+                           events: org.apache.spark.sql.DataFrame,
+                           batches: Int = 3): org.apache.spark.sql.DataFrame =
+    withRocksDb(spark) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val pts = spendPoints(events)
+      val name = "tws_clamped_replay_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val ms = MemoryStream[SpendPoint]
+      val q = clampedBalanceStream(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      val per = math.max(1, (pts.length + batches - 1) / batches)
+      pts.grouped(per).foreach { b =>
+        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name)
+        .select(col("user_id"), col("event_id"), col("balance_cents"),
+          col("floor_clamps"), col("cap_clamps"))
+        .orderBy("user_id", "event_id")
+    }
 
   /** MapState + ListState processor (RocksDB store as above). */
   def mapListSpendStream(points: Dataset[TypedSpendPoint])

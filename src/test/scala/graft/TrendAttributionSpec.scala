@@ -147,6 +147,45 @@ class TrendAttributionSpec extends SparkTestBase {
     }
   }
 
+  test("clamped balance stream: replay matches the in-memory fold") {
+    val events = Tables.events(spark, sf0001)
+    val out = graft.streaming.TwsStreams.clampedBalanceReplay(spark, events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def us(t: java.sql.Timestamp) =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val pts = events.filter(col("user_id") % 4 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("bigint").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2),
+        r.getLong(3)))
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      var (b, lo, hi) = (0L, 0L, 0L)
+      rows.sortBy(r => (r._2, r._3)).toSeq.map { r =>
+        val raw = b + r._4 - 5000L
+        if (raw < 0) lo += 1
+        if (raw > 100000L) hi += 1
+        b = math.max(0L, math.min(100000L, raw))
+        (uid, r._3) -> ((b, lo, hi))
+      }
+    }.toMap
+    assert(out.size == expected.size)
+    expected.foreach { case (k, v) =>
+      assert(out(k) == v, s"key $k: stream ${out(k)} vs model $v")
+    }
+  }
+
+  test("clamped balance stream: batch count does not change the result") {
+    val events = Tables.events(spark, sf0001)
+    val one = graft.streaming.TwsStreams
+      .clampedBalanceReplay(spark, events, batches = 1)
+    val five = graft.streaming.TwsStreams
+      .clampedBalanceReplay(spark, events, batches = 5)
+    assertSameRows(one, five)
+  }
+
   test("personalized pagerank: mass stays near Scale and concentrates on seeds") {
     val ranks = PageRank.copurchasePpr(
       Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
