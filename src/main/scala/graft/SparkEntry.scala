@@ -202,6 +202,17 @@ object SparkEntry {
     // value buffering (the grouped sibling of q_global_quantiles)
     "q_grouped_quantiles" -> ((s, d) =>
       graft.operators.quality.Profile.groupedQuantiles(Tables.orders(s, d))),
+    // the 100 TB sketch swap: Greenwald–Khanna approx_percentile, one
+    // map-side aggregate; rows-only, drift bounded vs the exact twin
+    // in ProfileSpec (the a3_*_approx pairing contract)
+    "q_grouped_quantiles_approx" -> ((s, d) =>
+      graft.operators.quality.Profile.groupedQuantilesApprox(
+        Tables.orders(s, d))),
+    // key-skew report: exact Gini over rank-weighted key counts via
+    // the range-exchange global row_number (never one-partition sort)
+    "q_key_skew_report" -> ((s, d) =>
+      graft.operators.quality.Profile.keySkewReport(
+        Tables.events(s, d), "user_id")),
     // item-item co-purchase cosine (customers-who-bought-X-also-bought):
     // basket-capped pair generation, micro-integer cosine, top-10/item
     "ml_item_cf" -> ((s, d) =>
@@ -4839,6 +4850,26 @@ object SparkEntry {
           |  ON r.rn = CAST(ceil(CAST(q.pct * r.n_rows AS DOUBLE)
           |                      / CAST(100 AS DOUBLE)) AS BIGINT)
           |ORDER BY grp, pct""".stripMargin,
+      // key-skew report: identical rank-weighted integer sums, the
+      // Gini assembled in double from exact BIGINT components
+      "q_key_skew_report" ->
+        """WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS ct
+          |           FROM events GROUP BY 1),
+          |r AS (SELECT ct, CAST(row_number() OVER (ORDER BY ct, k)
+          |               AS BIGINT) AS i
+          |      FROM c),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          |             CAST(sum(ct) AS BIGINT) AS total_rows,
+          |             CAST(max(ct) AS BIGINT) AS max_key_rows,
+          |             CAST(sum(i * ct) AS BIGINT) AS rank_weighted
+          |      FROM r)
+          |SELECT n_keys, total_rows, max_key_rows,
+          |       round((CAST(2 AS DOUBLE) * CAST(rank_weighted AS DOUBLE)
+          |              - CAST(n_keys + 1 AS DOUBLE)
+          |                * CAST(total_rows AS DOUBLE))
+          |             / (CAST(n_keys AS DOUBLE)
+          |                * CAST(total_rows AS DOUBLE)), 6) AS gini_6
+          |FROM s""".stripMargin,
       // RFM: three global row_numbers (total order via custkey
       // tiebreak) + the engine's explicit floor-of-double-division
       // bucket arithmetic — deliberately NOT NTILE, whose uneven

@@ -263,26 +263,38 @@ object Behavior {
           col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
     val wAsc = Window.partitionBy("conv_id")
       .orderBy(col("touch_ts"), col("touch_id"))
-    val wDesc = Window.partitionBy("conv_id")
-      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    // rn over a total order reversed is k+1−rn: the descending rank
+    // derives from the ascending one, so the pair set pays ONE window
+    // sort, not two (the count shares wAsc's partitioning)
     val ranked = pairs
       .withColumn("rn_a", row_number().over(wAsc))
-      .withColumn("rn_d", row_number().over(wDesc))
       .withColumn("k",
         count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("rn_d", col("k") + 1 - col("rn_a"))
     // exact integer split: share = (cents − rem)/k, remainder to last
     val rem = col("cents") % col("k")
     val share = ((col("cents") - rem) / col("k")).cast("bigint")
-    val firstT = ranked.filter(col("rn_a") === 1)
-      .select(lit("first_touch").as("model"), col("channel"),
-        col("conv_id"), col("cents").as("credit"))
-    val lastT = ranked.filter(col("rn_d") === 1)
-      .select(lit("last_touch").as("model"), col("channel"),
-        col("conv_id"), col("cents").as("credit"))
-    val linear = ranked
-      .select(lit("linear").as("model"), col("channel"), col("conv_id"),
-        (share + when(col("rn_d") === 1, rem).otherwise(lit(0L)))
-          .as("credit"))
+    // all three models ride ONE derivation of the ranked pair set —
+    // a union of filters would re-run the interval join and both
+    // window sorts per model (the pre-optimization plan paid 4
+    // independent event-scan branches). The conditional array emits
+    // first/last rows only for the matching touch (filtered nulls),
+    // linear for every touch — identical row set to the union form.
+    val touchCredits = ranked
+      .select(col("channel"), col("conv_id"),
+        explode(filter(array(
+          when(col("rn_a") === 1,
+            struct(lit("first_touch").as("model"),
+              col("cents").as("credit"))),
+          when(col("rn_d") === 1,
+            struct(lit("last_touch").as("model"),
+              col("cents").as("credit"))),
+          struct(lit("linear").as("model"),
+            (share + when(col("rn_d") === 1, rem).otherwise(lit(0L)))
+              .as("credit"))),
+          x => x.isNotNull)).as("mc"))
+      .select(col("mc.model").as("model"), col("channel"),
+        col("conv_id"), col("mc.credit").as("credit"))
     val models = conv.sparkSession
       .createDataset(Seq("first_touch", "last_touch", "linear"))(
         org.apache.spark.sql.Encoders.STRING).toDF("model")
@@ -292,7 +304,7 @@ object Behavior {
       .crossJoin(models)
       .select(col("model"), lit("direct").as("channel"), col("conv_id"),
         col("cents").as("credit"))
-    firstT.unionByName(lastT).unionByName(linear).unionByName(direct)
+    touchCredits.unionByName(direct)
       .groupBy("model", "channel")
       .agg(countDistinct(col("conv_id")).as("n_conv"),
         sum(col("credit")).cast("bigint").as("credit_cents"))

@@ -166,4 +166,58 @@ object Profile {
       .select(col("grp"), col("pct"), col("cents"), col("n_rows"))
       .orderBy("grp", "pct")
   }
+
+  /** The sketch swap for [[groupedQuantiles]] at 100 TB: Spark's
+    * `approx_percentile` (Greenwald–Khanna, mergeable partial state —
+    * accuracy 10⁴ ⇒ rank error ≤ n/10⁴ per group) in ONE map-side-
+    * combined aggregate, no window, no per-group sort. Rows-only in
+    * the gate (sketch internals are engine-specific); `ProfileSpec`
+    * bounds the rank drift against the exact twin, which is the same
+    * pairing contract as `a3_province_order_window_approx`. */
+  def groupedQuantilesApprox(orders: DataFrame,
+                             pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val vals = orders.select(col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val pctArr = pcts.map(_.toDouble / 100.0)
+    vals.groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        percentile_approx(col("cents"),
+          array(pctArr.map(lit): _*), lit(10000)).as("qs"))
+      .select(col("grp"), col("n_rows"),
+        explode(arrays_zip(
+          array(pcts.map(p => lit(p.toLong)): _*).as("pct"),
+          col("qs").as("cents_approx"))).as("z"))
+      .select(col("grp"), col("z.pct").as("pct"),
+        col("z.cents_approx").as("cents_approx"), col("n_rows"))
+      .orderBy("grp", "pct")
+  }
+
+  /** Key-skew report — "find the hot keys before they melt a join":
+    * ONE map-side-combined count per key, then summary statistics
+    * over the key-count frame INCLUDING the exact Gini coefficient
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over counts ranked ascending. The global rank rides
+    * `core/Ranking.withGlobalRowNumber` (range exchange + offset
+    * join — never a single-partition window), so the report scales
+    * with the KEY frame, not the fact. Integer numerator/denominator
+    * (exact, order-free); bound: Σ i·xᵢ ≤ n·Σx must stay under 2^63
+    * — at n·total beyond ~4·10^18 sample the key frame first (ANSI
+    * overflow fails loudly, never silently). */
+  def keySkewReport(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("ct"))
+    val ranked = graft.core.Ranking.withGlobalRowNumber(
+      counts, Seq(col("ct").asc, col("k").asc), "i")
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("ct")).as("total_rows"),
+        max(col("ct")).as("max_key_rows"),
+        sum(col("i") * col("ct")).as("rank_weighted"))
+      .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
+        round((lit(2.0) * col("rank_weighted").cast("double") -
+          (col("n_keys") + 1).cast("double") *
+            col("total_rows").cast("double")) /
+          (col("n_keys").cast("double") *
+            col("total_rows").cast("double")), 6).as("gini_6"))
+  }
 }

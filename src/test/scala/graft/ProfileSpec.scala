@@ -136,4 +136,52 @@ class ProfileSpec extends SparkTestBase {
     assert(out(2) == ((1L, 250000L, b2, math.abs(250000L - b2))))
     assert(out(3) == ((1L, 250000L, b3, math.abs(250000L - b3))))
   }
+
+  test("grouped quantiles approx: rank drift bounded vs the exact twin") {
+    import graft.operators.quality.Profile
+    val orders = graft.core.Tables.orders(spark, sf0001)
+    val exact = Profile.groupedQuantiles(orders).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = Profile.groupedQuantilesApprox(orders).collect()
+    assert(approx.length == exact.size)
+    // GK at accuracy 10^4 guarantees rank error ≤ n/10^4; convert to a
+    // value tolerance by checking the approx value's true rank window
+    val vals = orders
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    approx.foreach { r =>
+      val (g, p, got, n) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      val sortedVals = vals(g)
+      val targetRank = math.ceil(p * n / 100.0).toLong
+      val tol = math.max(1L, n / 10000L) + 1
+      val lo = sortedVals(math.max(0, targetRank - tol - 1).toInt)
+      val hi = sortedVals(math.min(n - 1, targetRank + tol - 1).toInt)
+      assert(got >= lo && got <= hi,
+        s"$g p$p: approx $got outside rank window [$lo, $hi]")
+    }
+  }
+
+  test("key skew report: hand-built frame matches the Gini definition") {
+    import graft.operators.quality.Profile
+    // counts 1,1,2,4 over 4 keys: sorted ranks 1·1+2·1+3·2+4·4 = 25
+    // G = (2·25 − 5·8) / (4·8) = 10/32 = 0.3125
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c")
+      ++ Seq.fill(4)("d")).map(k => (k, 1)).toDF("k", "v")
+    val out = Profile.keySkewReport(df, "k").collect().head
+    assert(out.getAs[Long]("n_keys") == 4L)
+    assert(out.getAs[Long]("total_rows") == 8L)
+    assert(out.getAs[Long]("max_key_rows") == 4L)
+    assert(out.getAs[Double]("gini_6") == 0.3125)
+  }
+
+  test("key skew report: a uniform frame has Gini 0") {
+    import graft.operators.quality.Profile
+    val df = (1 to 6).flatMap(k => Seq.fill(3)((s"k$k", 1)))
+      .toDF("k", "v")
+    val out = Profile.keySkewReport(df, "k").collect().head
+    assert(out.getAs[Double]("gini_6") == 0.0)
+  }
 }
