@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 10000) return genStringFns(i, rng, pc, ps, name)
     if (i >= 9000) return genAdvWindow(i, rng, pc, ps, name)
     if (i >= 8000) return genGroupingSets(i, rng, pc, ps, name)
     if (i >= 7000) return genRecursive(i, rng, pc, ps, name)
@@ -1105,6 +1106,136 @@ object FuzzGen {
     }
   }
 
+  /** String-function shapes (index space ≥10000): the scalar string
+    * surface swept between the fixed `f_scalar_functions` pins —
+    * length/upper/substring, translate/lpad/rpad/reverse,
+    * md5-bucketed grouping, instr/ascii arithmetic, split_part over
+    * constructed delimited strings, and left/right/repeat. Dialect
+    * guard-rails: everything stays ASCII over the closed event_type
+    * alphabet (no collation/locale surface); int→string casts are
+    * written `CAST(x AS STRING)` (both engines accept STRING);
+    * `startswith` is avoided (Spark) vs `starts_with` (DuckDB) — LIKE
+    * carries prefix tests; lpad/rpad 3-arg truncate-or-pad semantics
+    * and 1-based instr/substring are shared; md5 hex is lowercase in
+    * both. */
+  private def genStringFns(i: Int, rng: Random, pc: Column, ps: String,
+                           name: String): Fuzz = {
+    val letters = "cesuv"
+    rng.nextInt(6) match {
+      case 0 => // length/upper/substring projection + LIKE filter
+        val k = 2 + rng.nextInt(4)
+        val ch = letters(rng.nextInt(letters.length))
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc && col("event_type").like(s"%$ch%"))
+            .select(col("event_id"), col("event_type"),
+              length(col("event_type")).as("len"),
+              upper(col("event_type")).as("up"),
+              substring(col("event_type"), 1, k).as("pre"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, event_type,
+             |       length(event_type) AS len,
+             |       upper(event_type) AS up,
+             |       substring(event_type, 1, $k) AS pre
+             |FROM events WHERE ($ps) AND event_type LIKE '%$ch%'
+             |ORDER BY event_id""".stripMargin)
+      case 1 => // translate / lpad / rpad / reverse
+        val n = 6 + rng.nextInt(5)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              translate(col("event_type"), "aeiou", "AEIOU").as("tr"),
+              lpad(col("event_type"), n, "_").as("lp"),
+              rpad(col("event_type"), n, "*").as("rp"),
+              reverse(col("event_type")).as("rev"))
+            .orderBy("event_id"),
+          s"""SELECT event_id,
+             |       translate(event_type, 'aeiou', 'AEIOU') AS tr,
+             |       lpad(event_type, $n, '_') AS lp,
+             |       rpad(event_type, $n, '*') AS rp,
+             |       reverse(event_type) AS rev
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 2 => // md5-bucketed grouping over a constructed key
+        val m = 2 + rng.nextInt(9)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(substring(md5(concat(col("event_type"), lit("_"),
+              (col("user_id") % m).cast("string"))), 1, 1).as("bucket"))
+            .agg(count(lit(1)).as("ct"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"))
+            .orderBy("bucket"),
+          s"""SELECT substring(md5(concat(event_type, '_',
+             |         CAST(user_id % $m AS STRING))), 1, 1) AS bucket,
+             |       count(*) AS ct, min(event_id) AS min_id,
+             |       max(event_id) AS max_id
+             |FROM events WHERE $ps
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)
+      case 3 => // instr / ascii arithmetic
+        val subs = Seq("ck", "ic", "err", "vi", "up", "se")
+        val sub = subs(rng.nextInt(subs.length))
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), col("event_type"),
+              instr(col("event_type"), sub).as("pos"),
+              ascii(col("event_type")).as("first_code"),
+              (instr(col("event_type"), sub) > 0).as("has_sub"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, event_type,
+             |       instr(event_type, '$sub') AS pos,
+             |       ascii(event_type) AS first_code,
+             |       instr(event_type, '$sub') > 0 AS has_sub
+             |FROM events WHERE $ps ORDER BY event_id""".stripMargin)
+      case 4 => // split_part over a constructed delimited string
+        val m = 2 + rng.nextInt(9); val m2 = 2 + rng.nextInt(9)
+        Fuzz(name,
+          (s, d) => {
+            val packed = concat(col("event_type"), lit(","),
+              (col("event_id") % m).cast("string"), lit(","),
+              (col("user_id") % m2).cast("string"))
+            graft.core.Tables.events(s, d)
+              .filter(pc)
+              .select(col("event_id"),
+                split_part(packed, lit(","), lit(1)).as("p1"),
+                split_part(packed, lit(","), lit(2)).as("p2"),
+                split_part(packed, lit(","), lit(3)).as("p3"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id,
+             |       split_part(s, ',', 1) AS p1,
+             |       split_part(s, ',', 2) AS p2,
+             |       split_part(s, ',', 3) AS p3
+             |FROM (SELECT event_id,
+             |        concat(event_type, ',', CAST(event_id % $m AS STRING),
+             |               ',', CAST(user_id % $m2 AS STRING)) AS s
+             |      FROM events WHERE $ps) t
+             |ORDER BY event_id""".stripMargin)
+      case _ => // left/right/repeat + length HAVING
+        val k = 2 + rng.nextInt(3); val lo = 1 + rng.nextInt(30)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(expr(s"left(event_type, $k)").as("pre"),
+              expr(s"right(event_type, $k)").as("suf"))
+            .agg(count(lit(1)).as("ct"),
+              sum(length(repeat(col("event_type"), 2)).cast("bigint"))
+                .as("len2_sum"))
+            .filter(col("ct") >= lo)
+            .orderBy("pre", "suf"),
+          s"""SELECT left(event_type, $k) AS pre,
+             |       right(event_type, $k) AS suf,
+             |       count(*) AS ct,
+             |       CAST(sum(length(repeat(event_type, 2))) AS BIGINT)
+             |         AS len2_sum
+             |FROM events WHERE $ps
+             |GROUP BY 1, 2 HAVING count(*) >= $lo
+             |ORDER BY pre, suf""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -1145,7 +1276,10 @@ object FuzzGen {
       8016, 8017, 8018, 8019,
       9000, 9001, 9002, 9003, 9004, 9005, 9006, 9007,
       9008, 9009, 9010, 9011, 9012, 9013, 9015,
-      9016, 9017, 9018, 9019, 9020)
+      9016, 9017, 9018, 9019, 9020,
+      10000, 10001, 10002, 10003, 10004, 10005, 10006, 10007,
+      10008, 10009, 10010, 10011, 10012, 10013, 10014, 10015,
+      10016, 10017, 10018, 10019)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

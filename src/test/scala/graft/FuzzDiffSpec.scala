@@ -21,9 +21,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (6000 until 6040).map(FuzzGen.gen) ++ // the correlated-scalar/LATERAL space
     (7000 until 7040).map(FuzzGen.gen) ++ // the recursive-CTE space (Spark 4 UnionLoop)
     (8000 until 8040).map(FuzzGen.gen) ++ // the grouping-sets/FILTER-aggregate space
-    (9000 until 9040).map(FuzzGen.gen)    // the window-frame/navigation space
+    (9000 until 9040).map(FuzzGen.gen) ++ // the window-frame/navigation space
+    (10000 until 10040).map(FuzzGen.gen)  // the string-function space
 
-  test("440 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame cases: DataFrame plan == SQL text") {
+  test("480 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
