@@ -34,6 +34,9 @@ class BatchQueriesSpec extends SparkTestBase {
       // ProfileSpec (HLL distinct in the approx profile)
       "a3_province_order_window_approx", "llm_token_percentiles_approx",
       "q_profile_orders_approx",
+      // GK grouped-percentile sketch: exact twin q_grouped_quantiles
+      // is the oracle; rank drift bounded in ProfileSpec
+      "q_grouped_quantiles_approx",
       // probed IVF×SQ8 is approximate by construction; the fullprobe
       // twin llm_ann_ivfsq8_fullprobe carries the sq8 oracle, recall
       // floor pinned in AsofRetrievalSpec
