@@ -185,6 +185,26 @@ object SparkEntry {
     // cent-splitting — per-conversion credits sum to cents exactly
     "b_attribution_credit" -> ((s, d) =>
       graft.operators.dws.Behavior.attributionCredit(Tables.events(s, d))),
+    // classical additive decomposition (trend + weekly seasonal +
+    // residual), exact via the ×7 scaling — BIGINT window sums,
+    // one division per seasonal slot, fixed-op residual assembly
+    "ts_classical_decompose" -> ((s, d) =>
+      graft.operators.dws.TimeSeries.classicalDecompose(
+        Tables.orders(s, d))),
+    // gaps-and-islands: per-user consecutive-day streaks via the
+    // epoch_day − row_number grouping key (no self-join)
+    "b_activity_islands" -> ((s, d) =>
+      graft.operators.dws.Behavior.activityIslands(Tables.events(s, d))),
+    // Kaplan–Meier repurchase survival: exact integer d/c/n over the
+    // duration-bounded frame, sequential product fold (recursive-CTE
+    // oracle, identical IEEE op sequence)
+    "b_survival_km" -> ((s, d) =>
+      graft.operators.dws.Survival.kaplanMeierRepurchase(
+        Tables.orders(s, d))),
+    // two-proportion A/B z-test: four exact integers in, one fixed
+    // IEEE expression out — deterministic verdict cross-engine
+    "b_abtest_conversion" -> ((s, d) =>
+      graft.operators.ml.Experiment.abTestConversion(Tables.events(s, d))),
     // referential-integrity audit: per-FK-edge orphan/null counts via
     // distinct-built anti-joins (the Expectations/Profile sibling)
     "q_referential_integrity" -> ((s, d) =>
@@ -4687,6 +4707,135 @@ object SparkEntry {
           |JOIN n ON n.grp = f.grp AND f.i = n.n_days
           |JOIN med ON med.grp = f.grp
           |ORDER BY f.grp""".stripMargin,
+      // classical decomposition: BIGINT trend7/detr7, one division
+      // per seasonal slot, fixed-op residual — bitwise before round
+      "ts_classical_decompose" ->
+        """WITH d AS (
+          |  SELECT CAST(o_orderdate AS DATE) AS day,
+          |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |              AS BIGINT) AS cents
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT day, cents,
+          |             CAST(sum(cents) OVER (ORDER BY day
+          |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+          |               AS BIGINT) AS trend7,
+          |             CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+          |               AS pos,
+          |             CAST(count(*) OVER () AS BIGINT) AS n_days
+          |      FROM d),
+          |i AS (SELECT day, cents, trend7,
+          |             CAST(7 * cents - trend7 AS BIGINT) AS detr7,
+          |             CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+          |      FROM t WHERE pos > 3 AND pos <= n_days - 3),
+          |s AS (SELECT dow,
+          |             CAST(sum(detr7) AS DOUBLE) /
+          |               (CAST(7 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+          |               AS seasonal
+          |      FROM i GROUP BY 1)
+          |SELECT strftime(i.day, '%Y-%m-%d') AS day_s, i.cents, i.trend7,
+          |       round(s.seasonal, 4) AS seasonal_4,
+          |       round(CAST(i.cents AS DOUBLE)
+          |             - CAST(i.trend7 AS DOUBLE) / CAST(7 AS DOUBLE)
+          |             - s.seasonal, 4) AS resid_4
+          |FROM i JOIN s ON s.dow = i.dow
+          |ORDER BY day_s""".stripMargin,
+      // gaps-and-islands: the epoch_day − row_number key groups
+      // consecutive days; everything integer
+      "b_activity_islands" ->
+        """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          |           FROM events),
+          |i AS (SELECT user_id,
+          |             CAST(day - DATE '1970-01-01' AS BIGINT)
+          |               - CAST(row_number() OVER (PARTITION BY user_id
+          |                   ORDER BY day) AS BIGINT) AS grpkey
+          |      FROM a),
+          |g AS (SELECT user_id, grpkey,
+          |             CAST(count(*) AS BIGINT) AS len_days
+          |      FROM i GROUP BY 1, 2)
+          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+          |       CAST(max(len_days) AS BIGINT) AS max_streak,
+          |       CAST(sum(len_days) AS BIGINT) AS active_days
+          |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
+      // Kaplan–Meier: integer death/censor/at-risk table + the
+      // product fold replayed by a recursive CTE, SAME parenthesization
+      "b_survival_km" ->
+        """WITH RECURSIVE b AS (
+          |  SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS day,
+          |         o_orderkey
+          |  FROM orders),
+          |h AS (SELECT max(day) AS hday FROM b),
+          |o AS (SELECT
+          |        CAST(CASE WHEN nd IS NOT NULL THEN nd - day
+          |                  ELSE hday - day END AS BIGINT) AS t,
+          |        CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+          |      FROM (SELECT cust, day,
+          |              lead(day, 1) OVER (PARTITION BY cust
+          |                ORDER BY day, o_orderkey) AS nd
+          |            FROM b) x
+          |      CROSS JOIN h),
+          |p AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+          |             CAST(sum(1 - ev) AS BIGINT) AS c
+          |      FROM o GROUP BY 1),
+          |r AS (SELECT t, d, c,
+          |             CAST(sum(d + c) OVER (ORDER BY t DESC
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |               AS BIGINT) AS n
+          |      FROM p),
+          |e AS (SELECT t, d, c, n,
+          |             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+          |      FROM r WHERE d > 0),
+          |f(i, s) AS (
+          |  SELECT i, CAST(1 AS DOUBLE) *
+          |            (CAST(1 AS DOUBLE)
+          |             - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+          |  FROM e WHERE i = 1
+          |  UNION ALL
+          |  SELECT e.i, f.s * (CAST(1 AS DOUBLE)
+          |                     - CAST(e.d AS DOUBLE) / CAST(e.n AS DOUBLE))
+          |  FROM f JOIN e ON e.i = f.i + 1)
+          |SELECT e.t AS t_days, e.d, e.c, e.n, round(f.s, 6) AS surv_6
+          |FROM e JOIN f ON f.i = e.i
+          |ORDER BY t_days""".stripMargin,
+      // two-proportion z²: every operand an exact BIGINT, the final
+      // expression a fixed IEEE op sequence (explicit parens mirror
+      // the Column tree)
+      "b_abtest_conversion" -> {
+        val z2 = """CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2
+                   |            THEN CAST(NULL AS DOUBLE)
+                   |            ELSE CAST(n1 + n2 AS DOUBLE)
+                   |             * (CAST(x1*n2 - x2*n1 AS DOUBLE)
+                   |                * CAST(x1*n2 - x2*n1 AS DOUBLE))
+                   |             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   |                * CAST(x1 + x2 AS DOUBLE)
+                   |                * CAST(n1 + n2 - x1 - x2 AS DOUBLE))
+                   |       END""".stripMargin
+        s"""WITH u AS (SELECT user_id,
+           |             CAST(sum(CASE WHEN event_type = 'purchase'
+           |                           THEN 1 ELSE 0 END) AS BIGINT) AS pc
+           |           FROM events GROUP BY 1),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+           |r AS (SELECT pc,
+           |             CAST(row_number() OVER (ORDER BY pc, user_id)
+           |               AS BIGINT) AS rn
+           |      FROM u),
+           |m AS (SELECT r.pc AS med FROM r CROSS JOIN nn
+           |      WHERE r.rn * 2 = nn.nu OR r.rn * 2 = nn.nu + 1),
+           |a AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+           |             CAST(count(*) AS BIGINT) AS n,
+           |             CAST(sum(CASE WHEN u.pc > m.med THEN 1 ELSE 0 END)
+           |               AS BIGINT) AS x
+           |      FROM u CROSS JOIN m GROUP BY 1),
+           |w AS (SELECT a0.n AS n1, a0.x AS x1, a1.n AS n2, a1.x AS x2
+           |      FROM (SELECT n, x FROM a WHERE arm = 0) a0
+           |      CROSS JOIN (SELECT n, x FROM a WHERE arm = 1) a1)
+           |SELECT n1, x1, n2, x2,
+           |       round(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p1_6,
+           |       round(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS p2_6,
+           |       round($z2, 6) AS z2_6,
+           |       coalesce($z2 > CAST(3.8416 AS DOUBLE), false)
+           |         AS significant
+           |FROM w""".stripMargin
+      },
       // Mann–Kendall: S and var×18 in BIGINT; the significance
       // verdict is the exact cross-multiplication 180000·(S∓1)² >
       // 38416·var18 ⟺ Z² > 1.96² — no float in the decision path

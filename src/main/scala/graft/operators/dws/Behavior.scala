@@ -229,6 +229,30 @@ object Behavior {
       .orderBy("step")
   }
 
+  /** Activity islands (the classic gaps-and-islands shape): per user,
+    * maximal runs of CONSECUTIVE active days, grouped by the
+    * `epoch_day − row_number` key (consecutive days share it — the
+    * textbook derivation, and the one shape that needs NO self-join:
+    * one keyed window + two aggregates). Emits per-user streak
+    * summaries; everything integer, exchange keyed on user. Hot
+    * users cost their own active-day count, nothing cross-user. */
+  def activityIslands(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = active
+      .withColumn("grpkey",
+        datediff(col("day"), lit("1970-01-01")).cast("long") -
+          row_number().over(w))
+      .groupBy(col("user_id"), col("grpkey"))
+      .agg(count(lit(1)).as("len_days"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len_days")).as("max_streak"),
+        sum(col("len_days")).as("active_days"))
+      .orderBy("user_id")
+  }
+
   /** Multi-touch marketing attribution: every purchase's value (in
     * exact integer cents) is credited to the view/click touches that
     * preceded it within a lookback window, under THREE models at

@@ -263,6 +263,50 @@ object TimeSeries {
       .orderBy("grp")
   }
 
+  /** Classical additive decomposition of the daily revenue series
+    * (trend + weekly seasonal + residual — the moving-average
+    * decomposition STL refines), kept EXACT by scaling through 7:
+    * the 7-day centered moving average times 7 is a BIGINT window
+    * sum (`trend7`), the detrended series times 7 is
+    * `detr7 = 7·cents − trend7` (BIGINT, order-free), and the
+    * per-weekday seasonal component is Σ detr7 / (7·count) — ONE
+    * correctly-rounded division of exact integers per slot, never a
+    * float sum. The residual assembles from those pieces with a
+    * fixed op sequence, so both engines agree bitwise before the
+    * 4-dp round. One fact aggregate + one bounded-frame window +
+    * one 7-row join; interior days only (the centered window needs
+    * 3 days each side). */
+  def classicalDecompose(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))
+        .as("cents"))
+    val wCma = Window.orderBy("day").rowsBetween(-3, 3)
+    val wAll = Window.orderBy("day")
+    val trended = daily
+      .withColumn("trend7", sum(col("cents")).over(wCma))
+      .withColumn("pos", row_number().over(wAll).cast("long"))
+      .withColumn("n_days", count(lit(1)).over(
+        Window.partitionBy()))
+      // interior only: the centered frame is 7 FULL days
+      .filter(col("pos") > 3 && col("pos") <= col("n_days") - 3)
+      .withColumn("detr7", lit(7L) * col("cents") - col("trend7"))
+      .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7)
+        .cast("int"))
+    val seasonal = trended.groupBy("dow")
+      .agg((sum(col("detr7")).cast("double") /
+        (lit(7.0) * count(lit(1)).cast("double"))).as("seasonal"))
+    trended.join(seasonal, "dow")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("cents"), col("trend7"),
+        round(col("seasonal"), 4).as("seasonal_4"),
+        round(col("cents").cast("double") -
+          col("trend7").cast("double") / lit(7.0) -
+          col("seasonal"), 4).as("resid_4"))
+      .orderBy("day_s")
+  }
+
   /** CUSUM changepoint detection on the daily shipped-quantity
     * series, in scaled integer arithmetic: with n days and total T,
     * the running statistic is cusum_i = Σ_{j≤i} (n·x_j − T) — the

@@ -147,6 +147,85 @@ class TrendAttributionSpec extends SparkTestBase {
     }
   }
 
+  test("activity islands: consecutive-day runs split exactly at gaps") {
+    val e = Seq("2024-01-01", "2024-01-02", "2024-01-03",
+        "2024-01-07", "2024-01-08")
+      .zipWithIndex.map { case (d, i) =>
+        (i.toLong, tsOf(s"${d}T10:00:00Z"), 5L, "view", 1.0)
+      } :+ ((9L, tsOf("2024-01-01T23:00:00Z"), 5L, "click", 1.0))
+    val out = graft.operators.dws.Behavior.activityIslands(
+        e.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    // two events on day 1 dedupe; islands = {1-3}, {7-8}
+    assert(out.getAs[Long]("n_islands") == 2L)
+    assert(out.getAs[Long]("max_streak") == 3L)
+    assert(out.getAs[Long]("active_days") == 5L)
+  }
+
+  test("classical decomposition: constant series has zero seasonal and residual") {
+    val rows = (0 until 21).map(i =>
+      ("P", java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+        .toString, 2))
+    val out = graft.operators.dws.TimeSeries.classicalDecompose(
+      ordersOf(rows)).collect()
+    // 21 days, interior = days 4..18 → 15 rows
+    assert(out.length == 15)
+    out.foreach { r =>
+      assert(r.getAs[Long]("trend7") == 7L * 20000L)
+      assert(r.getAs[Double]("seasonal_4") == 0.0)
+      assert(r.getAs[Double]("resid_4") == 0.0)
+    }
+  }
+
+  test("kaplan-meier: hand-built cohort matches the product-limit definition") {
+    // cust A orders day 0/10/20 → two t=10 events + a t=0 censor at
+    // the horizon (20); cust B orders day 0 only → t=20 censor
+    val orders = Seq(
+      (1L, 10L, "2024-01-01"), (2L, 10L, "2024-01-11"),
+      (3L, 10L, "2024-01-21"), (4L, 20L, "2024-01-01")
+    ).map { case (k, c, d) => (k, c, date(d), 100.0) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.dws.Survival.kaplanMeierRepurchase(orders)
+      .collect()
+    assert(out.length == 1) // only t=10 carries events
+    val r = out.head
+    assert(r.getAs[Long]("t_days") == 10L)
+    assert(r.getAs[Long]("d") == 2L)
+    assert(r.getAs[Long]("c") == 0L)
+    assert(r.getAs[Long]("n") == 3L) // at risk: both gaps + B's censor
+    assert(r.getAs[Double]("surv_6") == 0.333333)
+  }
+
+  test("ab test: hand-built arms match the pooled z² definition") {
+    // purchase counts u0:3 u1:1 u2:0 u3:1 → median 1, converted = {u0}
+    // arm0 (u0,u2): n=2 x=1; arm1 (u1,u3): n=2 x=0
+    // z² = 4·(1·2−0·2)² / (2·2·1·3) = 16/12
+    val rows = Seq.fill(3)((0L, "purchase")) ++ Seq((1L, "purchase")) ++
+      Seq((2L, "view")) ++ Seq((3L, "purchase"))
+    val events = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, tsOf("2024-01-01T00:00:00Z"), u, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.ml.Experiment.abTestConversion(events)
+      .collect().head
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("x1") == 1L)
+    assert(out.getAs[Long]("n2") == 2L && out.getAs[Long]("x2") == 0L)
+    assert(out.getAs[Double]("z2_6") ==
+      math.rint(16.0 / 12.0 * 1e6) / 1e6)
+    assert(!out.getAs[Boolean]("significant"))
+  }
+
+  test("ab test: degenerate all-converted split yields NULL z², not an error") {
+    // both users above a median impossible: all pc equal → none > med
+    val events = Seq(
+      (1L, tsOf("2024-01-01T00:00:00Z"), 0L, "purchase", 1.0),
+      (2L, tsOf("2024-01-01T00:00:00Z"), 1L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.ml.Experiment.abTestConversion(events)
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("z2_6")))
+    assert(!out.getAs[Boolean]("significant"))
+  }
+
   test("clamped balance stream: replay matches the in-memory fold") {
     val events = Tables.events(spark, sf0001)
     val out = graft.streaming.TwsStreams.clampedBalanceReplay(spark, events)
