@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 11000) return genTsArith(i, rng, pc, ps, name)
     if (i >= 10000) return genStringFns(i, rng, pc, ps, name)
     if (i >= 9000) return genAdvWindow(i, rng, pc, ps, name)
     if (i >= 8000) return genGroupingSets(i, rng, pc, ps, name)
@@ -1236,6 +1237,126 @@ object FuzzGen {
     }
   }
 
+  /** Timestamp/interval/date-arithmetic shapes (index space ≥11000):
+    * the classic Spark-vs-DuckDB drift family — date_trunc bucket
+    * boundaries (week/month/quarter/year), month arithmetic on
+    * month-end days (both engines CLAMP: Jan 31 + 1 month = Feb 28),
+    * EXTRACT field grids, interval ladders crossing midnight, and
+    * last_day / first-of-next-month derivations. Dialect guard-rails:
+    * DuckDB's DATE + INTERVAL returns TIMESTAMP while Spark keeps
+    * DATE, so every interval result is re-CAST to DATE before the
+    * STRING cast; negative month shifts are written `x - INTERVAL n
+    * MONTH` (DuckDB rejects INTERVAL -n); EXTRACT stays on the
+    * year/month/day/doy/hour/minute fields both engines agree on
+    * (dow excluded: Sunday=1 vs 0); make_date args are CAST to INT;
+    * raw sub-second timestamps are never cast to STRING (fraction
+    * formatting differs) — only DATE-cast or EXTRACTed values
+    * surface. */
+  private def genTsArith(i: Int, rng: Random, pc: Column, ps: String,
+                         name: String): Fuzz = {
+    rng.nextInt(6) match {
+      case 0 => // date_trunc bucket aggregate at a drawn granularity
+        val unit = Seq("week", "month", "quarter", "year")(rng.nextInt(4))
+        val bkt = s"CAST(CAST(date_trunc('$unit', ts) AS DATE) AS STRING)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(expr(bkt).as("bkt"))
+            .agg(count(lit(1)).as("ct"), min(col("event_id")).as("min_id"))
+            .orderBy("bkt"),
+          s"""SELECT $bkt AS bkt, count(*) AS ct, min(event_id) AS min_id
+             |FROM events WHERE $ps
+             |GROUP BY 1 ORDER BY bkt""".stripMargin)
+      case 1 => // month arithmetic on order dates (month-end clamping)
+        val k = 1 + rng.nextInt(24)
+        val op = if (rng.nextBoolean()) "+" else "-"
+        val m = 2 + rng.nextInt(9); val r = rng.nextInt(m)
+        val shifted = s"CAST(CAST(CAST(o_orderdate AS DATE) $op " +
+          s"INTERVAL $k MONTH AS DATE) AS STRING)"
+        val eom = "CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.orders(s, d)
+            .filter(col("o_orderkey") % m === r)
+            .select(col("o_orderkey"), expr(shifted).as("shifted"),
+              expr(eom).as("eom"))
+            .orderBy("o_orderkey"),
+          s"""SELECT o_orderkey, $shifted AS shifted, $eom AS eom
+             |FROM orders WHERE o_orderkey % $m = $r
+             |ORDER BY o_orderkey""".stripMargin)
+      case 2 => // EXTRACT field grid (year-month rollup + doy/dom)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(expr("EXTRACT(YEAR FROM ts)").as("y"),
+              expr("EXTRACT(MONTH FROM ts)").as("mo"))
+            .agg(count(lit(1)).as("ct"),
+              min(expr("EXTRACT(DOY FROM ts)")).as("min_doy"),
+              max(expr("EXTRACT(DAY FROM ts)")).as("max_dom"))
+            .orderBy("y", "mo"),
+          s"""SELECT EXTRACT(YEAR FROM ts) AS y,
+             |       EXTRACT(MONTH FROM ts) AS mo,
+             |       count(*) AS ct,
+             |       min(EXTRACT(DOY FROM ts)) AS min_doy,
+             |       max(EXTRACT(DAY FROM ts)) AS max_dom
+             |FROM events WHERE $ps
+             |GROUP BY 1, 2 ORDER BY y, mo""".stripMargin)
+      case 3 => // interval ladder crossing midnight
+        val mi = 30 + rng.nextInt(600)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"CAST(CAST(ts + INTERVAL $mi MINUTE AS DATE) " +
+                "AS STRING)").as("sd"),
+              expr(s"EXTRACT(HOUR FROM ts + INTERVAL $mi MINUTE)").as("sh"),
+              expr(s"EXTRACT(MINUTE FROM ts + INTERVAL $mi MINUTE)")
+                .as("sm"))
+            .orderBy("event_id"),
+          s"""SELECT event_id,
+             |       CAST(CAST(ts + INTERVAL $mi MINUTE AS DATE) AS STRING) AS sd,
+             |       EXTRACT(HOUR FROM ts + INTERVAL $mi MINUTE) AS sh,
+             |       EXTRACT(MINUTE FROM ts + INTERVAL $mi MINUTE) AS sm
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 4 => // make_date month key + greatest/least date pinning
+        val pinM = 1 + rng.nextInt(12)
+        val pin = f"2024-$pinM%02d-15"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr("CAST(make_date(CAST(EXTRACT(YEAR FROM ts) AS INT), " +
+                "CAST(EXTRACT(MONTH FROM ts) AS INT), 1) AS STRING)")
+                .as("mkey"),
+              expr(s"CAST(greatest(CAST(ts AS DATE), DATE '$pin') " +
+                "AS STRING)").as("gd"),
+              expr(s"CAST(least(CAST(ts AS DATE), DATE '$pin') " +
+                "AS STRING)").as("ld"))
+            .orderBy("event_id"),
+          s"""SELECT event_id,
+             |       CAST(make_date(CAST(EXTRACT(YEAR FROM ts) AS INT),
+             |         CAST(EXTRACT(MONTH FROM ts) AS INT), 1) AS STRING) AS mkey,
+             |       CAST(greatest(CAST(ts AS DATE), DATE '$pin') AS STRING) AS gd,
+             |       CAST(least(CAST(ts AS DATE), DATE '$pin') AS STRING) AS ld
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case _ => // month length + first-of-next-month derivation
+        val nxt = "CAST(CAST(last_day(CAST(ts AS DATE)) + INTERVAL 1 DAY " +
+          "AS DATE) AS STRING)"
+        val mlen = "EXTRACT(DAY FROM last_day(CAST(ts AS DATE)))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(expr(nxt).as("nxt"), expr(mlen).as("mlen"))
+            .agg(count(lit(1)).as("ct"), max(col("event_id")).as("max_id"))
+            .orderBy("nxt", "mlen"),
+          s"""SELECT $nxt AS nxt, $mlen AS mlen,
+             |       count(*) AS ct, max(event_id) AS max_id
+             |FROM events WHERE $ps
+             |GROUP BY 1, 2 ORDER BY nxt, mlen""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -1279,7 +1400,10 @@ object FuzzGen {
       9016, 9017, 9018, 9019, 9020,
       10000, 10001, 10002, 10003, 10004, 10005, 10006, 10007,
       10008, 10009, 10010, 10011, 10012, 10013, 10014, 10015,
-      10016, 10017, 10018, 10019)
+      10016, 10017, 10018, 10019,
+      11000, 11001, 11002, 11003, 11004, 11005, 11006, 11007,
+      11008, 11009, 11010, 11011, 11012, 11013, 11014, 11015,
+      11016, 11017, 11018, 11019)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
 object Survival {
 
   /** One row per distinct event duration: t_days, d (events), c
-    * (censored at t), n (at risk), surv_6 (K–M estimate). */
+    * (censored at t), n (at risk), surv_6 (K–M estimate).
+    *
+    * t = 0 CONVENTION: same-day repeat orders are t = 0 events, and
+    * a customer whose only order falls on the horizon day is a t = 0
+    * censor — so S can step below 1 at t = 0, a deliberate deviation
+    * from the textbook K–M convention of strictly positive durations
+    * (which would silently DROP same-day repurchase signal, the
+    * dominant behavior in burst-buying corpora). Deterministic and
+    * oracle-matched; filter `t > 0` upstream for the classical
+    * reading. */
   def kaplanMeierRepurchase(orders: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     val byCust = orders.select(col("o_custkey").as("cust"),

@@ -275,7 +275,17 @@ object TimeSeries {
     * fixed op sequence, so both engines agree bitwise before the
     * 4-dp round. One fact aggregate + one bounded-frame window +
     * one 7-row join; interior days only (the centered window needs
-    * 3 days each side). */
+    * 3 days each side).
+    *
+    * FRAME SEMANTICS: the "7-day" centered average is a 7-ROW window
+    * over the daily frame. On a calendar with gap days (dates with no
+    * orders emit NO row) the frame spans MORE than 7 calendar days
+    * and the day-of-week seasonal alignment drifts; the oracle
+    * shares the row-frame reading, so engines agree either way. For
+    * gapped series, gap-fill the daily frame first (the
+    * `cte_month_spine_gapfill` spine pattern) so rows ≡ days. The
+    * driver's orders table is dense at every SF, where the two
+    * readings coincide. */
   def classicalDecompose(orders: DataFrame): DataFrame = {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))

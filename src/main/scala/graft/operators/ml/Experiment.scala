@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * (n₁·n₂·X·(N−X)) is then one fixed IEEE expression over them —
   * both engines evaluate the identical op sequence, so the α = 0.05
   * verdict (z² > 1.96²) is deterministic cross-engine even at the
-  * boundary. Degenerate splits (X = 0 or X = N — zero pooled
-  * variance) yield NULL z² and a false verdict rather than a
-  * division error. Output is ONE row. */
+  * boundary. Degenerate cases — X = 0 or X = N (zero pooled
+  * variance), or EVERY user in one parity arm (n₁ or n₂ = 0, the
+  * tiny/id-skewed-corpus case) — yield NULL statistics and a false
+  * verdict rather than a division error or a silently empty result:
+  * the arm counts come from one conditional aggregate, so the output
+  * is ALWAYS exactly one row. */
 object Experiment {
 
   def abTestConversion(events: DataFrame): DataFrame = {
@@ -41,28 +44,36 @@ object Experiment {
       .filter(col("rn") * 2 === col("nu") ||
         col("rn") * 2 === col("nu") + 1)
       .select(col("pc").as("med"))
-    val arms = perUser.crossJoin(broadcast(medDf))
+    // ONE conditional aggregate builds both arms' (n, x): always
+    // exactly one output row, so a degenerate split (every user in
+    // one parity arm on a tiny or id-skewed corpus) surfaces as
+    // n=0 / NULL statistics instead of silently emptying an
+    // arm-filtered cross join — and it's one pass where the filtered
+    // self-cross was two
+    val armed = perUser.crossJoin(broadcast(medDf))
       .withColumn("arm", (col("user_id") % 2).cast("int"))
       .withColumn("converted",
         when(col("pc") > col("med"), 1L).otherwise(0L))
-      .groupBy("arm")
-      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
-    val wide = arms.filter(col("arm") === 0)
-      .select(col("n").as("n1"), col("x").as("x1"))
-      .crossJoin(arms.filter(col("arm") === 1)
-        .select(col("n").as("n2"), col("x").as("x2")))
+    val wide = armed.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("x1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("x2"))
     val bigN = col("n1") + col("n2")
     val bigX = col("x1") + col("x2")
     val diff = col("x1") * col("n2") - col("x2") * col("n1")
-    val z2 = when(bigX === 0 || bigX === bigN, lit(null).cast("double"))
+    val z2 = when(bigX === 0 || bigX === bigN ||
+        col("n1") === 0 || col("n2") === 0, lit(null).cast("double"))
       .otherwise(bigN.cast("double") *
         (diff.cast("double") * diff.cast("double")) /
         (col("n1").cast("double") * col("n2").cast("double") *
           bigX.cast("double") * (bigN - bigX).cast("double")))
     wide.select(col("n1"), col("x1"), col("n2"), col("x2"),
-      round(col("x1").cast("double") / col("n1").cast("double"), 6)
+      when(col("n1") === 0, lit(null).cast("double")).otherwise(
+        round(col("x1").cast("double") / col("n1").cast("double"), 6))
         .as("p1_6"),
-      round(col("x2").cast("double") / col("n2").cast("double"), 6)
+      when(col("n2") === 0, lit(null).cast("double")).otherwise(
+        round(col("x2").cast("double") / col("n2").cast("double"), 6))
         .as("p2_6"),
       round(z2, 6).as("z2_6"),
       coalesce(z2 > lit(3.8416), lit(false)).as("significant"))

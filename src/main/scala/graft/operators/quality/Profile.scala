@@ -138,12 +138,16 @@ object Profile {
   /** Exact PER-GROUP percentiles by rank selection — the grouped
     * sibling of [[globalQuantiles]]. Where the global form needs the
     * range-exchange row-number machinery (`core/Ranking`), the
-    * grouped form is just one KEYED window (partitionBy group ⇒ a
-    * hash exchange Spark scales horizontally — no single-partition
-    * sort, no per-group value buffering the way `percentile()`'s
-    * aggregation buffer grows). rank = ceil(p·n/100) with the
-    * multiplication taken exactly in double (p·n < 2^53) — identical
-    * arithmetic on both engines. */
+    * grouped form is one KEYED window (partitionBy group): the hash
+    * exchange spreads work across DISTINCT group keys, but each
+    * group's whole slice still sorts in a single task — fine for
+    * many-groups profiles, NOT for a handful of giant groups (here
+    * o_orderpriority has 5 values, so at 100 TB each task sorts a
+    * fifth of the table; `q_grouped_quantiles_approx` — one pass of
+    * mergeable t-digest-style sketches — is the scale path for
+    * low-cardinality/high-volume group keys). rank = ceil(p·n/100)
+    * with the multiplication taken exactly in double (p·n < 2^53) —
+    * identical arithmetic on both engines. */
   def groupedQuantiles(orders: DataFrame,
                        pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),

@@ -239,6 +239,78 @@ object TxLog {
       readFiles(spark, table, s.version, e => e.stats.forall(cs =>
         cs.col != statsCol || (cs.max >= lo && cs.min <= hi))))
 
+  /** Point-lookup pruned read at the latest version: only data files
+    * that MAY hold one of `values` in `column` are opened. Two probes
+    * per file, both free of false negatives so the survivors are a
+    * strict SUPERSET of the matching rows (compose with the row-level
+    * join/filter): the manifest `[min, max]` for the column (integral
+    * values only), then the file's parquet BLOOM for the column — a
+    * footer+bloom-pages read, no data pages. A file without stats or
+    * bloom for the column is never cleared. Blooms exist on the
+    * internal pk-hash column for every default-path commit (pass
+    * `column = PkHashCol` with `xxhash64(pk)` values) and on any
+    * column the writer declared in `commitUpsert(indexCols = ...)`
+    * (pass raw values of the column's type). None = absent table or
+    * every file cleared (the caller skips the branch — same contract
+    * as an absent table). This is the delta-join IVM read path: a
+    * small delta joining an accumulated TxLog side touches only the
+    * files that can hold its keys, keeping the read side
+    * O(delta + overlapping files) instead of O(view). */
+  def readMayContain(spark: SparkSession, table: String, column: String,
+                     values: Array[Any]): Option[DataFrame] = {
+    if (values.isEmpty) return None // empty probe set matches nothing
+    latest(spark, table).flatMap { snap =>
+      val fs = fsOf(spark, table)
+      val longs = values.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case s: java.lang.Short => s.longValue()
+      }
+      val allIntegral = longs.length == values.length
+      val sorted = longs.sorted
+      // any probe value inside [lo, hi]? (binary search)
+      def rangeHit(lo: Long, hi: Long): Boolean = {
+        var a = 0; var b = sorted.length
+        while (a < b) {
+          val m = (a + b) >>> 1
+          if (sorted(m) < lo) a = m + 1 else b = m
+        }
+        a < sorted.length && sorted(a) <= hi
+      }
+      readFiles(spark, table, snap.version, { e =>
+        val rangeOk = e.stats.find(_.col == column) match {
+          case Some(cs) if allIntegral => rangeHit(cs.min, cs.max)
+          case _ => true // no stats / non-integral values: can't clear
+        }
+        rangeOk && (
+          fileBlooms(fs, new Path(s"$table/${e.path}"), column) match {
+            case Some(bfs) => values.exists(v =>
+              bfs.exists(bf => bf.findHash(bloomHash(bf, v))))
+            case None => true // no bloom: cannot be cleared
+          })
+      })
+    }
+  }
+
+  /** Parquet's own hash of a probe value for a bloom lookup — typed
+    * to the column's physical encoding (INT64 for Spark longs, INT32
+    * for ints, BINARY for strings), matching what the writer fed the
+    * filter. */
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      v: Any): Long = v match {
+    case l: java.lang.Long => bf.hash(l.longValue())
+    case i: java.lang.Integer => bf.hash(i.intValue())
+    case s: String =>
+      bf.hash(org.apache.parquet.io.api.Binary.fromString(s))
+    case d: java.lang.Double => bf.hash(d.doubleValue())
+    case f: java.lang.Float => bf.hash(f.floatValue())
+    case b: Array[Byte] =>
+      bf.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
+    case other => sys.error(
+      s"TxLog.readMayContain: unsupported probe value type ${other.getClass}")
+  }
+
   /** Footer min/max of an integral-typed column across a parquet
     * file's row groups, plus its row count — a metadata-only read (no
     * data pages), the same information Delta persists as write-time
@@ -302,6 +374,44 @@ object TxLog {
       if (per.isEmpty || per.exists(_.isEmpty)) None
       else Some(per.flatten)
     } finally rdr.close()
+  }
+
+  /** Driver-local read of ONE INT64 column out of a parquet file —
+    * no Spark job, just the parquet-hadoop record reader with a
+    * single-column projection. Used to harvest a just-staged delta's
+    * pk hashes for the holder probe (bounded by BloomProbeMaxKeys
+    * rows, so at most ~16 MB of longs). Throws on NULLs or a missing
+    * column; the caller falls back to the executor-side probe. */
+  private def readLongColumn(fs: FileSystem, file: Path,
+                             column: String): Iterator[Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    // project through the file's OWN field declaration — Spark writes
+    // a non-nullable column as `required`, a nullable one as
+    // `optional`, and the projection must match the file exactly
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromStatus(fs.getFileStatus(file), fs.getConf)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+    val field =
+      try rdr.getFooter.getFileMetaData.getSchema
+        .getType(Seq(column): _*)
+      finally rdr.close()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      new org.apache.parquet.schema.MessageType("probe", field).toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), file)
+      .withConf(conf)
+      .build()
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        require(g.getFieldRepetitionCount(0) > 0,
+          s"TxLog: NULL $column in staged file $file")
+        buf += g.getLong(0, 0)
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.result().iterator
   }
 
   private def readFiles(spark: SparkSession, table: String, version: Long,
@@ -455,21 +565,27 @@ object TxLog {
     * files from empty range cells (keeping ONE anchor when
     * `keepAnchor` and nothing has rows, so an empty table still reads
     * with its schema), and move the survivors to their immutable
-    * names. Returns the new FileEntries. */
+    * names. Returns the new FileEntries with their row counts (free
+    * from the same footer read that harvested the stats). */
   private def stageData(fs: FileSystem, table: String, commitId: String,
                         df: DataFrame, statCols: Seq[String],
-                        keepAnchor: Boolean): Seq[FileEntry] = {
+                        keepAnchor: Boolean,
+                        bloomCols: Seq[String] = Nil)
+      : Seq[(FileEntry, Long)] = {
     val tmp = new Path(s"$table/.staged-$commitId")
-    val writer =
-      if (!statCols.contains(PkHashCol)) df.write
-      else df.write
-        // parquet BLOOM FILTERS on the pk hash: the prune probe tests
-        // delta keys against each candidate file's bloom (footer-only)
-        // instead of scanning its rows — an insert-only delta clears
-        // every file without reading a data page
-        .option(s"parquet.bloom.filter.enabled#$PkHashCol", "true")
-        .option("parquet.bloom.filter.adaptive.enabled", "true")
-    writer.mode("overwrite").parquet(tmp.toString)
+    // parquet BLOOM FILTERS on the pk hash (and any caller-declared
+    // index columns): the prune probe and `readMayContain` test delta
+    // keys against each candidate file's bloom (footer-only) instead
+    // of scanning its rows — an insert-only delta clears every file
+    // without reading a data page
+    val blooms =
+      (if (statCols.contains(PkHashCol)) bloomCols :+ PkHashCol
+       else bloomCols).distinct
+    val writer = blooms.foldLeft(df.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    (if (blooms.isEmpty) writer
+     else writer.option("parquet.bloom.filter.adaptive.enabled", "true"))
+      .mode("overwrite").parquet(tmp.toString)
     val dataDir = new Path(s"$table/$DataDir")
     fs.mkdirs(dataDir)
     val parts = fs.listStatus(tmp)
@@ -481,11 +597,11 @@ object TxLog {
       else if (keepAnchor) parts.take(1)
       else Nil
     parts.diff(chosen).foreach { case (st, _) => fs.delete(st.getPath, false) }
-    val staged = chosen.map { case (st, (_, stats)) =>
+    val staged = chosen.map { case (st, (rows, stats)) =>
       val name = s"c$commitId-${st.getPath.getName}"
       if (!fs.rename(st.getPath, new Path(dataDir, name)))
         sys.error(s"TxLog: failed to stage ${st.getPath}")
-      FileEntry(s"$DataDir/$name", None, stats)
+      (FileEntry(s"$DataDir/$name", None, stats), rows)
     }
     fs.delete(tmp, true)
     staged
@@ -526,7 +642,8 @@ object TxLog {
                                       holdRows: Option[DataFrame],
                                       schemaOnly: DataFrame,
                                       outFiles: Int,
-                                      batchUnique: Boolean)
+                                      batchUnique: Boolean,
+                                      batchEmpty: Boolean)
 
   private def prunePlan(spark: SparkSession, snap: Snapshot, table: String,
                         batch: DataFrame, pk: String): Option[PrunedPlan] = {
@@ -620,7 +737,8 @@ object TxLog {
     val outFiles =
       if (hold.nonEmpty) hold.size
       else math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1))
-    Some(PrunedPlan(carried, holdRows, schemaOnly, outFiles, unique))
+    Some(PrunedPlan(carried, holdRows, schemaOnly, outFiles, unique,
+      batchEmpty = hsRows.isEmpty))
   }
 
   /** Target rows per data file for parallel append writes (locally
@@ -640,19 +758,308 @@ object TxLog {
     val unique = all.distinct.length == all.length
     Some(PrunedPlan(Nil, None, batch.limit(0),
       math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1)),
-      unique))
+      unique, batchEmpty = hsRows.isEmpty))
   }
 
   /** Driver-side cap on the bloom-probe hash collect; a delta with
     * more distinct keys probes by the executor-side exact scan. */
   private val BloomProbeMaxKeys = 2000000
 
+  /** `publishGate` is awaited immediately before EVERY manifest
+    * publish attempt (and nowhere else): all the expensive work —
+    * staging writes, probes, merges — runs before the gate, so a
+    * caller sequencing multiple tables (the IVM legs' "accumulators
+    * first, mark-carrying wide table strictly last" contract) can
+    * overlap the data-plane work across tables and serialize ONLY
+    * the metadata publishes. A gate that throws aborts the commit
+    * with its staged files dropped. */
   def commitUpsert(batch: DataFrame, table: String, pk: String,
                    versionCol: String, maxRetries: Int = 20,
                    statsCol: Option[String] = None,
                    clusterFiles: Int = 8,
                    props: Map[String, String] = Map.empty,
-                   failOnDupPk: Boolean = false): Long = {
+                   failOnDupPk: Boolean = false,
+                   indexCols: Seq[String] = Nil,
+                   publishGate: () => Unit = () => ()): Long = {
+    val spark = batch.sparkSession
+    require(!batch.columns.contains(PkHashCol),
+      s"TxLog: column name $PkHashCol is reserved")
+    val fs = fsOf(spark, table)
+    def classic(): Long = commitClassic(batch, table, pk, versionCol,
+      maxRetries, statsCol, clusterFiles, props, failOnDupPk, indexCols,
+      publishGate)
+    if (statsCol.isDefined) return classic()
+    val snap0 = latest(spark, table)
+    // STAGE-FIRST eligibility mirrors the pruned-merge plan's:
+    // unpartitioned files carrying pk-hash stats, no outstanding
+    // deletion vectors — plus the batch's schema EXACTLY the table's
+    // (stage-first writes final-form data files BEFORE the merge
+    // decision, so schema evolution keeps its full-rewrite path).
+    val eligible = snap0.forall(s => s.dvs.isEmpty && s.files.nonEmpty &&
+      s.files.forall(e => e.part.isEmpty && e.stats.exists(_.col == PkHashCol)))
+    if (!eligible) return classic()
+    val schemaOk = snap0.forall { s =>
+      try {
+        val t = spark.read.parquet(s"$table/${s.files.head.path}").schema
+        val tFields = t.fields.filterNot(_.name == PkHashCol)
+          .map(f => f.name -> nullableNorm(f.dataType)).toMap
+        val bFields = batch.schema.fields
+          .map(f => f.name -> nullableNorm(f.dataType)).toMap
+        tFields == bFields
+      } catch { case _: Exception => false }
+    }
+    if (!schemaOk) return classic()
+    commitStageFirst(batch, table, pk, versionCol, maxRetries, props,
+      failOnDupPk, indexCols, snap0, fs, publishGate)
+  }
+
+  /** The stage-first commit: ONE execution of the batch pipeline.
+    * The delta is written straight into final-form data files under
+    * its natural partitioning (a scan-shaped delta stages without any
+    * exchange; a shuffle-shaped one arrives AQE-coalesced), and every
+    * later step — the holder probe, the uniqueness proof, the merge —
+    * is driven from the STAGED files (driver footer/bloom reads and,
+    * when files must be rewritten, a staged-file scan), never by
+    * re-running the batch. An insert-only delta therefore costs one
+    * Spark job plus metadata I/O; the classic path's
+    * probe-then-stage double execution remains only for schema
+    * evolution, statsCol clustering, and DV-carrying tables. */
+  private def commitStageFirst(batch: DataFrame, table: String, pk: String,
+                               versionCol: String, maxRetries: Int,
+                               props: Map[String, String],
+                               failOnDupPk: Boolean, indexCols: Seq[String],
+                               snap0: Option[Snapshot],
+                               fs: FileSystem,
+                               publishGate: () => Unit = () => ()): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, xxhash64}
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val commitId = UUID.randomUUID().toString.take(8)
+    val stagedWithRows = timed("stage+write")(stageData(fs, table, commitId,
+      batch.withColumn(PkHashCol, xxhash64(col(pk))), PkHashCol +: indexCols,
+      keepAnchor = false, bloomCols = indexCols))
+    val totalRows = stagedWithRows.map(_._2).sum
+    val entries = stagedWithRows.map(_._1)
+    def dropStaged(): Unit = entries.foreach(e =>
+      fs.delete(new Path(s"$table/${e.path}"), false))
+    // empty batch: a no-op on an existing table, a metadata-only
+    // commit when there are props to publish (IVM high-water marks),
+    // and — the rare fresh-table-with-props case — the classic path
+    // (which writes the schema anchor the props need to live on)
+    if (totalRows == 0L) {
+      if (snap0.isEmpty) {
+        if (props.isEmpty) return 0L
+        return commitClassic(batch, table, pk, versionCol, maxRetries,
+          None, 8, props, failOnDupPk, indexCols, publishGate)
+      }
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val cur = latest(spark, table).get
+        if (!props.exists { case (k, v) => !cur.props.get(k).contains(v) })
+          return cur.version
+        val target = cur.version + 1L
+        publishGate()
+        if (timed("tryCommit")(tryCommit(fs, table, target, cur.files,
+            cur.dvs, cur.props ++ props))) {
+          if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+          return target
+        }
+        if (attempt > maxRetries) sys.error(
+          s"TxLog: gave up after $maxRetries conflicting commits on $table")
+      }
+    }
+    // driver harvest of the staged pk hashes (bounded): uniqueness +
+    // range/bloom probe inputs, with NO extra Spark job
+    val sortedHs: Option[Array[Long]] =
+      if (totalRows > BloomProbeMaxKeys) None
+      else try {
+        val a = entries.iterator.flatMap(e =>
+          readLongColumn(fs, new Path(s"$table/${e.path}"), PkHashCol)).toArray
+        java.util.Arrays.sort(a); Some(a)
+      } catch { case e: Exception =>
+        // fall back to the executor-side probe — but loudly: a broken
+        // driver-local read silently costs an extra job per commit
+        System.err.println(
+          s"[txlog] driver hash harvest failed on $table, " +
+          s"falling back to executor probe: $e")
+        None
+      }
+    val unique = sortedHs.exists { a =>
+      var i = 1; var u = true
+      while (i < a.length && u) { if (a(i) == a(i - 1)) u = false; i += 1 }
+      u
+    }
+    lazy val stagedRead =
+      spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
+    if (failOnDupPk && !unique) {
+      // a duplicated HASH may still be a collision between distinct
+      // pks: one exact staged-file aggregate decides (delta-sized)
+      try timed("dupCheck")(require(
+        stagedRead.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).isEmpty,
+        s"TxLog.commitUpsert($table): values of pk '$pk' do not " +
+          "uniquely identify rows in this batch — the upsert would " +
+          "fold distinct rows"))
+      catch { case e: Throwable => dropStaged(); throw e }
+    }
+    val distinctHs = sortedHs.map(_.distinct)
+    var attempt = 0
+    var snap = snap0
+    while (true) {
+      attempt += 1
+      val allProps = snap.map(_.props).getOrElse(Map.empty) ++ props
+      val files = snap.map(_.files).getOrElse(Seq.empty)
+      // holder probe over the EXISTING files, minus any batch
+      // re-execution. Three stages, each free of false negatives:
+      //  1. RANGE: driver-side slice of the sorted delta hashes
+      //     against each file's manifest [min, max].
+      //  2. BLOOM pre-filter (driver hashes only): a file whose bloom
+      //     clears every in-range hash cannot hold a key. Blooms can
+      //     only CLEAR, never convict — with a large candidate set a
+      //     false positive is near-certain ((1-ε)^k → 0), so a bloom
+      //     hit is a "maybe", and treating it as a holder would
+      //     rewrite view-sized data for an insert-only delta.
+      //  3. CONTAINMENT: one scan of the surviving files (semi-join
+      //     against the delta hashes) decides EXACTLY which files
+      //     hold a key. At warehouse file counts stages 1-2 clear
+      //     almost everything and this scan is delta-proportional;
+      //     locally it degrades to a read (never a rewrite) of the
+      //     survivors.
+      val (hold, carried) = {
+        val survivors = distinctHs match {
+          case Some(hs) =>
+            def inRange(lo: Long, hi: Long): Array[Long] = {
+              var a = 0; var b = hs.length
+              while (a < b) {
+                val m = (a + b) >>> 1
+                if (hs(m) < lo) a = m + 1 else b = m
+              }
+              var e = a
+              while (e < hs.length && hs(e) <= hi) e += 1
+              java.util.Arrays.copyOfRange(hs, a, e)
+            }
+            files.filter { e =>
+              val cs = e.stats.find(_.col == PkHashCol).get
+              val cand = inRange(cs.min, cs.max)
+              cand.nonEmpty && (
+                fileBlooms(fs, new Path(s"$table/${e.path}"), PkHashCol) match {
+                  case Some(bfs) =>
+                    cand.exists(h => bfs.exists(bf => bf.findHash(bf.hash(h))))
+                  case None => true
+                })
+            }
+          case None =>
+            if (files.isEmpty) Seq.empty[FileEntry]
+            else {
+              val bounds = files.zipWithIndex.map { case (e, i) =>
+                val cs = e.stats.find(_.col == PkHashCol).get
+                (i, cs.min, cs.max)
+              }.toDF("__fi", "__lo", "__hi")
+              val ranged = stagedRead.select(col(PkHashCol)).distinct()
+                .join(broadcast(bounds),
+                  col(PkHashCol) >= col("__lo") && col(PkHashCol) <= col("__hi"))
+                .select("__fi").distinct().collect().map(_.getInt(0)).toSet
+              files.zipWithIndex.collect { case (e, i) if ranged(i) => e }
+            }
+        }
+        if (survivors.isEmpty) (Seq.empty[FileEntry], files)
+        else {
+          // the driver-harvested hash set broadcasts (≤16 MB of
+          // longs); the uncapped executor-side probe lets Catalyst
+          // pick the join strategy
+          val probe = distinctHs match {
+            case Some(hs) =>
+              broadcast(spark.createDataset(hs.toSeq).toDF(PkHashCol))
+            case None => stagedRead.select(col(PkHashCol)).distinct()
+          }
+          val holders = timed("containScan")(spark.read
+            .parquet(survivors.map(f => s"$table/${f.path}"): _*)
+            .select(col(PkHashCol), col("_metadata.file_name").as("__fn"))
+            .join(probe, Seq(PkHashCol), "left_semi")
+            .select("__fn").distinct().collect().map(_.getString(0)).toSet)
+          val (h, c) = files.partition(e =>
+            holders(e.path.substring(e.path.lastIndexOf('/') + 1)))
+          (h, c)
+        }
+      }
+      val target = snap.map(_.version).getOrElse(0L) + 1L
+      if (hold.isEmpty && unique) {
+        // pure append of a proven-pk-unique batch: the staged files
+        // ARE the commit
+        try publishGate()
+        catch { case e: Throwable => dropStaged(); throw e }
+        if (timed("tryCommit")(tryCommit(fs, table, target,
+            carried ++ entries, Nil, allProps))) {
+          if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+          return target
+        }
+      } else {
+        // merge: fold the staged delta with the holder files' rows
+        // (last-wins by versionCol), re-cluster on the pk hash, swap
+        // the holder files for the merged ones
+        val delta = stagedRead.drop(PkHashCol)
+        val holdRows =
+          if (hold.isEmpty) delta.limit(0)
+          else spark.read.parquet(hold.map(f => s"$table/${f.path}"): _*)
+            .drop(PkHashCol)
+        val merged = mergeEvolved(delta, Some(holdRows), pk, versionCol)
+        val stamped = merged.withColumn(PkHashCol, xxhash64(col(pk)))
+        val outFiles = math.max(1, hold.size)
+        val mergeId = UUID.randomUUID().toString.take(8)
+        val staged2 = (if (outFiles <= 1)
+            timed("merge+write")(stageData(fs, table, mergeId,
+              stamped.repartition(1), PkHashCol +: indexCols,
+              keepAnchor = false, bloomCols = indexCols))
+          else {
+            val cached = stamped.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try timed("merge+write")(stageData(fs, table, mergeId,
+              cached.repartitionByRange(outFiles, col(PkHashCol)),
+              PkHashCol +: indexCols, keepAnchor = false,
+              bloomCols = indexCols))
+            finally { cached.unpersist(false); () }
+          }).map(_._1)
+        try publishGate()
+        catch { case e: Throwable =>
+          staged2.foreach(e2 => fs.delete(new Path(s"$table/${e2.path}"), false))
+          dropStaged(); throw e }
+        if (timed("tryCommit")(tryCommit(fs, table, target,
+            carried ++ staged2, Nil, allProps))) {
+          if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+          dropStaged() // first-stage files were folded into staged2
+          return target
+        }
+        staged2.foreach(e => fs.delete(new Path(s"$table/${e.path}"), false))
+      }
+      // lost the commit race: refresh the snapshot and re-probe (the
+      // staged delta files stay valid — they're invisible until a
+      // manifest references them)
+      snap = latest(spark, table)
+      if (!snap.forall(s => s.dvs.isEmpty &&
+          s.files.forall(e => e.part.isEmpty &&
+            e.stats.exists(_.col == PkHashCol)))) {
+        // a concurrent writer invalidated stage-first eligibility
+        dropStaged()
+        return commitClassic(batch, table, pk, versionCol, maxRetries,
+          None, 8, props, failOnDupPk, indexCols, publishGate)
+      }
+      if (attempt > maxRetries) {
+        dropStaged()
+        sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def commitClassic(batch: DataFrame, table: String, pk: String,
+                   versionCol: String, maxRetries: Int = 20,
+                   statsCol: Option[String] = None,
+                   clusterFiles: Int = 8,
+                   props: Map[String, String] = Map.empty,
+                   failOnDupPk: Boolean = false,
+                   indexCols: Seq[String] = Nil,
+                   publishGate: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
     val spark = batch.sparkSession
     require(!batch.columns.contains(PkHashCol),
@@ -688,6 +1095,34 @@ object TxLog {
                    case Some(s) => prunePlan(spark, s, table, batch, pk)
                    case None => freshPlan(batch, pk)
                  })
+      // EMPTY-BATCH fast path (the probe already executed the batch,
+      // so emptiness is known for free): an empty upsert on an
+      // existing table is a no-op — same file set, same data — so
+      // skip the staging write job entirely. With `props` to publish
+      // (e.g. an IVM high-water mark) it becomes a METADATA-ONLY
+      // commit carrying every file by reference; without, the current
+      // version is simply returned. Callers therefore never need a
+      // separate `isEmpty` pre-check job before committing. A lost
+      // commit race falls through to the retry guard and loops back
+      // for a fresh snapshot.
+      val emptyFast = plan.exists(_.batchEmpty) &&
+        (snap.isDefined || props.isEmpty)
+      if (emptyFast) {
+        // empty batch on a NEVER-written table with no props to
+        // publish: don't even create the table (version 0 = absent)
+        if (snap.isEmpty) return 0L
+        val cur = snap.get
+        val newProps = props.exists { case (k, v) =>
+          !cur.props.get(k).contains(v) }
+        if (!newProps) return cur.version
+        val target = cur.version + 1L
+        publishGate()
+        if (timed("tryCommit")(
+            tryCommit(fs, table, target, plan.get.carried, Nil, allProps))) {
+          if (target % CheckpointInterval == 0) writeHint(fs, table, target)
+          return target
+        }
+      } else {
       // `failOnDupPk` enforces a caller-declared within-batch pk
       // uniqueness CONTRACT (last-wins folding would otherwise
       // silently merge distinct rows — the JoinIndex failure mode).
@@ -716,17 +1151,17 @@ object TxLog {
                          keepAnchor: Boolean): Seq[FileEntry] =
         if (outFiles <= 1)
           timed("stage+write")(stageData(fs, table, commitId,
-            merged.repartition(1), stats, keepAnchor))
+            merged.repartition(1), stats, keepAnchor, indexCols)).map(_._1)
         else {
           val cached = merged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try timed("stage+write")(stageData(fs, table, commitId,
             cached.repartitionByRange(outFiles, col(cluster)), stats,
-            keepAnchor))
+            keepAnchor, indexCols)).map(_._1)
           finally { cached.unpersist(false); () }
         }
       val (carried, staged) = plan match {
-        case Some(PrunedPlan(carr, holdRows, schemaOnly, outFiles, uniq)) =>
+        case Some(PrunedPlan(carr, holdRows, schemaOnly, outFiles, uniq, _)) =>
           val merged = holdRows match {
             // pure append of a proven-pk-unique batch: the merge IS
             // the batch (conformed to the table's columns) — no
@@ -745,10 +1180,10 @@ object TxLog {
               // wide but their BLOOMS stay exact, which is what the
               // prune probe keys on
               timed("stage+write")(stageData(fs, table, commitId,
-                stamped.repartition(outFiles), Seq(PkHashCol),
-                keepAnchor = carr.isEmpty))
+                stamped.repartition(outFiles), PkHashCol +: indexCols,
+                keepAnchor = carr.isEmpty, bloomCols = indexCols)).map(_._1)
             else stageClustered(stamped, outFiles, PkHashCol,
-              Seq(PkHashCol), keepAnchor = carr.isEmpty)
+              PkHashCol +: indexCols, keepAnchor = carr.isEmpty)
           (carr, entries)
         case None =>
           val existing = snap.flatMap(s => readVersion(spark, table, s.version))
@@ -760,11 +1195,16 @@ object TxLog {
             // carry its per-file range, so the NEXT commit can prune
             case None => stageClustered(
               merged.withColumn(PkHashCol, xxhash64(col(pk))),
-              clusterFiles, PkHashCol, Seq(PkHashCol), keepAnchor = true)
+              clusterFiles, PkHashCol, PkHashCol +: indexCols,
+              keepAnchor = true)
           }
           (Nil, staged)
       }
       val target = snap.map(_.version).getOrElse(0L) + 1L
+      try publishGate()
+      catch { case e: Throwable =>
+        staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
+        throw e }
       if (timed("tryCommit")(
           tryCommit(fs, table, target, carried ++ staged, Nil, allProps))) {
         if (target % CheckpointInterval == 0) writeHint(fs, table, target)
@@ -773,6 +1213,7 @@ object TxLog {
       // lost the race: our files are unreferenced (invisible to every
       // reader) — drop them and retry against the new snapshot
       staged.foreach(f => fs.delete(new Path(s"$table/${f.path}"), false))
+      }
       if (attempt > maxRetries)
         sys.error(s"TxLog: gave up after $maxRetries conflicting commits on $table")
     }

@@ -39,6 +39,34 @@ object JoinIndex {
 
   private val Ver = "join_ver"
 
+  /** Driver-side cap on the per-batch distinct-key harvest that feeds
+    * the accumulated-side file pruning; a delta with more distinct
+    * keys is view-scale and reads the full accumulated sides. */
+  private val ProbeMaxKeys = 100000
+
+  /** Minimum file count of an accumulated side before the delta-join
+    * read bothers probing it — below this, uniformly-hashed delta
+    * keys touch every file anyway and the probe clears nothing. */
+  private val MinPruneFiles = 32
+
+  /** Test-only crash injection for the commit sequence's three fault
+    * windows (IvmScheduleProps crash schedules): a hook that throws
+    * simulates the process dying at that point — before the left
+    * accumulator commit, before the right accumulator commit, or in
+    * the widest window the concurrent overlap creates: AFTER both
+    * accumulator commits landed but BEFORE the mark-carrying wide
+    * manifest publishes. Production never touches these. */
+  private[graft] object faults {
+    @volatile var beforeLeftCommit: () => Unit = () => ()
+    @volatile var beforeRightCommit: () => Unit = () => ()
+    @volatile var beforeWidePublish: () => Unit = () => ()
+    def reset(): Unit = {
+      beforeLeftCommit = () => ()
+      beforeRightCommit = () => ()
+      beforeWidePublish = () => ()
+    }
+  }
+
   /** Collision-safe wide-row key over `pkCols`: JSON-encode the pk
     * struct with nulls kept explicit. A plain delimiter concat would
     * fold distinct tuples — ("a|b","c") vs ("a","b|c"), and
@@ -78,71 +106,110 @@ object JoinIndex {
       }).getOrElse(Long.MinValue)
     if (batchId <= highWater)
       return wideSnap.map(_.version).getOrElse(0L)
-    // snapshots BEFORE any commit — the delta algebra needs L and R,
-    // not L' and R' (after a partial-failure replay they may already
-    // contain the delta; the pk upsert folds the resulting dups)
-    val leftPrev = TxLog.read(spark, s"$table/left").map(_.drop(Ver))
-    // keep the STORED w_pk: every wide row's key rides its right side,
-    // so no branch recomputes the JSON encoding
-    val rightPrev = TxLog.read(spark, s"$table/right").map(_.drop(Ver))
     // key the right delta ONCE and cache it — the uniqueness check,
     // the right commit (probe + write) and two deltaWide branches all
     // consume it
     val rightKeyed = dRight.withColumn("w_pk", widePk(pkCols)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the delta sides' DISTINCT join keys, driver-bounded: one
+    // delta-sized job each, harvesting the raw key (to probe the
+    // right accumulator's key-column blooms) and its xxhash64 (to
+    // probe the left accumulator's pk-hash blooms — left pk IS the
+    // join key). Past the cap the delta is view-scale anyway and the
+    // probe would buy nothing: fall back to the full read. The probe
+    // is also GATED on the pruned side's file count — with only a
+    // handful of files (local SFs) uniformly-hashed delta keys land
+    // in every file, so the probe can clear nothing and is pure
+    // overhead; at warehouse scale (thousands of files) a small delta
+    // clears all but O(delta) of them, which is where this pays.
+    def keyProbe(df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+      val rows = timed("jx:key-probe")(df
+        .select(col(key).as("__k"), xxhash64(col(key)).as("__h"))
+        .distinct().limit(ProbeMaxKeys + 1).collect())
+      if (rows.length > ProbeMaxKeys) None else Some(rows)
+    }
+    def fileCount(side: String): Int =
+      TxLog.latest(spark, s"$table/$side").map(_.files.length).getOrElse(0)
+    val leftKeys =
+      if (fileCount("right") >= MinPruneFiles) keyProbe(dLeft) else None
+    val rightKeys =
+      if (fileCount("left") >= MinPruneFiles) keyProbe(rightKeyed) else None
+    // snapshots BEFORE any commit — the delta algebra needs L and R,
+    // not L' and R' (after a partial-failure replay they may already
+    // contain the delta; the pk upsert folds the resulting dups).
+    // Each accumulated side is read PRUNED to the files that may hold
+    // the OTHER side's delta keys (pk-hash blooms on the left, raw
+    // key-column blooms on the right — committed via `indexCols`), so
+    // a small-delta batch reads O(delta + overlapping files) of the
+    // view, never all of it.
+    val leftPrev = (rightKeys match {
+      case Some(ks) => TxLog.readMayContain(spark, s"$table/left",
+        TxLog.PkHashCol, ks.map(_.getLong(1): Any))
+      case None => TxLog.read(spark, s"$table/left")
+    }).map(_.drop(Ver))
+    // keep the STORED w_pk: every wide row's key rides its right side,
+    // so no branch recomputes the JSON encoding
+    val rightPrev = (leftKeys match {
+      case Some(ks) => TxLog.readMayContain(spark, s"$table/right",
+        key, ks.map(_.get(0)))
+      case None => TxLog.read(spark, s"$table/right")
+    }).map(_.drop(Ver))
     val deltaWide = Seq(
       rightPrev.map(r => dLeft.join(r, key)),
       leftPrev.map(l => l.join(rightKeyed, key)),
       Some(dLeft.join(rightKeyed, key))
     ).flatten.reduce(_ unionByName _)
       .withColumn(Ver, lit(batchId))
-    // one-sided micro-batches are normal under the side-tagged stream
-    // shape: skip the empty side's commit — even pruned, it would
-    // stage and commit for no row change
-    // the two ACCUMULATOR commits target independent tables and
-    // deltaWide's inputs were snapshot-resolved above, so they run
-    // CONCURRENTLY (Spark schedules jobs from both threads); the WIDE
-    // commit — which carries the high-water prop — stays strictly
-    // last, so a crash anywhere replays the whole batch and the
-    // exactly-once mark only advances once all three landed
+    // all THREE commits run CONCURRENTLY on the data plane — the
+    // tables are independent and deltaWide's inputs were
+    // snapshot-resolved above — but the wide MANIFEST publish (which
+    // carries the high-water prop) awaits both accumulator commits
+    // through `publishGate`, so it still lands strictly last: a crash
+    // anywhere replays the whole batch and the exactly-once mark only
+    // advances once all three landed. A failed accumulator commit
+    // aborts the wide publish through the gate (its staged files are
+    // dropped).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val fLeft = Future {
-      if (timed("jx:left-nonempty")(!dLeft.isEmpty))
-        timed("jx:left-commit")(
-          TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
-            s"$table/left", pk = key, versionCol = Ver,
-            failOnDupPk = true))
-    }
-    // materialize the wide delta's 3-join pipeline CONCURRENTLY with
-    // the accumulator commits (commitUpsert will find it cached and
-    // unpersist it when done); the wide COMMIT still waits for both
-    val fWarm = Future {
-      deltaWide.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-    }
-    val fRight = Future {
-      // the right-side uniqueness contract (pkCols unique per batch —
-      // w_pk is injective on the pk tuple, so w_pk-unique ⟺
-      // pkCols-unique) is enforced INSIDE the commit: the pruned
-      // merge's probe already collects the batch pk hashes, so the
-      // proof is free instead of a second delta-sized aggregate. A
-      // violation still aborts before the right/wide commits land,
-      // and an already-landed left commit replays idempotently.
-      if (timed("jx:right-nonempty")(!rightKeyed.isEmpty))
-        timed("jx:right-commit")(TxLog.commitUpsert(
-          rightKeyed.withColumn(Ver, lit(batchId)),
-          s"$table/right", pk = "w_pk", versionCol = Ver,
+      faults.beforeLeftCommit()
+      // no isEmpty pre-check: commitUpsert's probe detects an empty
+      // batch for free and turns the commit into a no-op
+      timed("jx:left-commit")(
+        TxLog.commitUpsert(dLeft.withColumn(Ver, lit(batchId)),
+          s"$table/left", pk = key, versionCol = Ver,
           failOnDupPk = true))
     }
-    try {
-      Await.result(fLeft.zip(fRight).zip(fWarm), Duration.Inf)
+    val fRight = Future {
+      faults.beforeRightCommit()
+      // the right-side uniqueness contract (pkCols unique per batch —
+      // w_pk is injective on the pk tuple, so w_pk-unique ⟺
+      // pkCols-unique) is enforced INSIDE the commit: the stage-first
+      // probe already harvests the batch pk hashes, so the proof is
+      // free instead of a second delta-sized aggregate. A violation
+      // still aborts before the right/wide commits land, and an
+      // already-landed left commit replays idempotently.
+      // `indexCols = key`: the right accumulator's files carry blooms
+      // + stats on the raw JOIN key too, so later batches' ΔL ⋈ R
+      // prunes right-side files by their delta keys
+      timed("jx:right-commit")(TxLog.commitUpsert(
+        rightKeyed.withColumn(Ver, lit(batchId)),
+        s"$table/right", pk = "w_pk", versionCol = Ver,
+        failOnDupPk = true, indexCols = Seq(key)))
+    }
+    try
       timed("jx:wide-commit")(
         TxLog.commitUpsert(deltaWide, s"$table/wide", pk = "w_pk",
           versionCol = Ver,
-          props = Map(TxLog.HighWaterProp -> batchId.toString)))
-    } finally { rightKeyed.unpersist(false); () }
+          props = Map(TxLog.HighWaterProp -> batchId.toString),
+          publishGate = () => {
+            Await.result(fLeft.zip(fRight), Duration.Inf)
+            // both accumulators have landed; the wide manifest has
+            // not — the exact window the commit overlap widened
+            faults.beforeWidePublish()
+          }))
+    finally { rightKeyed.unpersist(false); () }
   }
 
   /** The queryable join view at the latest committed version

@@ -82,6 +82,64 @@ object IvmScheduleProps extends Properties("ivm-schedules") {
       got == want
     }
 
+  // ---- JoinIndex crash windows ------------------------------------
+
+  /** Every way a mergeBatch can DIE mid-sequence — before the left
+    * accumulator commit, before the right one (leaving the other
+    * landed), or in the window the concurrent-commit overlap widened:
+    * both accumulators landed, the mark-carrying wide manifest not
+    * yet published — followed by a replay of the killed batch and the
+    * rest of the schedule, must converge to the one-shot join. The
+    * high-water mark rides the wide table, so a crash anywhere before
+    * the wide publish re-runs the whole batch; accumulator upserts
+    * are idempotent last-wins folds. */
+  property("JoinIndex: a crash at any commit point + replay == " +
+      "one-shot join") =
+    forAll(Gen.choose(2, 3).flatMap { k =>
+      val lefts = (1L to 5L).map(o => (o, o * 10, s"s$o"))
+      val rights = for { o <- 1L to 5L; ln <- 1 to 2 }
+        yield (o, ln, o + ln * 0.5)
+      for {
+        lb <- assignGen(lefts, k)
+        rb <- assignGen(rights, k)
+        crashAt <- Gen.choose(0, k - 1)
+        crashPoint <- Gen.choose(0, 2) // 0=left, 1=right, 2=wide-publish
+      } yield (k, lb, rb, crashAt, crashPoint)
+    }) { case (k, lb, rb, crashAt, crashPoint) =>
+      import spark.implicits._
+      import graft.streaming.JoinIndex.faults
+      val table = freshTable("joincrash")
+      def odf(rows: Seq[(Long, Long, String)]) =
+        rows.toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      def ldf(rows: Seq[(Long, Int, Double)]) =
+        rows.toDF("o_orderkey", "l_linenumber", "l_quantity")
+      def merge(i: Int): Unit = JoinIndex.mergeBatch(
+        odf(lb(i)), ldf(rb(i)), table, "o_orderkey",
+        Seq("o_orderkey", "l_linenumber"), batchId = i + 1L)
+      val boom: () => Unit =
+        () => throw new RuntimeException("injected crash")
+      (0 until crashAt).foreach(merge)
+      crashPoint match {
+        case 0 => faults.beforeLeftCommit = boom
+        case 1 => faults.beforeRightCommit = boom
+        case _ => faults.beforeWidePublish = boom
+      }
+      val crashed =
+        try { merge(crashAt); false }
+        catch { case _: Throwable => true }
+        finally faults.reset()
+      // replay the killed batch, then run the rest of the schedule
+      (crashAt until k).foreach(merge)
+      val got = JoinIndex.load(spark, table).map(
+        _.select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+          .as[(Long, Int, Long, Double)].collect().toSet)
+        .getOrElse(Set.empty)
+      val want = odf(lb.flatten).join(ldf(rb.flatten), "o_orderkey")
+        .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      crashed && got == want
+    }
+
   // ---- AggIndex ---------------------------------------------------
 
   property("AggIndex: any fact split + replays == one-shot partial") =
