@@ -108,8 +108,12 @@ object Scd2 {
       .withColumn("row_key",
         concat_ws(":", col("o_custkey"), col("o_orderkey")))
       .withColumn("merge_ver", lit(mergeVersion))
+    // update-heavy by construction: every touched key's WHOLE history
+    // re-enters the batch, so holder rewrites dominate — declare it
+    // and take the classic probe-then-merge path (batch persisted
+    // once) instead of stage-first's eager batch write
     graft.sinks.TxLog.commitUpsert(rebuilt, table,
-      pk = "row_key", versionCol = "merge_ver")
+      pk = "row_key", versionCol = "merge_ver", updateHeavy = true)
   }
 
   /** The SCD2 table at its latest committed version, in `scd2Build`

@@ -94,9 +94,13 @@ object AggIndex {
         combine(affected, p, key, sumCols, minMaxCols)
       case None => p
     }
+    // update-heavy: hot grouping keys recur batch over batch, so the
+    // affected keys' combined rows mostly REPLACE stored rows —
+    // classic probe-then-merge beats stage-first's eager batch write
     TxLog.commitUpsert(merged.withColumn(Ver, lit(batchId)),
       table, pk = key, versionCol = Ver,
-      props = Map(TxLog.HighWaterProp -> batchId.toString))
+      props = Map(TxLog.HighWaterProp -> batchId.toString),
+      updateHeavy = true)
   }
 
   /** The queryable rollup at the latest committed version (maintenance
