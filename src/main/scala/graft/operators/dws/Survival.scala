@@ -62,7 +62,14 @@ object Survival {
         sum(lit(1L) - col("ev")).as("c"))
     val wDesc = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // persisted: BOTH the curve fold (broadcast side) and the final
+    // join consume this frame — unpersisted, Catalyst re-derives the
+    // whole orders scan + lead-window pipeline per consumer (2× the
+    // fact work; PlanSpec pins the single-scan shape). The frame is
+    // distinct-durations-sized (≤ corpus day span), so the cache is
+    // a few KB at any SF.
     val risk = perT.withColumn("n", sum(col("d") + col("c")).over(wDesc))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // survival product over EVENT times only (the K–M convention:
     // censor-only times change n but not S), ordered ascending —
     // the sequential fold, bounded by distinct durations

@@ -216,6 +216,45 @@ class AsofRetrievalSpec extends SparkTestBase {
       s"4/16-probe recall@10 too low: $recall")
   }
 
+  test("ivf: production probe width keeps a recall floor vs brute force") {
+    // the llm_ann_ivf bench query runs at the ivfTopK defaults
+    // (16 cells, nProbe = 4); this floor turns a silent recall
+    // collapse there into a red test. Same calibration note as the
+    // ivf×sq8 floor: at sf0.001 probing 4/16 cells scans ~25% of the
+    // ~100-vector corpus, so the floor pins candidate wiring — the
+    // fullprobe identity and AnnSoak's 10× artifacts carry the
+    // production recall story.
+    val emb = Tables.embeddings(spark, sf0001)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exactSets = Similarity.bruteForceTopK(emb, qids, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probed = Similarity.ivfTopK(emb, qids, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exactSets.map { case (q, s) =>
+      probed.getOrElse(q, Set.empty[Long]).count(s) / s.size.toDouble }
+    assert(recall.forall(_ >= 0.3) && recall.sum / recall.size >= 0.5,
+      s"ivf 4/16-probe recall@10 too low: $recall")
+  }
+
+  test("semdedup: planted vector twins are found at the gate cell count") {
+    // mirrors AnnSoak's twin probe as a pinned floor: every 10th
+    // vector gets a near-identical twin; k-means cells bound the
+    // pair space, and a twin is only found if its pair lands in one
+    // cell — cell-boundary splits cost a few, so the floor is a
+    // majority bound, not exactness (llm_semdedup_twin carries the
+    // exact oracle)
+    val emb = Tables.embeddings(spark, sf0001)
+    val twins = Similarity.withVectorTwins(emb)
+    val planted = emb.filter(col("vec_id") % 10 === 0).count()
+    val found = Similarity.semanticPairs(twins, nCentroids = 16)
+      .filter(col("vec_b") === col("vec_a") + 1000000L).count()
+    assert(planted > 0)
+    assert(found * 2 >= planted,
+      s"semdedup twin recall collapsed: $found of $planted")
+  }
+
   test("sq8: constant dimensions round-trip exactly") {
     val emb = Seq(
       (0L, Array(1.0f, 5.0f, 0.25f)),

@@ -287,4 +287,58 @@ class PlanSpec extends SparkTestBase {
     val p = plan("j_bloom_pruned_join")
     assert(p.contains("UDF"), s"bloom prune missing from plan:\n$p")
   }
+
+  private def factScans(p: String, table: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains(table))
+
+  /** Count of cache READERS — the shared-subtree proof. (A raw
+    * FileScan count can't carry it: the plan string prints each
+    * consumer's InMemoryRelation WITH its cached lineage, so the one
+    * physical scan appears once per consumer textually.) */
+  private def cacheReads(p: String): Int =
+    p.linesIterator.count(l => l.contains("InMemoryTableScan") ||
+      l.contains("TableCacheQueryStage"))
+
+  test("b_survival_km: the at-risk frame is shared, not re-derived — " +
+      "both the curve fold and the final join read the cache") {
+    val p = plan("b_survival_km")
+    assert(cacheReads(p) >= 2, s"risk frame re-derived:\n$p")
+  }
+
+  test("b_abtest_conversion: per-user frame shared by median and arms, " +
+      "broadcast median, single-row final aggregate") {
+    val p = plan("b_abtest_conversion")
+    assert(cacheReads(p) >= 2, s"per-user frame re-derived:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"median must broadcast, never shuffle-join:\n$p")
+    // both arms' (n, x) come from ONE conditional aggregate
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("arm") && l.contains("converted")), p)
+  }
+
+  test("ts_classical_decompose: the trended frame is shared — " +
+      "seasonal aggregate and final assembly read the cache") {
+    val p = plan("ts_classical_decompose")
+    assert(cacheReads(p) >= 2, s"trended frame re-derived:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"seasonal join must broadcast:\n$p")
+  }
+
+  test("b_activity_islands: single pass — one user exchange chain, no join") {
+    val p = plan("b_activity_islands")
+    assert(!p.contains("Join"), s"islands must not join:\n$p")
+    // (user, day) dedup exchange + user window exchange, nothing more
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 2, s"expected at most 2 hash exchanges:\n$p")
+  }
+
+  test("cte_month_spine_gapfill: the recursion is a UnionLoop spine; " +
+      "the fact table is aggregated ONCE outside it") {
+    val p = plan("cte_month_spine_gapfill")
+    assert(p.contains("UnionLoop"), s"native recursion missing:\n$p")
+    assert(factScans(p, "orders.parquet") == 1,
+      s"the recursion must never rescan the fact table per iteration:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"spine join must broadcast:\n$p")
+  }
 }
