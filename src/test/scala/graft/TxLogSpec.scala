@@ -881,6 +881,42 @@ class TxLogSpec extends SparkTestBase {
       .contains("__graft_pkh"))
   }
 
+  test("readMayContain prunes to the holder files at warehouse file " +
+      "counts (pk-hash and raw index-column probes)") {
+    val t = freshTable()
+    // 40 append commits of 5 rows each — the many-small-files layout
+    // a warehouse table actually has, where point-lookup pruning pays
+    (0 until 40).foreach { b =>
+      TxLog.commitUpsert(
+        (0 until 5).map(j => (b * 100L + j, 1L, b * 1000L + j))
+          .toDF("k", "ver", "k2"),
+        t, "k", "ver", indexCols = Seq("k2"))
+    }
+    assert(TxLog.read(spark, t).get.count() == 200L)
+    // probe by pk hash: two keys living in two distinct commits
+    val probeKs = Seq(700L, 2303L)
+    val hs = probeKs.toDF("k").select(xxhash64(col("k")))
+      .collect().map(_.getLong(0): Any)
+    val byPk = TxLog.readMayContain(spark, t, TxLog.PkHashCol, hs).get
+    assert(byPk.filter(col("k").isin(probeKs: _*)).count() == 2L)
+    // blooms on 5-row files with 2 probe values: false positives are
+    // vanishingly rare — the read must touch a small fraction of the
+    // 40 files (the 100 TB posture this API exists for)
+    assert(byPk.inputFiles.length <= 6,
+      s"pruned read touched ${byPk.inputFiles.length} of 40 files")
+    // probe by the raw indexCols column (the JoinIndex right-accumulator
+    // path): same pruning through the column's own stats + bloom
+    val byCol = TxLog.readMayContain(spark, t, "k2",
+      Array(7000L: Any, 23003L: Any)).get
+    assert(byCol.filter(col("k2").isin(7000L, 23003L)).count() == 2L)
+    assert(byCol.inputFiles.length <= 6,
+      s"index-column pruned read touched ${byCol.inputFiles.length} of 40 files")
+    // no false negatives: an absent probe value returns None or an
+    // empty frame, never a wrong subset
+    val miss = TxLog.readMayContain(spark, t, "k2", Array(999999L: Any))
+    assert(miss.forall(_.filter(col("k2") === 999999L).isEmpty))
+  }
+
   test("manifest props: atomic with the commit, carried forward, overridable") {
     val t = freshTable()
     TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
