@@ -358,6 +358,29 @@ object SparkEntry {
             .as("max_ship"))
         .orderBy("l_suppkey")
     }),
+    // ALGEBRAIC incremental aggregate (variance family): the rollup
+    // additionally maintains exact BIGINT sums of squares, so
+    // population variance derives at read time as pure integer
+    // arithmetic (ct·Σx² − (Σx)² = ct²·var) — the incremental path is
+    // bit-identical to the one-shot GROUP BY for any batch order, and
+    // the oracle checks the derived numerator exactly
+    "dim_agg_var_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-aggvar-").toString + "/rollup"
+      val li = Tables.lineitem(s, d)
+      (0 until 3).foreach(i => graft.streaming.AggIndex.mergeBatch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), table,
+        "l_suppkey", Seq("l_quantity"), Nil, batchId = i + 1L,
+        sumSqCols = Seq("l_quantity")))
+      graft.streaming.AggIndex.load(s, table).get
+        .select(col("l_suppkey"), col("ct"),
+          col("sum_l_quantity").as("sum_q"),
+          col("sumsq_l_quantity").as("sumsq_q"),
+          (col("ct") * col("sumsq_l_quantity") -
+            col("sum_l_quantity") * col("sum_l_quantity")).as("var_num"))
+        .orderBy("l_suppkey")
+    }),
     // incremental JOIN maintenance (delta-join IVM): the orders ⋈
     // lineitem view is built by THREE batch pairs, split so lineitems
     // straddle batches AND precede their order row (arrival order is
@@ -4198,6 +4221,20 @@ object SparkEntry {
           |         AS price_cents
           |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           |ORDER BY o.o_orderkey, l.l_linenumber""".stripMargin,
+      // algebraic rollup: exact integer sums of squares make the
+      // variance numerator a BIGINT identity both engines replay
+      "dim_agg_var_incremental" ->
+        """SELECT l_suppkey, count(*) AS ct,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+          |       CAST(sum(CAST(l_quantity AS BIGINT) *
+          |                CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_q,
+          |       CAST(count(*) *
+          |              CAST(sum(CAST(l_quantity AS BIGINT) *
+          |                       CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |            - CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) *
+          |              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          |            AS BIGINT) AS var_num
+          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
       "dim_agg_rollup_incremental" ->
         """SELECT l_suppkey, count(*) AS ct,
           |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)

@@ -1403,7 +1403,7 @@ object FuzzGen {
       10016, 10017, 10018, 10019,
       11000, 11001, 11002, 11003, 11004, 11005, 11006, 11007,
       11008, 11009, 11010, 11011, 11012, 11013, 11014, 11015,
-      11016, 11017, 11018, 11019)
+      11016, 11017, 11018, 11019, 11020, 11021, 11022, 11023)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -39,27 +39,43 @@ object AggIndex {
   private val Ver = "agg_ver"
 
   /** Per-key partial aggregate of one fact batch: (key, ct,
-    * sum_<c>.., min_<c>.., max_<c>..). `sumCols` are cast to BIGINT
-    * (exact, order-independent); `minMaxCols` keep their type. */
+    * sum_<c>.., min_<c>.., max_<c>.., sumsq_<c>..). `sumCols` and
+    * `sumSqCols` are cast to BIGINT (exact, order-independent);
+    * `minMaxCols` keep their type.
+    *
+    * `sumSqCols` extends the rollup from distributive to ALGEBRAIC
+    * aggregates: with (ct, sum, sumsq) maintained exactly, variance /
+    * stddev derive at READ time — var_pop·ct² = ct·sumsq − sum² is
+    * pure BIGINT arithmetic, so the incremental path stays
+    * bit-identical to a rebuild for any batch order. Range contract:
+    * the DERIVATION needs |ct·sumsq| < 2^63 (the partials themselves
+    * overflow only past Σx² ≈ 9.2e18); beyond that a reader derives
+    * in DOUBLE from the still-exact integer partials. */
   def partial(batch: DataFrame, key: String, sumCols: Seq[String],
-              minMaxCols: Seq[String]): DataFrame = {
+              minMaxCols: Seq[String],
+              sumSqCols: Seq[String] = Nil): DataFrame = {
     val aggs: Seq[Column] =
       sumCols.map(c => sum(col(c).cast("bigint")).as(s"sum_$c")) ++
         minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c")))
+          max(col(c)).as(s"max_$c"))) ++
+        sumSqCols.map(c => sum(col(c).cast("bigint") *
+          col(c).cast("bigint")).as(s"sumsq_$c"))
     batch.groupBy(col(key))
       .agg(count(lit(1)).as("ct"), aggs: _*)
   }
 
   /** Combine two partial-aggregate row sets (same schema, both keyed
-    * on `key`): the distributive merge. */
+    * on `key`): the distributive merge (sums of squares combine like
+    * any sum — that is what makes the variance family algebraic). */
   private def combine(a: DataFrame, b: DataFrame, key: String,
                       sumCols: Seq[String],
-                      minMaxCols: Seq[String]): DataFrame = {
+                      minMaxCols: Seq[String],
+                      sumSqCols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
       sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
         minMaxCols.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
-          max(col(s"max_$c")).as(s"max_$c")))
+          max(col(s"max_$c")).as(s"max_$c"))) ++
+        sumSqCols.map(c => sum(col(s"sumsq_$c")).as(s"sumsq_$c"))
     a.unionByName(b).groupBy(col(key))
       .agg(sum(col("ct")).as("ct"), aggs: _*)
   }
@@ -70,7 +86,7 @@ object AggIndex {
     * high-water mark (a replayed batch — applied exactly once). */
   def mergeBatch(batch: DataFrame, table: String, key: String,
                  sumCols: Seq[String], minMaxCols: Seq[String],
-                 batchId: Long): Long = {
+                 batchId: Long, sumSqCols: Seq[String] = Nil): Long = {
     val spark = batch.sparkSession
     val snap = TxLog.latest(spark, table)
     // the applied-batch mark rides the manifest props — atomic with
@@ -84,14 +100,14 @@ object AggIndex {
     if (batchId <= highWater)
       return snap.map(_.version).getOrElse(0L)
     val cur = TxLog.read(spark, table)
-    val p = partial(batch, key, sumCols, minMaxCols)
+    val p = partial(batch, key, sumCols, minMaxCols, sumSqCols)
     val merged = cur match {
       case Some(t) =>
         // only the AFFECTED keys' current rows enter the combine; the
         // untouched rest of the table rides through the upsert as-is
         val affected = t.drop(Ver)
           .join(p.select(col(key)), Seq(key), "left_semi")
-        combine(affected, p, key, sumCols, minMaxCols)
+        combine(affected, p, key, sumCols, minMaxCols, sumSqCols)
       case None => p
     }
     // update-heavy: hot grouping keys recur batch over batch, so the

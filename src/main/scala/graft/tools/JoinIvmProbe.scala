@@ -66,6 +66,36 @@ object JoinIvmProbe {
           .withColumn("o_orderkey", col("o_orderkey") + shift),
         table, key = "o_orderkey", pkCols = liCols, batchId = i + 7L)
     })
+    // many-file regime: ~28 more small insert batches push the
+    // accumulators past the pruned-read gate (≥32 files), then a
+    // timed tail shows per-commit cost staying flat with
+    // `readMayContain` active — the delta joins now probe the
+    // accumulated sides' blooms with the delta keys and read only
+    // holder files, the 100 TB read-side contract
+    (0 until 28).foreach { i =>
+      val shift = 20000000L * (i + 1)
+      graft.streaming.JoinIndex.mergeBatch(
+        ord.filter(pmod(col("o_orderkey"), lit(300)) === i % 3)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
+          lit(300)) === i % 3)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        table, key = "o_orderkey", pkCols = liCols, batchId = i + 10L)
+    }
+    Seq("left", "right", "wide").foreach { side =>
+      println(s"[probe] $side files: " + graft.sinks.TxLog
+        .latest(spark, s"$table/$side").map(_.files.length).getOrElse(0))
+    }
+    (0 until 3).foreach(i => timed(s"mergeBatch 1pct-insert-pruned-$i") {
+      val shift = 900000000L * (i + 1)
+      graft.streaming.JoinIndex.mergeBatch(
+        ord.filter(pmod(col("o_orderkey"), lit(300)) === i)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
+          lit(300)) === i)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        table, key = "o_orderkey", pkCols = liCols, batchId = i + 38L)
+    })
     timed("load+count") {
       graft.streaming.JoinIndex.load(spark, table).get.count()
     }

@@ -27,6 +27,26 @@ class AggIndexSpec extends SparkTestBase {
       AggIndex.partial(li, "l_suppkey", sums, mms))
   }
 
+  test("algebraic rollup: sums of squares merge exactly, variance " +
+      "numerator matches the one-shot GROUP BY") {
+    val li = Tables.lineitem(spark, sf0001)
+    val table = freshTable("var")
+    (0 until 3).foreach(i => AggIndex.mergeBatch(
+      li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+      table, "l_suppkey", Seq("l_quantity"), Nil, batchId = i + 1L,
+      sumSqCols = Seq("l_quantity")))
+    val got = AggIndex.load(spark, table).get
+      .select(col("l_suppkey"),
+        (col("ct") * col("sumsq_l_quantity") -
+          col("sum_l_quantity") * col("sum_l_quantity")).as("var_num"))
+    val want = li.groupBy("l_suppkey").agg(
+      (count(lit(1)) * sum(col("l_quantity").cast("bigint") *
+          col("l_quantity").cast("bigint")) -
+        sum(col("l_quantity").cast("bigint")) *
+          sum(col("l_quantity").cast("bigint"))).as("var_num"))
+    assertSameRows(got, want)
+  }
+
   test("replaying the last batch is a no-op (at-least-once delivery)") {
     val li = Tables.lineitem(spark, sf0001).filter(col("l_suppkey") < 10)
     val table = freshTable("replay")
