@@ -119,7 +119,25 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val baselinePath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_FULL.json")
-    val prior = priorQueries(baselinePath)
+    // The reprobe baseline is the per-query MIN of the last committed
+    // artifact AND the historical floor file. Baselining on the prior
+    // artifact alone let sub-2x drift compound invisibly across
+    // refreshes (each refresh resets the anchor: 1.7x into one window
+    // then 1.4x into the next — 2.4x total, never reprobed); the
+    // floor file is the per-query min over every run at this SF, so
+    // the trigger always measures against steady state. Floors are
+    // SF-keyed — a floor measured at another SF is no baseline at all.
+    val floorsPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "BENCH_FLOORS.json")
+    val floorsSfOk = try {
+      val t = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(floorsPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"sf":"([^"]*)"""".r.findFirstMatchIn(t).exists(_.group(1) == sfDir)
+    } catch { case _: Throwable => false }
+    val floors = if (floorsSfOk) priorQueries(floorsPath) else Map.empty[String, Double]
+    val prior = (priorQueries(baselinePath).toSeq ++ floors.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
     val byName = selected.toMap
     val reprobes = firstPass.flatMap { case (name, v) =>
       prior.get(name) match {
@@ -144,7 +162,12 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm_reprobe_over_2x_prior","reprobed":$reprobedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // sub-query phase walls (per-phase min across all runs this
+    // process made) — the smalldelta seed/delta decomposition rides
+    // here so the O(delta) commit cost is visible round-over-round
+    val walls = graft.core.Walls.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"policy":"min_of_${runs}_runs_each_from_cleared_spark_state_jit_and_page_cache_warm_reprobe_over_2x_min_of_prior_and_floors","reprobed":$reprobedJson,"queries":$qs,"walls":$walls,"sf":"$sfDir"}"""
     println(json)
     // The stdout line can be truncated by log-capture harnesses (round
     // 2 lost 40 of 96 per-query numbers that way) — always persist the
@@ -153,6 +176,20 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // roll this run's minima into the floor file (same-SF only): the
+    // next run's reprobe trigger anchors on the historical per-query
+    // min, so drift can't compound by re-anchoring on a drifted run
+    val newFloors = (floors.toSeq ++ results.filter(_._2 >= 0))
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val floorsJson = s"""{"comment":"per-query historical min at this SF — the bench reprobe baseline; maintained by Bench itself","sf":"$sfDir","queries":${
+      newFloors.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(floorsPath),
+      (floorsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] could not write $floorsPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -441,12 +441,21 @@ object SparkEntry {
       // materialization path stays exercised even in the bulk regime
       val ordB = pmod(col("o_orderkey"), lit(100))
       val liB = pmod(col("o_orderkey") + col("l_linenumber"), lit(100))
-      graft.streaming.JoinIndex.mergeBatch(
-        ord.filter(ordB >= 4), li.filter(liB >= 4),
-        table, key = "o_orderkey", pkCols = liCols, batchId = 1L)
-      (0 until 4).foreach(i => graft.streaming.JoinIndex.mergeBatch(
-        ord.filter(ordB === i), li.filter(liB === i),
-        table, key = "o_orderkey", pkCols = liCols, batchId = i + 2L))
+      // each commit's wall recorded separately (Walls → the bench
+      // artifact's "walls" member): the query total is dominated by
+      // the view-sized seed, so a per-delta regression — the number
+      // the O(delta) claim actually rides on — would otherwise hide
+      // inside the seed's noise round-over-round
+      graft.core.Walls.timed("dim_wide_join_smalldelta.seed")(
+        graft.streaming.JoinIndex.mergeBatch(
+          ord.filter(ordB >= 4), li.filter(liB >= 4),
+          table, key = "o_orderkey", pkCols = liCols, batchId = 1L))
+      (0 until 4).foreach(i =>
+        graft.core.Walls.timed(s"dim_wide_join_smalldelta.delta$i")(
+          graft.streaming.JoinIndex.mergeBatch(
+            ord.filter(ordB === i), li.filter(liB === i),
+            table, key = "o_orderkey", pkCols = liCols,
+            batchId = i + 2L)))
       graft.streaming.JoinIndex.load(s, table).get
         .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderstatus"),

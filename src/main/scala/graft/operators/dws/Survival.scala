@@ -62,14 +62,15 @@ object Survival {
         sum(lit(1L) - col("ev")).as("c"))
     val wDesc = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // persisted: BOTH the curve fold (broadcast side) and the final
-    // join consume this frame — unpersisted, Catalyst re-derives the
-    // whole orders scan + lead-window pipeline per consumer (2× the
-    // fact work; PlanSpec pins the single-scan shape). The frame is
-    // distinct-durations-sized (≤ corpus day span), so the cache is
-    // a few KB at any SF.
-    val risk = perT.withColumn("n", sum(col("d") + col("c")).over(wDesc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached (one pooled slot — see OpCache): BOTH the curve fold
+    // (broadcast side) and the final join consume this frame —
+    // uncached, Catalyst re-derives the whole orders scan +
+    // lead-window pipeline per consumer (2× the fact work; PlanSpec
+    // pins the single-scan shape). The frame is
+    // distinct-durations-sized (≤ corpus day span), a few KB at any
+    // SF; the slot bounds repeated-call footprint to one entry.
+    val risk = graft.core.OpCache.shared("survival_km_risk",
+      perT.withColumn("n", sum(col("d") + col("c")).over(wDesc)))
     // survival product over EVENT times only (the K–M convention:
     // censor-only times change n but not S), ordered ascending —
     // the sequential fold, bounded by distinct durations

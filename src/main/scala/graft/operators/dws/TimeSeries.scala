@@ -303,11 +303,13 @@ object TimeSeries {
       .withColumn("detr7", lit(7L) * col("cents") - col("trend7"))
       .withColumn("dow", (datediff(col("day"), lit("1970-01-01")) % 7)
         .cast("int"))
-      // persisted: the seasonal aggregate (broadcast side) and the
-      // final assembly both consume this frame — unpersisted, each
-      // re-runs the fact aggregate + windows (2× the orders scan;
-      // PlanSpec pins the single-scan shape). Days-sized cache.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cached (one pooled slot — see OpCache): the seasonal
+      // aggregate (broadcast side) and the final assembly both
+      // consume this frame — uncached, each re-runs the fact
+      // aggregate + windows (2× the orders scan; PlanSpec pins the
+      // single-scan shape). Days-sized cache; the slot bounds
+      // repeated-call footprint to one entry.
+      .transform(graft.core.OpCache.shared("ts_decompose_trended", _))
     val seasonal = trended.groupBy("dow")
       .agg((sum(col("detr7")).cast("double") /
         (lit(7.0) * count(lit(1)).cast("double"))).as("seasonal"))

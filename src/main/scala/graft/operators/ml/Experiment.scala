@@ -29,15 +29,16 @@ import org.apache.spark.sql.functions._
 object Experiment {
 
   def abTestConversion(events: DataFrame): DataFrame = {
-    // persisted: the median ranking AND the arm split both consume
-    // this frame — unpersisted, each re-runs the fact aggregate
-    // (2× the events scan; PlanSpec pins the shared shape). The
-    // cache is users-sized, orders of magnitude below the fact.
-    val perUser = events
+    // cached (one pooled slot — see OpCache): the median ranking AND
+    // the arm split both consume this frame — uncached, each re-runs
+    // the fact aggregate (2× the events scan; PlanSpec pins the
+    // shared shape). The cache is users-sized, orders of magnitude
+    // below the fact; the slot bounds repeated-call footprint to one
+    // entry.
+    val perUser = graft.core.OpCache.shared("abtest_per_user", events
       .groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("pc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as("pc")))
     // lower median of per-user purchase counts: the multiplicative
     // rank predicate (2·rn = n or n+1) over a (pc, user_id) total order
     val ranked = graft.core.Ranking.withGlobalRowNumber(

@@ -98,14 +98,23 @@ object TxLog {
   /** Env-gated phase timing (`GRAFT_TXLOG_PROBE=1`) for the commit
     * path — feeds the SCALE.md cost receipts. */
   private val probeLog = sys.env.contains("GRAFT_TXLOG_PROBE")
-  private[graft] def timed[T](tag: String)(body: => T): T =
-    if (!probeLog) body
-    else {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"[txlog] $tag%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+
+  /** Observation hook fired on EVERY timed commit phase with
+    * (tag, seconds): lets specs assert which phases a commit actually
+    * took (e.g. "pure append = one stage+write and NO merge+write")
+    * and lets the bench surface per-phase walls, without re-plumbing
+    * the commit path. Production default is a no-op; the always-on
+    * nanoTime pair costs nanoseconds against second-scale phases. */
+  @volatile private[graft] var timedHook: (String, Double) => Unit =
+    (_, _) => ()
+  private[graft] def timed[T](tag: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    val dt = (System.nanoTime() - t0) / 1e9
+    timedHook(tag, dt)
+    if (probeLog) println(f"[txlog] $tag%-24s $dt%.2f s")
+    r
+  }
 
   /** Hive's directory-name sentinel for a NULL partition value. */
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
@@ -782,8 +791,13 @@ object TxLog {
   }
 
   /** Driver-side cap on the bloom-probe hash collect; a delta with
-    * more distinct keys probes by the executor-side exact scan. */
-  private val BloomProbeMaxKeys = 2000000
+    * more distinct keys probes by the executor-side exact scan.
+    * Test-only override via [[probeCapOverride]] so specs can drive a
+    * small batch through the over-cap (bulk-ingest) code paths. */
+  private val BloomProbeMaxKeysDefault = 2000000
+  @volatile private[graft] var probeCapOverride: Option[Int] = None
+  private def BloomProbeMaxKeys: Int =
+    probeCapOverride.getOrElse(BloomProbeMaxKeysDefault)
 
   /** `publishGate` is awaited immediately before EVERY manifest
     * publish attempt (and nowhere else): all the expensive work —
@@ -917,23 +931,43 @@ object TxLog {
           s"falling back to executor probe: $e")
         None
       }
-    val unique = sortedHs.exists { a =>
+    val uniqueByHarvest = sortedHs.exists { a =>
       var i = 1; var u = true
       while (i < a.length && u) { if (a(i) == a(i - 1)) u = false; i += 1 }
       u
     }
     lazy val stagedRead =
       spark.read.parquet(entries.map(e => s"$table/${e.path}"): _*)
-    if (failOnDupPk && !unique) {
-      // a duplicated HASH may still be a collision between distinct
-      // pks: one exact staged-file aggregate decides (delta-sized)
-      try timed("dupCheck")(require(
-        stagedRead.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).isEmpty,
-        s"TxLog.commitUpsert($table): values of pk '$pk' do not " +
-          "uniquely identify rows in this batch — the upsert would " +
-          "fold distinct rows"))
-      catch { case e: Throwable => dropStaged(); throw e }
+    // pk-uniqueness beyond the harvest: `unique` gates the pure-append
+    // commit, so it must be PROVEN true, never assumed. The harvest
+    // proves it for free on bounded batches; past the cap (the
+    // bulk-seed/backfill regime — exactly where a rewrite hurts most)
+    // ONE exact delta-sized aggregate over the staged files proves it
+    // instead. Without that proof an over-cap pk-unique insert-only
+    // batch would silently take the merge branch and re-stage the
+    // whole just-written delta: 2x write amplification on the 100 TB
+    // bulk-ingest path. A duplicated harvest HASH may still be a
+    // collision between distinct pks, so under failOnDupPk the same
+    // exact aggregate adjudicates before aborting — and when it
+    // passes, uniqueness is proven and the append path reopens.
+    val unique: Boolean = uniqueByHarvest || {
+      if (sortedHs.isDefined && !failOnDupPk) false
+      // bounded batch with real duplicate hashes and no uniqueness
+      // contract: almost certainly intended last-wins folds — merge
+      else {
+        val noDups = try timed("dupCheck")(
+          stagedRead.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).isEmpty)
+        catch { case e: Throwable => dropStaged(); throw e }
+        if (!noDups && failOnDupPk) {
+          dropStaged()
+          throw new IllegalArgumentException(
+            s"requirement failed: TxLog.commitUpsert($table): values " +
+              s"of pk '$pk' do not uniquely identify rows in this " +
+              "batch — the upsert would fold distinct rows")
+        }
+        noDups
+      }
     }
     val distinctHs = sortedHs.map(_.distinct)
     var attempt = 0
@@ -1037,7 +1071,20 @@ object TxLog {
             .drop(PkHashCol)
         val merged = mergeEvolved(delta, Some(holdRows), pk, versionCol)
         val stamped = merged.withColumn(PkHashCol, xxhash64(col(pk)))
-        val outFiles = math.max(1, hold.size)
+        // size the merged write by ROWS as well as by holder count:
+        // inheriting hold.size alone funnels a no-holder (or few-
+        // holder) view-sized merge — the duplicate-carrying bulk-seed
+        // regime — through repartition(1): one task rewriting
+        // everything into one giant file whose [min,max] then spans
+        // the whole key space, defeating later range/bloom pruning.
+        // Holder count stays the floor so steady-state small merges
+        // keep the table's file-count level. Holder rows ride the
+        // manifest (RowsStat), so the sizing is metadata-only;
+        // pre-RowsStat files just under-count (fewer, larger files).
+        val heldRows = hold.flatMap(
+          _.stats.find(_.col == RowsStat).map(_.min)).sum
+        val outFiles = math.max(math.max(1, hold.size), math.min(32L,
+          (totalRows + heldRows) / AppendRowsPerFile + 1).toInt)
         val mergeId = UUID.randomUUID().toString.take(8)
         val staged2 = (if (outFiles <= 1)
             timed("merge+write")(stageData(fs, table, mergeId,

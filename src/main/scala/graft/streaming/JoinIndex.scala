@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.sinks.TxLog
 
 /** Incremental JOIN maintenance on the TxLog ACID store — the fourth
@@ -130,8 +131,46 @@ object JoinIndex {
     }
     def fileCount(side: String): Int =
       TxLog.latest(spark, s"$table/$side").map(_.files.length).getOrElse(0)
+    // The pruning probes hash by PHYSICAL type: the left accumulator's
+    // pk-hash blooms were built from xxhash64 of ITS stored key dtype,
+    // and the right accumulator's raw-key blooms from the parquet
+    // encoding of ITS stored dtype. The SAME numeric value hashes
+    // differently as int vs long, so a dtype-mismatched probe would
+    // falsely CLEAR holder files — silently dropped join rows where a
+    // plain join would have type-coerced and matched. Enforce dtype
+    // agreement loudly up front (deltas against each other AND against
+    // what the accumulators already store) instead of debugging
+    // missing rows later.
+    val keyType = dLeft.schema(key).dataType
+    require(dRight.schema(key).dataType == keyType,
+      s"JoinIndex.mergeBatch($table): join-key '$key' dtype mismatch " +
+        s"between deltas ($keyType vs ${dRight.schema(key).dataType}) " +
+        "— the file-pruning probes hash by physical type; cast both " +
+        "sides to one dtype")
+    Seq("left", "right").foreach { side =>
+      TxLog.read(spark, s"$table/$side")
+        .flatMap(_.schema.find(_.name == key).map(_.dataType))
+        .foreach(t => require(t == keyType,
+          s"JoinIndex.mergeBatch($table): join-key '$key' delta dtype " +
+            s"$keyType does not match the $side accumulator's stored " +
+            s"$t — mismatched probes would falsely clear holder files; " +
+            "cast the delta to the stored dtype"))
+    }
+    // raw-key bloom probes (the right accumulator's indexCols blooms)
+    // support integral/string/float/binary values only; any other key
+    // dtype (decimal, timestamp, ...) skips that probe and reads the
+    // side whole — correct, just unpruned. The LEFT probe always
+    // hashes to xxhash64 longs, so it is dtype-safe once the equality
+    // above holds.
+    val rawKeyProbeable = keyType match {
+      case IntegerType | LongType | StringType |
+           DoubleType | FloatType | BinaryType => true
+      case _ => false
+    }
     val leftKeys =
-      if (fileCount("right") >= MinPruneFiles) keyProbe(dLeft) else None
+      if (rawKeyProbeable && fileCount("right") >= MinPruneFiles)
+        keyProbe(dLeft)
+      else None
     val rightKeys =
       if (fileCount("left") >= MinPruneFiles) keyProbe(rightKeyed) else None
     // snapshots BEFORE any commit — the delta algebra needs L and R,

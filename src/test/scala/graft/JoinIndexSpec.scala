@@ -116,4 +116,61 @@ class JoinIndexSpec extends SparkTestBase {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(got == oneShot, s"$got vs $oneShot")
   }
+
+  // ---- probe-type contract: the file-pruning probes hash by physical
+  // type, so dtype drift must fail loudly (a silent mismatch would
+  // falsely CLEAR holder files — dropped join rows) and non-bloomable
+  // key dtypes must skip pruning, never crash in the bloom hasher ----
+
+  test("join-key dtype mismatch between the two deltas fails loudly") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    val ordInt = Seq((1, 10L)).toDF("o_orderkey", "o_custkey") // int key
+    val liLong = ldf(Seq((1L, 1, 5.0)))                        // long key
+    val e = intercept[IllegalArgumentException] {
+      JoinIndex.mergeBatch(ordInt, liLong, table, "o_orderkey",
+        Seq("o_orderkey", "l_linenumber"), 1L)
+    }
+    assert(e.getMessage.contains("dtype mismatch"), e.getMessage)
+  }
+
+  test("join-key dtype drift against the stored accumulators fails " +
+      "loudly instead of silently clearing holder files") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    JoinIndex.mergeBatch(odf(orderBatches(0)), ldf(lineBatches(0)),
+      table, "o_orderkey", Seq("o_orderkey", "l_linenumber"), 1L)
+    // batch 2 switches both sides to int keys — deltas agree with
+    // each other, but not with what batch 1's accumulators store
+    val ordInt = Seq((2, 20L)).toDF("o_orderkey", "o_custkey")
+    val liInt = Seq((2, 2, 8.0))
+      .toDF("o_orderkey", "l_linenumber", "l_quantity")
+    val e = intercept[IllegalArgumentException] {
+      JoinIndex.mergeBatch(ordInt, liInt, table, "o_orderkey",
+        Seq("o_orderkey", "l_linenumber"), 2L)
+    }
+    assert(e.getMessage.contains("accumulator's stored"), e.getMessage)
+  }
+
+  test("a decimal join key (not raw-bloom-probeable) skips pruning and " +
+      "still converges to the one-shot join") {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-joinidx-spec-").toString + "/j"
+    def dec(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("o_orderkey",
+        col("o_orderkey").cast("decimal(10,2)"))
+    (0 until 3).foreach(i => JoinIndex.mergeBatch(
+      dec(odf(orderBatches(i))), dec(ldf(lineBatches(i))), table,
+      key = "o_orderkey", pkCols = Seq("o_orderkey", "l_linenumber"),
+      batchId = i + 1L))
+    val got = JoinIndex.load(spark, table).get
+      .select(col("o_orderkey").cast("long"), col("l_linenumber"),
+        col("o_custkey"), col("l_quantity"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val oneShot = odf(orderBatches.flatten)
+      .join(ldf(lineBatches.flatten), "o_orderkey")
+      .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == oneShot, s"$got vs $oneShot")
+  }
 }

@@ -987,4 +987,174 @@ class TxLogSpec extends SparkTestBase {
     assert(evolved.filter(col("k") === 8L).head().getLong(3) == 42L)
     assert(evolved.filter(col("k") === 7L).head().isNullAt(3))
   }
+
+  // ---- stage-first commit path: bulk-ingest regimes, crash windows,
+  // and concurrent writers (the r8 path gets its own fault coverage) --
+
+  /** Basenames of the files the latest manifest references. */
+  private def manifestFiles(t: String): Set[String] =
+    TxLog.latest(spark, t).get.files
+      .map(e => e.path.substring(e.path.lastIndexOf('/') + 1)).toSet
+
+  /** Basenames of the parquet data files actually on disk. */
+  private def diskFiles(t: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$t/data")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Run `body` with the probe cap shrunk (driving small batches down
+    * the over-cap bulk-ingest code paths) while collecting the commit
+    * phases `timed` observed. */
+  private def withBulkRegime[T](cap: Int)(body: => T): (T, Seq[String]) = {
+    val tags = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    TxLog.probeCapOverride = Some(cap)
+    TxLog.timedHook = (tag, _) => { tags.add(tag); () }
+    try { val r = body; (r, tags.toArray.map(_.toString).toSeq) }
+    finally { TxLog.probeCapOverride = None; TxLog.timedHook = (_, _) => () }
+  }
+
+  test("stage-first bulk ingest: an over-cap proven-unique insert-only " +
+      "batch is a pure append — one stage write, no merge rewrite") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1000000L, 1L, "seed"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    val before = manifestFiles(t)
+    val (_, tags) = withBulkRegime(cap = 10) {
+      TxLog.commitUpsert((1L to 500L).map(k => (k, 1L, s"p$k"))
+        .toDF("k", "ver", "payload"), t, "k", "ver", failOnDupPk = true)
+    }
+    // ONE staging of the delta; the exact over-cap uniqueness proof
+    // ran; and — the r8 flaw — the proven-unique batch must NOT be
+    // re-staged through the merge branch (2x write amplification on
+    // exactly the 100 TB bulk-ingest regime)
+    assert(tags.count(_ == "stage+write") == 1, s"phases: $tags")
+    assert(tags.contains("dupCheck"), s"phases: $tags")
+    assert(!tags.contains("merge+write"),
+      s"proven-unique bulk batch re-staged through the merge branch: $tags")
+    assert(TxLog.read(spark, t).get.count() == 501L)
+    // the staged files ARE the commit: manifest grew by the staged
+    // set and the disk holds nothing the manifest doesn't reference
+    assert(manifestFiles(t).subsetOf(diskFiles(t)))
+    assert(diskFiles(t) == manifestFiles(t),
+      s"orphans: ${diskFiles(t) -- manifestFiles(t)}")
+    assert((manifestFiles(t) -- before).nonEmpty)
+  }
+
+  test("stage-first bulk merge: an over-cap duplicate-carrying batch " +
+      "is sized by rows, not funneled through one task/file") {
+    val t = freshTable()
+    // 150k rows, every pk twice (last-wins fold) — over the shrunk
+    // cap, so unique=false and the merge branch runs with NO holder
+    // files; sizing by max(1, hold.size) would repartition(1) into a
+    // single giant file whose [min,max] spans the whole key space
+    val n = 75000
+    val rows = (0 until 2 * n).map(i => (i.toLong % n, (i / n).toLong,
+      s"p$i"))
+    val (_, tags) = withBulkRegime(cap = 10) {
+      TxLog.commitUpsert(rows.toDF("k", "ver", "payload"), t, "k", "ver")
+    }
+    assert(tags.contains("merge+write"), s"phases: $tags")
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.files.length >= 2,
+      s"bulk merge wrote ${snap.files.length} file(s) — one-task funnel")
+    val got = TxLog.read(spark, t).get
+    assert(got.count() == n.toLong)
+    // last-wins: survivor of every key is the ver=1 copy
+    assert(got.filter(col("ver") =!= 1L).isEmpty)
+    assert(diskFiles(t) == manifestFiles(t),
+      s"orphans: ${diskFiles(t) -- manifestFiles(t)}")
+  }
+
+  test("stage-first crash window: a publishGate abort drops the staged " +
+      "files — no orphans, table intact at the prior version") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a"), (2L, 1L, "b"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    val disk1 = diskFiles(t)
+    val boom = intercept[RuntimeException] {
+      TxLog.commitUpsert(Seq((3L, 1L, "c")).toDF("k", "ver", "payload"),
+        t, "k", "ver",
+        publishGate = () => sys.error("gate: sibling commit failed"))
+    }
+    assert(boom.getMessage.contains("sibling commit failed"))
+    assert(TxLog.latest(spark, t).get.version == 1L)
+    assert(TxLog.read(spark, t).get.count() == 2L)
+    assert(diskFiles(t) == disk1,
+      s"aborted commit leaked staged files: ${diskFiles(t) -- disk1}")
+  }
+
+  test("stage-first lost race flips eligibility mid-retry: falls back " +
+      "to the classic path, nothing lost, no orphans") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a"), (2L, 1L, "b"))
+      .toDF("k", "ver", "payload"), t, "k", "ver")
+    // the competing writer runs INSIDE the gate — i.e. after writer
+    // A staged and probed, immediately before A's publish attempt —
+    // and its MOR delete leaves deletion vectors, which invalidate
+    // A's stage-first eligibility on the retry
+    val raced = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val v = TxLog.commitUpsert(
+      Seq((3L, 1L, "c")).toDF("k", "ver", "payload"), t, "k", "ver",
+      publishGate = () => {
+        if (raced.compareAndSet(false, true)) {
+          assert(TxLog.commitDeleteMor(spark, t, col("k") === 1L)
+            .contains(2L))
+          ()
+        }
+      })
+    assert(v == 3L, s"fallback commit landed at version $v")
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now == Map(2L -> "b", 3L -> "c"), now.toString)
+    assert(TxLog.vacuumOrphans(spark, t, graceMs = 0L) == 0,
+      "the race's abandoned staged files were not self-cleaned")
+  }
+
+  test("concurrent stage-first writers converge: all commits land, " +
+      "every commit staged exactly once, zero orphans") {
+    val t = freshTable()
+    val tags = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    TxLog.timedHook = (tag, _) => { tags.add(tag); () }
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // disjoint fresh keys + one shared hot key per round: pure
+      // appends AND holder merges both race through stage-first
+      val futures = (0 until 4).map { w =>
+        Future {
+          (0 until 3).foreach { r =>
+            val ver = (r * 4 + w + 1).toLong
+            val rows = Seq((w * 100L + r, ver, s"w$w-r$r"),
+              (1000L, ver, s"hot-w$w-r$r"))
+            TxLog.commitUpsert(rows.toDF("k", "ver", "payload"),
+              t, "k", "ver")
+          }
+        }
+      }
+      Await.result(Future.sequence(futures), 5.minutes)
+    } finally { pool.shutdown(); TxLog.timedHook = (_, _) => () }
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.version == 12L, s"expected 12 commits, got ${snap.version}")
+    val rows = TxLog.read(spark, t).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows.size == 13, s"12 disjoint keys + hot key, got $rows")
+    assert(rows(1000L) == 12L, s"hot-key survivor version ${rows(1000L)}")
+    (0 until 4).foreach(w => (0 until 3).foreach(r =>
+      assert(rows(w * 100L + r) == (r * 4 + w + 1).toLong)))
+    val ts = tags.toArray.map(_.toString).toSeq
+    // every commit staged its delta exactly once — losers retry the
+    // PROBE from the staged files, never re-stage the batch
+    assert(ts.count(_ == "stage+write") == 12, s"stage count: ${
+      ts.count(_ == "stage+write")}")
+    // merged-away holder files stay on disk as HISTORY (time travel),
+    // so disk ⊇ manifest; what must NOT exist is a file no version
+    // references — the losers' abandoned stagings
+    assert(manifestFiles(t).subsetOf(diskFiles(t)))
+    assert(TxLog.vacuumOrphans(spark, t, graceMs = 0L) == 0,
+      "a racing writer leaked staged files no version references")
+  }
 }
