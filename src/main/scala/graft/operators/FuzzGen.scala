@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 12000) return genDecimal(i, rng, pc, ps, name)
     if (i >= 11000) return genTsArith(i, rng, pc, ps, name)
     if (i >= 10000) return genStringFns(i, rng, pc, ps, name)
     if (i >= 9000) return genAdvWindow(i, rng, pc, ps, name)
@@ -1357,6 +1358,133 @@ object FuzzGen {
     }
   }
 
+  /** DECIMAL-arithmetic shapes (index space ≥12000): precision/scale
+    * propagation in multiply, terminating division, SUM widening,
+    * rounding at scale cuts, mixed-scale add chains, and decimal
+    * compare/min/max/mod — the classic engine-drift family after
+    * timestamps. Dialect guard-rails (each probed empirically):
+    * operands derive from BIGINT columns plus exact decimal literals,
+    * never from DOUBLE columns (double→decimal conversion at ULP
+    * boundaries is its own drift family); every surfaced decimal is
+    * CAST to one explicit DECIMAL(p,s) in BOTH renderings (Spark and
+    * DuckDB propagate different result types — e.g. sum(DECIMAL(14,3))
+    * is DECIMAL(24,3) in Spark but DECIMAL(38,3) in DuckDB — and the
+    * driver compares string forms, which carry the scale); division
+    * denominators are powers of TWO only (DuckDB decimal division
+    * returns DOUBLE, so the quotient must be binary-exact for the
+    * explicit re-CAST to agree with Spark's all-decimal path);
+    * scale-REDUCING casts are value-exact only — a tie at the cut
+    * digit rounds HALF_UP in Spark but HALF_EVEN in DuckDB's CAST
+    * (2.5 → 3 vs 2) — while round() ties are fine (both round away
+    * from zero); AVG over decimal is excluded (DuckDB returns
+    * DOUBLE); decimal overflow is excluded as untestable by oracle
+    * (Spark non-ANSI yields NULL, DuckDB raises). */
+  private def genDecimal(i: Int, rng: Random, pc: Column, ps: String,
+                         name: String): Fuzz = {
+    rng.nextInt(6) match {
+      case 0 => // multiply propagation: (12,3) x (12,2) -> scale 5 exact
+        val m = 7 + rng.nextInt(90)
+        val fa = Seq("0.125", "0.375", "0.625", "0.875")(rng.nextInt(4))
+        val fb = Seq("0.04", "0.08", "0.16", "0.32")(rng.nextInt(4))
+        val a = s"(CAST(user_id % $m AS DECIMAL(12,3)) + " +
+          s"CAST($fa AS DECIMAL(12,3)))"
+        val b = s"(CAST(event_id % 11 AS DECIMAL(12,2)) + " +
+          s"CAST($fb AS DECIMAL(12,2)))"
+        val prod = s"CAST($a * $b AS DECIMAL(30,5))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), expr(prod).as("prod"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $prod AS prod
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 1 => // terminating division (pow-2 denominators only)
+        val den = Seq("2", "4", "8", "16", "32", "0.5", "0.25")(
+          rng.nextInt(7))
+        val m = 50 + rng.nextInt(400)
+        val a = s"CAST(user_id % $m AS DECIMAL(18,3))"
+        val quot = s"CAST($a / CAST($den AS DECIMAL(9,2)) AS DECIMAL(24,6))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), expr(quot).as("quot"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $quot AS quot
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 2 => // SUM widening: explicit re-CAST pins both engines' types
+        val m = 13 + rng.nextInt(200)
+        val f = Seq("0.125", "0.250", "0.375")(rng.nextInt(3))
+        val a = s"(CAST(user_id % $m AS DECIMAL(14,3)) + " +
+          s"CAST($f AS DECIMAL(14,3)))"
+        val tot = s"CAST(SUM($a) AS DECIMAL(38,3))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(col("event_type"))
+            .agg(expr(tot).as("tot"), count(lit(1)).as("ct"))
+            .orderBy("event_type"),
+          s"""SELECT event_type, $tot AS tot, count(*) AS ct
+             |FROM events WHERE $ps
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      case 3 => // round() at a scale cut, ties and negatives included
+        val m = 16 + rng.nextInt(160)
+        val off = m / 2
+        // k/8 has exactly the .x25/.x50/.x75 tails whose round(.,1)
+        // drops 0.025/0.050/0.075 — including the exact tie, which
+        // both engines' round() takes away from zero
+        val a = s"(CAST((user_id % $m) - $off AS DECIMAL(14,3)) / " +
+          "CAST(8 AS DECIMAL(4,0)))"
+        val r1 = s"CAST(round($a, 1) AS DECIMAL(16,1))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), expr(r1).as("r1"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $r1 AS r1
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 4 => // mixed-scale add/subtract chain -> widest scale, exact
+        val m = 9 + rng.nextInt(120)
+        val a = s"CAST(user_id % $m AS DECIMAL(12,2))"
+        val b = s"CAST(event_id % 7 AS DECIMAL(12,5))"
+        val c = "CAST(0.03125 AS DECIMAL(8,5))"
+        val sumc = s"CAST($a + $b - $c AS DECIMAL(26,5))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), expr(sumc).as("mix"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $sumc AS mix
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case _ => // decimal compare + min/max/mod aggregate
+        val m = 11 + rng.nextInt(140)
+        val k = 2 + rng.nextInt(5)
+        val a = s"(CAST(user_id % $m AS DECIMAL(16,3)) + " +
+          "CAST(0.125 AS DECIMAL(16,3)))"
+        val lo = s"CAST(${m / 3} AS DECIMAL(10,2))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc).filter(expr(s"$a > $lo"))
+            .groupBy(expr(s"user_id % $k").as("grp"))
+            .agg(expr(s"CAST(min($a) AS DECIMAL(20,3))").as("mn"),
+              expr(s"CAST(max($a) AS DECIMAL(20,3))").as("mx"),
+              expr(s"CAST(min($a % CAST(2.5 AS DECIMAL(6,1))) " +
+                "AS DECIMAL(20,3))").as("mmod"),
+              count(lit(1)).as("ct"))
+            .orderBy("grp"),
+          s"""SELECT user_id % $k AS grp,
+             |       CAST(min($a) AS DECIMAL(20,3)) AS mn,
+             |       CAST(max($a) AS DECIMAL(20,3)) AS mx,
+             |       CAST(min($a % CAST(2.5 AS DECIMAL(6,1))) AS DECIMAL(20,3)) AS mmod,
+             |       count(*) AS ct
+             |FROM events WHERE $ps AND $a > $lo
+             |GROUP BY 1 ORDER BY grp""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -1372,7 +1500,10 @@ object FuzzGen {
     * non-empty — their anchors are spines/key-moduli, satisfiable at
     * every SF by construction; all 20 grouping-sets/FILTER cases
     * vetted non-empty — a rollup/cube over an empty slice still
-    * emits its grand-total row). Re-run FuzzVet and re-pin if the
+    * emits its grand-total row; decimal space 12000: 12007/12009/
+    * 12010/12020/12025/12029 are empty at sf0.001 and 12013 empty
+    * everywhere — all unsatisfiable predicate draws — so the next
+    * indices pin in their place). Re-run FuzzVet and re-pin if the
     * driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
@@ -1403,7 +1534,11 @@ object FuzzGen {
       10016, 10017, 10018, 10019,
       11000, 11001, 11002, 11003, 11004, 11005, 11006, 11007,
       11008, 11009, 11010, 11011, 11012, 11013, 11014, 11015,
-      11016, 11017, 11018, 11019, 11020, 11021, 11022, 11023)
+      11016, 11017, 11018, 11019, 11020, 11021, 11022, 11023,
+      12000, 12001, 12002, 12003, 12004, 12005, 12006, 12008,
+      12011, 12012, 12014, 12015, 12016, 12017, 12018, 12019,
+      12021, 12022, 12023, 12024, 12026, 12027, 12028, 12030,
+      12031)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

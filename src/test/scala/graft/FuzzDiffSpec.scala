@@ -23,9 +23,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (8000 until 8040).map(FuzzGen.gen) ++ // the grouping-sets/FILTER-aggregate space
     (9000 until 9040).map(FuzzGen.gen) ++ // the window-frame/navigation space
     (10000 until 10040).map(FuzzGen.gen) ++ // the string-function space
-    (11000 until 11040).map(FuzzGen.gen)  // the timestamp/interval space
+    (11000 until 11040).map(FuzzGen.gen) ++ // the timestamp/interval space
+    (12000 until 12040).map(FuzzGen.gen)  // the decimal-arithmetic space
 
-  test("520 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp cases: DataFrame plan == SQL text") {
+  test("560 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp/decimal cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
