@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 13000) return genFloat(i, rng, pc, ps, name)
     if (i >= 12000) return genDecimal(i, rng, pc, ps, name)
     if (i >= 11000) return genTsArith(i, rng, pc, ps, name)
     if (i >= 10000) return genStringFns(i, rng, pc, ps, name)
@@ -1485,6 +1486,135 @@ object FuzzGen {
     }
   }
 
+  /** FLOAT/DOUBLE-semantics shapes (index space ≥13000): NaN/Infinity
+    * taxonomy (grouping, ordering-as-greatest, aggregate
+    * propagation), exact integer-valued double sums, IEEE
+    * floor/ceil/abs/sign/round grids on binary-exact k/4 values,
+    * transcendentals, greatest/least null-skipping with NaN, and
+    * fmod sign behavior. Dialect guard-rails (each probed
+    * empirically): NaN/Infinity literals are `CAST('NaN'/'Infinity'
+    * AS DOUBLE)` (both engines parse them; both group all NaNs as one
+    * key, compare NaN greatest-and-equal-to-itself, and propagate
+    * NaN through sum/max); double→INTEGRAL casts are EXCLUDED (Spark
+    * truncates, DuckDB rounds half-even: 2.7 → 2 vs 3); x/0.0 is
+    * EXCLUDED (Spark IEEE Infinity, DuckDB NULL); sqrt of negatives
+    * EXCLUDED (Spark NaN, DuckDB raises); doubles never cast to
+    * STRING (formatting drift) — raw doubles surface through the
+    * driver's 6-significant-digit normalization, which absorbs libm
+    * ULP differences in the transcendental pins; non-integer-valued
+    * SUM operands stay binary-exact (k/4, k/8) so accumulation order
+    * can't drift the total; signed zero is never surfaced as a group
+    * key (Spark normalizes -0.0 to 0.0, DuckDB keeps the sign bit);
+    * round() ties on doubles agree (both away from zero — while CAST
+    * ties don't, same split the DECIMAL space documents). */
+  private def genFloat(i: Int, rng: Random, pc: Column, ps: String,
+                       name: String): Fuzz = {
+    rng.nextInt(6) match {
+      case 0 => // NaN/Infinity taxonomy: grouping + aggregate propagation
+        val m = 7 + rng.nextInt(16)
+        val y = s"CASE WHEN user_id % $m = 0 THEN CAST('NaN' AS DOUBLE) " +
+          s"WHEN user_id % $m = 1 THEN CAST('Infinity' AS DOUBLE) " +
+          s"ELSE CAST(user_id % 97 AS DOUBLE) / 8.0 END"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(col("event_type"))
+            .agg(expr(s"sum(CASE WHEN isnan($y) THEN 1 ELSE 0 END)")
+                .as("nan_ct"),
+              expr(s"sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 " +
+                "THEN 1 ELSE 0 END)").as("inf_ct"),
+              expr(s"max($y)").as("mx"), // NaN when any row is NaN
+              expr(s"min($y)").as("mn"),
+              count(lit(1)).as("ct"))
+            .orderBy("event_type"),
+          s"""SELECT event_type,
+             |       sum(CASE WHEN isnan($y) THEN 1 ELSE 0 END) AS nan_ct,
+             |       sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 THEN 1 ELSE 0 END) AS inf_ct,
+             |       max($y) AS mx, min($y) AS mn, count(*) AS ct
+             |FROM events WHERE $ps
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      case 1 => // exact integer-valued double sums (order-free)
+        val m = 23 + rng.nextInt(300)
+        val a = s"CAST(user_id % $m AS DOUBLE)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(col("event_type"))
+            .agg(expr(s"sum($a)").as("tot"),
+              expr(s"sum($a * $a)").as("tot_sq"),
+              count(lit(1)).as("ct"))
+            .orderBy("event_type"),
+          s"""SELECT event_type, sum($a) AS tot, sum($a * $a) AS tot_sq,
+             |       count(*) AS ct
+             |FROM events WHERE $ps
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      case 2 => // IEEE floor/ceil/abs/sign/round grid on exact k/4
+        val m = 16 + rng.nextInt(200)
+        val off = m / 2
+        val x = s"(CAST((user_id % $m) - $off AS DOUBLE) / 4.0)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"floor($x)").as("fl"), expr(s"ceil($x)").as("ce"),
+              expr(s"abs($x)").as("ab"), expr(s"sign($x)").as("sg"),
+              expr(s"round($x)").as("rd")) // .5 ties away from zero, both
+            .orderBy("event_id"),
+          s"""SELECT event_id, floor($x) AS fl, ceil($x) AS ce,
+             |       abs($x) AS ab, sign($x) AS sg, round($x) AS rd
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 3 => // transcendentals through the 6-sig-digit norm
+        val m = 9 + rng.nextInt(40)
+        val x = s"(1.0 + CAST(user_id % $m AS DOUBLE) / 8.0)"
+        val e = s"(CAST(user_id % 13 AS DOUBLE) / 4.0)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"ln($x)").as("lx"), expr(s"sqrt($x)").as("qx"),
+              expr(s"exp($e)").as("ex"),
+              expr(s"power($x, 2.0)").as("px"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, ln($x) AS lx, sqrt($x) AS qx,
+             |       exp($e) AS ex, power($x, 2.0) AS px
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 4 => // greatest/least: null-skipping + NaN-greatest, both
+        val m = 9 + rng.nextInt(20)
+        val y = s"CASE WHEN user_id % $m = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"WHEN user_id % $m = 1 THEN CAST('NaN' AS DOUBLE) " +
+          s"ELSE CAST(user_id % 31 AS DOUBLE) / 2.0 END"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"greatest($y, 5.0)").as("g5"),
+              expr(s"least($y, 5.0)").as("l5"),
+              expr(s"coalesce($y, -1.0)").as("co"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, greatest($y, 5.0) AS g5,
+             |       least($y, 5.0) AS l5, coalesce($y, -1.0) AS co
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case _ => // fmod: C-style remainder, sign of the dividend (both)
+        val m = 16 + rng.nextInt(120)
+        val off = m / 2
+        val x = s"(CAST((user_id % $m) - $off AS DOUBLE) / 4.0)"
+        val den = Seq("2.0", "4.0", "0.5", "1.5")(rng.nextInt(4))
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"$x % $den").as("md"),
+              expr(s"abs($x % $den)").as("amd"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $x % $den AS md, abs($x % $den) AS amd
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -1503,8 +1633,9 @@ object FuzzGen {
     * emits its grand-total row; decimal space 12000: 12007/12009/
     * 12010/12020/12025/12029 are empty at sf0.001 and 12013 empty
     * everywhere — all unsatisfiable predicate draws — so the next
-    * indices pin in their place). Re-run FuzzVet and re-pin if the
-    * driver regenerates testdata. */
+    * indices pin in their place; float space 13000: only 13015 is
+    * empty, 13016+ pin in its place). Re-run FuzzVet and re-pin if
+    * the driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
       17, 18, 19, 20,
@@ -1538,7 +1669,11 @@ object FuzzGen {
       12000, 12001, 12002, 12003, 12004, 12005, 12006, 12008,
       12011, 12012, 12014, 12015, 12016, 12017, 12018, 12019,
       12021, 12022, 12023, 12024, 12026, 12027, 12028, 12030,
-      12031)
+      12031,
+      13000, 13001, 13002, 13003, 13004, 13005, 13006, 13007,
+      13008, 13009, 13010, 13011, 13012, 13013, 13014, 13016,
+      13017, 13018, 13019, 13020, 13021, 13022, 13023, 13024,
+      13025)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

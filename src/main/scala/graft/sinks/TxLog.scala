@@ -228,6 +228,33 @@ object TxLog {
   def readVersion(spark: SparkSession, table: String, version: Long): Option[DataFrame] =
     readFiles(spark, table, version, _ => true)
 
+  /** Time travel by TIMESTAMP (the Delta `timestampAsOf` contract):
+    * read the table as of the LATEST version whose manifest publish
+    * time is ≤ `tsMillis`. Publish times are the manifests'
+    * filesystem mtimes — commits publish by atomic rename, so mtime
+    * order matches version order up to clock granularity, and on a
+    * tie the higher version wins (max of the qualifying versions).
+    * None when the table is absent or every RETAINED manifest
+    * postdates the timestamp — after `expireVersions` the resolution
+    * is against what is retained, the same behavior Delta has after
+    * VACUUM drops old log entries. */
+  def readAsOf(spark: SparkSession, table: String,
+               tsMillis: Long): Option[DataFrame] = {
+    val fs = fsOf(spark, table)
+    val dir = new Path(s"$table/$LogDir")
+    if (!fs.exists(dir)) return None
+    val qualifying = fs.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".manifest") &&
+          st.getModificationTime <= tsMillis
+      }
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest")
+        .toLong)
+    if (qualifying.isEmpty) None
+    else readVersion(spark, table, qualifying.max)
+  }
+
   /** Partition-pruned read at the latest version: only data files whose
     * manifest partition value passes `keep` are listed, opened, or
     * scanned — manifest-level pruning, the same skip Hive/Delta get
@@ -317,6 +344,10 @@ object TxLog {
       v: Any): Long = v match {
     case l: java.lang.Long => bf.hash(l.longValue())
     case i: java.lang.Integer => bf.hash(i.intValue())
+    // short/byte columns land in parquet as INT32, so their blooms
+    // were fed ints — hash the widened int, matching the writer
+    case s: java.lang.Short => bf.hash(s.intValue())
+    case b: java.lang.Byte => bf.hash(b.intValue())
     case s: String =>
       bf.hash(org.apache.parquet.io.api.Binary.fromString(s))
     case d: java.lang.Double => bf.hash(d.doubleValue())
@@ -762,10 +793,21 @@ object TxLog {
         .drop(PkHashCol))
     // append commits (no holder files) size their file count by the
     // batch, so a large append writes in parallel instead of through
-    // one task; merge commits re-level the holder set
+    // one task; merge commits re-level the holder set — with the
+    // batch's rows as a second term, so a bulk batch folding into a
+    // FEW holder files doesn't funnel view-sized output through one
+    // task into files too large to prune (holder rows ride the
+    // manifest's RowsStat; pre-RowsStat files under-count, which only
+    // costs file-count granularity)
     val outFiles =
-      if (hold.nonEmpty) hold.size
-      else math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1))
+      if (hold.isEmpty)
+        math.max(1, math.min(32, hsRows.length / AppendRowsPerFile + 1))
+      else {
+        val heldRows = hold.iterator.flatMap(
+          _.stats.find(_.col == RowsStat).map(_.min)).sum
+        math.max(hold.size, math.min(32L,
+          (hsRows.length.toLong + heldRows) / AppendRowsPerFile + 1).toInt)
+      }
     Some(PrunedPlan(carried, holdRows, schemaOnly, outFiles, unique,
       batchEmpty = hsRows.isEmpty))
   }
@@ -1775,6 +1817,32 @@ object TxLog {
     * does NOT force the next upsert into a full rewrite. This is how
     * an IVM table compacts: small-file debt from many pruned commits
     * → one `optimize(pk = Some(key))` → pruned commits continue. */
+  /** Opportunistic small-file-debt compaction for long-lived
+    * incremental tables (the IVM accumulators grow by a few files per
+    * commit forever without one): when the latest snapshot references
+    * more than `maxFiles` data files AND a rows-sized rewrite would
+    * actually reduce the count, run the pk-layout [[optimize]] to
+    * `rows / AppendRowsPerFile` files (so pruned commits continue
+    * afterwards). Self-gating: a table whose files are already
+    * full-size has `target >= current` and is left alone — calling
+    * this after every commit is safe and usually a no-op. Skips
+    * DV-carrying snapshots (a rewrite would have to materialize the
+    * masks; run a real optimize deliberately for that). Returns the
+    * compaction commit's version, None when nothing was done. */
+  def compactIfNeeded(spark: SparkSession, table: String, pk: String,
+                      maxFiles: Int = 128): Option[Long] =
+    latest(spark, table) match {
+      case Some(s) if s.files.length > maxFiles && s.dvs.isEmpty =>
+        val rows = s.files.iterator.flatMap(
+          _.stats.find(_.col == RowsStat).map(_.min)).sum
+        val target = math.max(1L, rows / AppendRowsPerFile + 1)
+          .min(Int.MaxValue.toLong).toInt
+        if (target < s.files.length)
+          optimize(spark, table, targetFiles = target, pk = Some(pk))
+        else None
+      case _ => None
+    }
+
   def optimize(spark: SparkSession, table: String,
                zorderCols: Seq[String] = Nil, targetFiles: Int = 8,
                bits: Int = 6, maxRetries: Int = 20,

@@ -988,6 +988,54 @@ class TxLogSpec extends SparkTestBase {
     assert(evolved.filter(col("k") === 7L).head().isNullAt(3))
   }
 
+  test("readAsOf: timestamp time travel resolves the latest version " +
+      "published at or before the timestamp") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    Thread.sleep(1100) // manifest mtime granularity can be 1 s
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    TxLog.commitUpsert(Seq((2L, 2L, "b")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    // before the first commit: no version qualifies
+    assert(TxLog.readAsOf(spark, t, 1000L).isEmpty)
+    // between the commits: v1 exactly
+    val asOf = TxLog.readAsOf(spark, t, between).get.collect()
+    assert(asOf.map(_.getLong(0)).toSet == Set(1L), asOf.mkString(","))
+    // now: the latest
+    assert(TxLog.readAsOf(spark, t, System.currentTimeMillis())
+      .get.count() == 2L)
+    assert(TxLog.readAsOf(spark, t + "-absent", between).isEmpty)
+  }
+
+  test("compactIfNeeded: folds small-file debt when over the file cap, " +
+      "no-ops otherwise, and pruned commits continue afterwards") {
+    val t = freshTable()
+    (0 until 40).foreach(i => TxLog.commitUpsert(
+      Seq((i.toLong, 1L, s"p$i")).toDF("k", "ver", "payload"),
+      t, "k", "ver"))
+    assert(TxLog.latest(spark, t).get.files.length == 40)
+    // under the cap: untouched
+    assert(TxLog.compactIfNeeded(spark, t, "k", maxFiles = 64).isEmpty)
+    assert(TxLog.latest(spark, t).get.files.length == 40)
+    // over the cap: rows-sized rewrite (40 single-row files -> 1)
+    val v = TxLog.compactIfNeeded(spark, t, "k", maxFiles = 16)
+    assert(v.contains(41L), v.toString)
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.files.length == 1, s"files: ${snap.files.length}")
+    // pk layout preserved: every file still carries PkHashCol stats,
+    // so the next upsert stays on the pruned/stage-first path
+    assert(snap.files.forall(_.stats.exists(_.col == TxLog.PkHashCol)))
+    TxLog.commitUpsert(Seq((7L, 2L, "u7")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    val now = TxLog.read(spark, t).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(now.size == 40 && now(7L) == "u7" && now(39L) == "p39")
+    // immediately after compaction: self-gating no-op (already sized)
+    assert(TxLog.compactIfNeeded(spark, t, "k", maxFiles = 1).isEmpty)
+  }
+
   // ---- stage-first commit path: bulk-ingest regimes, crash windows,
   // and concurrent writers (the r8 path gets its own fault coverage) --
 
@@ -1067,6 +1115,26 @@ class TxLogSpec extends SparkTestBase {
     assert(got.filter(col("ver") =!= 1L).isEmpty)
     assert(diskFiles(t) == manifestFiles(t),
       s"orphans: ${diskFiles(t) -- manifestFiles(t)}")
+  }
+
+  test("classic pruned merge sizes output by rows too: a bulk batch " +
+      "folding into ONE holder file fans out instead of one task/file") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "seed")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    assert(TxLog.latest(spark, t).get.files.length == 1)
+    // 140k-row batch overlapping the single seed file: pre-fix the
+    // merge inherited outFiles = hold.size = 1 — one task rewriting
+    // everything into one file spanning the whole key space
+    val n = 140000
+    TxLog.commitUpsert((0 until n).map(i => (i.toLong, 2L, s"p$i"))
+      .toDF("k", "ver", "payload"), t, "k", "ver", updateHeavy = true)
+    val snap = TxLog.latest(spark, t).get
+    assert(snap.files.length >= 2,
+      s"bulk merge wrote ${snap.files.length} file(s) — one-task funnel")
+    val got = TxLog.read(spark, t).get
+    assert(got.count() == n.toLong)
+    assert(got.filter(col("k") === 1L).head().getString(2) == "p1")
   }
 
   test("stage-first crash window: a publishGate abort drops the staged " +
