@@ -403,12 +403,14 @@ object SparkEntry {
         col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_extendedprice"))
-      (0 until 3).foreach(i => graft.streaming.JoinIndex.mergeBatch(
-        ord.filter(pmod(col("o_orderkey"), lit(3)) === i),
-        li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
-          lit(3)) === i),
-        table, key = "o_orderkey", pkCols = liCols,
-        batchId = i + 1L))
+      (0 until 3).foreach(i =>
+        graft.core.Walls.timed(s"dim_wide_join_incremental.third$i")(
+          graft.streaming.JoinIndex.mergeBatch(
+            ord.filter(pmod(col("o_orderkey"), lit(3)) === i),
+            li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
+              lit(3)) === i),
+            table, key = "o_orderkey", pkCols = liCols,
+            batchId = i + 1L)))
       graft.streaming.JoinIndex.load(s, table).get
         .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderstatus"),

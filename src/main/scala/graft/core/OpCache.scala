@@ -24,11 +24,27 @@ object OpCache {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Persist `df` (MEMORY_AND_DISK) under the operator's slot,
-    * releasing whatever the slot held before. */
+    * releasing whatever the slot held before — UNLESS the previous
+    * frame is plan-identical to the new one: Spark's CacheManager
+    * dedupes `persist` by canonicalized plan ("Asked to cache already
+    * cached data"), so a deterministic operator re-built over the
+    * same input re-registers the SAME cache entry, and unpersisting
+    * the previous frame would kill the entry the new frame just
+    * joined (the shared subtree silently re-derives — PlanSpec's
+    * cache-reader pins catch exactly this). A plan-identical slot
+    * swap holds one entry either way, so skipping the release leaks
+    * nothing. */
   def shared(tag: String, df: DataFrame): DataFrame = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     val prev = slots.put(tag, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(
+          cached.queryExecution.analyzed)) {
+      // a prev from a since-stopped test session must not poison the
+      // new registration
+      try prev.unpersist(false)
+      catch { case _: Exception => () }
+    }
     cached
   }
 

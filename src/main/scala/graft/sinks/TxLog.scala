@@ -992,25 +992,32 @@ object TxLog {
     // collision between distinct pks, so under failOnDupPk the same
     // exact aggregate adjudicates before aborting — and when it
     // passes, uniqueness is proven and the append path reopens.
-    val unique: Boolean = uniqueByHarvest || {
-      if (sortedHs.isDefined && !failOnDupPk) false
-      // bounded batch with real duplicate hashes and no uniqueness
-      // contract: almost certainly intended last-wins folds — merge
-      else {
-        val noDups = try timed("dupCheck")(
-          stagedRead.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
-            .filter(col("__n") > 1).isEmpty)
-        catch { case e: Throwable => dropStaged(); throw e }
-        if (!noDups && failOnDupPk) {
-          dropStaged()
-          throw new IllegalArgumentException(
-            s"requirement failed: TxLog.commitUpsert($table): values " +
-              s"of pk '$pk' do not uniquely identify rows in this " +
-              "batch — the upsert would fold distinct rows")
-        }
-        noDups
+    def exactNoDups(): Boolean = {
+      val noDups = try timed("dupCheck")(
+        stagedRead.groupBy(col(pk)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).isEmpty)
+      catch { case e: Throwable => dropStaged(); throw e }
+      if (!noDups && failOnDupPk) {
+        dropStaged()
+        throw new IllegalArgumentException(
+          s"requirement failed: TxLog.commitUpsert($table): values " +
+            s"of pk '$pk' do not uniquely identify rows in this " +
+            "batch — the upsert would fold distinct rows")
       }
+      noDups
     }
+    // contract enforcement is EAGER (a failOnDupPk violation must
+    // abort even when the merge path would fold it); the opportunistic
+    // over-cap proof is LAZY — when holder files exist the commit
+    // merges regardless, so the proof would be a wasted delta scan.
+    // Bounded batches with real duplicate hashes and no contract are
+    // almost certainly intended last-wins folds: merge, no proof.
+    val uniqueEager: Option[Boolean] =
+      if (uniqueByHarvest) Some(true)
+      else if (failOnDupPk) Some(exactNoDups())
+      else if (sortedHs.isDefined) Some(false)
+      else None
+    lazy val unique: Boolean = uniqueEager.getOrElse(exactNoDups())
     val distinctHs = sortedHs.map(_.distinct)
     var attempt = 0
     var snap = snap0

@@ -137,7 +137,14 @@ object IvmScheduleProps extends Properties("ivm-schedules") {
       val want = odf(lb.flatten).join(ldf(rb.flatten), "o_orderkey")
         .select("o_orderkey", "l_linenumber", "o_custkey", "l_quantity")
         .as[(Long, Int, Long, Double)].collect().toSet
-      crashed && got == want
+      // storage-leak invariant: whatever the crash abandoned on the
+      // data plane was either self-cleaned by the abort path or is
+      // unreferenced-and-vacuumable — after convergence, NO table
+      // holds a file outside its retained history
+      val leaked = Seq("left", "right", "wide").map(s =>
+        graft.sinks.TxLog.vacuumOrphans(spark, s"$table/$s",
+          graceMs = 0L)).sum
+      crashed && got == want && leaked == 0
     }
 
   // ---- AggIndex ---------------------------------------------------
