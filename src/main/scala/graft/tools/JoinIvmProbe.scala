@@ -96,6 +96,32 @@ object JoinIvmProbe {
           .withColumn("o_orderkey", col("o_orderkey") + shift),
         table, key = "o_orderkey", pkCols = liCols, batchId = i + 38L)
     })
+    // maintenance: compactIfNeeded folds the accumulated small-file
+    // debt (the ~37 commits above left each side with 30-40 files)
+    // back to a rows-sized pk layout, and the timed post-compact tail
+    // shows pruned delta commits CONTINUE at flat cost — the
+    // operational loop a long-lived accumulator runs forever:
+    // commit smalls, compact when over the cap, keep committing
+    timed("compactIfNeeded all sides") {
+      Seq(("left", "o_orderkey"), ("right", "w_pk"), ("wide", "w_pk"))
+        .foreach { case (side, pk) =>
+          val v = graft.sinks.TxLog.compactIfNeeded(
+            spark, s"$table/$side", pk, maxFiles = 24)
+          println(s"[probe] compact $side -> $v, files now: " +
+            graft.sinks.TxLog.latest(spark, s"$table/$side")
+              .map(_.files.length).getOrElse(0))
+        }
+    }
+    (0 until 3).foreach(i => timed(s"mergeBatch 1pct-postcompact-$i") {
+      val shift = 950000000L * (i + 1)
+      graft.streaming.JoinIndex.mergeBatch(
+        ord.filter(pmod(col("o_orderkey"), lit(300)) === i)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        li.filter(pmod(col("o_orderkey") + col("l_linenumber"),
+          lit(300)) === i)
+          .withColumn("o_orderkey", col("o_orderkey") + shift),
+        table, key = "o_orderkey", pkCols = liCols, batchId = i + 41L)
+    })
     timed("load+count") {
       graft.streaming.JoinIndex.load(spark, table).get.count()
     }
