@@ -102,6 +102,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 14000) return genCoerce(i, rng, pc, ps, name)
     if (i >= 13000) return genFloat(i, rng, pc, ps, name)
     if (i >= 12000) return genDecimal(i, rng, pc, ps, name)
     if (i >= 11000) return genTsArith(i, rng, pc, ps, name)
@@ -1615,6 +1616,134 @@ object FuzzGen {
     }
   }
 
+  /** Type-coercion + DISTINCT-aggregate shapes (index space ≥14000):
+    * numeric↔string comparison coercion, DISTINCT aggregates with
+    * NULL operands (both engines exclude them), CASE/COALESCE branch
+    * type unification (int↔decimal), binary-collation string min/max
+    * (uppercase sorts before lowercase in BOTH engines' default byte
+    * order), concat/|| implicit casts, LIKE over stringified numbers,
+    * and UNION branch unification. Dialect guard-rails (probed):
+    * multi-column `count(DISTINCT a, b)` is EXCLUDED (Spark-only
+    * syntax; DuckDB wants a row-value tuple); string→numeric
+    * coercion only ever sees well-formed numeric strings built from
+    * BIGINT columns (a malformed cast is NULL in Spark, an ERROR in
+    * DuckDB); unified branch types are re-CAST to one explicit
+    * DECIMAL (the engines unify to different precisions). */
+  private def genCoerce(i: Int, rng: Random, pc: Column, ps: String,
+                        name: String): Fuzz = {
+    rng.nextInt(6) match {
+      case 0 => // numeric-string comparisons: lexicographic AND coerced
+        val m = 20 + rng.nextInt(80)
+        val k = rng.nextInt(10)
+        val lex = s"CAST(user_id % $m AS STRING) > '2'"   // byte order
+        val num = s"user_id % $m = '$k'"                  // string -> int
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"CASE WHEN $lex THEN 1 ELSE 0 END").as("lex_gt"),
+              expr(s"CASE WHEN $num THEN 1 ELSE 0 END").as("num_eq"))
+            .orderBy("event_id"),
+          s"""SELECT event_id,
+             |       CASE WHEN $lex THEN 1 ELSE 0 END AS lex_gt,
+             |       CASE WHEN $num THEN 1 ELSE 0 END AS num_eq
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 1 => // DISTINCT aggregates with NULL operands
+        val m = 5 + rng.nextInt(9)
+        val w = 7 + rng.nextInt(30)
+        val x = s"CASE WHEN user_id % $m = 0 THEN NULL " +
+          s"ELSE user_id % $w END"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(col("event_type"))
+            .agg(expr(s"count(DISTINCT $x)").as("dct"),
+              expr(s"sum(DISTINCT $x)").as("dsum"),
+              expr(s"count($x)").as("ct_x"), // nulls excluded
+              count(lit(1)).as("ct_all"))   // nulls counted
+            .orderBy("event_type"),
+          s"""SELECT event_type, count(DISTINCT $x) AS dct,
+             |       sum(DISTINCT $x) AS dsum,
+             |       count($x) AS ct_x, count(*) AS ct_all
+             |FROM events WHERE $ps
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      case 2 => // CASE/COALESCE branch unification (int vs decimal)
+        val m = 6 + rng.nextInt(20)
+        val f = Seq("2.5", "0.25", "7.5")(rng.nextInt(3))
+        val c = s"CAST(CASE WHEN user_id % $m = 0 THEN user_id % 9 " +
+          s"ELSE $f END AS DECIMAL(12,2))"
+        val co = s"CAST(coalesce(nullif(user_id % 5, 0), $f) " +
+          "AS DECIMAL(12,2))"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"), expr(c).as("unified"),
+              expr(co).as("co"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, $c AS unified, $co AS co
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 3 => // binary-collation string min/max over mixed case
+        val tag = Seq("Z", "a", "M")(rng.nextInt(3))
+        val sfx = s"concat('$tag-', event_type)"
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .groupBy(expr("user_id % 4").as("grp"))
+            .agg(expr(s"min($sfx)").as("mn"),
+              expr(s"max($sfx)").as("mx"),
+              expr("min(event_type)").as("mnt"),
+              count(lit(1)).as("ct"))
+            .orderBy("grp"),
+          s"""SELECT user_id % 4 AS grp, min($sfx) AS mn,
+             |       max($sfx) AS mx, min(event_type) AS mnt,
+             |       count(*) AS ct
+             |FROM events WHERE $ps
+             |GROUP BY 1 ORDER BY grp""".stripMargin)
+      case 4 => // concat/|| implicit casts + LIKE over stringified ints
+        val m = 50 + rng.nextInt(300)
+        val p = 1 + rng.nextInt(3)
+        Fuzz(name,
+          (s, d) => graft.core.Tables.events(s, d)
+            .filter(pc)
+            .select(col("event_id"),
+              expr(s"concat('u', user_id % $m)").as("cc"),
+              expr(s"'e' || (event_id % 100)").as("pp"),
+              expr(s"CASE WHEN CAST(user_id % $m AS STRING) " +
+                s"LIKE '$p%' THEN 1 ELSE 0 END").as("lk"))
+            .orderBy("event_id"),
+          s"""SELECT event_id, concat('u', user_id % $m) AS cc,
+             |       'e' || (event_id % 100) AS pp,
+             |       CASE WHEN CAST(user_id % $m AS STRING) LIKE '$p%' THEN 1 ELSE 0 END AS lk
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case _ => // UNION branch unification (int vs decimal), re-CAST
+        val m = 4 + rng.nextInt(12)
+        val f = Seq("1.25", "3.5")(rng.nextInt(2))
+        Fuzz(name,
+          (s, d) => {
+            val e = graft.core.Tables.events(s, d).filter(pc)
+            e.selectExpr("event_id", s"CAST(user_id % $m AS DECIMAL(12,2)) AS v")
+              .union(e.selectExpr("event_id",
+                s"CAST($f AS DECIMAL(12,2)) AS v"))
+              .groupBy(col("event_id")).agg(
+                expr("CAST(sum(v) AS DECIMAL(20,2))").as("sv"),
+                count(lit(1)).as("ct"))
+              .orderBy("event_id")
+          },
+          s"""SELECT event_id, CAST(sum(v) AS DECIMAL(20,2)) AS sv,
+             |       count(*) AS ct
+             |FROM (
+             |  SELECT event_id, CAST(user_id % $m AS DECIMAL(12,2)) AS v
+             |  FROM events WHERE $ps
+             |  UNION ALL
+             |  SELECT event_id, CAST($f AS DECIMAL(12,2)) AS v
+             |  FROM events WHERE $ps
+             |) GROUP BY event_id ORDER BY event_id""".stripMargin)
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -1634,7 +1763,9 @@ object FuzzGen {
     * 12010/12020/12025/12029 are empty at sf0.001 and 12013 empty
     * everywhere — all unsatisfiable predicate draws — so the next
     * indices pin in their place; float space 13000: only 13015 is
-    * empty, 13016+ pin in its place). Re-run FuzzVet and re-pin if
+    * empty, 13016+ pin in its place; coercion space 14000: all of
+    * 14000-14024 vetted non-empty — only 14030, outside the pinned
+    * range, is empty at sf0.001). Re-run FuzzVet and re-pin if
     * the driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
@@ -1673,7 +1804,11 @@ object FuzzGen {
       13000, 13001, 13002, 13003, 13004, 13005, 13006, 13007,
       13008, 13009, 13010, 13011, 13012, 13013, 13014, 13016,
       13017, 13018, 13019, 13020, 13021, 13022, 13023, 13024,
-      13025)
+      13025,
+      14000, 14001, 14002, 14003, 14004, 14005, 14006, 14007,
+      14008, 14009, 14010, 14011, 14012, 14013, 14014, 14015,
+      14016, 14017, 14018, 14019, 14020, 14021, 14022, 14023,
+      14024)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

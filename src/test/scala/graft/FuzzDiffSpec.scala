@@ -25,9 +25,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (10000 until 10040).map(FuzzGen.gen) ++ // the string-function space
     (11000 until 11040).map(FuzzGen.gen) ++ // the timestamp/interval space
     (12000 until 12040).map(FuzzGen.gen) ++ // the decimal-arithmetic space
-    (13000 until 13040).map(FuzzGen.gen)  // the float/double-semantics space
+    (13000 until 13040).map(FuzzGen.gen) ++ // the float/double-semantics space
+    (14000 until 14040).map(FuzzGen.gen)  // the coercion/DISTINCT space
 
-  test("600 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp/decimal/float cases: DataFrame plan == SQL text") {
+  test("640 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp/decimal/float/coercion cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
