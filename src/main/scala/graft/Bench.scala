@@ -23,6 +23,40 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  private def parsePairs(body: String): Map[String, Double] =
+    """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 >= 0)
+      .toMap
+
+  /** Floors file: per-query historical minima keyed by SF dir —
+    * `{"comment":…,"sfs":{"<sfDir>":{"q":min,…},…}}`. Keyed so that
+    * alternating SFs can't destroy each other's floor history (a
+    * single-SF file was overwritten wholesale whenever the bench ran
+    * at a different SF, re-introducing the anchor-reset drift floors
+    * exist to prevent). The legacy single-SF format
+    * (`{"sf":…,"queries":{…}}`) is still read and migrated into the
+    * map on the next write. */
+  private def readFloorsFile(path: String): Map[String, Map[String, Double]] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val sfsAt = text.indexOf("\"sfs\":{")
+      if (sfsAt >= 0) {
+        """"([^"]+)":\{([^}]*)\}""".r
+          .findAllMatchIn(text.substring(sfsAt + "\"sfs\":{".length))
+          .map(m => m.group(1) -> parsePairs(m.group(2)))
+          .toMap
+      } else {
+        val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+        val start = text.indexOf("\"queries\":{")
+        if (sf.isEmpty || start < 0) Map.empty
+        else Map(sf.get -> parsePairs(text.substring(
+          start + "\"queries\":{".length, text.indexOf('}', start))))
+      }
+    } catch { case _: Throwable => Map.empty }
+
   /** Release ALL executor-side state a query may have left behind —
     * cached tables plus persisted/localCheckpointed RDD blocks. Without
     * this, one query's leaked cache distorts every later timing (and
@@ -129,13 +163,8 @@ object Bench {
     // SF-keyed — a floor measured at another SF is no baseline at all.
     val floorsPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "BENCH_FLOORS.json")
-    val floorsSfOk = try {
-      val t = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(floorsPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      """"sf":"([^"]*)"""".r.findFirstMatchIn(t).exists(_.group(1) == sfDir)
-    } catch { case _: Throwable => false }
-    val floors = if (floorsSfOk) priorQueries(floorsPath) else Map.empty[String, Double]
+    val allFloors = readFloorsFile(floorsPath)
+    val floors = allFloors.getOrElse(sfDir, Map.empty[String, Double])
     val prior = (priorQueries(baselinePath).toSeq ++ floors.toSeq)
       .groupMapReduce(_._1)(_._2)(math.min)
     val byName = selected.toMap
@@ -176,15 +205,36 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    // roll this run's minima into the floor file (same-SF only): the
-    // next run's reprobe trigger anchors on the historical per-query
-    // min, so drift can't compound by re-anchoring on a drifted run
-    val newFloors = (floors.toSeq ++ results.filter(_._2 >= 0))
-      .groupMapReduce(_._1)(_._2)(math.min)
-    val floorsJson = s"""{"comment":"per-query historical min at this SF — the bench reprobe baseline; maintained by Bench itself","sf":"$sfDir","queries":${
-      newFloors.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")}}"""
+    // roll this run's minima into the floor file (this SF's section
+    // only): the next run's reprobe trigger anchors on the historical
+    // per-query min, so drift can't compound by re-anchoring on a
+    // drifted run. Roll-in is OUTLIER-GUARDED: floors are monotone
+    // decreasing and permanent, so one anomalously fast sample (a
+    // truncated table, a query that short-circuited) must not poison
+    // the anchor forever — a new min below 1/3 of the current floor
+    // (and by >0.3 s absolute) is clamped to current/3. A genuine 3x+
+    // speedup still converges: each subsequent real run walks the
+    // floor down another 3x until it matches.
+    val guarded = results.filter(_._2 >= 0).map { case (k, v) =>
+      floors.get(k) match {
+        case Some(c) if v < c / 3 && c - v > 0.3 =>
+          System.err.println(
+            f"[bench] $k%s floor roll-in clamped: $v%.2f s < 1/3 of " +
+              f"current floor $c%.2f s — recording ${c / 3}%.2f s " +
+              "(single-sample outlier guard)")
+          k -> c / 3
+        case Some(c) => k -> math.min(c, v)
+        case None => k -> v
+      }
+    }
+    val newFloors = (floors.toSeq ++ guarded).groupMapReduce(_._1)(_._2)(math.min)
+    val outSfs = allFloors + (sfDir -> newFloors)
+    val floorsJson = s"""{"comment":"per-query historical min keyed by SF dir — the bench reprobe baseline; maintained by Bench itself (outlier-clamped roll-in)","sfs":${
+      outSfs.toSeq.sortBy(_._1).map { case (sf, qs) =>
+        s"\"" + sf + "\":" + qs.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(floorsPath),
       (floorsJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

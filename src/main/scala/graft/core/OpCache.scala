@@ -3,40 +3,52 @@ package graft.core
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
-/** One-slot-per-operator cache pool for the analytics operators whose
-  * plans share a persisted helper frame across two consumers (the
-  * survival at-risk frame, the decomposition's trended frame, the
-  * A/B test's per-user frame — each pinned single-fact-scan by
-  * PlanSpec).
+/** Slot-pooled cache for the analytics operators whose plans share a
+  * persisted helper frame across two consumers (the survival at-risk
+  * frame, the decomposition's trended frame, the A/B test's per-user
+  * frame — each pinned single-fact-scan by PlanSpec).
   *
   * Those operators return LAZY frames, so they can never see "the
   * final consuming action" and unpersist behind it the way
   * TxLog.stageClustered does; a bare `.persist` therefore leaked one
-  * session-lifetime cache entry PER CALL. Registering through a keyed
-  * slot bounds that: a new call under the same tag releases the
-  * previous call's cache, so a long-lived session holds at most ONE
-  * cached helper frame per operator no matter how many times it runs.
-  * Releasing a frame an older caller still holds only costs a
-  * recompute on that stale plan — never correctness. */
+  * session-lifetime cache entry PER CALL. Registering through a
+  * bounded slot pool caps that instead.
+  *
+  * Slots are keyed by operator tag PLUS a cheap input fingerprint
+  * (the analyzed plan's `semanticHash`): keying by tag alone made two
+  * interleaved pipelines running the same operator over DIFFERENT
+  * inputs evict each other's entry while their lazy result frames
+  * were still unconsumed, silently re-deriving the shared subtree
+  * (the 2x fact-scan PlanSpec pins against). Distinct inputs now hold
+  * distinct slots; a per-tag cap (`MaxPerTag`, insertion-order
+  * eviction) bounds the pool, so a long-lived session holds at most
+  * `MaxPerTag` cached helper frames per operator no matter how many
+  * inputs it cycles through. Releasing a frame an older caller still
+  * holds only costs a recompute on that stale plan — never
+  * correctness. */
 object OpCache {
 
   private val slots =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // per-tag insertion order of live slot keys, for the cap
+  private val order = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.ArrayDeque[String]]()
+  private val MaxPerTag = 4
 
-  /** Persist `df` (MEMORY_AND_DISK) under the operator's slot,
-    * releasing whatever the slot held before — UNLESS the previous
-    * frame is plan-identical to the new one: Spark's CacheManager
-    * dedupes `persist` by canonicalized plan ("Asked to cache already
-    * cached data"), so a deterministic operator re-built over the
-    * same input re-registers the SAME cache entry, and unpersisting
-    * the previous frame would kill the entry the new frame just
-    * joined (the shared subtree silently re-derives — PlanSpec's
-    * cache-reader pins catch exactly this). A plan-identical slot
-    * swap holds one entry either way, so skipping the release leaks
-    * nothing. */
+  /** Persist `df` (MEMORY_AND_DISK) under its (tag, input-fingerprint)
+    * slot. A plan-identical re-registration re-takes the SAME slot and
+    * must NOT release the previous frame: Spark's CacheManager dedupes
+    * `persist` by canonicalized plan ("Asked to cache already cached
+    * data"), so the new frame just joined the previous frame's entry,
+    * and unpersisting would kill it under the new frame (the shared
+    * subtree silently re-derives — PlanSpec's cache-reader pins catch
+    * exactly this). A same-key different-plan occupant (semanticHash
+    * collision) is released; a different-key occupant is untouched
+    * until the per-tag cap evicts it oldest-first. */
   def shared(tag: String, df: DataFrame): DataFrame = {
     val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val prev = slots.put(tag, cached)
+    val key = tag + "#" + cached.queryExecution.analyzed.semanticHash()
+    val prev = slots.put(key, cached)
     if (prev != null && (prev ne cached) &&
         !prev.queryExecution.analyzed.sameResult(
           cached.queryExecution.analyzed)) {
@@ -44,6 +56,20 @@ object OpCache {
       // new registration
       try prev.unpersist(false)
       catch { case _: Exception => () }
+    }
+    val dq = order.computeIfAbsent(tag,
+      _ => new java.util.ArrayDeque[String]())
+    dq.synchronized {
+      dq.remove(key)
+      dq.addLast(key)
+      while (dq.size > MaxPerTag) {
+        val victim = dq.pollFirst()
+        val v = slots.remove(victim)
+        if (v != null) {
+          try v.unpersist(false)
+          catch { case _: Exception => () }
+        }
+      }
     }
     cached
   }
@@ -55,5 +81,6 @@ object OpCache {
       it.next().getValue.unpersist(false)
       it.remove()
     }
+    order.clear()
   }
 }

@@ -32,7 +32,14 @@ object FuzzGen {
 
   final case class Fuzz(name: String,
                         build: (SparkSession, String) => DataFrame,
-                        sql: String)
+                        sql: String,
+                        sparkSql: Option[String] = None)
+  // `sql` is what the driver hands DuckDB. Almost every shape keeps it
+  // engine-common so FuzzDiffSpec can replay the SAME text through
+  // spark.sql; the few shapes that pin genuinely different surface
+  // syntax (regexp dialect: Spark RLIKE / global regexp_replace vs
+  // DuckDB regexp_matches / regexp_replace(...,'g')) carry the Spark
+  // rendering in `sparkSql` for the local differential sweep.
 
   private val types = Seq("click", "error", "purchase", "signup", "view")
 
@@ -102,6 +109,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 15000) return genStrEdge(i, rng, pc, ps, name)
     if (i >= 14000) return genCoerce(i, rng, pc, ps, name)
     if (i >= 13000) return genFloat(i, rng, pc, ps, name)
     if (i >= 12000) return genDecimal(i, rng, pc, ps, name)
@@ -1380,7 +1388,22 @@ object FuzzGen {
     * (2.5 → 3 vs 2) — while round() ties are fine (both round away
     * from zero); AVG over decimal is excluded (DuckDB returns
     * DOUBLE); decimal overflow is excluded as untestable by oracle
-    * (Spark non-ANSI yields NULL, DuckDB raises). */
+    * (Spark non-ANSI yields NULL, DuckDB raises).
+    *
+    * RENDERING guard-rail (learned from the r9 driver reds, which the
+    * local duckdb-1.0.0 mirror could not reproduce): the driver's
+    * oracle materialization coerces DECIMAL results to float64 while
+    * Spark's parquet output keeps the declared decimal scale, so a
+    * value whose shortest float rendering is shorter than its scale
+    * ("12.005" vs "12.00500") hash-mismatches even when numerically
+    * identical. Every shape whose surfaced value can carry scale
+    * trailing zeros (multiply / divide / SUM-widening) therefore
+    * CASTs the final decimal to STRING in BOTH renderings — both
+    * engines pad decimal→string to the declared scale, making the
+    * comparison rendering-independent. The round / mixed-add /
+    * min-max-mod shapes construct values whose final scale digit is
+    * provably nonzero (.125/.625/.96875 tails) and stay raw DECIMAL,
+    * keeping direct decimal-value coverage (driver-green in r9). */
   private def genDecimal(i: Int, rng: Random, pc: Column, ps: String,
                          name: String): Fuzz = {
     rng.nextInt(6) match {
@@ -1392,7 +1415,11 @@ object FuzzGen {
           s"CAST($fa AS DECIMAL(12,3)))"
         val b = s"(CAST(event_id % 11 AS DECIMAL(12,2)) + " +
           s"CAST($fb AS DECIMAL(12,2)))"
-        val prod = s"CAST($a * $b AS DECIMAL(30,5))"
+        // surfaced as STRING: both engines pad CAST(dec AS STRING) to
+        // the declared scale ("12.00500"), which survives an oracle
+        // materialization that coerces DECIMAL to float64 (where the
+        // shortest-repr "12.005" would hash-mismatch the scale-5 form)
+        val prod = s"CAST(CAST($a * $b AS DECIMAL(30,5)) AS STRING)"
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
@@ -1406,7 +1433,8 @@ object FuzzGen {
           rng.nextInt(7))
         val m = 50 + rng.nextInt(400)
         val a = s"CAST(user_id % $m AS DECIMAL(18,3))"
-        val quot = s"CAST($a / CAST($den AS DECIMAL(9,2)) AS DECIMAL(24,6))"
+        val quot = s"CAST(CAST($a / CAST($den AS DECIMAL(9,2)) " +
+          "AS DECIMAL(24,6)) AS STRING)" // STRING-pinned, see case 0
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
@@ -1420,7 +1448,7 @@ object FuzzGen {
         val f = Seq("0.125", "0.250", "0.375")(rng.nextInt(3))
         val a = s"(CAST(user_id % $m AS DECIMAL(14,3)) + " +
           s"CAST($f AS DECIMAL(14,3)))"
-        val tot = s"CAST(SUM($a) AS DECIMAL(38,3))"
+        val tot = s"CAST(CAST(SUM($a) AS DECIMAL(38,3)) AS STRING)" // STRING-pinned, see case 0
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
@@ -1507,7 +1535,21 @@ object FuzzGen {
     * can't drift the total; signed zero is never surfaced as a group
     * key (Spark normalizes -0.0 to 0.0, DuckDB keeps the sign bit);
     * round() ties on doubles agree (both away from zero — while CAST
-    * ties don't, same split the DECIMAL space documents). */
+    * ties don't, same split the DECIMAL space documents).
+    *
+    * RENDERING guard-rail (r9 driver reds): surfaced dtypes are pinned
+    * wherever the two engines' RESULT TYPES differ even when values
+    * agree — Spark floor/ceil(DOUBLE) return BIGINT vs DuckDB DOUBLE,
+    * Spark sign returns DOUBLE vs DuckDB integer, and DuckDB widens
+    * sum(int) to HUGEINT (float64 after a pandas materialization) vs
+    * Spark BIGINT. Such results are CAST to BIGINT in BOTH renderings
+    * (value-exact: every pinned cast is over a provably-integral
+    * value, so truncation vs half-even rounding agree); the fmod shape
+    * surfaces (rem*4) AS BIGINT, which is exact on quarter-grid
+    * operands and also absorbs IEEE -0.0 and DuckDB's decimal-typed
+    * remainder path. Raw DOUBLE columns (sums of integral doubles,
+    * k/4 abs, transcendentals, NaN/Inf extremes) are float64 on both
+    * sides and stay unpinned — all driver-green in r9. */
   private def genFloat(i: Int, rng: Random, pc: Column, ps: String,
                        name: String): Fuzz = {
     rng.nextInt(6) match {
@@ -1520,17 +1562,23 @@ object FuzzGen {
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
             .groupBy(col("event_type"))
-            .agg(expr(s"sum(CASE WHEN isnan($y) THEN 1 ELSE 0 END)")
-                .as("nan_ct"),
-              expr(s"sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 " +
-                "THEN 1 ELSE 0 END)").as("inf_ct"),
+            // integer-operand sums are CAST to BIGINT in BOTH
+            // renderings: DuckDB widens sum(int) to HUGEINT, which an
+            // oracle materialization through pandas coerces to float64
+            // ("5.0") while Spark's BIGINT stays int64 ("5") — the
+            // driver-hash drift family behind the r9 nansum reds.
+            // count(*) needs no pin (BIGINT in both engines).
+            .agg(expr(s"CAST(sum(CASE WHEN isnan($y) THEN 1 ELSE 0 " +
+                "END) AS BIGINT)").as("nan_ct"),
+              expr(s"CAST(sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 " +
+                "THEN 1 ELSE 0 END) AS BIGINT)").as("inf_ct"),
               expr(s"max($y)").as("mx"), // NaN when any row is NaN
               expr(s"min($y)").as("mn"),
               count(lit(1)).as("ct"))
             .orderBy("event_type"),
           s"""SELECT event_type,
-             |       sum(CASE WHEN isnan($y) THEN 1 ELSE 0 END) AS nan_ct,
-             |       sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 THEN 1 ELSE 0 END) AS inf_ct,
+             |       CAST(sum(CASE WHEN isnan($y) THEN 1 ELSE 0 END) AS BIGINT) AS nan_ct,
+             |       CAST(sum(CASE WHEN NOT isnan($y) AND $y > 1.7e308 THEN 1 ELSE 0 END) AS BIGINT) AS inf_ct,
              |       max($y) AS mx, min($y) AS mn, count(*) AS ct
              |FROM events WHERE $ps
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
@@ -1556,13 +1604,26 @@ object FuzzGen {
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
+            // result dtypes pinned to BIGINT in BOTH renderings: Spark
+            // floor/ceil(DOUBLE) already return BIGINT where DuckDB
+            // returns DOUBLE ("3" vs "3.0" under the driver hash), and
+            // sign is DOUBLE in Spark vs integer in DuckDB — the r9
+            // floorgrid reds. The BIGINT casts are value-exact (every
+            // surfaced value is integral, so Spark's truncating cast
+            // and DuckDB's rounding cast agree); ab stays raw DOUBLE
+            // (k/4 is binary-exact, DOUBLE in both engines).
             .select(col("event_id"),
-              expr(s"floor($x)").as("fl"), expr(s"ceil($x)").as("ce"),
-              expr(s"abs($x)").as("ab"), expr(s"sign($x)").as("sg"),
-              expr(s"round($x)").as("rd")) // .5 ties away from zero, both
+              expr(s"CAST(floor($x) AS BIGINT)").as("fl"),
+              expr(s"CAST(ceil($x) AS BIGINT)").as("ce"),
+              expr(s"abs($x)").as("ab"),
+              expr(s"CAST(sign($x) AS BIGINT)").as("sg"),
+              // .5 ties away from zero in both engines
+              expr(s"CAST(round($x) AS BIGINT)").as("rd"))
             .orderBy("event_id"),
-          s"""SELECT event_id, floor($x) AS fl, ceil($x) AS ce,
-             |       abs($x) AS ab, sign($x) AS sg, round($x) AS rd
+          s"""SELECT event_id, CAST(floor($x) AS BIGINT) AS fl,
+             |       CAST(ceil($x) AS BIGINT) AS ce, abs($x) AS ab,
+             |       CAST(sign($x) AS BIGINT) AS sg,
+             |       CAST(round($x) AS BIGINT) AS rd
              |FROM events WHERE $ps
              |ORDER BY event_id""".stripMargin)
       case 3 => // transcendentals through the 6-sig-digit norm
@@ -1606,11 +1667,22 @@ object FuzzGen {
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
+            // surfaced as exact quarter-counts: x and every denominator
+            // are multiples of 1/4, so the C-style remainder is too —
+            // (rem*4) is an exact integer, CAST AS BIGINT is identical
+            // under Spark's truncation and DuckDB's rounding, and the
+            // pin also normalizes IEEE -0.0 (Spark keeps the sign bit
+            // on an exact-multiple remainder; -0.0*4 casts to 0) and
+            // DuckDB's decimal-typed remainder path (its "2.0" literal
+            // is DECIMAL, so x % den computes in DECIMAL and would
+            // otherwise surface float64 vs Spark's DOUBLE) — the r9
+            // fmod reds.
             .select(col("event_id"),
-              expr(s"$x % $den").as("md"),
-              expr(s"abs($x % $den)").as("amd"))
+              expr(s"CAST(($x % $den) * 4 AS BIGINT)").as("md"),
+              expr(s"CAST(abs($x % $den) * 4 AS BIGINT)").as("amd"))
             .orderBy("event_id"),
-          s"""SELECT event_id, $x % $den AS md, abs($x % $den) AS amd
+          s"""SELECT event_id, CAST(($x % $den) * 4 AS BIGINT) AS md,
+             |       CAST(abs($x % $den) * 4 AS BIGINT) AS amd
              |FROM events WHERE $ps
              |ORDER BY event_id""".stripMargin)
     }
@@ -1628,7 +1700,17 @@ object FuzzGen {
     * coercion only ever sees well-formed numeric strings built from
     * BIGINT columns (a malformed cast is NULL in Spark, an ERROR in
     * DuckDB); unified branch types are re-CAST to one explicit
-    * DECIMAL (the engines unify to different precisions). */
+    * DECIMAL (the engines unify to different precisions).
+    *
+    * RENDERING guard-rail (r9 driver reds): surfaced DECIMALs are
+    * CAST to STRING (scale-padded identically by both engines) and
+    * sum(DISTINCT int) goes through CAST(.. AS BIGINT) then STRING —
+    * DuckDB's HUGEINT sum turns into float64 under the driver's
+    * oracle materialization ("42.0" vs Spark's int64 "42"), and the
+    * union shape's scale-2 sums ("7.50") collapse to shortest-repr
+    * floats ("7.5"). count aggregates are BIGINT in both engines and
+    * stay raw; string min/max, lex-compare and concat shapes surface
+    * strings/small ints and were driver-green unpinned. */
   private def genCoerce(i: Int, rng: Random, pc: Column, ps: String,
                         name: String): Fuzz = {
     rng.nextInt(6) match {
@@ -1658,23 +1740,33 @@ object FuzzGen {
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
             .groupBy(col("event_type"))
+            // dsum is STRING-pinned through an explicit BIGINT: DuckDB
+            // widens sum(int) to HUGEINT, which an oracle
+            // materialization through pandas coerces to float64
+            // ("42.0") while Spark's BIGINT stays int64 ("42") — the
+            // r9 distinct-shape reds; the STRING layer also keeps an
+            // all-NULL-operand group (NULL sum) dtype-stable. count
+            // aggregates are BIGINT in both engines and stay raw.
             .agg(expr(s"count(DISTINCT $x)").as("dct"),
-              expr(s"sum(DISTINCT $x)").as("dsum"),
+              expr(s"CAST(CAST(sum(DISTINCT $x) AS BIGINT) AS STRING)")
+                .as("dsum"),
               expr(s"count($x)").as("ct_x"), // nulls excluded
               count(lit(1)).as("ct_all"))   // nulls counted
             .orderBy("event_type"),
           s"""SELECT event_type, count(DISTINCT $x) AS dct,
-             |       sum(DISTINCT $x) AS dsum,
+             |       CAST(CAST(sum(DISTINCT $x) AS BIGINT) AS STRING) AS dsum,
              |       count($x) AS ct_x, count(*) AS ct_all
              |FROM events WHERE $ps
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
       case 2 => // CASE/COALESCE branch unification (int vs decimal)
         val m = 6 + rng.nextInt(20)
         val f = Seq("2.5", "0.25", "7.5")(rng.nextInt(3))
-        val c = s"CAST(CASE WHEN user_id % $m = 0 THEN user_id % 9 " +
-          s"ELSE $f END AS DECIMAL(12,2))"
-        val co = s"CAST(coalesce(nullif(user_id % 5, 0), $f) " +
-          "AS DECIMAL(12,2))"
+        // STRING-pinned (scale-2 rendering survives a float64-coercing
+        // oracle materialization — same family as the DECIMAL space)
+        val c = s"CAST(CAST(CASE WHEN user_id % $m = 0 THEN user_id % 9 " +
+          s"ELSE $f END AS DECIMAL(12,2)) AS STRING)"
+        val co = s"CAST(CAST(coalesce(nullif(user_id % 5, 0), $f) " +
+          "AS DECIMAL(12,2)) AS STRING)"
         Fuzz(name,
           (s, d) => graft.core.Tables.events(s, d)
             .filter(pc)
@@ -1728,11 +1820,14 @@ object FuzzGen {
               .union(e.selectExpr("event_id",
                 s"CAST($f AS DECIMAL(12,2)) AS v"))
               .groupBy(col("event_id")).agg(
-                expr("CAST(sum(v) AS DECIMAL(20,2))").as("sv"),
+                // STRING-pinned: scale-2 rendering ("7.50") survives a
+                // float64-coercing oracle materialization ("7.5")
+                expr("CAST(CAST(sum(v) AS DECIMAL(20,2)) AS STRING)")
+                  .as("sv"),
                 count(lit(1)).as("ct"))
               .orderBy("event_id")
           },
-          s"""SELECT event_id, CAST(sum(v) AS DECIMAL(20,2)) AS sv,
+          s"""SELECT event_id, CAST(CAST(sum(v) AS DECIMAL(20,2)) AS STRING) AS sv,
              |       count(*) AS ct
              |FROM (
              |  SELECT event_id, CAST(user_id % $m AS DECIMAL(12,2)) AS v
@@ -1741,6 +1836,150 @@ object FuzzGen {
              |  SELECT event_id, CAST($f AS DECIMAL(12,2)) AS v
              |  FROM events WHERE $ps
              |) GROUP BY event_id ORDER BY event_id""".stripMargin)
+    }
+  }
+
+  /** String collation / LIKE-escape / regexp-dialect / case-folding
+    * shapes (index space ≥15000) — the classic Spark-vs-DuckDB string
+    * drift family beyond the plain function grid space 10000 already
+    * sweeps. Dialect guard-rails (each probed empirically on both
+    * engines): LIKE escapes use ESCAPE '!' — a backslash escape char
+    * would itself be consumed by Spark's string-literal parser (Spark
+    * treats \ as a literal escape, DuckDB does not), silently changing
+    * the pattern text between engines; regex patterns stay in the
+    * Java∩RE2 common subset (literal alternation, anchors, character
+    * classes, quantifiers — no \d, no backrefs, no lookaround), with
+    * the genuine dialect split (Spark RLIKE + always-global
+    * regexp_replace vs DuckDB regexp_matches + regexp_replace 'g'
+    * flag) carried as twin renderings via `Fuzz.sparkSql`; non-ASCII
+    * case folding sticks to accents both engines fold identically
+    * (é Ü ç ø å Œ — ß is EXCLUDED: Java uppercases it to "SS",
+    * DuckDB 1.0 to "ẞ"); substring position 0 is EXCLUDED (Spark
+    * reads it as position 1, DuckDB consumes it from the length);
+    * initcap is EXCLUDED (absent in DuckDB 1.0); concat over possible
+    * NULLs is EXCLUDED (NULL-propagating in Spark, NULL-skipping in
+    * DuckDB). Every surfaced value is a STRING or a flag/position
+    * integer — immune by construction to the decimal/HUGEINT
+    * rendering drift the 12000–14000 spaces had to pin against. */
+  private def genStrEdge(i: Int, rng: Random, pc: Column, ps: String,
+                         name: String): Fuzz = {
+    rng.nextInt(6) match {
+      case 0 => // LIKE: ESCAPE'd literal wildcard vs live wildcard
+        val m = 7 + rng.nextInt(50)
+        val mark = Seq("%", "_")(rng.nextInt(2))
+        val d = rng.nextInt(10)
+        val s = s"concat(CAST(user_id % $m AS STRING), '$mark', event_type)"
+        // lk: digit d then the LITERAL mark (escaped) — exactly uid%m=d;
+        // wk: digit d then a LIVE _ wildcard — any 2+ char tail;
+        // nl: digit d absent anywhere. The drift trap is the escape.
+        val items = Seq(
+          s"CASE WHEN $s LIKE '$d!$mark%' ESCAPE '!' THEN 1 ELSE 0 END AS lk",
+          s"CASE WHEN $s LIKE '${d}_%' THEN 1 ELSE 0 END AS wk",
+          s"CASE WHEN $s NOT LIKE '%$d%' THEN 1 ELSE 0 END AS nl")
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: items): _*)
+            .orderBy("event_id"),
+          s"""SELECT event_id, ${items.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 1 => // regexp dialect: RLIKE/regexp_matches + global replace
+        val re = Seq("^(click|view)$", "r+o", "[aeiou][aeiou]", "p.r",
+          "^s[a-z]+p$")(rng.nextInt(5))
+        val duckSql =
+          s"""SELECT event_id,
+             |       CASE WHEN regexp_matches(event_type, '$re') THEN 1 ELSE 0 END AS rk,
+             |       regexp_extract(props, '([0-9]+)', 1) AS dig,
+             |       regexp_replace(props, '[0-9]', '#', 'g') AS msk
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin
+        val sparkItems = Seq(
+          s"CASE WHEN event_type RLIKE '$re' THEN 1 ELSE 0 END AS rk",
+          "regexp_extract(props, '([0-9]+)', 1) AS dig",
+          "regexp_replace(props, '[0-9]', '#') AS msk")
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: sparkItems): _*)
+            .orderBy("event_id"),
+          duckSql,
+          Some(s"""SELECT event_id, ${sparkItems.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin))
+      case 2 => // non-ASCII case folding on the agreed accent subset
+        val acc = Seq("é", "Ü", "ç", "ø", "å", "Œ")(rng.nextInt(6))
+        val s = s"concat('$acc-', event_type)"
+        val items = Seq(
+          s"upper($s) AS up",
+          s"lower($s) AS lo",
+          s"length($s) AS ln", // char semantics in both engines
+          s"upper(lower(upper($s))) AS rt") // fold round-trip stability
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: items): _*)
+            .orderBy("event_id"),
+          s"""SELECT event_id, ${items.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 3 => // substring/pad/instr edge indices (negative, past-end,
+        // zero-length, truncating pad, absent needle)
+        val m = 5 + rng.nextInt(40)
+        val p = 2 + rng.nextInt(4)
+        val s = s"concat(event_type, '-', CAST(user_id % $m AS STRING))"
+        val items = Seq(
+          s"substring($s, $p, 3) AS mid",
+          s"substring($s, -3, 2) AS tl2", // negative start: from the end
+          s"substring($s, 50, 4) AS far", // past the end -> ''
+          s"substring($s, $p, 0) AS zed", // zero length -> ''
+          s"left($s, 20) AS l20",         // n > len -> whole string
+          s"right($s, 2) AS r2",
+          "lpad(event_type, 3, '*') AS lp3", // pad-to-shorter truncates
+          s"instr($s, 'zz') AS nf")       // absent needle -> 0
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: items): _*)
+            .orderBy("event_id"),
+          s"""SELECT event_id, ${items.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case 4 => // binary-collation comparisons + string greatest/least
+        val tag = Seq("Z", "a", "M", "0")(rng.nextInt(4))
+        val s = s"concat('$tag', event_type)"
+        val items = Seq(
+          s"CASE WHEN $s < 'a' THEN 1 ELSE 0 END AS lt",
+          s"CASE WHEN $s BETWEEN 'A' AND 'z' THEN 1 ELSE 0 END AS bw",
+          "CASE WHEN event_type IN ('click', 'ERROR', 'View') " +
+            "THEN 1 ELSE 0 END AS cs", // case-sensitive membership
+          s"greatest($s, event_type) AS gr",
+          s"least($s, 'm') AS le")
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: items): _*)
+            .orderBy("event_id"),
+          s"""SELECT event_id, ${items.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
+      case _ => // standard-syntax TRIM variants + pad round-trip
+        val padc = Seq("_", "*", "0")(rng.nextInt(3))
+        val s = s"concat('$padc$padc', event_type, '$padc')"
+        val items = Seq(
+          s"TRIM(LEADING '$padc' FROM $s) AS tl",
+          s"TRIM(TRAILING '$padc' FROM $s) AS tt",
+          s"TRIM(BOTH '$padc' FROM $s) AS tb",
+          s"rpad($s, 14, '$padc') AS rp",
+          s"length(TRIM(BOTH '$padc' FROM $s)) AS ln")
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .selectExpr(("event_id" +: items): _*)
+            .orderBy("event_id"),
+          s"""SELECT event_id, ${items.mkString(",\n       ")}
+             |FROM events WHERE $ps
+             |ORDER BY event_id""".stripMargin)
     }
   }
 
@@ -1765,8 +2004,9 @@ object FuzzGen {
     * indices pin in their place; float space 13000: only 13015 is
     * empty, 13016+ pin in its place; coercion space 14000: all of
     * 14000-14024 vetted non-empty — only 14030, outside the pinned
-    * range, is empty at sf0.001). Re-run FuzzVet and re-pin if
-    * the driver regenerates testdata. */
+    * range, is empty at sf0.001; string-edge space 15000: all of
+    * 15000-15031 vetted non-empty at every SF). Re-run FuzzVet and
+    * re-pin if the driver regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
       17, 18, 19, 20,
@@ -1808,7 +2048,11 @@ object FuzzGen {
       14000, 14001, 14002, 14003, 14004, 14005, 14006, 14007,
       14008, 14009, 14010, 14011, 14012, 14013, 14014, 14015,
       14016, 14017, 14018, 14019, 14020, 14021, 14022, 14023,
-      14024)
+      14024,
+      15000, 15001, 15002, 15003, 15004, 15005, 15006, 15007,
+      15008, 15009, 15010, 15011, 15012, 15013, 15014, 15015,
+      15016, 15017, 15018, 15019, 15020, 15021, 15022, 15023,
+      15024)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

@@ -76,6 +76,15 @@ object TxLog {
     * from the manifest instead of scanning the view for max(ver). */
   val HighWaterProp = "graft.highWater"
 
+  /** Reserved props key every commit stamps with its wall-clock
+    * publish time (ms). `readAsOf` resolves timestamp time travel
+    * from this durable in-manifest value instead of filesystem
+    * mtimes, which a copy/backup-restore/object-store sync refreshes.
+    * Written by `tryCommit` itself (callers cannot meaningfully set
+    * it — a fresh stamp overrides theirs, and a carried-forward
+    * snapshot prop is restamped per version). */
+  val PublishTsProp = "graft.publishedAtMs"
+
   /** Internal clustering column the plain upsert path stamps into
     * data files: `xxhash64(pk)`, range-clustered so every file's
     * manifest carries a narrow hash range and a later upsert can
@@ -229,15 +238,22 @@ object TxLog {
     readFiles(spark, table, version, _ => true)
 
   /** Time travel by TIMESTAMP (the Delta `timestampAsOf` contract):
-    * read the table as of the LATEST version whose manifest publish
-    * time is ≤ `tsMillis`. Publish times are the manifests'
-    * filesystem mtimes — commits publish by atomic rename, so mtime
-    * order matches version order up to clock granularity, and on a
-    * tie the higher version wins (max of the qualifying versions).
-    * None when the table is absent or every RETAINED manifest
-    * postdates the timestamp — after `expireVersions` the resolution
-    * is against what is retained, the same behavior Delta has after
-    * VACUUM drops old log entries. */
+    * read the table as of the LATEST version whose publish time is
+    * ≤ `tsMillis`. The publish time is the `graft.publishedAtMs` prop
+    * every commit stamps INSIDE its manifest — durable metadata that
+    * survives a table copy/backup-restore/object-store sync, where
+    * filesystem mtimes are refreshed and would silently resolve to
+    * wrong versions. Manifests predating the stamp (legacy tables)
+    * fall back to their filesystem mtime. Stamps are taken immediately
+    * before each publish attempt (an OCC retry restamps), so their
+    * order matches version order up to clock granularity; on a tie or
+    * sub-granularity inversion the higher version wins (max of the
+    * qualifying versions). None when the table is absent or every
+    * RETAINED manifest postdates the timestamp — after
+    * `expireVersions` the resolution is against what is retained, the
+    * same behavior Delta has after VACUUM drops old log entries.
+    * Resolution reads each retained manifest (small metadata files,
+    * O(retained log) — time travel is not a hot path). */
   def readAsOf(spark: SparkSession, table: String,
                tsMillis: Long): Option[DataFrame] = {
     val fs = fsOf(spark, table)
@@ -246,11 +262,18 @@ object TxLog {
     val qualifying = fs.listStatus(dir)
       .filter { st =>
         val n = st.getPath.getName
-        n.startsWith("v") && n.endsWith(".manifest") &&
-          st.getModificationTime <= tsMillis
+        n.startsWith("v") && n.endsWith(".manifest")
       }
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest")
-        .toLong)
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix("v")
+          .stripSuffix(".manifest").toLong
+        val publishedAt =
+          try readManifest(fs, table, v).props.get(PublishTsProp).map(_.toLong)
+          catch { case _: Exception => None } // corrupt/unreadable -> mtime
+        if (publishedAt.getOrElse(st.getModificationTime) <= tsMillis)
+          Some(v)
+        else None
+      }
     if (qualifying.isEmpty) None
     else readVersion(spark, table, qualifying.max)
   }
@@ -1448,10 +1471,17 @@ object TxLog {
     val tmp = new Path(target.getParent,
       s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
+    // publish-time stamp for readAsOf: taken at body write, which is
+    // immediately before the publish attempt (an OCC loser rebuilds
+    // and restamps), so stamp order tracks version order to clock
+    // granularity; a carried-forward prior stamp is overridden here so
+    // each version records its own publish time
+    val stamped =
+      props.updated(PublishTsProp, System.currentTimeMillis().toString)
     try {
       def statsSuffix(st: Seq[ColStats]): Seq[String] =
         st.flatMap(cs => Seq(cs.col, cs.min.toString, cs.max.toString))
-      props.foreach { case (k, v) =>
+      stamped.foreach { case (k, v) =>
         require(Seq(k, v).forall(x => !x.contains('\u0001') &&
           !x.contains('\n') && !x.contains('\r')),
           s"TxLog: prop '$k' contains a manifest separator") }
@@ -1461,7 +1491,7 @@ object TxLog {
         case FileEntry(p, Some((c, v)), st) =>
           (Seq("pfile=" + c, v, p) ++ statsSuffix(st)).mkString("\u0001")
       } ++ dvs.map("dv=" + _)
-        ++ props.toSeq.sortBy(_._1).map { case (k, v) =>
+        ++ stamped.toSeq.sortBy(_._1).map { case (k, v) =>
           s"prop=$k\u0001$v" })).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()

@@ -26,19 +26,29 @@ class OpCacheSpec extends SparkTestBase {
       s"shared frame re-derived on re-invocation:\n$second")
   }
 
-  test("a different-plan slot swap releases the previous cache entry") {
+  test("distinct inputs under one tag coexist (no mutual eviction), " +
+      "and the per-tag cap releases oldest-first") {
     import org.apache.spark.sql.functions.lit
     val spark0 = spark
     import spark0.implicits._
+    // two interleaved pipelines over DIFFERENT inputs: each keeps its
+    // own slot — tag-only keying used to evict a's entry here while
+    // a lazy consumer still held the frame
     val a = graft.core.OpCache.shared("opcache-spec",
       Seq(1, 2, 3).toDF("x"))
-    assert(a.storageLevel.useMemory)
     val b = graft.core.OpCache.shared("opcache-spec",
       Seq(1, 2, 3).toDF("x").withColumn("y", lit(1)))
-    assert(b.storageLevel.useMemory)
+    assert(a.storageLevel.useMemory && b.storageLevel.useMemory,
+      "distinct-input slots must coexist under one tag")
+    // cycling MORE distinct inputs through the tag stays bounded: the
+    // oldest entries are released once the per-tag cap is exceeded
+    val later = (10 to 12).map(i => graft.core.OpCache.shared(
+      "opcache-spec", Seq(1, 2, 3).toDF("x").withColumn("y", lit(i))))
+    assert(later.forall(_.storageLevel.useMemory))
     assert(!a.storageLevel.useMemory,
-      "previous slot holder kept its cache entry after a " +
-        "different-plan swap")
+      "oldest slot survived past the per-tag cap")
     graft.core.OpCache.releaseAll()
+    assert(later.forall(!_.storageLevel.useMemory),
+      "releaseAll left a slot cached")
   }
 }

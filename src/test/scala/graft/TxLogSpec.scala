@@ -919,20 +919,25 @@ class TxLogSpec extends SparkTestBase {
 
   test("manifest props: atomic with the commit, carried forward, overridable") {
     val t = freshTable()
+    // every manifest also carries its own publish-time stamp (asserted
+    // present, then excluded from the caller-props equality checks)
+    def userProps = {
+      val p = TxLog.latest(spark, t).get.props
+      assert(p.get(TxLog.PublishTsProp).exists(_.toLong > 0L))
+      p - TxLog.PublishTsProp
+    }
     TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
       t, "k", "ver", props = Map(TxLog.HighWaterProp -> "5"))
-    assert(TxLog.latest(spark, t).get.props ==
-      Map(TxLog.HighWaterProp -> "5"))
+    assert(userProps == Map(TxLog.HighWaterProp -> "5"))
     // a prop-less commit carries the prior snapshot's props verbatim
     TxLog.commitUpsert(Seq((2L, 1L, "b")).toDF("k", "ver", "payload"),
       t, "k", "ver")
-    assert(TxLog.latest(spark, t).get.props ==
-      Map(TxLog.HighWaterProp -> "5"))
+    assert(userProps == Map(TxLog.HighWaterProp -> "5"))
     // a later writer overrides its key, other keys survive
     TxLog.commitUpsert(Seq((3L, 1L, "c")).toDF("k", "ver", "payload"),
       t, "k", "ver",
       props = Map(TxLog.HighWaterProp -> "9", "graft.owner" -> "job-1"))
-    assert(TxLog.latest(spark, t).get.props ==
+    assert(userProps ==
       Map(TxLog.HighWaterProp -> "9", "graft.owner" -> "job-1"))
     // props survive a non-upsert commit (delete) and time travel reads
     // still resolve data correctly underneath
@@ -1007,6 +1012,34 @@ class TxLogSpec extends SparkTestBase {
     assert(TxLog.readAsOf(spark, t, System.currentTimeMillis())
       .get.count() == 2L)
     assert(TxLog.readAsOf(spark, t + "-absent", between).isEmpty)
+  }
+
+  test("readAsOf: resolution survives a copy/restore that refreshes " +
+      "manifest mtimes (publish stamps are in-manifest metadata)") {
+    val t = freshTable()
+    TxLog.commitUpsert(Seq((1L, 1L, "a")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    Thread.sleep(20) // in-manifest stamps are ms-granular, no 1 s slack
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    TxLog.commitUpsert(Seq((2L, 2L, "b")).toDF("k", "ver", "payload"),
+      t, "k", "ver")
+    // simulate a backup restore / cp -r: every manifest's filesystem
+    // mtime jumps far past both publishes
+    val dir = java.nio.file.Paths.get(t, "_txlog")
+    val listing = java.nio.file.Files.list(dir)
+    try listing.forEach { p =>
+      if (p.getFileName.toString.endsWith(".manifest"))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 3600L * 1000))
+    } finally listing.close()
+    // mtime-based resolution would find no qualifying version at all;
+    // the in-manifest stamp still resolves v1 between the commits
+    val asOf = TxLog.readAsOf(spark, t, between).get.collect()
+    assert(asOf.map(_.getLong(0)).toSet == Set(1L), asOf.mkString(","))
+    assert(TxLog.readAsOf(spark, t, System.currentTimeMillis())
+      .get.count() == 2L)
   }
 
   test("compactIfNeeded: folds small-file debt when over the file cap, " +
