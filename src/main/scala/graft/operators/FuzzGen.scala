@@ -109,6 +109,7 @@ object FuzzGen {
     // index spaces ≥1000 hold shapes added AFTER the first vetting
     // round — new shapes must never re-deal the existing indices'
     // shape draws, or every pinned vetted case silently changes
+    if (i >= 16000) return genJson(i, rng, pc, ps, name)
     if (i >= 15000) return genStrEdge(i, rng, pc, ps, name)
     if (i >= 14000) return genCoerce(i, rng, pc, ps, name)
     if (i >= 13000) return genFloat(i, rng, pc, ps, name)
@@ -1983,6 +1984,112 @@ object FuzzGen {
     }
   }
 
+  /** JSON-path extraction shapes (index space ≥16000) over the
+    * `props` JSON column and constructed JSON strings — the
+    * semi-structured dialect family. The extraction surface is a
+    * genuine dialect split carried as twin renderings: Spark
+    * `get_json_object(s, '$.path')` vs DuckDB
+    * `json_extract_string(s, '$.path')` (both return the unquoted
+    * string, NULL on a missing path — probed). Guard-rails: paths
+    * stay in the dot + `[index]` common subset (bracket-quoted
+    * `$['k']` syntax differs); constructed JSON embeds only
+    * digits/letters (no escape-sequence dialect); numeric extraction
+    * goes through CAST(... AS BIGINT) on both sides (well-formed by
+    * construction); json_array_length is INT in Spark vs UBIGINT in
+    * DuckDB but both surface as plain ints; json_valid /
+    * json_structure / to_json are EXCLUDED (absent or
+    * key-order-dependent in one engine). Every surfaced value is a
+    * string, NULL, or integer — rendering-safe. */
+  private def genJson(i: Int, rng: Random, pc: Column, ps: String,
+                      name: String): Fuzz = {
+    // twin-rendered select lists: items as (sparkExpr, duckExpr)
+    def mk(items: Seq[(String, String)]): Fuzz = {
+      val sparkItems = items.map(_._1)
+      val duckItems = items.map(_._2)
+      Fuzz(name,
+        (sp, dir) => graft.core.Tables.events(sp, dir)
+          .filter(pc)
+          .selectExpr(("event_id" +: sparkItems): _*)
+          .orderBy("event_id"),
+        s"""SELECT event_id, ${duckItems.mkString(",\n       ")}
+           |FROM events WHERE $ps
+           |ORDER BY event_id""".stripMargin,
+        Some(s"""SELECT event_id, ${sparkItems.mkString(",\n       ")}
+           |FROM events WHERE $ps
+           |ORDER BY event_id""".stripMargin))
+    }
+    def ext(s: String, path: String): (String, String) =
+      (s"get_json_object($s, '$path')", s"json_extract_string($s, '$path')")
+    rng.nextInt(6) match {
+      case 0 => // props extraction + missing path + numeric reuse
+        val m = 5 + rng.nextInt(30)
+        val (sk, dk) = ext("props", "$.k")
+        mk(Seq(
+          (s"$sk AS kv", s"$dk AS kv"),
+          (s"CAST($sk AS BIGINT) % $m AS kb",
+            s"CAST($dk AS BIGINT) % $m AS kb"),
+          (s"CASE WHEN ${ext("props", "$.absent")._1} IS NULL " +
+            "THEN 1 ELSE 0 END AS miss",
+            s"CASE WHEN ${ext("props", "$.absent")._2} IS NULL " +
+              "THEN 1 ELSE 0 END AS miss")))
+      case 1 => // constructed nested object, two levels + string leaf
+        val m = 4 + rng.nextInt(20)
+        val j = "concat('{\"a\": {\"b\": ', CAST(user_id % " + m +
+          " AS STRING), '}, \"t\": \"', event_type, '\"}')"
+        mk(Seq(
+          (s"${ext(j, "$.a.b")._1} AS ab", s"${ext(j, "$.a.b")._2} AS ab"),
+          (s"${ext(j, "$.t")._1} AS t", s"${ext(j, "$.t")._2} AS t"),
+          (s"CASE WHEN ${ext(j, "$.a.c")._1} IS NULL THEN 1 ELSE 0 " +
+            "END AS mc",
+            s"CASE WHEN ${ext(j, "$.a.c")._2} IS NULL THEN 1 ELSE 0 " +
+              "END AS mc")))
+      case 2 => // constructed array: varying length + index + past-end
+        val k = 2 + rng.nextInt(6)
+        val j = "concat('[', CAST(event_id % 7 AS STRING), " +
+          s"CASE WHEN user_id % $k = 0 THEN ', 5' ELSE '' END, ']')"
+        mk(Seq(
+          (s"json_array_length($j) AS al", s"json_array_length($j) AS al"),
+          (s"${ext(j, "$[0]")._1} AS e0", s"${ext(j, "$[0]")._2} AS e0"),
+          (s"${ext(j, "$[1]")._1} AS e1", // NULL when length 1
+            s"${ext(j, "$[1]")._2} AS e1")))
+      case 3 => // numeric extraction arithmetic + threshold flags
+        val m = 6 + rng.nextInt(40)
+        val t = rng.nextInt(50)
+        val (sk, dk) = ext("props", "$.k")
+        mk(Seq(
+          (s"CAST($sk AS BIGINT) % $m AS km",
+            s"CAST($dk AS BIGINT) % $m AS km"),
+          (s"CASE WHEN CAST($sk AS BIGINT) > $t THEN 1 ELSE 0 END AS gt",
+            s"CASE WHEN CAST($dk AS BIGINT) > $t THEN 1 ELSE 0 END AS gt")))
+      case 4 => // group by the extracted value
+        val k = 2 + rng.nextInt(7)
+        val (sk, dk) = ext("props", "$.k")
+        Fuzz(name,
+          (sp, dir) => graft.core.Tables.events(sp, dir)
+            .filter(pc)
+            .groupBy(expr(s"CAST($sk AS BIGINT) % $k").as("grp"))
+            .agg(count(lit(1)).as("ct"),
+              expr("min(event_type)").as("mnt"))
+            .orderBy("grp"),
+          s"""SELECT CAST($dk AS BIGINT) % $k AS grp, count(*) AS ct,
+             |       min(event_type) AS mnt
+             |FROM events WHERE $ps
+             |GROUP BY 1 ORDER BY grp""".stripMargin,
+          Some(s"""SELECT CAST($sk AS BIGINT) % $k AS grp, count(*) AS ct,
+             |       min(event_type) AS mnt
+             |FROM events WHERE $ps
+             |GROUP BY 1 ORDER BY grp""".stripMargin))
+      case _ => // extraction composed with string functions
+        val j = "concat('{\"x\": {\"y\": \"', event_type, '-', " +
+          "CAST(user_id % 9 AS STRING), '\"}}')"
+        val (sx, dx) = ext(j, "$.x.y")
+        mk(Seq(
+          (s"upper($sx) AS uy", s"upper($dx) AS uy"),
+          (s"length($sx) AS ly", s"length($dx) AS ly"),
+          (s"instr($sx, '-') AS py", s"instr($dx, '-') AS py")))
+    }
+  }
+
   def suite(n: Int): Seq[Fuzz] = (0 until n).map(gen)
 
   /** The cases replayed against the DuckDB oracle every round,
@@ -2004,9 +2111,10 @@ object FuzzGen {
     * indices pin in their place; float space 13000: only 13015 is
     * empty, 13016+ pin in its place; coercion space 14000: all of
     * 14000-14024 vetted non-empty — only 14030, outside the pinned
-    * range, is empty at sf0.001; string-edge space 15000: all of
-    * 15000-15031 vetted non-empty at every SF). Re-run FuzzVet and
-    * re-pin if the driver regenerates testdata. */
+    * range, is empty at sf0.001; string-edge space 15000 and JSON
+    * space 16000: all of 15000-15031 / 16000-16031 vetted non-empty
+    * at every SF). Re-run FuzzVet and re-pin if the driver
+    * regenerates testdata. */
   val vettedIdx: Seq[Int] =
     Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14, 15, 16,
       17, 18, 19, 20,
@@ -2052,7 +2160,11 @@ object FuzzGen {
       15000, 15001, 15002, 15003, 15004, 15005, 15006, 15007,
       15008, 15009, 15010, 15011, 15012, 15013, 15014, 15015,
       15016, 15017, 15018, 15019, 15020, 15021, 15022, 15023,
-      15024)
+      15024,
+      16000, 16001, 16002, 16003, 16004, 16005, 16006, 16007,
+      16008, 16009, 16010, 16011, 16012, 16013, 16014, 16015,
+      16016, 16017, 16018, 16019, 16020, 16021, 16022, 16023,
+      16024)
 
   def driverSuite: Seq[Fuzz] = vettedIdx.map(gen)
 }

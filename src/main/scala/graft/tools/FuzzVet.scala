@@ -26,7 +26,7 @@ object FuzzVet {
       (6000 until 6020) ++ (7000 until 7020) ++ (8000 until 8020) ++
       (9000 until 9021) ++ (10000 until 10021) ++ (11000 until 11024) ++
       (12000 until 12032) ++ (13000 until 13032) ++ (14000 until 14032) ++
-      (15000 until 15032)
+      (15000 until 15032) ++ (16000 until 16032)
     val pool = idxs.map(i => i -> graft.operators.FuzzGen.gen(i))
     val ok = pool.filter { case (i, f) =>
       val counts = sfs.map { case (_, d) => f.build(spark, d).count() }

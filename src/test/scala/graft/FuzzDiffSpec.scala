@@ -27,9 +27,10 @@ class FuzzDiffSpec extends SparkTestBase {
     (12000 until 12040).map(FuzzGen.gen) ++ // the decimal-arithmetic space
     (13000 until 13040).map(FuzzGen.gen) ++ // the float/double-semantics space
     (14000 until 14040).map(FuzzGen.gen) ++ // the coercion/DISTINCT space
-    (15000 until 15040).map(FuzzGen.gen)  // the string-edge/collation space
+    (15000 until 15040).map(FuzzGen.gen) ++ // the string-edge/collation space
+    (16000 until 16040).map(FuzzGen.gen)  // the JSON-path extraction space
 
-  test("680 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp/decimal/float/coercion/collation cases: DataFrame plan == SQL text") {
+  test("720 generated filter/agg/join/time/cross/window/set/subquery/recursive/grouping/frame/string/timestamp/decimal/float/coercion/collation/json cases: DataFrame plan == SQL text") {
     Tables.events(spark, sf0001).createOrReplaceTempView("events")
     Tables.orders(spark, sf0001).createOrReplaceTempView("orders")
     Tables.nation(spark, sf0001).createOrReplaceTempView("nation")
@@ -67,6 +68,34 @@ class FuzzDiffSpec extends SparkTestBase {
     assert(shapes == Set("join", "agg", "filter", "window", "limit",
       "time", "cross", "having", "setop", "expr", "recursive",
       "grouping"))
+  }
+
+  test("rendering guard-rail assumptions hold on this Spark " +
+      "(decimal→string pads scale; floor/ceil are BIGINT; exact casts)") {
+    // The 12000–15000 pins are driver-green only while these hold; a
+    // Spark upgrade that changes any of them must fail HERE, not as an
+    // opaque driver hash-red.
+    val r = spark.sql(
+      """SELECT CAST(CAST(3.5 AS DECIMAL(30,5)) AS STRING) AS pad,
+        |       CAST(CAST(-0.28 AS DECIMAL(12,2)) AS STRING) AS neg,
+        |       CAST(CAST(12 AS DECIMAL(24,6)) AS STRING) AS intl,
+        |       floor(CAST(3.7 AS DOUBLE)) AS fl,
+        |       ceil(CAST(-3.7 AS DOUBLE)) AS ce,
+        |       CAST(sign(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS sg,
+        |       CAST((CAST(-2.0 AS DOUBLE) % 2.0) * 4 AS BIGINT) AS mz,
+        |       CAST((CAST(-5.75 AS DOUBLE) % 1.5) * 4 AS BIGINT) AS md
+        |""".stripMargin).head()
+    assert(r.getString(0) == "3.50000")  // scale-padded, not "3.5"
+    assert(r.getString(1) == "-0.28")
+    assert(r.getString(2) == "12.000000")
+    // floor/ceil(DOUBLE) return BIGINT in Spark (the very divergence
+    // the floorgrid pins CAST away — if this becomes DOUBLE the pins'
+    // casts are still correct, but the assumption doc must be revised)
+    assert(r.schema("fl").dataType.typeName == "long")
+    assert(r.schema("ce").dataType.typeName == "long")
+    assert(r.getLong(5) == -1L)
+    assert(r.getLong(6) == 0L)   // IEEE -0.0 * 4 casts to plain 0
+    assert(r.getLong(7) == -5L)  // C-style remainder -1.25, exact ×4
   }
 
   test("every case returns rows on sf0.001 or is a legitimately empty slice") {
