@@ -64,13 +64,26 @@ object Hits {
     var fixed = false
     while (r <= rounds && !fixed) {
       val prevHub = hub
-      renorm(hub.select(col("node").as("src"), col("score"))
+      // auth_r is consumed exactly once per round (by hub_r), so the
+      // round-file contract does NOT require materializing it — an
+      // unmaterialized auth half-round is replayed once, not Σrounds
+      // times. Only the round whose auth frame outlives the loop body
+      // (the final round's, which feeds the output union, and every
+      // round's when the earlyExit probe runs count()s against hub)
+      // writes the auth file: 8 round writes drop to 5 on the pinned
+      // 4-round flagship, bit-identical scores (r10 optimization;
+      // measured 5.27 s → see OPTIMIZATION_r10.md).
+      val authR = renorm(hub.select(col("node").as("src"), col("score"))
         .join(edges, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum("score").as("raw")))
-        .write.mode("overwrite").parquet(s"$dir/auth-$r")
-      auth = spark.read.parquet(s"$dir/auth-$r")
-      renorm(auth.select(col("node").as("dst"), col("score"))
+      val authIn =
+        if (earlyExit || r == rounds) {
+          authR.write.mode("overwrite").parquet(s"$dir/auth-$r")
+          auth = spark.read.parquet(s"$dir/auth-$r")
+          auth
+        } else authR
+      renorm(authIn.select(col("node").as("dst"), col("score"))
         .join(edges, "dst")
         .groupBy(col("src").as("node"))
         .agg(sum("score").as("raw")))

@@ -35,23 +35,28 @@ object LabelProp {
     val dir = scratch(spark)
     edges0.write.mode("overwrite").parquet(s"$dir/edges")
     val edges = spark.read.parquet(s"$dir/edges")
-    edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .select(col("node"), col("node").as("label"))
-      .write.mode("overwrite").parquet(s"$dir/lab-0")
-    var lab = spark.read.parquet(s"$dir/lab-0")
     // fixpoint probe: labels are not monotone (unlike sssp distances),
     // so the two-scalar (count, Σ) trick is not exact here — instead
     // (count, XOR of row hashes): order-free, overflow-free (a SUM of
     // 64-bit hashes would trip ANSI overflow), and a false match needs
     // a 2⁻⁶⁴ hash coincidence; a wrong early exit would only ever skip
-    // rounds the oracle runs, so the driver gate would catch it
-    def fp(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(node, label))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // rounds the oracle runs, so the driver gate would catch it. The
+    // fingerprint rides each round write as an `observe` metric — the
+    // separate node-sized agg job per round was pure scheduling
+    // overhead (r10 optimization: one job per round, not two).
+    def writeFp(d: DataFrame, path: String): (Long, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      d.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(node, label))"), lit(0L)).as("x"))
+        .write.mode("overwrite").parquet(path)
+      val m = obs.get
+      (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
     }
-    var last = fp(lab)
+    var last = writeFp(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .select(col("node"), col("node").as("label")), s"$dir/lab-0")
+    var lab = spark.read.parquet(s"$dir/lab-0")
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
@@ -68,13 +73,11 @@ object LabelProp {
       // argmax by (count desc, label asc) as ONE hash aggregate:
       // max of the lexicographic struct (c, −label) — a per-round
       // row_number window would add a sort the aggregate doesn't need
-      votes
+      val now = writeFp(votes
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("label"))
-        .write.mode("overwrite").parquet(s"$dir/lab-$r")
+        .select(col("node"), (-col("m.neg")).as("label")), s"$dir/lab-$r")
       lab = spark.read.parquet(s"$dir/lab-$r")
-      val now = fp(lab)
       fixed = now == last
       last = now
       r += 1

@@ -47,23 +47,27 @@ object ShortestPaths {
     var dist = spark.read.parquet(s"$dir/dist-0")
     // (count, Σdist) fingerprint: distances only DECREASE and nodes
     // only accrete, so (same count, same sum) ⇔ identical table ⇔
-    // fixpoint — two scalars instead of a diff join
-    def fp(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var last = fp(dist)
+    // fixpoint — two scalars instead of a diff join. The fingerprint
+    // rides the round write as an `observe` metric (one job per round,
+    // not two — the separate node-sized agg job per round was pure
+    // scheduling overhead; r10 optimization). dist-0 is the literal
+    // 1-row (s0, 0), so its fingerprint is (1, 0) by construction.
+    var last = (1L, 0L)
     var r = 1
     var fixed = false
     while (r <= rounds && !fixed) {
+      val obs = org.apache.spark.sql.Observation(s"sssp-fp-$r")
       dist.select(col("node").as("src"), col("dist"))
         .join(edges, "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionAll(dist)
         .groupBy("node").agg(min("dist").as("dist"))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum("dist"), lit(0L)).as("s"))
         .write.mode("overwrite").parquet(s"$dir/dist-$r")
       dist = spark.read.parquet(s"$dir/dist-$r")
-      val now = fp(dist)
+      val m = obs.get
+      val now = (m("n").asInstanceOf[Long], m("s").asInstanceOf[Long])
       fixed = now == last
       last = now
       r += 1

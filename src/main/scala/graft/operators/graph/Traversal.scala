@@ -57,17 +57,23 @@ object Traversal {
     var levels = List(spark.read.parquet(s"$dir/level-0"))
     var frontier = levels.head
     var h = 1
-    var exhausted = frontier.isEmpty
+    // level-0 is the literal 1-row source — non-empty by construction;
+    // each later level's emptiness probe rides the level write as an
+    // `observe` count instead of a separate isEmpty job (r10
+    // optimization: one job per level, not two)
+    var exhausted = false
     while (h <= maxHops && !exhausted) {
       val settled = levels.reduce(_ unionAll _).select("node")
+      val obs = org.apache.spark.sql.Observation()
       frontier.select(col("node").as("src"))
         .join(edges, "src")
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$dir/level-$h")
       frontier = spark.read.parquet(s"$dir/level-$h")
-      exhausted = frontier.isEmpty // bounded: one probe per level
+      exhausted = obs.get("n").asInstanceOf[Long] == 0L
       if (!exhausted) levels ::= frontier
       h += 1
     }
@@ -96,22 +102,29 @@ object Traversal {
     val dir = scratch(spark)
     edges0.write.mode("overwrite").parquet(s"$dir/edges")
     val edges = spark.read.parquet(s"$dir/edges")
-    edges.groupBy("src").agg(count(lit(1)).as("dg"))
-      .select(col("src").as("node"), col("dg"))
-      .write.mode("overwrite").parquet(s"$dir/deg-1")
+    // the survivor count rides every degree write as an `observe`
+    // metric — the separate filter+count job per peel round was one
+    // node-sized scheduling round-trip each (r10 optimization)
+    def writeDeg(d: DataFrame, path: String): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      d.observe(obs, count(when(col("dg") >= k, 1)).as("surv"))
+        .write.mode("overwrite").parquet(path)
+      obs.get("surv").asInstanceOf[Long]
+    }
+    var survivors = writeDeg(
+      edges.groupBy("src").agg(count(lit(1)).as("dg"))
+        .select(col("src").as("node"), col("dg")), s"$dir/deg-1")
     var deg = spark.read.parquet(s"$dir/deg-1")
-    var survivors = deg.filter(col("dg") >= k).count() // bounded scalar
     var r = 2
     var fixed = false
     while (r <= rounds && !fixed) {
       val keep = deg.filter(col("dg") >= k).select("node")
-      edges
+      val now = writeDeg(edges
         .join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
-        .write.mode("overwrite").parquet(s"$dir/deg-$r")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("dg")),
+        s"$dir/deg-$r")
       deg = spark.read.parquet(s"$dir/deg-$r")
-      val now = deg.filter(col("dg") >= k).count()
       fixed = now == survivors
       survivors = now
       r += 1

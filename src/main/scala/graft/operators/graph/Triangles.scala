@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   * closed by exactly one oriented edge v→w, so counting needs no
   * dedup and no factor-of-6 correction.
   *
-  * Shape at 100 TB: three keyed exchanges — wedge join on the shared
-  * source u, closing join on (v, w), and the final per-node count.
-  * The wedge stream is Σ outdeg² ≤ O(m^1.5) rows worst case but in
-  * practice near-linear on power-law graphs (the orientation's whole
-  * point); no node ever concentrates the work, so there is no "last
-  * reducer". Degrees are node-sized and join broadcast-small in most
-  * regimes; at extreme node counts the degree join degrades to a
-  * shuffle join — plan change only.
+  * Shape at 100 TB: all exchanges are O(m) rows — the adjacency-array
+  * build keyed on src, the two attach joins that put both endpoints'
+  * out-neighbor arrays on each edge, and the final per-node count.
+  * The Σ outdeg² ≤ O(m^1.5) wedge work still happens (it is the
+  * algorithm's compute), but as an IN-ROW array intersection inside
+  * whole-stage codegen, not as a shuffled row stream; no node ever
+  * concentrates the work (out-degree is O(√m) by the orientation), so
+  * there is no "last reducer". Degrees are node-sized and join
+  * broadcast-small in most regimes; at extreme node counts the degree
+  * join degrades to a shuffle join — plan change only.
   *
   * Everything is integer and order-independent, so the DuckDB oracle
   * (a three-way self-join over id-ordered edges — orientation-free,
@@ -52,14 +54,15 @@ object Triangles {
     * zero-padded, totally ordered by node.
     *
     * The canonical edge set feeds two consumers (degree count, the
-    * orientation join) and the oriented set feeds three (both wedge
-    * sides, the closing probe) — both are MATERIALIZED to scratch
+    * orientation join) and the oriented set feeds two (the edge
+    * stream, the adjacency build) — both are MATERIALIZED to scratch
     * parquet (the PageRank/CC contract), or every consumer would
     * replay the upstream edge-build lineage: measured 15.7 s → 8.3 s
-    * at sf0.1 on the co-purchase flagship (the rest is the 41M-row
-    * wedge stream — inherent). The per-node counting is a
-    * single explode pass over the triangle list, not a 3-way
-    * self-union (which would run the wedge pipeline three times). */
+    * at sf0.1 on the co-purchase flagship back when the close was a
+    * wedge join; the r10 adjacency-intersect close removed the wedge
+    * exchange on top (see the in-method comment). The per-node
+    * counting is a single explode pass over the triangle list, not a
+    * 3-way self-union (which would run the close three times). */
   def triangleCounts(edges0: DataFrame): DataFrame = {
     val spark = edges0.sparkSession
     val scratch = spark.conf.getOption("spark.graft.triangles.scratch")
@@ -87,55 +90,41 @@ object Triangles {
       (col("da") === col("db") && col("a") < col("b"))
     withDeg.select(
         when(fwd, col("a")).otherwise(col("b")).as("src"),
-        when(fwd, col("b")).otherwise(col("a")).as("dst"),
-        when(fwd, col("db")).otherwise(col("da")).as("ddst"))
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
       .write.mode("overwrite").parquet(s"$scratch/oriented")
     val o = spark.read.parquet(s"$scratch/oriented")
-    // wedges u→v, u→w with (deg(v), v) < (deg(w), w): the unique
-    // representative of each unordered neighbor pair, and exactly the
-    // orientation the closing edge v→w carries if the triangle exists
-    val w1 = o.select(col("src").as("u"), col("dst").as("v"),
-      col("ddst").as("dv"))
-    val w2 = o.select(col("src").as("u"), col("dst").as("w"),
-      col("ddst").as("dw"))
-    val wedges = w1.join(w2, Seq("u"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-    // The closing probe is wedges ⋈ edges — wedge cardinality is
-    // Σ outdeg² (41M at sf0.1 against 1.2M edges), so on a CLUSTER
-    // shuffling the WEDGE side over the network is the expensive
-    // shape and broadcasting the edge side makes that exchange
-    // disappear. Three regimes (TriangleSoak, fingerprint-identical):
-    //  - edge side under AQE's stats threshold (sf0.1): leave the
-    //    join UNHINTED — AQE converts to broadcast with a local
-    //    shuffle read, which beats the planner-forced broadcast
-    //    1.28× measured (7.6 vs 9.8 s on the flagship; the forced
-    //    hint builds the hash relation before the wedge stream has
-    //    been pruned by AQE);
-    //  - above AQE's threshold but below executor memory: AQE stops
-    //    converting, yet shuffling Σ outdeg² rows to co-locate with
-    //    m edge rows is still the wrong network trade — the
-    //    count-gated explicit hint covers exactly this band
-    //    (minHintEdges, maxBroadcastEdges];
-    //  - past the bound: the shuffle join, the only correct choice
-    //    at 100 TB edge scale (measured bit-identical, and on
-    //    local[32] — where exchanges never touch a network — it is
-    //    even the fastest shape).
-    // The remaining flagship cost is the wedge stream itself —
-    // inherent to exact counting at this density (avg degree 120).
-    val closeSide = o.select(col("src").as("v"), col("dst").as("w"))
-    val maxBroadcastEdges = spark.conf
-      .getOption("spark.graft.triangles.maxBroadcastEdges")
-      .map(_.toLong).getOrElse(5000000L)
-    val minHintEdges = spark.conf
-      .getOption("spark.graft.triangles.minHintEdges")
-      .map(_.toLong).getOrElse(3000000L)
-    val edgeCount = e.count()
-    val tri = wedges.join(
-      if (edgeCount > minHintEdges && edgeCount <= maxBroadcastEdges)
-        broadcast(closeSide)
-      else closeSide,
-      Seq("v", "w"))
+    // Close triangles by ADJACENCY INTERSECTION, not a wedge join
+    // (r10 optimization). The former shape generated the Σ outdeg²
+    // wedge stream (41M rows at sf0.1 against 1.2M edges) and shuffled
+    // it into a closing join — the wedge exchange dominated the query
+    // (guide §2.3: the shuffle carried 34× more rows than the data
+    // has edges). Instead build each node's OUT-neighbor array once
+    // (node-sized, total payload = m ids, every array O(√m) by the
+    // orientation), attach the two endpoint arrays to every oriented
+    // edge (v, w), and count u ∈ N⁺(v) ∩ N⁺(w) in-row: a triangle
+    // {x ≺ y ≺ z} (≺ = the (deg, id) total order) is closed exactly
+    // once, at its source-most edge (x, y) with witness z, so the
+    // count is exact with no dedup — same invariant the wedge form
+    // used, same integer result bit-for-bit (TriangleSoak asserts the
+    // shapes' fingerprint equality).
+    //
+    // Scale shape: two O(m)-row exchanges (attach on v, attach on w)
+    // replace the O(Σ outdeg²) wedge exchange; the intersection work
+    // per edge is O(|N⁺(v)| + |N⁺(w)|) in whole-stage codegen with no
+    // bytes crossing the network. The adjacency frame is materialized
+    // to scratch so both attach joins read parquet stats — under the
+    // broadcast threshold (the local/sf0.1 regime) AQE converts both
+    // attaches to broadcasts and the whole close runs exchange-free;
+    // past it they degrade to shuffle joins of m rows (the 100 TB
+    // regime), never to a wedge-sized exchange.
+    o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+      .write.mode("overwrite").parquet(s"$scratch/adj")
+    val adj = spark.read.parquet(s"$scratch/adj")
+    val tri = o.select(col("src").as("v"), col("dst").as("w"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), "v")
+      .join(adj.select(col("src").as("w"), col("nbrs").as("nw")), "w")
+      .select(col("v"), col("w"),
+        explode(array_intersect(col("nv"), col("nw"))).as("u"))
     val counts = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
