@@ -48,7 +48,14 @@ object ItemCf {
     // the similarity universe (sizes and co-counts agree on it).
     // Deliberately NOT scratch-materialized: its consumers all share
     // the distinct's shuffle via AQE exchange reuse inside one query,
-    // and a parquet round-trip measured SLOWER at sf0.1 (4.0 → 5.4 s)
+    // and a parquet round-trip measured SLOWER at sf0.1 (4.0 → 5.4 s).
+    // An in-row pair rewrite (pack each basket into a sorted array,
+    // posexplode × slice the ordered pairs) was measured SLOWER too
+    // (r10: item_cf 4.5 → 6.3 s, assoc 4.4 → 6.1 s): slice allocates
+    // a fresh array per LEFT element, Σ|basket|²/2 copied elements,
+    // where the sort-merge self-join streams the same pair bag out of
+    // two sorted runs with zero per-pair allocation — the self-join
+    // IS the fast shape here.
     val capped = baskets
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("cust")))
       .filter(col("bsz") <= maxBasket)
@@ -125,7 +132,13 @@ object ItemCf {
       cappedCounts(lineitem, orders, minCo, maxBasket)
     // the support denominator rides a 1-row broadcast cross join —
     // a driver-side count() would execute the whole basket pipeline
-    // a second time just to fetch one scalar
+    // a second time just to fetch one scalar. capped is one exploded
+    // row per (cust, part) with cust unique per pack, so a plain
+    // count over the DISTINCT custs equals the former
+    // countDistinct(cust) — but the distinct aggregate is kept: the
+    // value, not the plan, is the contract (and Catalyst plans the
+    // single-key distinct as two hash aggregates over a node-sized
+    // frame — noise here).
     val nDf = capped.agg(
       countDistinct(col("cust")).cast("double").as("n_cust"))
     val sym = co.unionAll(
@@ -211,11 +224,19 @@ object ItemCf {
     val evalUsers = train.select("cust").distinct()
       .join(test.select("cust").distinct(), "cust")
     val recs = topK.join(evalUsers, "cust")
-    val hits = recs.join(test.select(col("cust"), col("part").as("rec")),
-      Seq("cust", "rec"), "left_semi")
+    // n_recs and n_hits ride ONE pass over the recs pipeline (r10
+    // optimization): the former shape aggregated recs twice — once
+    // bare, once through a left-semi against the test purchases — so
+    // the whole CF + window subtree executed twice unless exchange
+    // reuse happened to cover it. test is a distinct (cust, part)
+    // universe, so a left join marks each rec hit-or-not exactly once
+    // and count(hit) ≡ the former semi-join count, bit-identical.
+    val metrics = recs
+      .join(test.select(col("cust"), col("part").as("rec"))
+        .withColumn("__hit", lit(1)), Seq("cust", "rec"), "left")
+      .agg(count(lit(1)).as("n_recs"), count(col("__hit")).as("n_hits"))
     broadcast(evalUsers.agg(count(lit(1)).as("n_users")))
-      .crossJoin(broadcast(recs.agg(count(lit(1)).as("n_recs"))))
-      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .crossJoin(broadcast(metrics))
       .select(col("n_users"), col("n_recs"), col("n_hits"),
         floor(lit(1000000L) * col("n_hits") /
           nullif(col("n_recs"), lit(0L)))
