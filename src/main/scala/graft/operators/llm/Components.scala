@@ -71,6 +71,27 @@ object Components {
     val fs = new Path(scratchRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // Adaptive iteration state. The round body references the previous
+    // round TWICE (symmetrize + self-aggregate), so un-materialized
+    // lineage grows 4^rounds — every round MUST materialize. Big edge
+    // sets round-trip through parquet (lineage cut + spillable, the
+    // 100 TB path); sets under `spark.graft.cc.inMemoryMaxEdges`
+    // materialize through the driver instead (bounded by the threshold
+    // contract — the same kmeansCentroids pattern), skipping two
+    // filesystem jobs per round and leaving zero persisted state.
+    var useFiles = true
+    def write(df: DataFrame, round: Int): DataFrame =
+      if (!useFiles) {
+        val rows = df.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+      } else {
+        val dir = s"$scratchRoot/round_$round"
+        df.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      }
+    def drop(round: Int): Unit =
+      if (useFiles) fs.delete(new Path(s"$scratchRoot/round_$round"), true)
+
     // canonical edge form: u < v, distinct, self-loops dropped
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u") =!= col("v"))
@@ -101,76 +122,35 @@ object Components {
           .unionAll(joined.select(col("m").as("u"), col("c").as("v"))))
     }
 
+    /** Cheap order-free signature for convergence: edge count plus two
+      * independent hash XOR-folds (overflow-free under ANSI mode; a
+      * count tie with colliding folds across DIFFERENT edge sets would
+      * need simultaneous collisions in both 64-bit folds). */
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(v, u))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
     val canonical = canon(
       edges.select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v")))
-    // Adaptive iteration state. The round body references the previous
-    // round TWICE (symmetrize + self-aggregate), so un-materialized
-    // lineage grows 4^rounds — every round MUST materialize. Big edge
-    // sets round-trip through parquet (lineage cut + spillable, the
-    // 100 TB path); sets under `spark.graft.cc.inMemoryMaxEdges`
-    // materialize through the driver instead (bounded by the threshold
-    // contract — the same kmeansCentroids pattern), leaving zero
-    // persisted state.
-    //
-    // r10 optimization — ONE upstream execution and ONE job per round,
-    // down from three and two: a single limit-capped collect both
-    // decides the path (length > cap ⇔ the old count > cap) and, on
-    // the in-memory path, IS round 0 — the former shape executed the
-    // whole upstream pair pipeline once for the signature job and
-    // again for the round-0 write. Convergence on the in-memory path
-    // compares the collected edge SETS driver-side (exact, ≤ cap
-    // rows, no job at all); on the file path the order-free
-    // (count, xor-fold, xor-fold) signature rides the round write as
-    // `observe` metrics instead of a second aggregate job over the
-    // written files.
-    val cap = spark.conf
+    var sig = signature(canonical)
+    useFiles = sig._1 > spark.conf
       .get("spark.graft.cc.inMemoryMaxEdges", "100000").toLong
-    val probeRows = canonical
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
-      .collect().toIndexedSeq
-    val useFiles = probeRows.length > cap
+    var e = write(canonical, 0)
     var round = 0
     var converged = false
-    var e: DataFrame = null
-    if (!useFiles) {
-      def frame(rows: IndexedSeq[org.apache.spark.sql.Row]): DataFrame =
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), canonical.schema)
-      def toSet(rows: IndexedSeq[org.apache.spark.sql.Row]) =
-        rows.iterator.map(r => (r.getLong(0), r.getLong(1))).toSet
-      var curSet = toSet(probeRows)
-      e = frame(probeRows)
-      while (!converged && round < maxIter) {
-        round += 1
-        val nextRows = smallStar(largeStar(e)).collect().toIndexedSeq
-        val nextSet = toSet(nextRows)
-        converged = nextSet == curSet
-        curSet = nextSet
-        e = frame(nextRows)
-      }
-    } else {
-      def writeObs(df: DataFrame, r: Int): (DataFrame, (Long, Long, Long)) = {
-        val obs = org.apache.spark.sql.Observation()
-        df.observe(obs, count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x1"),
-            coalesce(expr("bit_xor(xxhash64(v, u))"), lit(0L)).as("x2"))
-          .write.mode("overwrite").parquet(s"$scratchRoot/round_$r")
-        val m = obs.get
-        (spark.read.parquet(s"$scratchRoot/round_$r"),
-          (m("n").asInstanceOf[Long], m("x1").asInstanceOf[Long],
-            m("x2").asInstanceOf[Long]))
-      }
-      var (e0, sig) = writeObs(canonical, 0)
-      e = e0
-      while (!converged && round < maxIter) {
-        round += 1
-        val (next, nextSig) = writeObs(smallStar(largeStar(e)), round)
-        converged = nextSig == sig
-        sig = nextSig
-        fs.delete(new Path(s"$scratchRoot/round_${round - 1}"), true)
-        e = next
-      }
+    while (!converged && round < maxIter) {
+      round += 1
+      val next = write(smallStar(largeStar(e)), round)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      drop(round - 1)
+      e = next
     }
     // An unconverged edge set means the star contraction was cut short:
     // component ids downstream (canonicalize / clusterStats) would be

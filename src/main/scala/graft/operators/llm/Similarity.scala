@@ -479,14 +479,38 @@ object Similarity {
     * candidate scoring cost drops by the ratio; verify survivors in
     * the original space. */
   def randomProjected(embeddings: DataFrame, outDim: Int = 8): DataFrame = {
+    // The weight w(i, j) depends only on (i, j), never on the row —
+    // but written inline it re-derived md5+conv+substring for every
+    // element of every row (64·8 = 512 string digests PER VECTOR;
+    // r10: 2.8 → 0.3 s at sf0.1). Precompute the matrix once on the
+    // driver with the IDENTICAL integer pipeline (first 4 md5 hex
+    // chars → int % 2001 − 1000, scaled 1e-3 — value-exact, so the
+    // oracle replay is unchanged) and reference it as a literal;
+    // vectors longer than the precomputed table (never the fixture's
+    // 64) fall back to the original per-element expression, value-
+    // identical by construction.
+    val preDim = 64
+    val weights: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until preDim).map { i =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"p:$i:$j".getBytes("UTF-8"))
+        val hex4 = f"${digest(0) & 0xff}%02x${digest(1) & 0xff}%02x"
+        ((java.lang.Long.parseLong(hex4, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+    val wLit = typedlit(weights)
+    def wOf(i: Column, j: Column): Column =
+      when(i < preDim,
+        element_at(element_at(wLit, j.cast("int") + 1), i.cast("int") + 1))
+        .otherwise(
+          (conv(substring(md5(concat(lit("p:"), i.cast("string"),
+            lit(":"), j.cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 2001L - 1000L).cast("double") / 1000.0)
     val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
       round(aggregate(
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x.cast("double") *
-            ((conv(substring(md5(concat(lit("p:"), i.cast("string"),
-              lit(":"), j.cast("string"))), 1, 4), 16, 10)
-              .cast("long") % 2001L - 1000L).cast("double") / 1000.0)),
+          (x, i) => x.cast("double") * wOf(i, j)),
         lit(0.0), (acc, v) => acc + v), 6))
     embeddings
       .select(col("vec_id"), posexplode(proj).as(Seq("out_dim", "val")))
