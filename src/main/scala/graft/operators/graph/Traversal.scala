@@ -57,23 +57,24 @@ object Traversal {
     var levels = List(spark.read.parquet(s"$dir/level-0"))
     var frontier = levels.head
     var h = 1
-    // level-0 is the literal 1-row source — non-empty by construction;
-    // each later level's emptiness probe rides the level write as an
-    // `observe` count instead of a separate isEmpty job (r10
-    // optimization: one job per level, not two)
+    // level-0 is the literal 1-row source — non-empty by construction.
+    // The per-level emptiness probe stays a separate isEmpty job: it
+    // short-circuits on the first non-empty partition of the (tiny)
+    // materialized level file. An observe() count riding the level
+    // write was tried in r10 and measured a wash within the box's
+    // noise band — isEmpty is kept as the simpler form (take-1
+    // short-circuit, no listener-bus wait on Observation.get).
     var exhausted = false
     while (h <= maxHops && !exhausted) {
       val settled = levels.reduce(_ unionAll _).select("node")
-      val obs = org.apache.spark.sql.Observation()
       frontier.select(col("node").as("src"))
         .join(edges, "src")
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
-        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$dir/level-$h")
       frontier = spark.read.parquet(s"$dir/level-$h")
-      exhausted = obs.get("n").asInstanceOf[Long] == 0L
+      exhausted = frontier.isEmpty // bounded: one probe per level
       if (!exhausted) levels ::= frontier
       h += 1
     }

@@ -329,23 +329,33 @@ object DedupOps {
   def containmentPairs(documents: DataFrame, maxBucket: Int = 5,
                        minPct: Int = 80, every: Int = 10): DataFrame = {
     val corpus = withNearDuplicates(documents, every)
-    val grams = shingleRows(corpus)
-      .select(col("doc_id"), col("shingle")).distinct()
-    val rare = grams.groupBy("shingle").agg(count(lit(1)).as("f"))
+    // Gram identity is the 64-bit xxhash64 of the gram, not the gram
+    // string (r10 optimization — the same 8-bytes-for-strings trade
+    // `ngramJaccardPairs` documents): the native one-pass kernel
+    // replaces the posexplode + lead-window shingle pipeline AND the
+    // per-doc collect_set aggregate (two exchanges + a per-doc sort
+    // gone), the rare-gram count and the candidate self-join shuffle
+    // longs instead of gram strings, and the per-doc set needs no
+    // distinct (the kernel emits sets). All counts — inter, sizes,
+    // rare frequencies — are unchanged next to the string form bar a
+    // 64-bit collision inside one corpus (odds ~|grams|²/2⁶⁵,
+    // negligible next to the blocking recall trade already accepted);
+    // the integer threshold algebra is untouched.
+    val sets = gramSetsNative(corpus)
+    val grams = sets.select(col("doc_id"), explode(col("grams")).as("h"))
+    val rare = grams.groupBy("h").agg(count(lit(1)).as("f"))
       .filter(col("f") >= 2 && col("f") <= maxBucket)
-      .select("shingle")
-    val rareGrams = grams.join(rare, "shingle")
-    val candidates = rareGrams.select(col("doc_id").as("doc_a"),
-        col("shingle"))
-      .join(rareGrams.select(col("doc_id").as("doc_b"), col("shingle")),
-        "shingle")
+      .select("h")
+    val rareGrams = grams.join(rare, "h")
+    val candidates = rareGrams.select(col("doc_id").as("doc_a"), col("h"))
+      .join(rareGrams.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = grams.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("g"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("g").as("ga")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("g").as("gb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("grams").as("ga")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("grams").as("gb")),
+        "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("inter"),
         size(col("ga")).cast("long").as("size_a"),
