@@ -243,26 +243,28 @@ object PageRank {
     edgesDeg.select(col("src").as("node")).distinct()
       .write.mode("overwrite").parquet(s"$scratch/nodes")
     val nodes = spark.read.parquet(s"$scratch/nodes")
-    val seeds = nodes.filter(col("node") % seedMod === 0)
-      .select(col("node").as("seed"))
-    val nSeeds = seeds.count() // one scalar job, the pageRank contract
+    val nSeeds = nodes.filter(col("node") % seedMod === 0)
+      .count() // one scalar job, the pageRank contract
     require(nSeeds > 0,
       s"personalizedPageRank: no seeds under node % $seedMod = 0")
     val seedInit = Scale / nSeeds
-    // teleport as a broadcast-sized left join: matched ⇒ seedMass
-    def withTeleport(contrib: DataFrame): DataFrame =
-      contrib.join(seeds, col("node") === col("seed"), "left")
-        .select(col("node"),
-          expr(s"(15 * CAST(if(seed IS NULL, 0, $seedInit) AS BIGINT)" +
-            " + 85 * s) DIV 100").as("r"))
+    // teleport as ARITHMETIC, not a join (r10 optimization): seed
+    // membership is a pure predicate of the node id, so the former
+    // per-round `contrib LEFT JOIN seeds` (and the init join) carried
+    // a join operator whose entire job a single integer-mod CASE does
+    // in-row — one fewer operator per round, bit-identical masses
+    // (the oracle already replays seeds by the same key arithmetic).
+    val seedMass =
+      expr(s"CAST(if(node % $seedMod = 0, $seedInit, 0) AS BIGINT)")
     def round(ranks: DataFrame): DataFrame =
-      withTeleport(edgesDeg
+      edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r DIV deg")).as("s")))
-    var ranks = nodes.join(seeds, col("node") === col("seed"), "left")
-      .select(col("node"),
-        expr(s"CAST(if(seed IS NULL, 0, $seedInit) AS BIGINT)").as("r"))
+        .agg(sum(expr("r DIV deg")).as("s"))
+        .select(col("node"),
+          expr(s"(15 * CAST(if(node % $seedMod = 0, $seedInit, 0) " +
+            "AS BIGINT) + 85 * s) DIV 100").as("r"))
+    var ranks = nodes.select(col("node"), seedMass.as("r"))
     var done = 0
     while (done < iters) {
       val step = math.min(ChainDepth, iters - done)

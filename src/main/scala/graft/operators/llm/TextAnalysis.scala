@@ -470,10 +470,21 @@ object TextAnalysis {
     * array functions in the hot path. */
   def classifierScore(documents: DataFrame, dim: Int = 4096,
                       threshold: Double = 0.0): DataFrame = {
-    // weight of bucket b: md5("w:" + b) → [-1000, 1000]
-    val wInt = conv(substring(md5(concat(lit("w:"),
-      md5Bucket(col("w"), dim).cast("string"))), 1, 4), 16, 10)
-      .cast("long") % 2001L - 1000L
+    // weight of bucket b: md5("w:" + b) → [-1000, 1000]. The weight is
+    // a pure function of the bucket id, so the table is computed ONCE
+    // driver-side with the identical integer pipeline (first 4 md5 hex
+    // chars → int % 2001 − 1000, value-exact — the oracle replay is
+    // unchanged) and referenced as a dim-sized literal, instead of a
+    // second per-token md5 in the hot path (r10; the per-token
+    // md5Bucket hash itself is the feature function and stays).
+    val wTable: Seq[Long] = (0 until dim).map { b =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$b".getBytes("UTF-8"))
+      val hex4 = f"${digest(0) & 0xff}%02x${digest(1) & 0xff}%02x"
+      (java.lang.Long.parseLong(hex4, 16) % 2001L) - 1000L
+    }
+    val wInt = element_at(typedlit(wTable),
+      md5Bucket(col("w"), dim).cast("int") + 1)
     graft.core.Tables.spread(documents)
       // explode_outer: a zero-token doc must still get a verdict row
       .select(col("doc_id"),
