@@ -64,10 +64,12 @@ object Hits {
     var fixed = false
     while (r <= rounds && !fixed) {
       val prevHub = hub
-      // auth_r is consumed exactly once per round (by hub_r), so the
-      // round-file contract does NOT require materializing it — an
-      // unmaterialized auth half-round is replayed once, not Σrounds
-      // times. Only the round whose auth frame outlives the loop body
+      // auth_r's only consumer is hub_r in the SAME round, so the
+      // round-file contract does NOT require materializing it: the
+      // replay of the unmaterialized auth lineage is bounded per round
+      // (renorm's max-agg subquery + main side plan it a constant
+      // number of times inside one query), never Σrounds times.
+      // Only the round whose auth frame outlives the loop body
       // (the final round's, which feeds the output union, and every
       // round's when the earlyExit probe runs count()s against hub)
       // writes the auth file: 8 round writes drop to 5 on the pinned

@@ -67,9 +67,24 @@ object LinkPrediction {
       "left_anti")
     val scored = candidates.groupBy(col("na").as("a"), col("nb").as("b"))
       .agg(count(lit(1)).as("cn"), sum(col("w_micro")).as("aa_micro"))
-    scored.withColumn("rank", row_number().over(
-        Window.orderBy(col("aa_micro").desc, col("a"), col("b"))))
-      .filter(col("rank") <= k)
+    // global top-k WITHOUT the single-partition global window (the
+    // `WindowExec: No Partition Defined` scale trap, r11): orderBy +
+    // limit plans TakeOrderedAndProject — per-partition top-k merged
+    // on the driver, fully distributed — and the rank window then
+    // numbers only the k surviving rows. (aa_micro desc, a, b) is a
+    // total order, so the k rows and their ranks are bit-identical to
+    // the former full-frame window.
+    val topK = scored
+      .orderBy(col("aa_micro").desc, col("a"), col("b"))
+      .limit(k)
+    // the rank window runs over ≤ k rows — an explicit one-partition
+    // key makes that boundedness explicit and keeps the global-window
+    // warning a true signal elsewhere. `pmod(a, 1)` is constantly 0
+    // but NOT foldable (a bare `lit` is constant-folded out of the
+    // partition spec, resurrecting the warning).
+    topK.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col("a"), lit(1L)))
+          .orderBy(col("aa_micro").desc, col("a"), col("b"))))
       .select(col("a"), col("b"), col("cn"), col("aa_micro"),
         col("rank").cast("int").as("rank"))
       .orderBy("rank")

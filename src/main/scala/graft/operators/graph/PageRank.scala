@@ -223,13 +223,19 @@ object PageRank {
     * bit-for-bit). Requires a SYMMETRIC edge set (the co-purchase
     * construction): in/out-degree ≥ 1 everywhere means the per-round
     * contribution aggregate already covers every node, so no pad join
-    * — the teleport rides a broadcast-sized LEFT JOIN against the
-    * seed table instead. Same materialized-round contract (parquet
-    * round files every [[ChainDepth]] rounds).
+    * — the teleport is applied as in-row integer-mod arithmetic on the
+    * node id (no join at all). Same materialized-round contract
+    * (parquet round files every [[ChainDepth]] rounds).
     *
     * Seeds: nodes with `node % seedMod = 0` — on the parity encoding
     * (customer → 2k) an even `seedMod` selects customers only, by
-    * key arithmetic both engines replay exactly. */
+    * key arithmetic both engines replay exactly. NOTE the symmetry
+    * precondition is load-bearing for the teleport-as-arithmetic form:
+    * on a NON-symmetric edge set a dst-only node matching the seed
+    * predicate would receive teleport mass here, where the former
+    * seeds-table join (derived from distinct src nodes) gave it none.
+    * The flagship input is symmetric by construction; general callers
+    * must honor the precondition above. */
   def personalizedPageRank(edges0: DataFrame, seedMod: Long = 100L,
                            iters: Int = 6): DataFrame = {
     val spark = edges0.sparkSession

@@ -105,7 +105,12 @@ object Traversal {
     val edges = spark.read.parquet(s"$dir/edges")
     // the survivor count rides every degree write as an `observe`
     // metric — the separate filter+count job per peel round was one
-    // node-sized scheduling round-trip each (r10 optimization)
+    // node-sized scheduling round-trip each (r10 optimization).
+    // Caveat (same in LabelProp/SSSP): observe() metrics ride
+    // accumulators, which stage retries / speculative re-execution
+    // can over-count on a real cluster — a perturbed value at worst
+    // misses one early exit (benign extra rounds), never wrong output;
+    // disable speculation in the session config if that matters.
     def writeDeg(d: DataFrame, path: String): Long = {
       val obs = org.apache.spark.sql.Observation()
       d.observe(obs, count(when(col("dg") >= k, 1)).as("surv"))

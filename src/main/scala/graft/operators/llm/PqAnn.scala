@@ -135,11 +135,14 @@ object PqAnn {
     encodeFromSubs(normed, subVectors(normed, m, subDim), books)
   }
 
-  /** Encode from pre-built (normed, subs) frames so composed searches
-    * reuse one materialized subvector pass. */
-  private def encodeFromSubs(normed: DataFrame, subs: DataFrame,
-                             books: DataFrame): DataFrame = {
-    val coded = subs
+  /** The (vec_id, codes) frame alone — consumers that join the codes
+    * back to the RAW embeddings (both search corpora below) take this
+    * directly: the former route through [[encodeFromSubs]] dragged a
+    * row-preserving inner join against `normed` (one full corpus
+    * re-normalization + an extra exchange) whose normalized column
+    * was then pruned away unused (r11). */
+  private def codesFromSubs(subs: DataFrame, books: DataFrame): DataFrame =
+    subs
       .join(broadcast(books), Seq("sub"))
       .withColumn("d", l2dist(col("sub_emb"), col("c_emb")))
       // argmin-by-aggregate, then the per-vector code array — two hash
@@ -149,8 +152,12 @@ object PqAnn {
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("m.cid").as("code_id")))),
         s => s.getField("code_id").cast("int")).as("codes"))
-    normed.join(coded, "vec_id")
-  }
+
+  /** Encode from pre-built (normed, subs) frames so composed searches
+    * reuse one materialized subvector pass. */
+  private def encodeFromSubs(normed: DataFrame, subs: DataFrame,
+                             books: DataFrame): DataFrame =
+    normed.join(codesFromSubs(subs, books), "vec_id")
 
   /** Per-query ADC lookup tables from the shared subvector frame:
     * LUT[sub][code] = q_sub · c_emb, grouped twice into
@@ -209,8 +216,7 @@ object PqAnn {
       rm(dir.toFile)
     }
     embeddings.select(col("vec_id"), col("embedding"))
-      .join(encodeFromSubs(normed, subs, books)
-        .select(col("vec_id"), col("codes")), "vec_id")
+      .join(codesFromSubs(subs, books), "vec_id")
       .join(cells, "vec_id")
       .write.mode("overwrite").parquet(dir.toString)
     IvfPqIndex(spark.read.parquet(dir.toString), centroids, books, m)
@@ -288,8 +294,7 @@ object PqAnn {
     // the searchable corpus: m-code column + the RAW embedding (only
     // the final rerank touches the latter; ADC runs on codes alone)
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
-      .join(encodeFromSubs(normed, subs, books)
-        .select(col("vec_id"), col("codes")), "vec_id")
+      .join(codesFromSubs(subs, books), "vec_id")
     // raw query vectors — the rerank must score EXACTLY like
     // bruteForceTopK (same expression on the same float columns), so
     // the shortlist>=corpus identity is bit-for-bit
