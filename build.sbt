@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The forked test JVM gets more headroom than the 8g run default: a
+// heap-pressure fatal in a local-mode task thread makes Spark's
+// uncaught-exception handler HALT the JVM mid-run — every later
+// suite's jobs then die on the terminated scheduler pool (the
+// nondeterministic whole-run failure seen once under a contended
+// box). Appended last so it overrides the -Xmx above for tests only.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "12g")}"

@@ -79,16 +79,43 @@ object Components {
     // materialize through the driver instead (bounded by the threshold
     // contract — the same kmeansCentroids pattern), skipping two
     // filesystem jobs per round and leaving zero persisted state.
+    // In driver-local mode the convergence signature is folded from
+    // the rows IN HAND (r11) — the per-round signature job existed
+    // only to avoid collecting, which this mode already did. Driver
+    // and executor folds are never compared to each other: the mode is
+    // fixed before round 0's signature is taken, and every later
+    // signature uses the same mode's fold.
     var useFiles = true
+    var lastRows: IndexedSeq[org.apache.spark.sql.Row] = IndexedSeq.empty
     def write(df: DataFrame, round: Int): DataFrame =
       if (!useFiles) {
         val rows = df.collect().toIndexedSeq
+        lastRows = rows
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
       } else {
         val dir = s"$scratchRoot/round_$round"
         df.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)
       }
+    // splitmix64 avalanche over the (u, v) pair — only ever compared
+    // against folds produced by this same function, so the mix just
+    // has to be deterministic and collision-resistant
+    def mix2(a: Long, b: Long): Long = {
+      var z = a * 0x9e3779b97f4a7c15L + b + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def driverSignature(rows: IndexedSeq[org.apache.spark.sql.Row])
+        : (Long, Long, Long) = {
+      var x1 = 0L; var x2 = 0L; var i = 0
+      while (i < rows.length) {
+        val u = rows(i).getLong(0); val v = rows(i).getLong(1)
+        x1 ^= mix2(u, v); x2 ^= mix2(v, u)
+        i += 1
+      }
+      (rows.length.toLong, x1, x2)
+    }
     def drop(round: Int): Unit =
       if (useFiles) fs.delete(new Path(s"$scratchRoot/round_$round"), true)
 
@@ -141,12 +168,17 @@ object Components {
     useFiles = sig._1 > spark.conf
       .get("spark.graft.cc.inMemoryMaxEdges", "100000").toLong
     var e = write(canonical, 0)
+    // driver-local mode: re-fold round 0's signature from the
+    // collected rows so every signature this loop compares comes from
+    // the same (driver) fold
+    if (!useFiles) sig = driverSignature(lastRows)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
       round += 1
       val next = write(smallStar(largeStar(e)), round)
-      val nextSig = signature(next)
+      val nextSig =
+        if (!useFiles) driverSignature(lastRows) else signature(next)
       converged = nextSig == sig
       sig = nextSig
       drop(round - 1)

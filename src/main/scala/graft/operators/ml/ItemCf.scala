@@ -195,6 +195,9 @@ object ItemCf {
     // same verdict `cappedCounts` reached with three consumers. On a
     // real cluster, where exchange reuse still re-reads shuffle
     // blocks over the network, the flag flips the trade per site.
+    // Re-A/B'd in r11 AFTER the fused-metrics change altered the
+    // reuse structure: AQE 7.34 s vs scratch 7.56 s (min-of-3, same
+    // window) — still a wash; AQE default stands.
     val spark = lineitem.sparkSession
     val trainRaw = basketUniverse(lineitem, trainOrders)
     val train =

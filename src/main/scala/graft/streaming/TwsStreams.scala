@@ -345,7 +345,13 @@ object TwsStreams {
       import org.apache.spark.sql.functions.{col, date_format}
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import spark.implicits._
-      val pts = spendPoints(events)
+      // phase walls ride the bench artifact (`"walls"`): the replay's
+      // fixed costs — source collect, query start (planning + state
+      // store provider init), each micro-batch barrier — are the
+      // breakdown the at-scale claim rides on, invisible inside the
+      // one query timing
+      val pts = graft.core.Walls.timed("tws_gap_sessions.source")(
+        spendPoints(events))
       require(pts.nonEmpty, "gapSessionReplay: empty events")
       val flush = SpendPoint(-1L,
         EventMicros.tsOf(EventMicros.usOf(pts.last.ts) + 3L * gapMs * 1000L),
@@ -353,18 +359,23 @@ object TwsStreams {
       val name = "tws_session_replay_" +
         java.util.UUID.randomUUID().toString.take(8)
       val ms = MemoryStream[SpendPoint]
-      val q = gapSessionStream(
-          ms.toDS().withWatermark("ts", "0 seconds"), gapMs).writeStream
-        .format("memory").queryName(name).outputMode("append").start()
+      val q = graft.core.Walls.timed("tws_gap_sessions.start")(
+        gapSessionStream(
+            ms.toDS().withWatermark("ts", "0 seconds"), gapMs).writeStream
+          .format("memory").queryName(name).outputMode("append").start())
       val per = math.max(1, (pts.length + batches - 1) / batches)
-      pts.grouped(per).foreach { b =>
-        ms.addData(b.toSeq: _*); q.processAllAvailable()
+      pts.grouped(per).zipWithIndex.foreach { case (b, i) =>
+        graft.core.Walls.timed(s"tws_gap_sessions.batch$i") {
+          ms.addData(b.toSeq: _*); q.processAllAvailable()
+        }
       }
       // watermark trails by one batch: the second sentinel batch lets
       // the first one's event time become the watermark, firing timers
-      ms.addData(flush); q.processAllAvailable()
-      ms.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
-      q.stop()
+      graft.core.Walls.timed("tws_gap_sessions.sentinels") {
+        ms.addData(flush); q.processAllAvailable()
+        ms.addData(flush.copy(event_id = -2L)); q.processAllAvailable()
+      }
+      graft.core.Walls.timed("tws_gap_sessions.stop")(q.stop())
       spark.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
