@@ -30,6 +30,21 @@ object Tokenize {
   def tokens(text: Column): Column =
     when(text.rlike("\\p{IsHan}"), cjkTokens(text)).otherwise(wsTokens(text))
 
+  /** [[tokens]] with the array elements marked NULLABLE — the form
+    * every `explode_outer` consumer must use (r11). The generator
+    * output of an outer explode inherits the element type's
+    * containsNull=false, so the padded null row of a zero-token doc is
+    * read by downstream null-unaware codegen as an EMPTY value: the
+    * classifier's md5(w) evaluated md5('') instead of NULL and a
+    * zero-token doc scored as one ''-token (caught by LlmOpsSpec).
+    * The per-element `when` wrapper is an identity on real tokens
+    * (length(t) >= 0 always holds for a non-null t, and it is not
+    * foldable, so the nullability survives the optimizer); its only
+    * effect is containsNull=true, which restores null propagation for
+    * the padded row. */
+  def tokensNullable(text: Column): Column =
+    transform(tokens(text), t => when(length(t) >= 0, t))
+
   /** Plain lowercase whitespace tokens — the `\S+` runs. Exposed for
     * callers whose metric is defined as whitespace token count
     * (`TextAnalysis.tokenCounts.ws_tokens`) regardless of CJK

@@ -228,7 +228,7 @@ object DedupOps {
     // well-defined fingerprint; plain explode would drop the doc and
     // lose empty-vs-empty duplicate pairs
     val words = graft.core.Tables.spread(documents)
-      .select(col("doc_id"), explode_outer(Tokenize.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode_outer(Tokenize.tokensNullable(col("text"))).as("w"))
       .withColumn("h", hashFn(col("w")))
     val bitAggs = (0 until bits).map(j =>
       sum(when(call_function("shiftright", col("h"), lit(j))

@@ -27,7 +27,7 @@ object TextAnalysis {
     // silently drops exactly the documents that should score lowest
     val perDoc = graft.core.Tables.spread(documents)
       .select(col("doc_id"), length(col("text")).cast("long").as("char_len"),
-        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokensNullable(col("text"))).as("w"))
       .groupBy(col("doc_id"))
       .agg(
         count(col("w")).as("n_words"),
@@ -56,7 +56,7 @@ object TextAnalysis {
     graft.core.Tables.spread(documents)
       // explode_outer: zero-token docs classify as 'und', not vanish
       .select(col("doc_id"), col("lang"),
-        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokensNullable(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(hits(Seq("the", "and", "of")).as("en_ct"),
         hits(Seq("el", "la", "los", "y")).as("es_ct"),
@@ -157,7 +157,7 @@ object TextAnalysis {
     val triW = Window.partitionBy(col("doc_id"), col("trigram"))
     val toks = graft.core.Tables.spread(documents)
       .select(col("doc_id"),
-        posexplode_outer(Tokenize.tokens(col("text"))).as(Seq("pos", "w")))
+        posexplode_outer(Tokenize.tokensNullable(col("text"))).as(Seq("pos", "w")))
       .withColumn("w2", lead(col("w"), 1).over(posW))
       .withColumn("w3", lead(col("w"), 2).over(posW))
       .withColumn("bigram",
@@ -483,12 +483,19 @@ object TextAnalysis {
       val hex4 = f"${digest(0) & 0xff}%02x${digest(1) & 0xff}%02x"
       (java.lang.Long.parseLong(hex4, 16) % 2001L) - 1000L
     }
-    val wInt = element_at(typedlit(wTable),
-      md5Bucket(col("w"), dim).cast("int") + 1)
+    // the null-token guard must be EXPLICIT: `element_at` over a
+    // literal array of non-null elements declares itself non-nullable
+    // regardless of the index's nullability, so a NULL index (the
+    // padded row of a zero-token doc) reads a garbage slot instead of
+    // propagating NULL (observed on Spark 4.1.2: the empty doc scored
+    // as one ''-token). `w` is nullable here (tokensNullable), so the
+    // isNotNull is not folded away.
+    val wInt = when(col("w").isNotNull,
+      element_at(typedlit(wTable), md5Bucket(col("w"), dim).cast("int") + 1))
     graft.core.Tables.spread(documents)
       // explode_outer: a zero-token doc must still get a verdict row
       .select(col("doc_id"),
-        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokensNullable(col("text"))).as("w"))
       .withColumn("w_i", wInt) // null token (empty doc) → null weight
       .groupBy("doc_id")
       .agg(count(col("w_i")).as("n_tokens"), sum(col("w_i")).as("s"))
@@ -506,7 +513,7 @@ object TextAnalysis {
     graft.core.Tables.spread(documents)
       // explode_outer: a zero-token doc must still score (0.0), not vanish
       .select(col("doc_id"), targetPred.as("is_target"),
-        explode_outer(Tokenize.tokens(col("text"))).as("w"))
+        explode_outer(Tokenize.tokensNullable(col("text"))).as("w"))
       .withColumn("b", md5Bucket(col("w"), nBuckets))
 
   /** The DSIR bucket-weight table (b → 6-dp LLR weight) on its own —
